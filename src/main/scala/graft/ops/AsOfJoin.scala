@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: match each left row to the latest right row with
+  * `right.time <= left.time` within the same partition keys.
+  *
+  * Spark has no ASOF join primitive, so this is a derived operator
+  * (SURVEY.md §2.2 Q18). Implementation is the union + last-value-window
+  * form rather than join-then-reduce: both sides are tagged, unioned, and
+  * a single `last(_, ignoreNulls)` window over (keys, time) carries the
+  * most recent right-side row forward to each left row.
+  *
+  * Scale rationale: this costs ONE shuffle (by `keys`) and a per-key sort
+  * — O(n log n) per key — whereas the naive equi-join + filter + groupBy
+  * materializes every (left, earlier-right) pair, which is quadratic in
+  * per-key density and shuffles twice. At 100 TB with hot keys the union
+  * form degrades to a big sort, not a pair explosion.
+  *
+  * Tie rule: a right row at exactly `left.time` matches (`<=`), ensured by
+  * sorting right-side rows before left-side rows at equal times.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (rows to enrich)
+    * @param right      reference side (rows to look up)
+    * @param keys       equi partition keys present on both sides
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param rightCols  (rightColumn, outputName) pairs carried from the
+    *                   matched right row (null when no match)
+    * @return all `left` columns + the carried right columns
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[(String, String)]): DataFrame = {
+
+    val leftPayload = left.columns.toSeq.filterNot(keys.contains)
+
+    // Tag and align both sides to one schema:
+    //   keys ++ __ts ++ __side ++ __r_<out>* ++ __l_<leftCol>*
+    // side 0 = right, 1 = left: right rows sort first at equal ts so a
+    // ts-equal right row is visible to the left row (<= semantics).
+    val taggedRight = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__ts"), lit(0).as("__side")) ++
+        rightCols.map { case (src, out) => col(src).as(s"__r_$out") } ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+
+    val taggedLeft = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("__ts"), lit(1).as("__side")) ++
+        rightCols.map { case (src, out) =>
+          lit(null).cast(right.schema(src).dataType).as(s"__r_$out") } ++
+        leftPayload.map(c => col(c).as(s"__l_$c")): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedRight.unionByName(taggedLeft)
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts"), col("__side")) ++
+          rightCols.map { case (_, out) =>
+            last(col(s"__r_$out"), ignoreNulls = true).over(w).as(out) } ++
+          leftPayload.map(c => col(s"__l_$c")): _*)
+      .filter(col("__side") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts").as(leftTime)) ++
+          leftPayload.filterNot(_ == leftTime).map(c => col(s"__l_$c").as(c)) ++
+          rightCols.map { case (_, out) => col(out) }: _*)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+/** DuckDB oracle SQL for [[Relational]] — SURVEY.md §2.2, verbatim except
+  * where noted. Aliases are byte-identical to the Spark-side aliases.
+  * Sums of int columns are CAST to BIGINT so DuckDB's HUGEINT widening
+  * matches Spark's long.
+  */
+object OracleSql {
+
+  val all: Seq[(String, String)] = Seq(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty,
+        |       round(sum(l_extendedprice),2) sum_base,
+        |       round(sum(l_extendedprice*(1-l_discount)),2) sum_disc_price,
+        |       round(avg(l_quantity),4) avg_qty, count(*) cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 20""".stripMargin,
+
+    "q03_join_revenue_by_nation" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) revenue
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        |JOIN lineitem ON l_orderkey=o_orderkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA' GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q05_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) p, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn
+        | FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100""".stripMargin,
+
+    "q06_distinct_users" ->
+      "SELECT event_type, count(DISTINCT user_id) u FROM events GROUP BY event_type ORDER BY event_type",
+
+    "q07_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice),2) s, count(*) c
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q08_semi_anti" ->
+      """SELECT
+        | (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) with_orders,
+        | (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) without_orders""".stripMargin,
+
+    "q09_month_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) m, count(*) c, round(sum(o_totalprice),2) s
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_json_extract" ->
+      """SELECT event_type, round(avg(CAST(json_extract(props,'$.k') AS INT)),4) avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q11_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, ts,
+        |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END new_s
+        | FROM events)
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) sessions, count(*) n_events
+        |FROM g GROUP BY user_id ORDER BY user_id LIMIT 100""".stripMargin,
+
+    "q12_dedup_docs" ->
+      """SELECT count(*) n_unique, (SELECT count(*) FROM documents) n_total FROM (
+        | SELECT min(doc_id) keep FROM documents GROUP BY lang, source, text) t""".stripMargin,
+
+    "q13_cosine_topk" ->
+      """WITH q AS (SELECT embedding e FROM embeddings WHERE vec_id=0)
+        |SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT CAST(e AS DOUBLE[]) FROM q)),6) sim
+        |FROM embeddings WHERE vec_id<>0 ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "q14_tumbling_1h" ->
+      """SELECT date_trunc('hour', ts) w, event_type, count(*) c, round(sum(value),2) s
+        |FROM events GROUP BY 1,2 ORDER BY 1,2 LIMIT 200""".stripMargin,
+
+    "q15_set_ops" ->
+      """SELECT 'all_distinct' tag, count(*) c FROM (SELECT c_nationkey FROM customer UNION SELECT s_nationkey FROM supplier) t
+        |UNION ALL
+        |SELECT 'both' tag, count(*) c FROM (SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier) t
+        |UNION ALL
+        |SELECT 'cust_only' tag, count(*) c FROM (SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier) t
+        |ORDER BY tag""".stripMargin,
+
+    "q16_strings" ->
+      """SELECT count(*) FILTER (WHERE p_name LIKE '%red%') n_red,
+        |       count(DISTINCT upper(substr(p_type,1,3))) n_pfx,
+        |       CAST(sum(length(p_name)) AS BIGINT) tot_len,
+        |       count(*) FILTER (WHERE regexp_matches(p_name, '^(red|blue) ')) n_regex
+        |FROM part""".stripMargin,
+
+    "q17_vector_norm" ->
+      """SELECT label, round(avg(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))),3) avg_l2
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q18_asof_join" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type='purchase'),
+        |     c AS (SELECT user_id, ts FROM events WHERE event_type='click'),
+        |     m AS (SELECT p.user_id, (epoch_us(p.ts) - epoch_us(c.ts)) / 1e6 AS gap_s
+        |           FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT count(*) n_matched, round(avg(gap_s),2) avg_gap_s FROM m""".stripMargin,
+
+    "q19_cube" ->
+      """SELECT event_type, d, count(*) c FROM (
+        | SELECT event_type, CAST(date_trunc('day', ts) AS DATE) d FROM events) t
+        |GROUP BY CUBE(event_type, d)
+        |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin,
+
+    "q20_argmax_group" ->
+      """SELECT r_name, n_name, c FROM (
+        | SELECT r_name, n_name, count(*) c,
+        |        row_number() OVER (PARTITION BY r_name ORDER BY count(*) DESC, n_name) rn
+        | FROM customer JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+        | GROUP BY r_name, n_name) t WHERE rn=1 ORDER BY r_name""".stripMargin)
+}

@@ -1,0 +1,277 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator inventory, SURVEY.md §2.2 (Q01–Q20).
+  *
+  * Every query is expressed with declarative DataFrame operations so
+  * Catalyst gets full visibility: predicate pushdown and column pruning
+  * reach the parquet scans, small dimension tables broadcast, aggregates
+  * run partial+final, and everything stays inside whole-stage codegen.
+  * The only derived operators are the as-of join (Q18, see [[AsOfJoin]])
+  * and cosine similarity (Q13, higher-order functions — no UDF).
+  *
+  * Column aliases here must stay byte-identical to the oracle SQL in
+  * [[graft.SparkEntry.oracleSql]] — the driver's comparator matches
+  * columns by name.
+  */
+object Relational {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  /** Q01 — pricing summary: filter + multi-agg hash aggregate (TPC-H Q1). */
+  def q01(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q02 — selective filter + scalar aggregate (TPC-H Q6). */
+  def q02(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(
+        col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 20)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  /** Q03 — 5-way equi-join + agg (TPC-H Q5 analogue).
+    *
+    * Join order is written smallest-out first: region filter → nation →
+    * customer (all broadcastable), so the only shuffles are the big
+    * orders⋈lineitem exchange and the final aggregation. region/nation/
+    * customer stay far under the broadcast threshold at any SF where
+    * customer ≪ lineitem; at 100 TB the explicit broadcast hint on the
+    * dimension side keeps the plan stable even without fresh stats.
+    */
+  def q03(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+
+    val asiaNations = nation.join(
+      broadcast(region.filter(col("r_name") === "ASIA")),
+      col("n_regionkey") === col("r_regionkey"))
+    val custDim = customer.join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q04 — global top-k (TakeOrderedAndProject: per-partition heap + merge). */
+  def q04(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Q05 — ranking window, top-3 orders per customer. */
+  def q05(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("p"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+      .limit(100)
+  }
+
+  /** Q06 — exact distinct count per group (expand + two-phase agg). */
+  def q06(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .orderBy(col("event_type"))
+
+  /** Q07 — ROLLUP grouping sets. */
+  def q07(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("s"), count(lit(1)).as("c"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Q08 — semi + anti join as scalar counts (null-safe NOT IN coincides
+    * with anti join here: o_custkey is non-null in the corpus). */
+  def q08(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders").select(col("o_custkey"))
+    val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("with_orders"))
+    val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("without_orders"))
+    semi.crossJoin(anti)
+  }
+
+  /** Q09 — calendar month bucketing + agg. */
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(count(lit(1)).as("c"), round(sum(col("o_totalprice")), 2).as("s"))
+      .orderBy(col("m"))
+
+  /** Q10 — JSON path extraction over events.props. */
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(avg(get_json_object(col("props"), "$.k").cast("int")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  /** Q11 — sessionization: lag window + 30-minute gap rule (batch twin of
+    * streaming session windows). One shuffle on user_id serves both the
+    * window and the re-aggregation. */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.load(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_s")).as("sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+      .limit(100)
+  }
+
+  /** Q12 — exact dedup counts over (lang, source, text); the public
+    * operator form lives in [[graft.text.Dedup.exact]]. */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val unique = docs.groupBy(col("lang"), col("source"), col("text"))
+      .agg(min(col("doc_id")).as("keep"))
+      .agg(count(lit(1)).as("n_unique"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    unique.crossJoin(total)
+  }
+
+  /** Q13 — brute-force cosine top-k vs query vector 0 (exact baseline the
+    * LSH path approximates). Query vector is a 1-row broadcast. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(asDouble(col("embedding")), col("qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Q14 — tumbling 1-hour window aggregate (batch twin of A5 streaming). */
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("s"))
+      .select(col("window.start").as("w"), col("event_type"), col("c"), col("s"))
+      .orderBy(col("w"), col("event_type"))
+      .limit(200)
+
+  /** Q15 — set operations (UNION distinct / INTERSECT / EXCEPT). */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("k"))
+    val s = Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("k"))
+    val all = c.union(s).distinct().agg(count(lit(1)).as("c")).withColumn("tag", lit("all_distinct"))
+    val both = c.intersect(s).agg(count(lit(1)).as("c")).withColumn("tag", lit("both"))
+    val only = c.except(s).agg(count(lit(1)).as("c")).withColumn("tag", lit("cust_only"))
+    all.unionByName(both).unionByName(only)
+      .select(col("tag"), col("c"))
+      .orderBy(col("tag"))
+  }
+
+  /** Q16 — string function battery (LIKE / substr / upper / length / regex). */
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "part")
+      .agg(
+        count(when(col("p_name").like("%red%"), 1)).as("n_red"),
+        countDistinct(upper(substring(col("p_type"), 1, 3))).as("n_pfx"),
+        sum(length(col("p_name"))).as("tot_len"),
+        count(when(col("p_name").rlike("^(red|blue) "), 1)).as("n_regex"))
+
+  /** Q17 — array higher-order functions: per-row L2 norm fold + agg. */
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"), l2Norm(asDouble(col("embedding"))).as("l2"))
+      .groupBy(col("label"))
+      .agg(round(avg(col("l2")), 3).as("avg_l2"))
+      .orderBy(col("label"))
+
+  /** Q18 — as-of join: each purchase matched to the latest click at or
+    * before it (same user). Inner semantics: unmatched purchases drop. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase").select(col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click").select(col("user_id"), col("ts"))
+    AsOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts", Seq("ts" -> "click_ts"))
+      .filter(col("click_ts").isNotNull)
+      .select(((unix_micros(col("ts")) - unix_micros(col("click_ts"))) / lit(1e6)).as("gap_s"))
+      .agg(count(lit(1)).as("n_matched"), round(avg(col("gap_s")), 2).as("avg_gap_s"))
+  }
+
+  /** Q19 — CUBE grouping sets over (event_type, day). */
+  def q19(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .cube(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)
+
+  /** Q20 — argmax per group: most common nation per region (3-way join +
+    * agg + rank-1 window). */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    val counts = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("r_name")).orderBy(col("c").desc, col("n_name"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("r_name"), col("n_name"), col("c"))
+      .orderBy(col("r_name"))
+  }
+
+  /** name → implementation, in inventory order. */
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_filter_revenue" -> (q02 _),
+    "q03_join_revenue_by_nation" -> (q03 _),
+    "q04_topk_orders" -> (q04 _),
+    "q05_window_rank" -> (q05 _),
+    "q06_distinct_users" -> (q06 _),
+    "q07_rollup" -> (q07 _),
+    "q08_semi_anti" -> (q08 _),
+    "q09_month_agg" -> (q09 _),
+    "q10_json_extract" -> (q10 _),
+    "q11_sessionize" -> (q11 _),
+    "q12_dedup_docs" -> (q12 _),
+    "q13_cosine_topk" -> (q13 _),
+    "q14_tumbling_1h" -> (q14 _),
+    "q15_set_ops" -> (q15 _),
+    "q16_strings" -> (q16 _),
+    "q17_vector_norm" -> (q17 _),
+    "q18_asof_join" -> (q18 _),
+    "q19_cube" -> (q19 _),
+    "q20_argmax_group" -> (q20 _))
+}
