@@ -274,4 +274,6 @@ object Relational {
     "q18_asof_join" -> (q18 _),
     "q19_cube" -> (q19 _),
     "q20_argmax_group" -> (q20 _))
+
+  val allNames: Seq[String] = all.map(_._1)
 }

@@ -1,0 +1,168 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are pure Catalyst expression compositions — shingling,
+  * MinHash, SimHash and banding run inside whole-stage codegen via
+  * higher-order functions and the native `hash`/`xxhash64` expressions.
+  * No UDFs, no driver-side loops: every step is a distributed map or a
+  * keyed shuffle, so the same plan that dedups 5 000 docs dedups 10 B.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - exact:    one shuffle on the grouping keys.
+  *  - minhash:  map (signature) → explode to b bands → shuffle on
+  *              (band, bandHash) → pairs within buckets only. Bucket
+  *              count grows with corpus size, so pair blowup is bounded
+  *              by collision rate, not corpus².
+  *  - simhash:  map (64-bit fingerprint) → self-join on band keys of the
+  *              fingerprint (4×16-bit chunks ⇒ any pair within Hamming
+  *              distance 3 shares ≥1 chunk — pigeonhole) → verify with
+  *              `bit_count(a^b)`.
+  */
+object Dedup {
+
+  /** Keep-policy for exact dedup: which row of a duplicate group survives. */
+  sealed trait Keep
+  case object MinId extends Keep
+  case object MaxId extends Keep
+
+  /** Exact dedup on `keys`: returns surviving rows (one per group).
+    * One shuffle; min/max-id policy is a window-free aggregate + semi
+    * join when `idCol` is unique, which it is for `doc_id`.
+    */
+  def exact(df: DataFrame, keys: Seq[String], idCol: String, keep: Keep = MinId): DataFrame = {
+    val pick = keep match {
+      case MinId => min(col(idCol))
+      case MaxId => max(col(idCol))
+    }
+    val survivors = df.groupBy(keys.map(col): _*).agg(pick.as(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
+  /** Word-level shingles (n-gram tokens joined by space), distinct. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature of a shingle array: `k` independent min-hashes,
+    * seeded by position via the 2-arg murmur3 `hash(shingle, seed)`. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleArr, s => hash(s, seed))))
+
+  /** Candidate near-duplicate pairs via MinHash-LSH banding.
+    *
+    * @param df     input with a unique id and a text column
+    * @param b      number of bands, `r` rows each (signature length b*r)
+    * @return pairs (id_a < id_b) with exact shingle-Jaccard ≥ `threshold`
+    */
+  def nearMinhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      b: Int = 16,
+      r: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val k = b * r
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    // band j → hash of the j-th r-slice of the signature
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(
+        transform(sequence(lit(0), lit(b - 1)),
+          j => hash(slice(col("sig"), j * r + 1, lit(r))))).as(Seq("band", "bh")))
+    // pairs co-bucketed in ≥1 band; dedup pairs before the (costly) verify
+    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val rr = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val cand = l.join(rr, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint of the token multiset of `text`.
+    * Bit votes are folded with HOFs: each token contributes ±1 per bit
+    * from its xxhash64; positive vote sum ⇒ bit set.
+    */
+  def simhash(text: Column): Column = {
+    val toks = split(text, " ")
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) =>
+        zip_with(acc, transform(sequence(lit(0), lit(63)),
+          bit => when(call_function("shiftright", xxhash64(t), bit).bitwiseAND(1) === 1, 1).otherwise(-1)),
+          (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16).
+    * Banding by 16-bit fingerprint chunks bounds the self-join: any pair
+    * within distance 3 agrees on at least one of the 4 chunks.
+    */
+  def nearSimhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(0xFFFFL))).as(Seq("chunk", "ck")))
+    val l = banded.select(col("chunk"), col("ck"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val rr = banded.select(col("chunk"), col("ck"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(rr, Seq("chunk", "ck"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs above `threshold`.
+    * Token-inverted-index join: explode shingles, join on shingle, count
+    * shared shingles per pair, compute |A∩B|/|A∪B|. One shuffle on the
+    * shingle key — no O(n²) cross join; hot shingles can be frequency-
+    * capped upstream (stopword-like shingles carry no dedup signal).
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val pairs = inv.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(inv.select(col("s"), col("id").as("id_b"), col("n").as("n_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

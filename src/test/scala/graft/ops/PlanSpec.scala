@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Plan-shape guards (SURVEY §5.2): the 100 TB posture is enforced as
+  * assertions on physical plans — broadcast where intended, pushdown
+  * reaching the scan, and exchange-count ceilings so a regression that
+  * adds shuffles fails loudly.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect() // materialize so AQE resolves to the final plan
+    // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    // keep only the final section or every exchange counts twice
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  /** Shuffle exchanges only — broadcasts are counted separately. */
+  private def exchanges(p: String): Int =
+    "Exchange (hash|range|Single)".r.findAllIn(p).size
+
+  test("q03: dimension joins broadcast; no nested-loop or cartesian") {
+    val p = plan("q03_join_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q02: filters push down to the parquet scan") {
+    val p = plan("q02_filter_revenue")
+    assert(p.contains("PushedFilters: [Is") || p.contains("PushedFilters: [Gr"),
+      s"no pushed filters in:\n$p")
+  }
+
+  test("q01: column pruning reaches the scan (no full-width lineitem read)") {
+    val p = plan("q01_pricing_summary")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").length
+    assert(cols <= 7, s"scan reads $cols columns: $read")
+  }
+
+  test("exchange-count ceilings hold (shuffle regression guard)") {
+    val ceilings = Map(
+      "q01_pricing_summary" -> 2,
+      "q02_filter_revenue" -> 1,
+      "q03_join_revenue_by_nation" -> 4,
+      "q04_topk_orders" -> 1,
+      "q11_sessionize" -> 2,
+      "q14_tumbling_1h" -> 3,
+      "q18_asof_join" -> 3)
+    ceilings.foreach { case (q, max) =>
+      val n = exchanges(plan(q))
+      assert(n <= max, s"$q has $n exchanges (ceiling $max)")
+    }
+  }
+
+  test("whole-stage codegen covers the relational inventory hot paths") {
+    // codegen'd operators print as "*(n) Op" in the plan string
+    Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>
+      assert("""\*\(\d+\)""".r.findFirstIn(plan(q)).isDefined, s"$q fell out of codegen")
+    }
+  }
+}

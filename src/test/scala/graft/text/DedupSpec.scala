@@ -1,0 +1,54 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+
+  test("exact dedup keeps one row per (lang, source, text) group") {
+    val out = Dedup.exact(docs, Seq("lang", "source", "text"), "doc_id")
+    val expected = docs.select("lang", "source", "text").distinct().count()
+    assert(out.count() == expected)
+    // keep-min policy: surviving ids are the group minima
+    val viaMin = docs.groupBy("lang", "source", "text").agg(min("doc_id").as("doc_id"))
+    assert(out.select("doc_id").except(viaMin.select("doc_id")).count() == 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates (recall >= 0.9)") {
+    // plant 10 near-dups: copy a doc, change its last token
+    val planted = docs.limit(10)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text",
+        concat(expr("substring(text, 1, length(text) - 4)"), lit(" zzz")))
+    val corpus = docs.unionByName(planted)
+    val pairs = Dedup.nearMinhash(corpus, "doc_id", "text", threshold = 0.7).collect()
+    val found = pairs.count { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      b - a == 1000000L
+    }
+    assert(found >= 9, s"only $found of 10 planted near-dups recovered")
+  }
+
+  test("simhash: identical texts collide at hamming 0; near-dups within 3") {
+    val dup = docs.limit(5).withColumn("doc_id", col("doc_id") + 2000000L)
+    val pairs = Dedup.nearSimhash(docs.unionByName(dup), "doc_id", "text", maxHamming = 3)
+      .collect()
+    val exactPairs = pairs.filter(r => r.getAs[Long]("id_b") - r.getAs[Long]("id_a") == 2000000L)
+    assert(exactPairs.length == 5)
+    assert(exactPairs.forall(_.getAs[Int]("hamming") == 0))
+  }
+
+  test("ngram jaccard: identical pair scores 1.0, disjoint pair absent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(df, "doc_id", "text", threshold = 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+}

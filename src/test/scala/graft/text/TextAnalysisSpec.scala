@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount matches manual count; subwordCount splits punctuation") {
+    val df = Seq("one two three", "hello, world! 42").toDF("text")
+      .select(
+        TextAnalysis.tokenCount(col("text")).as("tc"),
+        TextAnalysis.subwordCount(col("text")).as("sc"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 3)
+    // "hello" "," "world" "!" "42" = 5 subwords vs 3 whitespace tokens
+    assert(rows(1).getInt(0) == 3 && rows(1).getInt(1) == 5)
+  }
+
+  test("quality score stays in [0,1] over the corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bad = docs.select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .filter(col("q") < 0 || col("q") > 1).count()
+    assert(bad == 0)
+  }
+
+  test("fingerprint: equal texts equal, reorder differs, deterministic") {
+    val df = Seq(
+      ("a", "alpha beta gamma"),
+      ("b", "alpha beta gamma"),
+      ("c", "gamma beta alpha")).toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+    val again = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == again)
+  }
+
+  test("langId returns a known code and favors stopword-matched language") {
+    val df = Seq(
+      "the cat and the dog is happy",
+      "el perro y la casa de que",
+      "der hund und die katze ist").toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("lang"))
+    val langs = df.collect().map(_.getString(0))
+    assert(langs(0) == "en" && langs(1) == "es" && langs(2) == "de")
+  }
+
+  test("stopword/punct/digit ratios bounded and consistent") {
+    val r = Seq("the 42 cats!!").toDF("text").select(
+      TextAnalysis.stopwordRatio(col("text")).as("sw"),
+      TextAnalysis.punctRatio(col("text")).as("p"),
+      TextAnalysis.digitRatio(col("text")).as("d")).collect().head
+    assert(r.getDouble(0) > 0 && r.getDouble(0) <= 1)
+    assert(r.getDouble(1) > 0 && r.getDouble(1) < 1)
+    assert(r.getDouble(2) > 0 && r.getDouble(2) < 1)
+  }
+}
