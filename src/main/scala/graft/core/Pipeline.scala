@@ -111,4 +111,41 @@ object Pipeline {
   /** Fan-in (C4) for keyed branches: multi-way equi-join on `keys`. */
   def fanInJoin(keys: Seq[String], joinType: String = "inner")(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce((a, b) => a.join(b, keys, joinType))
+
+  /** Conditional routing (C6): rows matching `cond` flow through
+    * `ifTrue`, the rest through `ifFalse`; outputs re-merge by name.
+    * Branch pipelines must converge to union-compatible schemas —
+    * `validate` catches divergence pre-flight.
+    */
+  def route(cond: org.apache.spark.sql.Column, ifTrue: Pipeline, ifFalse: Pipeline)(
+      df: DataFrame): DataFrame = {
+    val shared = df.persist(StorageLevel.MEMORY_AND_DISK)
+    ifTrue(shared.filter(cond)).unionByName(ifFalse(shared.filter(!cond)))
+  }
+
+  /** Dead-letter split (C7 error policy): rows satisfying `isValid`
+    * continue; the rest are returned separately for a quarantine sink.
+    * Row-level "exceptions" in a vectorized engine are predicates, not
+    * throws — anything that would throw (bad cast, malformed JSON) is
+    * expressed with try_/null-safe functions and caught here.
+    */
+  def deadLetter(df: DataFrame, isValid: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val shared = df.persist(StorageLevel.MEMORY_AND_DISK)
+    (shared.filter(isValid), shared.filter(!isValid))
+  }
+}
+
+/** Runtime context injected into context-aware stages (C8 — the
+  * reference's fixture mechanism): session, run identity, free-form conf.
+  */
+final case class PipelineContext(
+    spark: org.apache.spark.sql.SparkSession,
+    runId: String,
+    conf: Map[String, String] = Map.empty)
+
+object PipelineContext {
+  /** Context-aware stage factory: `CtxStage("s") { ctx => df => ... }`. */
+  def stage(name: String)(f: PipelineContext => DataFrame => DataFrame)(
+      implicit ctx: PipelineContext): Stage =
+    Stage(name)(f(ctx))
 }

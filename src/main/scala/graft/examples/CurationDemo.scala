@@ -1,0 +1,48 @@
+package graft.examples
+
+import graft.Tables
+import graft.core._
+import graft.ops.Analytics
+import graft.functions.UserFunctions
+import graft.sources.IO
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end example of the public API: compose a validated pipeline,
+  * route bad rows to a dead-letter split, window-analyze, write a
+  * partitioned layout, and call a registered UDF from SQL.
+  *
+  * Run: `sbt "runMain graft.examples.CurationDemo"`.
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    UserFunctions.registerAll(spark)
+
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+
+    val pipeline = Stage("only_jan")(df => df.filter(col("ts") < "2024-01-15")) >>
+      Stage("moving")(df => Analytics.movingAgg(df, "user_id", "ts", "value", 3600))
+
+    pipeline.validate(events) match {
+      case Right(schema) => println(s"VALIDATED: ${schema.fieldNames.mkString(",")}")
+      case Left(e) => sys.error(s"validation failed: $e")
+    }
+    val out = pipeline(events)
+    println(s"ROWS: ${out.count()}")
+
+    val (ok, dead) = Pipeline.deadLetter(out, col("value") >= 0)
+    println(s"OK: ${ok.count()} DEAD: ${dead.count()}")
+
+    val dir = java.nio.file.Files.createTempDirectory("demo_out").toString
+    IO.writePartitioned(ok, dir, Seq("event_type"))
+    println(s"WROTE: ${spark.read.parquet(dir).count()} partitioned rows at $dir")
+    println("SQL UDF fnv1a('hello') = " +
+      spark.sql("SELECT fnv1a('hello')").collect().head.getLong(0))
+    spark.stop()
+  }
+}

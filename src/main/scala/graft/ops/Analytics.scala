@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frame-spec window analytics and generic non-equi joins
+  * (SURVEY.md §2.3 A7/A8).
+  */
+object Analytics {
+
+  /** Time-based moving aggregate: for each row, `agg` over rows of the
+    * same `partitionKey` within the trailing `rangeSeconds` (inclusive)
+    * ending at the row's `tsCol`. One shuffle on the partition key.
+    */
+  def movingAgg(
+      df: DataFrame,
+      partitionKey: String,
+      tsCol: String,
+      valueCol: String,
+      rangeSeconds: Long,
+      aggName: String = "avg"): DataFrame = {
+    val w = Window.partitionBy(col(partitionKey))
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-rangeSeconds, 0)
+    val aggExpr: Column = aggName match {
+      case "avg" => avg(col(valueCol))
+      case "sum" => sum(col(valueCol))
+      case "min" => min(col(valueCol))
+      case "max" => max(col(valueCol))
+      case "count" => count(col(valueCol))
+      case other => throw new IllegalArgumentException(s"unsupported agg: $other")
+    }
+    df.withColumn(s"${aggName}_${valueCol}_${rangeSeconds}s", aggExpr.over(w))
+  }
+
+  /** Row-based sliding aggregate (`nRows` preceding through current). */
+  def rollingRows(
+      df: DataFrame,
+      partitionKey: String,
+      orderCol: String,
+      valueCol: String,
+      nRows: Int): DataFrame = {
+    val w = Window.partitionBy(col(partitionKey)).orderBy(col(orderCol))
+      .rowsBetween(-(nRows - 1), 0)
+    df.withColumn(s"rolling_${valueCol}_$nRows", avg(col(valueCol)).over(w))
+  }
+
+  /** General theta join: arbitrary boolean condition. Executes as a
+    * broadcast nested loop — correct but O(|l|·|r|); the perf guard is
+    * that NO inventory query plans through this (PlanSpec asserts Q03/Q18
+    * stay hash/broadcast-hash). Use only when no equi/as-of/range
+    * formulation exists, and keep the broadcast side small.
+    */
+  def thetaJoin(left: DataFrame, right: DataFrame, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    left.join(right, cond, joinType)
+
+  /** Banded range join: |l.time − r.time| ≤ `bandSeconds` plus equi keys.
+    * Rewritten as an equi join on (key, time-bucket) with each left row
+    * probing its own and adjacent buckets — a keyed shuffle instead of a
+    * nested loop, the standard trick for time-band joins at scale.
+    */
+  def bandJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, bandSeconds: Long): DataFrame = {
+    val bucket = lit(bandSeconds)
+    val l = left.withColumn("__b", explode(array(
+      (col(leftTs).cast("long") / bucket).cast("long") - 1,
+      (col(leftTs).cast("long") / bucket).cast("long"),
+      (col(leftTs).cast("long") / bucket).cast("long") + 1)))
+    val r = right.withColumn("__b", (col(rightTs).cast("long") / bucket).cast("long"))
+    l.join(r, keys :+ "__b")
+      .filter(abs(col(leftTs).cast("long") - col(rightTs).cast("long")) <= bandSeconds)
+      .drop("__b")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks. Thin, deliberately: Spark's DataSource V2 already
+  * provides the formats; the engine's value-add is (a) schema-pinned
+  * reads (no sampling-inference jobs in production paths) and (b) the
+  * scale-layout writers below.
+  */
+object IO {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString).option("delimiter", delimiter)
+      .csv(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** 100 TB layout: hive-partition by low-cardinality pruning columns
+    * (date, tenant, lang...) so partition pruning skips whole directories,
+    * and pre-shuffle into `filesPerPartition` files of even size so no
+    * partition directory degenerates into one giant or 10 000 tiny files.
+    */
+  def writePartitioned(
+      df: DataFrame, path: String,
+      partitionCols: Seq[String], filesPerPartition: Int = 1): Unit =
+    df.repartition(filesPerPartition, partitionCols.map(df.col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed table layout: co-locates rows by join key so repeated
+    * big-big joins on `bucketCols` skip their shuffle entirely
+    * (bucket-aware scan). Requires a metastore table, hence saveAsTable.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String,
+      bucketCols: Seq[String], nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w: DataFrameWriter[Row] = df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTs(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("movingAgg: trailing 1h average matches hand computation") {
+    val df = Seq(
+      (1L, mkTs(0), 10.0), (1L, mkTs(1800), 20.0), (1L, mkTs(3600), 30.0),
+      (1L, mkTs(7300), 40.0), (2L, mkTs(0), 100.0)).toDF("uid", "ts", "v")
+    val out = Analytics.movingAgg(df, "uid", "ts", "v", 3600)
+      .orderBy("uid", "ts").collect()
+    val avgs = out.map(_.getDouble(3))
+    assert(avgs(0) == 10.0)          // [10]
+    assert(avgs(1) == 15.0)          // [10,20]
+    assert(avgs(2) == 20.0)          // [10,20,30] (0 is within 3600 incl.)
+    assert(avgs(3) == 40.0)          // 7300-3600=3700 > 3600 → alone
+    assert(avgs(4) == 100.0)         // other user isolated
+  }
+
+  test("rollingRows: 3-row window") {
+    val df = Seq((1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 3.0), (1L, 4, 6.0))
+      .toDF("uid", "seq", "v")
+    val out = Analytics.rollingRows(df, "uid", "seq", "v", 3)
+      .orderBy("seq").collect().map(_.getDouble(3))
+    assert(out.toSeq == Seq(1.0, 1.5, 2.0, 11.0 / 3))
+  }
+
+  test("thetaJoin handles arbitrary inequality conditions") {
+    val l = Seq((1, 10), (2, 20)).toDF("id", "lo")
+    val r = Seq((100, 15), (200, 25)).toDF("rid", "x")
+    val out = Analytics.thetaJoin(l, r, col("x") > col("lo") && col("x") < col("lo") + 10)
+    assert(out.collect().map(r => (r.getInt(0), r.getInt(2))).toSet == Set((1, 100), (2, 200)))
+  }
+
+  test("bandJoin equals naive theta join on |dt| <= band") {
+    val events = graft.Tables.load(spark, sf, "events").limit(300)
+    val l = events.select(col("user_id"), col("ts").as("lts"))
+    val r = events.select(col("user_id"), col("ts").as("rts"))
+    val banded = Analytics.bandJoin(l, r, Seq("user_id"), "lts", "rts", 600)
+      .select("user_id", "lts", "rts").collect().toSet
+    val naive = l.join(r, "user_id")
+      .filter(abs(col("lts").cast("long") - col("rts").cast("long")) <= 600)
+      .select("user_id", "lts", "rts").collect().toSet
+    assert(banded == naive)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class IOSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("csv round-trip with pinned schema (no inference jobs)") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    val dir = tmp("csv")
+    IO.writeCsv(docs, dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    val back = IO.csv(spark, dir, schema)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("n_chars")).head.getLong(0) ==
+      docs.agg(sum("n_chars")).head.getLong(0))
+  }
+
+  test("json round-trip with pinned schema") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "source")
+    val dir = tmp("json")
+    docs.write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    assert(IO.json(spark, dir, schema).count() == docs.count())
+  }
+
+  test("partitioned layout prunes partitions on read") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = tmp("part")
+    IO.writePartitioned(docs, dir, Seq("lang"))
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$scan")
+    assert(pruned.count() ==
+      docs.filter(col("lang") === "en").count())
+    // one file per partition dir (layout contract)
+    val enFiles = new java.io.File(s"$dir/lang=en").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(enFiles == 1)
+  }
+
+  test("bucketed table join avoids shuffle on the bucket key") {
+    val orders = Tables.load(spark, sf, "orders")
+    IO.writeBucketed(orders, "orders_bkt", Seq("o_custkey"), 4)
+    val t = spark.table("orders_bkt")
+    val agg = t.groupBy("o_custkey").agg(sum("o_totalprice"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed scan still shuffled:\n$plan")
+  }
+}

@@ -72,8 +72,38 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("watermark drops late rows in append mode (A9 contract)") {
-    val agg = StreamingOps.windowedAgg(replayEvents, watermark = "10 minutes")
-    // watermark node must be present in the analyzed plan
-    assert(agg.queryExecution.analyzed.toString.contains("EventTimeWatermark"))
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingOps.windowedAgg(
+      ms.toDF.toDF("ts", "event_type", "value"),
+      window_ = "10 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+
+    // window [0,10) gets 2 events; event at min 60 pushes the watermark
+    // to min 50, closing and emitting [0,10)
+    ms.addData((ts(1), "click", 1.0), (ts(2), "click", 1.0))
+    q.processAllAvailable()
+    ms.addData((ts(60), "click", 1.0))
+    q.processAllAvailable()
+    val emitted = spark.table("late_test")
+      .filter($"w" === ts(0) && $"event_type" === "click").collect()
+    assert(emitted.length == 1 && emitted.head.getAs[Long]("c") == 2L)
+
+    // a LATE event for the closed [0,10) window must be dropped, not
+    // re-emitted (append mode never updates an emitted window)
+    ms.addData((ts(3), "click", 1.0))
+    q.processAllAvailable()
+    ms.addData((ts(120), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("late_test")
+      .filter($"w" === ts(0) && $"event_type" === "click").collect()
+    assert(after.length == 1 && after.head.getAs[Long]("c") == 2L,
+      "late row was not dropped by the watermark")
   }
 }
