@@ -29,6 +29,9 @@ object Bench {
       // Micro-bench latency config (SURVEY.md §6): AQE's per-stage
       // re-planning costs more than it saves at sub-second scale.
       .config("spark.sql.adaptive.enabled", "false")
+      // single-node 128 GiB: broadcasting a 10-30 MB side within the JVM
+      // beats a shuffle; on a real cluster stats/AQE make this call
+      .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -42,16 +45,18 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
 
-    runPass() // warm-up: JIT + codegen compile + cache population
-    val passes = Seq.fill(3)(runPass())
-    val medians = names.map { n =>
-      val ts = passes.map(_(n)).sorted
-      n -> ts(1)
-    }
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    runPass(); runPass() // warm-up: JIT + codegen compile + cache population
+    val passes = Seq.fill(5)(runPass())
+    def stat(f: Seq[Double] => Double) = names.map { n => n -> f(passes.map(_(n))) }
+    val medians = stat(ts => ts.sorted.apply(ts.size / 2))
+    val mins = stat(_.min)
+    def fmt(m: Seq[(String, Double)]) =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // value/queries = per-BASELINE.md medians; *_min = noise floor on this
+    // VM (run-to-run variance is ±2x — see BENCH_NOTES.md)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},""" +
+      s""""value_min":${mins.map(_._2).sum},"queries_min":${fmt(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,14 @@ object Relational {
 
   private def ts(s: String) = to_timestamp(lit(s))
 
+  /** Final total-order for group-bounded outputs (group-key cardinality
+    * ≪ data size at every scale): merge to one partition first, so the
+    * sort is a local sort — no range exchange and, critically, no
+    * range-partitioner sampling job. Never use on unbounded outputs.
+    */
+  private def orderedSmall(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.coalesce(1).orderBy(cols: _*)
+
   /** Q01 — pricing summary: filter + multi-agg hash aggregate (TPC-H Q1). */
   def q01(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
@@ -34,7 +42,7 @@ object Relational {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("cnt"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .transform(orderedSmall(_, col("l_returnflag"), col("l_linestatus")))
   }
 
   /** Q02 — selective filter + scalar aggregate (TPC-H Q6). */
@@ -73,7 +81,7 @@ object Relational {
       .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .orderBy(col("revenue").desc, col("n_name"))
+      .transform(orderedSmall(_, col("revenue").desc, col("n_name")))
   }
 
   /** Q04 — global top-k (TakeOrderedAndProject: per-partition heap + merge). */
@@ -100,25 +108,29 @@ object Relational {
     Tables.load(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("u"))
-      .orderBy(col("event_type"))
+      .transform(orderedSmall(_, col("event_type")))
 
   /** Q07 — ROLLUP grouping sets. */
   def q07(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_extendedprice")), 2).as("s"), count(lit(1)).as("c"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+      .transform(orderedSmall(_, col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
 
   /** Q08 — semi + anti join as scalar counts (null-safe NOT IN coincides
-    * with anti join here: o_custkey is non-null in the corpus). */
+    * with anti join here: o_custkey is non-null in the corpus).
+    * Single-pass: one left join against the distinct key set answers both
+    * the EXISTS and NOT-EXISTS counts — halves the scans and jobs of the
+    * naive semi+anti pair, and the distinct key side broadcasts.
+    */
   def q08(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")
-    val orders = Tables.load(spark, dir, "orders").select(col("o_custkey"))
-    val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
-      .agg(count(lit(1)).as("with_orders"))
-    val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
-      .agg(count(lit(1)).as("without_orders"))
-    semi.crossJoin(anti)
+    val orderKeys = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey")).distinct()
+    customer.join(broadcast(orderKeys), col("c_custkey") === col("o_custkey"), "left")
+      .agg(
+        count(when(col("o_custkey").isNotNull, 1)).as("with_orders"),
+        count(when(col("o_custkey").isNull, 1)).as("without_orders"))
   }
 
   /** Q09 — calendar month bucketing + agg. */
@@ -126,14 +138,14 @@ object Relational {
     Tables.load(spark, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
       .agg(count(lit(1)).as("c"), round(sum(col("o_totalprice")), 2).as("s"))
-      .orderBy(col("m"))
+      .transform(orderedSmall(_, col("m")))
 
   /** Q10 — JSON path extraction over events.props. */
   def q10(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(round(avg(get_json_object(col("props"), "$.k").cast("int")), 4).as("avg_k"))
-      .orderBy(col("event_type"))
+      .transform(orderedSmall(_, col("event_type")))
 
   /** Q11 — sessionization: lag window + 30-minute gap rule (batch twin of
     * streaming session windows). One shuffle on user_id serves both the
@@ -154,14 +166,13 @@ object Relational {
 
   /** Q12 — exact dedup counts over (lang, source, text); the public
     * operator form lives in [[graft.text.Dedup.exact]]. */
-  def q12(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val unique = docs.groupBy(col("lang"), col("source"), col("text"))
-      .agg(min(col("doc_id")).as("keep"))
-      .agg(count(lit(1)).as("n_unique"))
-    val total = docs.agg(count(lit(1)).as("n_total"))
-    unique.crossJoin(total)
-  }
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    // single pass: group sizes give both the unique count and, re-summed,
+    // the total — no second scan, no crossJoin of two scalar jobs
+    Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"), col("text"))
+      .agg(count(lit(1)).as("dup_cnt"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("dup_cnt")).as("n_total"))
 
   /** Q13 — brute-force cosine top-k vs query vector 0 (exact baseline the
     * LSH path approximates). Query vector is a 1-row broadcast. */
@@ -185,16 +196,27 @@ object Relational {
       .orderBy(col("w"), col("event_type"))
       .limit(200)
 
-  /** Q15 — set operations (UNION distinct / INTERSECT / EXCEPT). */
+  /** Q15 — set operations (UNION distinct / INTERSECT / EXCEPT).
+    * Computed in one pass over the two distinct key sets: a full outer
+    * join tags each key's membership, and all three set cardinalities
+    * fall out of one aggregate — 3 small shuffles instead of the naive
+    * 6-exchange union-of-three-subqueries plan.
+    */
   def q15(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("k"))
-    val s = Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("k"))
-    val all = c.union(s).distinct().agg(count(lit(1)).as("c")).withColumn("tag", lit("all_distinct"))
-    val both = c.intersect(s).agg(count(lit(1)).as("c")).withColumn("tag", lit("both"))
-    val only = c.except(s).agg(count(lit(1)).as("c")).withColumn("tag", lit("cust_only"))
-    all.unionByName(both).unionByName(only)
-      .select(col("tag"), col("c"))
-      .orderBy(col("tag"))
+    val c = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").as("k")).distinct().withColumn("in_c", lit(1))
+    val s = Tables.load(spark, dir, "supplier")
+      .select(col("s_nationkey").as("k")).distinct().withColumn("in_s", lit(1))
+    val sets = c.join(s, Seq("k"), "full_outer")
+      .agg(
+        count(lit(1)).as("all_distinct"),
+        count(when(col("in_c").isNotNull && col("in_s").isNotNull, 1)).as("both"),
+        count(when(col("in_c").isNotNull && col("in_s").isNull, 1)).as("cust_only"))
+    sets.select(explode(map(
+        lit("all_distinct"), col("all_distinct"),
+        lit("both"), col("both"),
+        lit("cust_only"), col("cust_only"))).as(Seq("tag", "c")))
+      .transform(orderedSmall(_, col("tag")))
   }
 
   /** Q16 — string function battery (LIKE / substr / upper / length / regex). */
@@ -212,7 +234,7 @@ object Relational {
       .select(col("label"), l2Norm(asDouble(col("embedding"))).as("l2"))
       .groupBy(col("label"))
       .agg(round(avg(col("l2")), 3).as("avg_l2"))
-      .orderBy(col("label"))
+      .transform(orderedSmall(_, col("label")))
 
   /** Q18 — as-of join: each purchase matched to the latest click at or
     * before it (same user). Inner semantics: unmatched purchases drop. */
@@ -232,7 +254,7 @@ object Relational {
       .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
       .cube(col("event_type"), col("d"))
       .agg(count(lit(1)).as("c"))
-      .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)
+      .transform(orderedSmall(_, col("event_type").asc_nulls_first, col("d").asc_nulls_first))
 
   /** Q20 — argmax per group: most common nation per region (3-way join +
     * agg + rank-1 window). */
@@ -249,7 +271,7 @@ object Relational {
     counts.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("r_name"), col("n_name"), col("c"))
-      .orderBy(col("r_name"))
+      .transform(orderedSmall(_, col("r_name")))
   }
 
   /** name → implementation, in inventory order. */
