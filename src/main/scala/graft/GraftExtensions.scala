@@ -1,0 +1,40 @@
+package graft
+
+import graft.functions.expressions.CosineSimilarity
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/** Engine extensions, injectable at session build time:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * Registers the native expressions (SQL: `SELECT cosine_sim(a, b)`).
+  * [[GraftFunctions.register]] does the same on an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftFunctions.cosineSimDescriptor)
+  }
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private[graft] val cosineSimDescriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
+
+  /** Register on a live session (temp function, session-scoped). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+
+  /** Column-API face of the native expression (requires registration). */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+}

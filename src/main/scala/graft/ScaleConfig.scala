@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The 100 TB posture, as code (SURVEY.md §4.3). Two profiles:
+  *
+  *  - [[localBench]] — what the Bench/Verify mains use: AQE off (its
+  *    re-planning overhead exceeds its benefit at sub-second queries),
+  *    shuffle partitions sized to the data not the cores, generous
+  *    broadcast threshold inside one JVM.
+  *  - [[cluster]] — the settings this engine expects on a real cluster.
+  *    Applied via `SparkSession.Builder.config(...)`; they are defaults,
+  *    not magic: partition/bucket layout (see [[graft.sources.IO]]) and
+  *    operator shape (see PlanSpec ceilings) matter more.
+  *
+  * Cluster rationale, knob by knob:
+  *  - AQE ON + coalescePartitions: 100 TB scans start wide
+  *    (maxPartitionBytes controls split size → ~800 k input tasks at
+  *    128 MB); AQE coalesces post-shuffle partitions to
+  *    advisoryPartitionSizeInBytes so reducers stay ~256 MB regardless
+  *    of what the static count was.
+  *  - skewJoin: splits straggler partitions (hot user_id/event_type
+  *    keys in the windows/sessionization family) instead of letting one
+  *    reducer run for hours — salting is then only needed for
+  *    aggregation skew, not join skew.
+  *  - shuffle.partitions is deliberately large (AQE shrinks, never
+  *    grows): undersized static shuffles are the classic 100 TB OOM.
+  *  - broadcast threshold stays modest on clusters: a 1 GB broadcast ×
+  *    1000 executors is a terabyte of redundant heap.
+  */
+object ScaleConfig {
+
+  def localBench(b: SparkSession.Builder, cores: Int, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (32 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def cluster(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+      .config("spark.sql.shuffle.partitions", "4096")
+      .config("spark.sql.files.maxPartitionBytes", "128m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+}

@@ -177,12 +177,14 @@ object Relational {
   /** Q13 — brute-force cosine top-k vs query vector 0 (exact baseline the
     * LSH path approximates). Query vector is a 1-row broadcast. */
   def q13(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
       .select(asDouble(col("embedding")).as("qv"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), round(cosine(asDouble(col("embedding")), col("qv")), 6).as("sim"))
+      .select(col("vec_id"),
+        round(graft.GraftFunctions.cosineSim(asDouble(col("embedding")), col("qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(5)
   }

@@ -90,6 +90,31 @@ object TextAnalysis {
     greatest(scored: _*).getField("lang")
   }
 
+  /** Term frequency (A11): one row per (doc, term) with in-doc count and
+    * relative frequency. Explode + two-level aggregate; the (docId, term)
+    * shuffle is the only wide step and is what an inverted index /
+    * TF-IDF pipeline shuffles anyway.
+    */
+  def termFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = df.select(col(idCol).as("doc"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+        explode(tokens(col(textCol))).as("term"))
+    terms.groupBy(col("doc"), col("n_tokens"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc"), col("term"), col("tf"),
+        (col("tf") / col("n_tokens")).as("rel_tf"))
+  }
+
+  /** Corpus document frequency + IDF per term (smooth idf). */
+  def documentFrequency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nDocs = df.count().toDouble
+    df.select(col(idCol).as("doc"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(nDocs + 1) / (col("df") + 1)) + 1)
+  }
+
   /** Order-sensitive 64-bit document fingerprint: rotate-XOR rolling hash
     * over token xxhash64s (rotl(acc,5) ^ h(token)). Equal token sequences
     * ⇒ equal fingerprints; reordering changes it (unlike a bag-of-tokens

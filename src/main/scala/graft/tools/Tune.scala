@@ -49,6 +49,19 @@ object Tune {
     // pure planning: build plan + explain, no execution
     time("plan_only")(Relational.q01(spark, sfDir).queryExecution.executedPlan)
     time("q03_joins")(Relational.q03(spark, sfDir).collect())
+
+    // HOF vs native cosine on the all-pairs workload
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    graft.GraftFunctions.register(spark)
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val prs = e.select(col("v").as("va"))
+      .crossJoin(broadcast(e.select(col("v").as("vb"))))
+    time("cosine_hof")(
+      prs.agg(max(VectorFunctions.cosine(col("va"), col("vb")))).collect())
+    time("cosine_native")(
+      prs.agg(max(graft.GraftFunctions.cosineSim(col("va"), col("vb")))).collect())
     spark.stop()
   }
 }

@@ -1,5 +1,6 @@
 package graft.vector
 
+import graft.GraftFunctions
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -36,6 +37,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(
       col(queryIdCol).as("query_id"), asDouble(col(queryVecCol)).as("qv"))
     val scored = corpus
@@ -43,7 +45,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        round(cosine(col("v"), col("qv")), 6).as("sim"))
+        round(GraftFunctions.cosineSim(col("v"), col("qv")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
     scored.withColumn("rk", row_number().over(w))
@@ -84,6 +86,7 @@ object Similarity {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, L: Int = 12, bucketTarget: Int = 32,
       pOverride: Option[Int] = None, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val dim = 64
     val p = pOverride.getOrElse {
       val n = corpus.count()
@@ -103,7 +106,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("id"), col("v"))
       .dropDuplicates("query_id", "id")
       .select(col("query_id"), col("id"),
-        round(cosine(col("v"), col("qv")), 6).as("sim"))
+        round(GraftFunctions.cosineSim(col("v"), col("qv")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
     cand.withColumn("rk", row_number().over(w))
@@ -119,6 +122,7 @@ object Similarity {
   def nearDupCosine(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, useLsh: Boolean = false, p: Int = 8): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val pairs =
       if (useLsh) {
@@ -134,7 +138,7 @@ object Similarity {
     pairs
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("sim"))
+        round(GraftFunctions.cosineSim(col("va"), col("vb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
