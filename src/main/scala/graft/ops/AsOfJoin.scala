@@ -31,6 +31,10 @@ object AsOfJoin {
     * @param rightTime  event-time column on `right`
     * @param rightCols  (rightColumn, outputName) pairs carried from the
     *                   matched right row (null when no match)
+    * @param direction  "backward" (latest right with rt <= lt, default)
+    *                   or "forward" (earliest right with rt >= lt)
+    * @param toleranceSeconds  max |lt − rt| for a match to count; wider
+    *                   matches become null (match nulled, left row kept)
     * @return all `left` columns + the carried right columns
     */
   def apply(
@@ -39,44 +43,58 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightCols: Seq[(String, String)]): DataFrame = {
+      rightCols: Seq[(String, String)],
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward", s"bad direction: $direction")
 
     val leftPayload = left.columns.toSeq.filterNot(keys.contains)
+    // always carry the matched right timestamp — tolerance needs it
+    val carried = rightCols :+ (rightTime -> "__match_ts")
 
     // Tag and align both sides to one schema:
     //   keys ++ __ts ++ __side ++ __r_<out>* ++ __l_<leftCol>*
-    // side 0 = right, 1 = left: right rows sort first at equal ts so a
-    // ts-equal right row is visible to the left row (<= semantics).
+    // side 0 = right, 1 = left: right rows sort before left rows at equal
+    // ts in BOTH directions, so a ts-equal right row is visible (<= / >=).
     val taggedRight = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__ts"), lit(0).as("__side")) ++
-        rightCols.map { case (src, out) => col(src).as(s"__r_$out") } ++
+        carried.map { case (src, out) => col(src).as(s"__r_$out") } ++
         leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
 
     val taggedLeft = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("__ts"), lit(1).as("__side")) ++
-        rightCols.map { case (src, out) =>
+        carried.map { case (src, out) =>
           lit(null).cast(right.schema(src).dataType).as(s"__r_$out") } ++
         leftPayload.map(c => col(c).as(s"__l_$c")): _*)
 
+    val timeOrder = if (direction == "backward") col("__ts").asc else col("__ts").desc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    taggedRight.unionByName(taggedLeft)
+    val matched = taggedRight.unionByName(taggedLeft)
       .select(
         keys.map(col) ++
           Seq(col("__ts"), col("__side")) ++
-          rightCols.map { case (_, out) =>
+          carried.map { case (_, out) =>
             last(col(s"__r_$out"), ignoreNulls = true).over(w).as(out) } ++
           leftPayload.map(c => col(s"__l_$c")): _*)
       .filter(col("__side") === 1)
+
+    val withinTol = toleranceSeconds match {
+      case Some(tol) =>
+        abs(col("__ts").cast("long") - col("__match_ts").cast("long")) <= tol
+      case None => col("__match_ts").isNotNull
+    }
+    matched
       .select(
         keys.map(col) ++
           Seq(col("__ts").as(leftTime)) ++
           leftPayload.filterNot(_ == leftTime).map(c => col(s"__l_$c").as(c)) ++
-          rightCols.map { case (_, out) => col(out) }: _*)
+          rightCols.map { case (_, out) =>
+            when(withinTol, col(out)).otherwise(lit(null)).as(out) }: _*)
   }
 }

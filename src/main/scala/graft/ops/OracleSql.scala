@@ -116,6 +116,13 @@ object OracleSql {
         |GROUP BY CUBE(event_type, d)
         |ORDER BY event_type NULLS FIRST, d NULLS FIRST""".stripMargin,
 
+    "q32_percentile_corr" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) p50,
+        |       round(quantile_cont(value, 0.95), 4) p95,
+        |       round(corr(value, CAST(json_extract(props,'$.k') AS INT)), 4) corr_vk
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q20_argmax_group" ->
       """SELECT r_name, n_name, c FROM (
         | SELECT r_name, n_name, count(*) c,

@@ -276,6 +276,19 @@ object Relational {
       .transform(orderedSmall(_, col("r_name")))
   }
 
+  /** Q32 — exact percentiles + correlation (ordered-set & co-moment
+    * aggregates). Spark's exact `percentile` interpolates at rank
+    * (n−1)·p — the same definition as DuckDB's `quantile_cont`. */
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(corr(col("value"), col("k")), 4).as("corr_vk"))
+      .transform(orderedSmall(_, col("event_type")))
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -297,7 +310,8 @@ object Relational {
     "q17_vector_norm" -> (q17 _),
     "q18_asof_join" -> (q18 _),
     "q19_cube" -> (q19 _),
-    "q20_argmax_group" -> (q20 _))
+    "q20_argmax_group" -> (q20 _),
+    "q32_percentile_corr" -> (q32 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -73,23 +73,26 @@ object Dedup {
       r: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val k = b * r
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+    // band j → hash of the j-th r-slice of the signature. Only (id, band
+    // hash) flows into the self-join — shingle arrays would be replicated
+    // b× by the explode and shuffled; at corpus scale that dominates cost.
+    val banded = sh
       .withColumn("sig", minhashSignature(col("sh"), k))
-    // band j → hash of the j-th r-slice of the signature
-    val banded = withSig.select(
-      col("id"), col("sh"),
-      posexplode(
-        transform(sequence(lit(0), lit(b - 1)),
-          j => hash(slice(col("sig"), j * r + 1, lit(r))))).as(Seq("band", "bh")))
-    // pairs co-bucketed in ≥1 band; dedup pairs before the (costly) verify
-    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val rr = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val cand = l.join(rr, Seq("band", "bh"))
+      .select(col("id"),
+        posexplode(
+          transform(sequence(lit(0), lit(b - 1)),
+            j => hash(slice(col("sig"), j * r + 1, lit(r))))).as(Seq("band", "bh")))
+    val cand = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // re-attach shingles to candidates only (collision-rate-sized), then
+    // verify with exact Jaccard
     cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
