@@ -62,4 +62,28 @@ object StreamingOps {
   def sessionCounts(sessionAggOut: DataFrame): DataFrame =
     sessionAggOut.groupBy(col("user_id"))
       .agg(count(lit(1)).as("sessions"), sum(col("n_events")).as("n_events"))
+
+  /** Watermark-drop observability (A9): accumulates
+    * `numRowsDroppedByWatermark` across progress events so a pipeline
+    * can alert when late data is being discarded. Attach with
+    * `spark.streams.addListener(listener)`.
+    */
+  final class DropMetricsListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+    def droppedByWatermark: Long = dropped.get()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      e.progress.stateOperators.foreach(s => dropped.addAndGet(s.numRowsDroppedByWatermark))
+  }
+
+  /** Micro-batch sink adapter: run any batch-writing function per
+    * micro-batch (the standard escape hatch for sinks Spark lacks —
+    * upserts, multi-table writes). The function receives the batch as a
+    * plain DataFrame plus its id for exactly-once bookkeeping.
+    */
+  def foreachBatchSink(df: DataFrame, name: String)(
+      f: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.queryName(name).foreachBatch(f)
 }

@@ -77,6 +77,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
 
+    val dropMetrics = new StreamingOps.DropMetricsListener
+    spark.streams.addListener(dropMetrics)
+
     val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
     val agg = StreamingOps.windowedAgg(
       ms.toDF.toDF("ts", "event_type", "value"),
@@ -105,5 +108,28 @@ class StreamingSpec extends SparkSpec {
       .filter($"w" === ts(0) && $"event_type" === "click").collect()
     assert(after.length == 1 && after.head.getAs[Long]("c") == 2L,
       "late row was not dropped by the watermark")
+    // the drop is observable through the listener metrics
+    assert(dropMetrics.droppedByWatermark >= 1,
+      s"listener saw ${dropMetrics.droppedByWatermark} dropped rows")
+    spark.streams.removeListener(dropMetrics)
+  }
+
+  test("foreachBatch sink receives micro-batches with ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Int]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = StreamingOps.foreachBatchSink(ms.toDF, "febatch") {
+      (batch, id) => seen.add((id, batch.count()))
+    }.start()
+    ms.addData(1, 2, 3)
+    q.processAllAvailable()
+    ms.addData(4)
+    q.processAllAvailable()
+    q.stop()
+    val batches = seen.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(batches.map(_._2).sum == 4)
+    assert(batches.map(_._1).distinct.size == batches.size)
   }
 }
