@@ -115,20 +115,34 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all (a<b) pairs with cosine ≥ τ.
-    * Exact form is a broadcast self-join (corpus must be broadcastable);
-    * the scale path buckets both sides with [[bucketCode]] first so the
-    * join key bounds the pair space.
+    *
+    * Exact form is a broadcast cross-join (corpus must be broadcastable —
+    * the oracle-checked q26 path at test scale). The scale path
+    * (`useLsh`) is the same multi-table (p, L) construction as
+    * [[annTopK]]: candidates are pairs co-bucketed in ≥1 of L tables,
+    * and only (id, table, code) flows through the self-join — vectors
+    * re-attach to the collision-rate-sized candidate set. For true
+    * near-dups (τ ≥ 0.9 ⇒ θ ≤ 26°) per-table collision is
+    * (1−θ/π)^p ≈ 0.3 at p=8, so L=8 tables give ≈ 94% recall.
     */
   def nearDupCosine(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, useLsh: Boolean = false, p: Int = 8): DataFrame = {
+      threshold: Double, useLsh: Boolean = false, p: Int = 8, L: Int = 8,
+      seed: Long = 42L): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     val pairs =
       if (useLsh) {
-        val withKey = base.withColumn("code", bucketCode(col("v"), p))
-        withKey.select(col("code"), col("id").as("id_a"), col("v").as("va"))
-          .join(withKey.select(col("code"), col("id").as("id_b"), col("v").as("vb")), Seq("code"))
+        val codes = array((0 until L).map(t => bucketCode(col("v"), p, 64, seed + t * 7919L)): _*)
+        val banded = base.select(col("id"), posexplode(codes).as(Seq("table", "code")))
+        val cand = banded.select(col("table"), col("code"), col("id").as("id_a"))
+          .join(banded.select(col("table"), col("code"), col("id").as("id_b")), Seq("table", "code"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+          .dropDuplicates("id_a", "id_b")
+        cand
+          .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       } else {
         // exact: one side broadcast, the scan side stays partitioned —
         // no single-key shuffle hotspot

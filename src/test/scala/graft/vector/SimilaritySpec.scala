@@ -20,15 +20,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@5 = $recall")
   }
 
-  test("near-dup cosine: exact and LSH paths agree on high-sim pairs") {
-    val exact = Similarity.nearDupCosine(emb, "vec_id", "embedding", 0.5)
+  test("near-dup cosine LSH finds planted near-identical vectors") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // plant 10 near-dups: copy a vector, nudge one component
+    val rows = emb.limit(10).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      v(0) = v(0) + 0.01f
+      Row(r.getLong(0) + 100000L, v.toSeq, r.getInt(2))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val planted = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+    val corpus = emb.unionByName(planted)
+
+    val lsh = Similarity.nearDupCosine(corpus, "vec_id", "embedding", 0.99, useLsh = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.nearDupCosine(emb, "vec_id", "embedding", 0.5, useLsh = true)
+    val found = lsh.count { case (a, b) => b - a == 100000L }
+    assert(found >= 9, s"LSH found only $found of 10 planted near-dups")
+    // and the LSH pair set is a subset of the exact pair set
+    val exact = Similarity.nearDupCosine(corpus, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // LSH is a subset (candidates only); at tau=0.5 it must keep most
     assert(lsh.subsetOf(exact))
-    if (exact.nonEmpty)
-      assert(lsh.size.toDouble / exact.size >= 0.5, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
   test("approx distinct within 3*rsd of exact (SURVEY A3)") {
