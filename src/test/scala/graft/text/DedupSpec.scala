@@ -32,6 +32,25 @@ class DedupSpec extends SparkSpec {
     assert(found >= 9, s"only $found of 10 planted near-dups recovered")
   }
 
+  test("minhash recovers all 8 exact duplicate texts at sf0.1 (SURVEY A2)") {
+    val docs01 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    // ground truth: exact dup pairs by text equality
+    val byText = docs01.groupBy(col("text"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .collect()
+      .flatMap { r =>
+        val ids = r.getSeq[Long](1).sorted
+        ids.combinations(2).map(p => (p(0), p(1)))
+      }.toSet
+    assert(byText.nonEmpty, "corpus should contain exact dups at sf0.1")
+    val found = Dedup.nearMinhash(docs01, "doc_id", "text", threshold = 0.99)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // identical texts have identical signatures -> always co-bucketed
+    assert(byText.subsetOf(found),
+      s"missed exact dups: ${byText -- found}")
+  }
+
   test("simhash: identical texts collide at hamming 0; near-dups within 3") {
     val dup = docs.limit(5).withColumn("doc_id", col("doc_id") + 2000000L)
     val pairs = Dedup.nearSimhash(docs.unionByName(dup), "doc_id", "text", maxHamming = 3)
