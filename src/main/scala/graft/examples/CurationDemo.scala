@@ -43,6 +43,11 @@ object CurationDemo {
     println(s"WROTE: ${spark.read.parquet(dir).count()} partitioned rows at $dir")
     println("SQL UDF fnv1a('hello') = " +
       spark.sql("SELECT fnv1a('hello')").collect().head.getLong(0))
+
+    val q = Analytics.approxQuantiles(events, Seq("event_type"), "value", Seq(0.5, 0.95))
+      .orderBy(col("event_type")).collect()
+    println("QUANTILES: " + q.map(r =>
+      s"${r.getString(0)}=${r.getSeq[Double](1).map(v => f"$v%.1f").mkString("/")}").mkString(" "))
     spark.stop()
   }
 }

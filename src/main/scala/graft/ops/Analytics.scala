@@ -46,6 +46,21 @@ object Analytics {
     df.withColumn(s"rolling_${valueCol}_$nRows", avg(col(valueCol)).over(w))
   }
 
+  /** Approximate grouped quantiles — the 100 TB twin of Q32's exact
+    * `percentile`. Exact percentiles need a full per-group sort;
+    * `approx_percentile` keeps a bounded KLL-style sketch per group that
+    * merges associatively across partitions (map-side partial → one
+    * shuffle of sketches, not rows). `accuracy` trades sketch size for
+    * rank error ≤ 1/accuracy.
+    */
+  def approxQuantiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      probabilities: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val probsSql = probabilities.mkString("array(", ", ", ")")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_percentile($valueCol, $probsSql, $accuracy)").as("quantiles"))
+  }
+
   /** General theta join: arbitrary boolean condition. Executes as a
     * broadcast nested loop — correct but O(|l|·|r|); the perf guard is
     * that NO inventory query plans through this (PlanSpec asserts Q03/Q18

@@ -30,6 +30,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1.0, 1.5, 2.0, 11.0 / 3))
   }
 
+  test("approxQuantiles tracks exact percentiles within rank error") {
+    val events = graft.Tables.load(spark, sf, "events")
+    val approx = Analytics.approxQuantiles(
+        events, Seq("event_type"), "value", Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.5, 0.95))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (k, ex) =>
+      approx(k).zip(ex).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 1.0),
+          s"$k: approx=$a exact=$e")
+      }
+    }
+  }
+
   test("thetaJoin handles arbitrary inequality conditions") {
     val l = Seq((1, 10), (2, 20)).toDF("id", "lo")
     val r = Seq((100, 15), (200, 25)).toDF("rid", "x")
