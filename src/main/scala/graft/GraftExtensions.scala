@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, JaccardSimilarity}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions.call_function
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
+    e.injectFunction(GraftFunctions.jaccardSimDescriptor)
   }
 }
 
@@ -30,11 +31,21 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
     (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)))
 
+  private[graft] val jaccardSimDescriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaccard_sim"),
+    new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
+    (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1)))
+
   /** Register on a live session (temp function, session-scoped). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim", exprs => JaccardSimilarity(exprs(0), exprs(1)), "scala_udf")
+  }
 
-  /** Column-API face of the native expression (requires registration). */
+  /** Column-API faces of the native expressions (require registration). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
 }

@@ -90,12 +90,12 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     // re-attach shingles to candidates only (collision-rate-sized), then
     // verify with exact Jaccard
+    graft.GraftFunctions.register(df.sparkSession)
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        graft.GraftFunctions.jaccardSim(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
