@@ -43,13 +43,41 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
-  /** Word-level shingles (n-gram tokens joined by space), distinct. */
+  /** Word-level shingles (n-gram tokens joined by space), distinct.
+    *
+    * ⚠ Evaluation hazard: `text` should be a plain column reference, and
+    * heavy pipelines should shingle via [[shingleTable]] instead. When
+    * this expression falls out of codegen (nested HOFs do), interpreted
+    * mode re-evaluates the `split` subtree for EVERY lambda element —
+    * O(tokens²) per row. Observed: 21 CPU-minutes on one partition at
+    * sf0.1. [[shingleTable]] materializes tokens as an attribute first,
+    * so lambdas bind a column reference, not a recomputed subtree.
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** (id, shingles) relation with safe evaluation shape: tokens are
+    * projected to a column before the shingle lambda references them
+    * (attribute reads are bound once per row — no subtree recompute),
+    * and rows are spread across cores first — parallelism of a scan
+    * follows file bytes, but shingling cost follows row count, so a
+    * 2 MB / 5 000-doc file would otherwise shingle on ONE task.
+    */
+  private[graft] def shingleTable(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(parallelism, col(idCol))
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"),
+        array_distinct(
+          transform(
+            sequence(lit(1), greatest(size(col("toks")) - (n - 1), lit(1))),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("sh"))
   }
 
   /** MinHash signature of a shingle array: `k` independent min-hashes,
@@ -73,7 +101,7 @@ object Dedup {
       r: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val k = b * r
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+    val sh = shingleTable(df, idCol, textCol, shingleLen)
     // band j → hash of the j-th r-slice of the signature. Only (id, band
     // hash) flows into the self-join — shingle arrays would be replicated
     // b× by the explode and shuffled; at corpus scale that dominates cost.
@@ -104,8 +132,10 @@ object Dedup {
     * Bit votes are folded with HOFs: each token contributes ±1 per bit
     * from its xxhash64; positive vote sum ⇒ bit set.
     */
-  def simhash(text: Column): Column = {
-    val toks = split(text, " ")
+  def simhash(text: Column): Column = simhashOfTokens(split(text, " "))
+
+  /** SimHash over an already-materialized token array column. */
+  def simhashOfTokens(toks: Column): Column = {
     val votes = aggregate(
       toks,
       array_repeat(lit(0), 64),
@@ -128,7 +158,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // tokens as an attribute before the 64-wide vote lambdas (see
+    // shingleTable evaluation-shape note); fingerprinting is CPU-bound,
+    // so spread rows regardless of input file size
+    val fp = df.repartition(parallelism, col(idCol))
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"), simhashOfTokens(col("toks")).as("fp"))
     val banded = fp.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(0xFFFFL))).as(Seq("chunk", "ck")))
@@ -154,7 +190,7 @@ object Dedup {
       textCol: String,
       shingleLen: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleLen).as("sh"))
+    val sh = shingleTable(df, idCol, textCol, shingleLen)
       .withColumn("n", size(col("sh")))
     val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
     val pairs = inv.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))

@@ -1,0 +1,56 @@
+package graft
+
+import graft.core.{Pipeline, Stage}
+import graft.ops.AsOfJoin
+import graft.text.Dedup
+import org.apache.spark.sql.functions._
+
+/** Empty-input and degenerate-shape hardening: operators must return
+  * empty (or identity) results, never throw, on empty frames.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("as-of join with empty right side keeps left rows, null matches") {
+    val left = Seq((1L, t(10))).toDF("k", "ts")
+    val right = Seq.empty[(Long, java.sql.Timestamp, Double)].toDF("k", "qts", "px")
+    val out = AsOfJoin(left, right, Seq("k"), "ts", "qts", Seq("px" -> "px")).collect()
+    assert(out.length == 1 && out.head.isNullAt(2))
+  }
+
+  test("as-of join with empty left side returns empty") {
+    val left = Seq.empty[(Long, java.sql.Timestamp)].toDF("k", "ts")
+    val right = Seq((1L, t(5), 1.0)).toDF("k", "qts", "px")
+    assert(AsOfJoin(left, right, Seq("k"), "ts", "qts", Seq("px" -> "px")).count() == 0)
+  }
+
+  test("dedup family on empty input returns empty, not error") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(empty, Seq("text"), "doc_id").count() == 0)
+    assert(Dedup.nearMinhash(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.nearSimhash(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccard(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("pipeline on empty DataFrame validates and runs") {
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val p = Pipeline(
+      Stage("f")(df => df.filter(col("v") > 0)),
+      Stage("m")(df => df.withColumn("v2", col("v") * 2)))
+    assert(p.validate(empty).isRight)
+    assert(p(empty).count() == 0)
+  }
+
+  test("single-token and whitespace-edge documents survive text ops") {
+    val df = Seq((1L, "word"), (2L, "two words")).toDF("doc_id", "text")
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("s")).collect()
+    assert(sh(0).getSeq[String](0) == Seq("word"))
+    val fp = df.select(graft.text.TextAnalysis.fingerprint(col("text"))).collect()
+    assert(fp.length == 2)
+    val q = df.select(graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
+      .filter(col("q") < 0 || col("q") > 1).count()
+    assert(q == 0)
+  }
+}
