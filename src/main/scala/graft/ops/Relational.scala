@@ -289,6 +289,77 @@ object Relational {
         round(corr(col("value"), col("k")), 4).as("corr_vk"))
       .transform(orderedSmall(_, col("event_type")))
 
+  /** Q33 — correlated scalar subquery, expressed decorrelated: per-key
+    * aggregate + equi-join, the shape Catalyst's
+    * `RewriteCorrelatedScalarSubquery` produces anyway — written directly
+    * so the join is a plain shuffle/broadcast hash join at any scale.
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.load(spark, dir, "customer")
+      .join(counts, col("c_custkey") === col("o_custkey"))
+      .filter(col("n_orders") >= 12)
+      .select(col("c_custkey"), col("n_orders"))
+      .orderBy(col("n_orders").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q34 — window frame battery: running sum (ROWS UNBOUNDED PRECEDING),
+    * lead, ntile — one shuffle on o_custkey shared by all three frames. */
+  def q34(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") < 30)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("p"),
+        round(sum(col("o_totalprice"))
+          .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("run_sum"),
+        round(lead(col("o_totalprice"), 1).over(byDate), 2).as("next_p"),
+        ntile(4).over(byPrice).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+      .drop("o_orderdate")
+  }
+
+  /** Q35 — pivoted conditional aggregation (what `.pivot(col, values)`
+    * rewrites to): one pass, one shuffle, no per-value scans. */
+  def q35(spark: SparkSession, dir: String): DataFrame = {
+    def pv(t: String) =
+      round(sum(when(col("event_type") === t, col("value")).otherwise(0d)), 2)
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        pv("click").as("click_v"),
+        pv("purchase").as("purchase_v"),
+        pv("view").as("view_v"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+      .limit(50)
+  }
+
+  /** Q36 — date arithmetic over a fact-fact join: order-to-ship lag in
+    * days, bucketed by order month. The o↔l equi-join is the one real
+    * shuffle; both sides prune to 2–3 columns at the scan. */
+  def q36(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+      .agg(
+        round(avg(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))), 4)
+          .as("avg_ship_days"),
+        count(lit(1)).as("c"))
+      .transform(orderedSmall(_, col("m")))
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -311,7 +382,11 @@ object Relational {
     "q18_asof_join" -> (q18 _),
     "q19_cube" -> (q19 _),
     "q20_argmax_group" -> (q20 _),
-    "q32_percentile_corr" -> (q32 _))
+    "q32_percentile_corr" -> (q32 _),
+    "q33_correlated_count" -> (q33 _),
+    "q34_window_frames" -> (q34 _),
+    "q35_pivot_values" -> (q35 _),
+    "q36_ship_lag" -> (q36 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators (SURVEY.md §2.3 A5/A6/A9).
   *
@@ -62,6 +63,96 @@ object StreamingOps {
   def sessionCounts(sessionAggOut: DataFrame): DataFrame =
     sessionAggOut.groupBy(col("user_id"))
       .agg(count(lit(1)).as("sessions"), sum(col("n_events")).as("n_events"))
+
+  /** Streaming dedup with BOUNDED state: duplicates of a key arriving
+    * within the watermark horizon are dropped, and the key's state is
+    * evicted once the watermark passes — the streaming twin of
+    * [[graft.text.Dedup.exact]]. Plain `dropDuplicates` on a stream
+    * retains every key forever (state grows with corpus size — a
+    * non-starter at 100 TB-rate ingest); the within-watermark variant is
+    * the production form.
+    */
+  def dedupStream(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
+
+  /** Typed-state layer for [[sessionizeWithState]]. Times are µs since
+    * epoch (the corpus' native resolution — java.sql.Timestamp getters
+    * would truncate). */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, us: Long)
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` — the
+    * KeyValueGroupedDataset escape hatch for window semantics
+    * `session_window` can't express (here: emit each CLOSED session as a
+    * row the moment it closes, either by a gap-exceeding event or by the
+    * watermark timing the user out).
+    *
+    * Same gap rule as batch Q11 / [[sessionAgg]]: a gap strictly greater
+    * than `gapMinutes` starts a new session. State per user is one open
+    * session (24 bytes) — eviction is by event-time timeout at
+    * `last + gap`, so state volume tracks ACTIVE users only.
+    *
+    * In-order caveat: events are sorted within each micro-batch, but a
+    * cross-batch regression (an event older than its user's open-session
+    * tail, yet inside the watermark) would split a session that batch
+    * processing merges. The stream-batch equivalence test replays in
+    * order; out-of-order robustness is the watermark's job.
+    */
+  def sessionizeWithState(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      gapMinutes: Long = 30,
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // project FIRST, watermark the projected column: expressions over a
+    // watermarked attribute (even a no-op cast) produce a NEW attribute
+    // without the event-time tag, and EventTimeTimeout then fails analysis
+    val ds = events
+      .select(col(userCol).cast("long").as("user_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        unix_micros(col(tsCol)).as("us"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession) = ClosedSession(user, s.startUs, s.lastUs, s.n)
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session can never
+            // extend — emit and evict
+            val out = state.getOption.map(close)
+            state.remove()
+            out.iterator
+          } else {
+            var out = Vector.empty[ClosedSession]
+            var open = state.getOption
+            it.toSeq.sortBy(_.us).foreach { e =>
+              open = open match {
+                case Some(s) if e.us - s.lastUs <= gapUs =>
+                  Some(s.copy(lastUs = e.us, n = s.n + 1))
+                case Some(s) =>
+                  out :+= close(s)
+                  Some(OpenSession(e.us, e.us, 1))
+                case None => Some(OpenSession(e.us, e.us, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L + 1L)
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** Watermark-drop observability (A9): accumulates
     * `numRowsDroppedByWatermark` across progress events so a pipeline

@@ -19,9 +19,9 @@ import org.apache.spark.sql.functions._
   *              count grows with corpus size, so pair blowup is bounded
   *              by collision rate, not corpus².
   *  - simhash:  map (64-bit fingerprint) → self-join on band keys of the
-  *              fingerprint (4×16-bit chunks ⇒ any pair within Hamming
-  *              distance 3 shares ≥1 chunk — pigeonhole) → verify with
-  *              `bit_count(a^b)`.
+  *              fingerprint (maxHamming+1 chunks ⇒ any pair within
+  *              Hamming distance maxHamming shares ≥1 chunk —
+  *              pigeonhole) → verify with `bit_count(a^b)`.
   */
 object Dedup {
 
@@ -149,15 +149,34 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16).
-    * Banding by 16-bit fingerprint chunks bounds the self-join: any pair
-    * within distance 3 agrees on at least one of the 4 chunks.
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (0–31).
+    * Banding by fingerprint chunks bounds the self-join; the pigeonhole
+    * guarantee needs maxHamming+1 chunks (≤ maxHamming differing bits
+    * can dirty at most maxHamming chunks, so ≥1 chunk matches exactly),
+    * so the chunk count is DERIVED from maxHamming — the 64 bits are
+    * split into maxHamming+1 near-equal-width chunks. Wider maxHamming ⇒
+    * narrower chunks ⇒ more collisions: recall stays exact, cost grows.
     */
   def nearSimhash(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // > 31 would make chunks < 2 bits wide: every row collides with a
+    // quarter of the corpus and banding no longer bounds anything
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val numChunks = maxHamming + 1
+    // distribute 64 bits over numChunks chunks, widths differing by ≤1
+    val baseW = 64 / numChunks
+    val extra = 64 % numChunks
+    val chunks: Seq[(Int, Int)] = { // (bitOffset, width)
+      var off = 0
+      (0 until numChunks).map { c =>
+        val w = baseW + (if (c < extra) 1 else 0)
+        val res = (off, w); off += w; res
+      }
+    }
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     // tokens as an attribute before the 64-wide vote lambdas (see
     // shingleTable evaluation-shape note); fingerprinting is CPU-bound,
@@ -165,9 +184,12 @@ object Dedup {
     val fp = df.repartition(parallelism, col(idCol))
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .select(col("id"), simhashOfTokens(col("toks")).as("fp"))
+    val chunkCols = chunks.map { case (off, w) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      call_function("shiftright", col("fp"), lit(off)).bitwiseAND(lit(mask))
+    }
     val banded = fp.select(col("id"), col("fp"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        c => call_function("shiftright", col("fp"), c * 16).bitwiseAND(0xFFFFL))).as(Seq("chunk", "ck")))
+      posexplode(array(chunkCols: _*)).as(Seq("chunk", "ck")))
     val l = banded.select(col("chunk"), col("ck"), col("id").as("id_a"), col("fp").as("fp_a"))
     val rr = banded.select(col("chunk"), col("ck"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(rr, Seq("chunk", "ck"))

@@ -30,6 +30,27 @@ object Similarity {
     Seq.fill(p)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Embedding width, read from the first row. A wrong `dim` is silent
+    * poison for LSH — `zip_with` null-pads length mismatches, the dot
+    * product goes null, every sign bit reads 0 and ALL vectors land in
+    * one bucket (correct output, quadratic cost). One-row metadata read;
+    * at any scale this touches a single row group.
+    */
+  private def vecDim(df: DataFrame, vecCol: String): Int = {
+    val first = df.select(size(col(vecCol)).as("d")).head()
+    require(!first.isNullAt(0) && first.getInt(0) > 0,
+      s"cannot derive embedding dim from '$vecCol': first row is null/empty")
+    first.getInt(0)
+  }
+
+  /** Fail-fast guard: raise at execution if a vector's length ≠ dim
+    * (one cheap size check per row, vs p·L dot products after it). */
+  private def requireDim(vec: Column, dim: Int): Column =
+    when(size(vec) === dim, vec).otherwise(
+      raise_error(concat(
+        lit(s"embedding dim mismatch: expected $dim, got "),
+        size(vec).cast("string"))))
+
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * corpus rows by cosine similarity (descending, id ascending ties).
     */
@@ -53,8 +74,11 @@ object Similarity {
       .select(col("query_id"), col("id"), col("sim"), col("rk"))
   }
 
-  /** LSH bucket code (long with `p` sign bits) for a vector column. */
-  def bucketCode(vec: Column, p: Int = 16, dim: Int = 64, seed: Long = 42L): Column = {
+  /** LSH bucket code (long with `p` sign bits) for a vector column.
+    * `dim` is required — it must equal the actual vector width (the
+    * entry points derive it via [[vecDim]] and guard with [[requireDim]]).
+    */
+  def bucketCode(vec: Column, dim: Int, p: Int = 16, seed: Long = 42L): Column = {
     val planes = hyperplanes(p, dim, seed)
     planes.zipWithIndex.map { case (plane, i) =>
       val d = aggregate(
@@ -87,24 +111,111 @@ object Similarity {
       k: Int, L: Int = 12, bucketTarget: Int = 32,
       pOverride: Option[Int] = None, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val dim = 64
+    val dim = vecDim(corpus, vecCol)
     val p = pOverride.getOrElse {
       val n = corpus.count()
       math.max(2, (math.log(math.max(n / bucketTarget, 2).toDouble) / math.log(2)).ceil.toInt)
     }
     def codes(vec: Column): Column =
-      array((0 until L).map(t => bucketCode(vec, p, dim, seed + t * 7919L)): _*)
+      array((0 until L).map(t => bucketCode(vec, dim, p, seed + t * 7919L)): _*)
 
     val data = corpus.select(
-        col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
       .select(col("id"), col("v"), posexplode(codes(col("v"))).as(Seq("table", "code")))
     val q = queries.select(
-        col(queryIdCol).as("query_id"), asDouble(col(queryVecCol)).as("qv"))
+        col(queryIdCol).as("query_id"), requireDim(asDouble(col(queryVecCol)), dim).as("qv"))
       .select(col("query_id"), col("qv"), posexplode(codes(col("qv"))).as(Seq("table", "code")))
     val cand = data.join(q, Seq("table", "code"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id"), col("v"))
       .dropDuplicates("query_id", "id")
+      .select(col("query_id"), col("id"),
+        round(GraftFunctions.cosineSim(col("v"), col("qv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("id"), col("sim"), col("rk"))
+  }
+
+  /** IVF (inverted-file) ANN — the second scale path next to LSH
+    * [[annTopK]], trading LSH's obliviousness for data-adaptive cells:
+    *
+    *  1. TRAIN: `numCells` centroids by Lloyd iterations over a
+    *     deterministic corpus sample (init = smallest-xxhash64 ids, so
+    *     retries replay identically). Centroids are driver-side
+    *     (numCells × dim doubles — KBs), broadcast into expressions as
+    *     literals, so assignment stays inside codegen with no model
+    *     state to ship.
+    *  2. ASSIGN: each corpus vector to its max-cosine centroid — one
+    *     narrow map; at 100 TB you'd persist this as a `cell`-partitioned
+    *     table (see [[graft.sources.IO]] writers) and amortize across
+    *     queries.
+    *  3. PROBE: each query explodes to its `nProbe` nearest cells; the
+    *     cell equi-join pulls only those cells' vectors — work follows
+    *     probed-cell volume ≈ nProbe/numCells of the corpus, not the
+    *     corpus itself.
+    *  4. RERANK: exact cosine over candidates, rank-window top-k.
+    *
+    * Ties in both argmax-assignment and probe order break by cell index
+    * (deterministic). Empty cells keep their previous centroid.
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, numCells: Int = 64, nProbe: Int = 8, lloydIters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCells, s"nProbe must be in [1, $numCells]")
+    GraftFunctions.register(corpus.sparkSession)
+    val dim = vecDim(corpus, vecCol)
+    val base = corpus.select(
+      col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
+
+    // deterministic subsample for training (xxhash64 of id, not rand())
+    val train = if (trainFraction >= 1.0) base
+      else base.filter(pmod(xxhash64(col("id").cast("string")), lit(1000000L))
+        < lit((trainFraction * 1000000).toLong))
+
+    var centroids: IndexedSeq[Seq[Double]] =
+      train.orderBy(xxhash64(col("id").cast("string")), col("id"))
+        .limit(numCells).select(col("v")).collect().map(_.getSeq[Double](0)).toIndexedSeq
+    require(centroids.nonEmpty, "corpus too small to seed centroids")
+
+    def cellOf(vec: Column, cs: IndexedSeq[Seq[Double]]): Column =
+      greatest(cs.zipWithIndex.map { case (c, i) =>
+        struct(
+          GraftFunctions.cosineSim(vec, typedLit(c)).as("sim"),
+          lit(i).as("cell"))
+      }: _*).getField("cell")
+
+    for (_ <- 0 until lloydIters) {
+      // element-wise mean per cell: posexplode + (cell, pos) aggregate —
+      // numCells × dim result rows, driver-small at any corpus size
+      val means = train.select(cellOf(col("v"), centroids).as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+
+    val data = base.withColumn("cell", cellOf(col("v"), centroids))
+    // nProbe nearest cells per query: sort (−sim, cell) structs, take nProbe
+    val probeArr = slice(array_sort(array(centroids.zipWithIndex.map {
+      case (c, i) =>
+        struct(
+          (-GraftFunctions.cosineSim(col("qv"), typedLit(c))).as("negsim"),
+          lit(i).as("cell"))
+    }: _*)), 1, nProbe)
+    val q = queries.select(
+        col(queryIdCol).as("query_id"), requireDim(asDouble(col(queryVecCol)), dim).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(probeArr.getField("cell")).as("cell"))
+
+    val cand = data.join(q, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(GraftFunctions.cosineSim(col("v"), col("qv")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
@@ -130,10 +241,11 @@ object Similarity {
       threshold: Double, useLsh: Boolean = false, p: Int = 8, L: Int = 8,
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val dim = vecDim(df, vecCol)
+    val base = df.select(col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
     val pairs =
       if (useLsh) {
-        val codes = array((0 until L).map(t => bucketCode(col("v"), p, 64, seed + t * 7919L)): _*)
+        val codes = array((0 until L).map(t => bucketCode(col("v"), dim, p, seed + t * 7919L)): _*)
         val banded = base.select(col("id"), posexplode(codes).as(Seq("table", "code")))
         val cand = banded.select(col("table"), col("code"), col("id").as("id_a"))
           .join(banded.select(col("table"), col("code"), col("id").as("id_b")), Seq("table", "code"))
@@ -149,10 +261,15 @@ object Similarity {
         base.select(col("id").as("id_a"), col("v").as("va"))
           .crossJoin(broadcast(base.select(col("id").as("id_b"), col("v").as("vb"))))
       }
+    // threshold on the UNROUNDED cosine (matches the oracle's WHERE,
+    // which filters before any rounding); round only in the projection —
+    // otherwise a pair with true sim in [threshold−5e-7, threshold) is
+    // kept here but excluded by the oracle
     pairs
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(GraftFunctions.cosineSim(col("va"), col("vb")), 6).as("sim"))
-      .filter(col("sim") >= threshold)
+        GraftFunctions.cosineSim(col("va"), col("vb")).as("sim_raw"))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
   }
 }

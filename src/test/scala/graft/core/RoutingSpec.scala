@@ -23,6 +23,25 @@ class RoutingSpec extends SparkSpec {
     assert(dead.collect().head.getLong(0) == 2L)
   }
 
+  test("route/deadLetter send null-predicate rows to the false/dead side") {
+    // try_cast produces NULL for the bad row — the quarantine case the
+    // dead-letter split exists for; no row may vanish from the union
+    val df = Seq((1L, "5.0"), (2L, "not-a-number"), (3L, "-3.0")).toDF("id", "s")
+    val isValid = expr("try_cast(s AS DOUBLE) > 0")
+
+    val (ok, dead) = Pipeline.deadLetter(df, isValid)
+    assert(ok.count() + dead.count() == df.count(), "ok ∪ dead must equal input")
+    assert(ok.collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(dead.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+
+    val routed = Pipeline.route(
+      isValid,
+      Pipeline(Stage("t")(d => d.withColumn("branch", lit("t")))),
+      Pipeline(Stage("f")(d => d.withColumn("branch", lit("f")))))(df)
+    val m = routed.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m == Map(1L -> "t", 2L -> "f", 3L -> "f"))
+  }
+
   test("context-aware stages receive the run context (C8)") {
     implicit val ctx: PipelineContext =
       PipelineContext(spark, "run-42", Map("tag" -> "test"))

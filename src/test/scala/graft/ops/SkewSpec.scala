@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed fixture: one hot key owning most rows
+  private lazy val skewed = {
+    val hot = (1 to 900).map(i => ("hot", i.toDouble))
+    val cold = (1 to 100).map(i => (s"k${i % 10}", i.toDouble))
+    (hot ++ cold).toDF("k", "v")
+  }
+
+  test("saltedAgg equals direct groupBy for sum/count/min/max/avg") {
+    val direct = skewed.groupBy("k").agg(
+      sum("v").as("sum_v"), count("v").as("count_v"),
+      min("v").as("min_v"), max("v").as("max_v"), avg("v").as("avg_v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val salted = Skew.saltedAgg(skewed, Seq("k"),
+      Seq("v" -> Skew.Sum, "v" -> Skew.Count, "v" -> Skew.Min,
+        "v" -> Skew.Max, "v" -> Skew.Avg), buckets = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(salted.keySet == direct.keySet)
+    direct.foreach { case (k, (s, c, mn, mx, av)) =>
+      val (s2, c2, mn2, mx2, av2) = salted(k)
+      assert(math.abs(s - s2) < 1e-9 && c == c2 && mn == mn2 && mx == mx2 &&
+        math.abs(av - av2) < 1e-12, s"key $k differs")
+    }
+  }
+
+  test("saltedJoin equals plain join (inner and left)") {
+    val dim = Seq(("hot", "H"), ("k1", "K1"), ("k2", "K2"), ("absent", "A"))
+      .toDF("k", "label")
+    for (jt <- Seq("inner", "left")) {
+      val plain = skewed.join(dim, Seq("k"), jt)
+        .groupBy("k").agg(count(lit(1)).as("n"), first("label").as("l"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val salted = Skew.saltedJoin(skewed, dim, Seq("k"), buckets = 8, joinType = jt)
+        .groupBy("k").agg(count(lit(1)).as("n"), first("label").as("l"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(salted == plain, s"joinType=$jt mismatch")
+    }
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    val dim = Seq(("hot", "H")).toDF("k", "label")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, Seq("k"), joinType = "full_outer")
+    }
+  }
+}

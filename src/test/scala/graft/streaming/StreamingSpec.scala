@@ -114,6 +114,68 @@ class StreamingSpec extends SparkSpec {
     spark.streams.removeListener(dropMetrics)
   }
 
+  test("dedupStream drops within-watermark duplicates with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamingOps.dedupStream(
+      ms.toDF.toDF("ts", "k"), keys = Seq("k"), watermark = "30 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    ms.addData((ts(1), "a"), (ts(1), "a"), (ts(2), "b"))
+    q.processAllAvailable()
+    ms.addData((ts(3), "a"), (ts(4), "c")) // "a" still within watermark -> dup
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_stream").collect()
+      .map(r => r.getString(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(out == Map("a" -> 1, "b" -> 1, "c" -> 1), s"got $out")
+  }
+
+  test("flatMapGroupsWithState sessionization equals hand-computed sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // offset from epoch 0: rows AT the initial watermark boundary (0) are
+    // treated as late and dropped — a degenerate edge, not the contract
+    val base = 86400000L
+    def ts(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    def us(min: Int) = base * 1000L + min * 60000000L
+
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = StreamingOps.sessionizeWithState(
+      ms.toDF.toDF("user_id", "ts"), gapMinutes = 30, watermark = "10 minutes")
+    val q = sessions.toDF.writeStream.outputMode("append")
+      .format("memory").queryName("fmgws").start()
+
+    // user 1: events at 0, 10, 50 -> gap 40 > 30 closes [0,10] in-batch;
+    // user 2: single event at 0
+    ms.addData((1L, ts(0)), (1L, ts(10)), (1L, ts(50)), (2L, ts(0)))
+    q.processAllAvailable()
+    // sentinel batches: advance the watermark far past every timeout,
+    // then once more so timeouts (planned against the PREVIOUS batch's
+    // watermark) actually fire
+    ms.addData((99L, ts(600)))
+    q.processAllAvailable()
+    ms.addData((99L, ts(1200)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("fmgws").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, us(0), us(10), 2L),  // closed by the gap-exceeding event at 50
+      (1L, us(50), us(50), 1L), // closed by event-time timeout
+      (2L, us(0), us(0), 1L))   // closed by event-time timeout
+    assert(expected.subsetOf(got), s"missing ${expected -- got}; got $got")
+    // user 99's open session may or may not have timed out — but no
+    // session may be emitted twice and none may be spurious for users 1/2
+    assert(got.count(_._1 == 1L) == 2 && got.count(_._1 == 2L) == 1)
+  }
+
   test("foreachBatch sink receives micro-batches with ids") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

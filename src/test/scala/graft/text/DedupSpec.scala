@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
     assert(exactPairs.forall(_.getAs[Int]("hamming") == 0))
   }
 
+  test("simhash banding is complete for maxHamming > 3 (derived chunks)") {
+    // ground truth: brute-force all-pairs Hamming over the same fingerprints
+    val sample = docs.limit(40)
+      .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("fp"))
+    val l = sample.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = sample.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    for (maxH <- Seq(0, 5, 7)) {
+      val brute = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxH)
+        .collect().map(row => (row.getAs[Long]("id_a"), row.getAs[Long]("id_b"))).toSet
+      val banded = Dedup.nearSimhash(docs.limit(40), "doc_id", "text", maxHamming = maxH)
+        .collect().map(row => (row.getAs[Long]("id_a"), row.getAs[Long]("id_b"))).toSet
+      assert(banded == brute, s"maxHamming=$maxH: banding missed ${brute -- banded}")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearSimhash(docs, "doc_id", "text", maxHamming = 32)
+    }
+  }
+
   test("ngram jaccard: identical pair scores 1.0, disjoint pair absent") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon"),

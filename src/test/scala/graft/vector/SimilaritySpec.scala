@@ -46,6 +46,46 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("IVF recall@5 >= 0.8 vs brute force over 20 queries") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"))).toSet
+    // near-random embeddings carry weak cluster structure, so recall
+    // needs a generous probe fraction (8/16 cells) at this tiny scale
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, numCells = 16, nProbe = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall@5 = $recall")
+  }
+
+  test("IVF probing all cells equals brute force exactly") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"), r.getAs[Long]("id")))
+    val full = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, numCells = 8, nProbe = 8).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"), r.getAs[Long]("id")))
+    assert(full.sorted.sameElements(exact.sorted))
+  }
+
+  test("mismatched embedding widths fail fast instead of degrading LSH") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.nearDupCosine(bad, "vec_id", "embedding", 0.5, useLsh = true).collect()
+    }
+    assert(e.getMessage.contains("dim mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dim mismatch")))
+  }
+
   test("approx distinct within 3*rsd of exact (SURVEY A3)") {
     val events = Tables.load(spark, sf, "events")
     val exact = events.groupBy("event_type").agg(countDistinct("user_id").as("u"))
