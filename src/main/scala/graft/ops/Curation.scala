@@ -133,6 +133,11 @@ object Curation {
       .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_u"))
       .orderBy(col("event_type"))
 
+  /** q37 — exact top-10 vocabulary head (oracle-checked); the
+    * count-min-sketch scale twin is bound-tested in ScalaTest. */
+  def topTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTokens(Tables.load(spark, dir, "documents"), "text", 10)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -144,7 +149,8 @@ object Curation {
     "q28_fingerprint" -> (fingerprintStats _),
     "q29_ann_topk" -> (annTopK _),
     "q30_mm_meta" -> (mmMeta _),
-    "q31_approx_distinct" -> (approxDistinct _))
+    "q31_approx_distinct" -> (approxDistinct _),
+    "q37_top_tokens" -> (topTokens _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -90,5 +90,10 @@ object CurationOracle {
 
     "q30_mm_meta" ->
       """SELECT source, count(*) n, CAST(sum(octet_length(encode(text))) AS BIGINT) total_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q37_top_tokens" ->
+      """SELECT token, count(*) cnt FROM (
+        |  SELECT unnest(string_split(text,' ')) token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin)
 }

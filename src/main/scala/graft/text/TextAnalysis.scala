@@ -115,6 +115,39 @@ object TextAnalysis {
       .withColumn("idf", log(lit(nDocs + 1) / (col("df") + 1)) + 1)
   }
 
+  /** Exact top-k most frequent tokens (corpus vocabulary head).
+    * Explode → count → global top-k: the count shuffle is on the token
+    * key (high cardinality, naturally spread) and the top-k is a
+    * per-partition heap merge (`TakeOrderedAndProject`) — no global sort.
+    * Tie-break: token ascending (deterministic).
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Approximate token counts via a count-min sketch — the 100 TB twin of
+    * [[topTokens]]' exact counting when the vocabulary itself is too
+    * large to shuffle comfortably. The sketch is a fixed-size mergeable
+    * aggregate: partials combine map-side, ONE sketch (not the token
+    * table) crosses the wire, and any token's count is estimable after
+    * the fact. Guarantee: estimate ∈ [true, true + eps·N] with prob.
+    * ≥ confidence, N = total token occurrences.
+    */
+  def approxTokenCounts(
+      df: DataFrame, textCol: String, candidates: Seq[String],
+      eps: Double = 0.0001, confidence: Double = 0.99, seed: Int = 42): Map[String, Long] = {
+    val sketchBytes = df
+      .select(explode(tokens(col(textCol))).as("t"))
+      .agg(expr(s"count_min_sketch(t, CAST($eps AS DOUBLE), CAST($confidence AS DOUBLE), $seed)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    candidates.map(t => t -> cms.estimateCount(t)).toMap
+  }
+
   /** Order-sensitive 64-bit document fingerprint: rotate-XOR rolling hash
     * over token xxhash64s (rotl(acc,5) ^ h(token)). Equal token sequences
     * ⇒ equal fingerprints; reordering changes it (unlike a bag-of-tokens

@@ -56,6 +56,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q33-q36: new inventory keeps sane physical shapes") {
+    // q33: counts-side aggregate then an equi join — hash join, never a loop
+    val p33 = plan("q33_correlated_count")
+    assert(p33.contains("HashJoin"), s"q33 lost its hash join:\n$p33")
+    assert(!p33.contains("CartesianProduct") && !p33.contains("BroadcastNestedLoopJoin"))
+    // q34: all three frames share ONE window shuffle on o_custkey
+    assert(exchanges(plan("q34_window_frames")) <= 2, "q34 window frames re-shuffled")
+    // q35: pivot-style conditional agg is one aggregate pass — partial+final
+    assert(exchanges(plan("q35_pivot_values")) <= 2, "q35 pivot gained extra shuffles")
+    // q36: one join + one agg; both scans pruned to the 2 needed columns
+    val p36 = plan("q36_ship_lag")
+    "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p36).foreach { m =>
+      assert(m.group(1).split(",").length <= 2, s"q36 scan not pruned: ${m.group(1)}")
+    }
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>

@@ -47,6 +47,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(langs(0) == "en" && langs(1) == "es" && langs(2) == "de")
   }
 
+  test("topTokens exact counts; count-min sketch bounds them (never under)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val top = TextAnalysis.topTokens(docs, "text", 10).collect()
+    assert(top.length == 10)
+    // descending counts with token tie-break
+    assert(top.sliding(2).forall { case Array(a, b) =>
+      a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0))
+    })
+    val exact = top.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTokens = docs.select(sum(TextAnalysis.tokenCount(col("text")))).head.getLong(0)
+    val est = TextAnalysis.approxTokenCounts(docs, "text", exact.keys.toSeq, eps = 0.001)
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS underestimated '$t'")
+      assert(est(t) <= c + (0.001 * nTokens).toLong + 1,
+        s"'$t': est=${est(t)} exact=$c beyond eps bound")
+    }
+  }
+
   test("stopword/punct/digit ratios bounded and consistent") {
     val r = Seq("the 42 cats!!").toDF("text").select(
       TextAnalysis.stopwordRatio(col("text")).as("sw"),
