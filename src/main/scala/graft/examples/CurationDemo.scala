@@ -48,6 +48,31 @@ object CurationDemo {
       .orderBy(col("event_type")).collect()
     println("QUANTILES: " + q.map(r =>
       s"${r.getString(0)}=${r.getSeq[Double](1).map(v => f"$v%.1f").mkString("/")}").mkString(" "))
+
+    // hot-key-safe aggregation: same result as a direct groupBy, but a
+    // skewed key fans out over salt buckets (ops/Skew.scala)
+    val salted = graft.ops.Skew.saltedAgg(
+      events, Seq("event_type"), Seq("value" -> graft.ops.Skew.Sum), buckets = 8)
+      .orderBy(col("event_type")).collect()
+    println("SALTED SUMS: " + salted.map(r =>
+      f"${r.getString(0)}=${r.getDouble(1)}%.1f").mkString(" "))
+
+    // vocabulary head + its count-min estimate (exact vs sketch)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val top3 = graft.text.TextAnalysis.topTokens(docs, "text", 3).collect()
+    val est = graft.text.TextAnalysis.approxTokenCounts(
+      docs, "text", top3.map(_.getString(0)).toSeq)
+    println("TOP TOKENS: " + top3.map(r =>
+      s"${r.getString(0)}=${r.getLong(1)}(cms=${est(r.getString(0))})").mkString(" "))
+
+    // IVF ANN vs exact: top-3 neighbours of vector 0
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ivf = graft.vector.Similarity.ivfTopK(
+      emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, numCells = 8, nProbe = 4).collect()
+    println("IVF TOP3: " + ivf.map(r =>
+      s"${r.getLong(1)}@${r.getDouble(2)}").mkString(" "))
     spark.stop()
   }
 }

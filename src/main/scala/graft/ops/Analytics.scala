@@ -11,7 +11,10 @@ object Analytics {
 
   /** Time-based moving aggregate: for each row, `agg` over rows of the
     * same `partitionKey` within the trailing `rangeSeconds` (inclusive)
-    * ending at the row's `tsCol`. One shuffle on the partition key.
+    * ending at the row's `tsCol` (a timestamp column). One shuffle on the
+    * partition key. The frame is evaluated at MICROSECOND precision —
+    * a seconds-truncated frame silently includes rows up to 1s outside
+    * the band, which breaks parity with any µs-exact engine.
     */
   def movingAgg(
       df: DataFrame,
@@ -21,8 +24,8 @@ object Analytics {
       rangeSeconds: Long,
       aggName: String = "avg"): DataFrame = {
     val w = Window.partitionBy(col(partitionKey))
-      .orderBy(col(tsCol).cast("long"))
-      .rangeBetween(-rangeSeconds, 0)
+      .orderBy(unix_micros(col(tsCol).cast("timestamp")))
+      .rangeBetween(-rangeSeconds * 1000000L, 0)
     val aggExpr: Column = aggName match {
       case "avg" => avg(col(valueCol))
       case "sum" => sum(col(valueCol))
@@ -79,14 +82,15 @@ object Analytics {
   def bandJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, bandSeconds: Long): DataFrame = {
-    val bucket = lit(bandSeconds)
-    val l = left.withColumn("__b", explode(array(
-      (col(leftTs).cast("long") / bucket).cast("long") - 1,
-      (col(leftTs).cast("long") / bucket).cast("long"),
-      (col(leftTs).cast("long") / bucket).cast("long") + 1)))
-    val r = right.withColumn("__b", (col(rightTs).cast("long") / bucket).cast("long"))
+    // µs precision throughout: bucketing AND the band predicate — a
+    // seconds-truncated band admits pairs up to 1s outside it
+    val bandUs = bandSeconds * 1000000L
+    def us(c: String) = unix_micros(col(c).cast("timestamp"))
+    val lb = (us(leftTs) / bandUs).cast("long")
+    val l = left.withColumn("__b", explode(array(lb - 1, lb, lb + 1)))
+    val r = right.withColumn("__b", (us(rightTs) / bandUs).cast("long"))
     l.join(r, keys :+ "__b")
-      .filter(abs(col(leftTs).cast("long") - col(rightTs).cast("long")) <= bandSeconds)
+      .filter(abs(us(leftTs) - us(rightTs)) <= bandUs)
       .drop("__b")
   }
 }

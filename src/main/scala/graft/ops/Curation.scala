@@ -138,6 +138,22 @@ object Curation {
   def topTokens(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.topTokens(Tables.load(spark, dir, "documents"), "text", 10)
 
+  /** q40 — frame-sampling stats (oracle-checked): per-source total and
+    * mean sampled-frame counts over the payload column. The byte-slicing
+    * explode is [[Multimodal.frameSample]]; the oracle reproduces its
+    * frame-count arithmetic on `octet_length`. */
+  def frameStats(spark: SparkSession, dir: String): DataFrame = {
+    val mm = Multimodal.withPayload(
+      Tables.load(spark, dir, "documents"), "text", "source")
+    Multimodal.frameSample(mm, "payload", frameBytes = 64, stride = 2)
+      .groupBy(col("meta.source").as("source"), col("doc_id"))
+      .agg(count(lit(1)).as("nf"))
+      .groupBy(col("source"))
+      .agg(sum(col("nf")).as("total_frames"),
+        round(avg(col("nf")), 4).as("avg_frames"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -150,7 +166,8 @@ object Curation {
     "q29_ann_topk" -> (annTopK _),
     "q30_mm_meta" -> (mmMeta _),
     "q31_approx_distinct" -> (approxDistinct _),
-    "q37_top_tokens" -> (topTokens _))
+    "q37_top_tokens" -> (topTokens _),
+    "q40_frame_stats" -> (frameStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -95,5 +95,14 @@ object CurationOracle {
     "q37_top_tokens" ->
       """SELECT token, count(*) cnt FROM (
         |  SELECT unnest(string_split(text,' ')) token FROM documents) t
-        |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+
+    "q40_frame_stats" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         greatest(CAST(floor(octet_length(encode(text)) / 128) AS INT) - 1, 0) + 1 n_frames
+        |  FROM documents)
+        |SELECT source, CAST(sum(n_frames) AS BIGINT) total_frames,
+        |       round(avg(n_frames),4) avg_frames
+        |FROM f GROUP BY source ORDER BY source""".stripMargin)
 }

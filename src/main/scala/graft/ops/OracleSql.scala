@@ -152,6 +152,19 @@ object OracleSql {
         |FROM orders JOIN lineitem ON l_orderkey=o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q38_moving_avg" ->
+      """SELECT user_id, ts, round(avg(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),4) mv
+        |FROM events WHERE user_id < 5 ORDER BY user_id, ts LIMIT 100""".stripMargin,
+
+    "q39_band_pairs" ->
+      """SELECT a.event_type ta, b.event_type tb, count(*) c
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
     "q20_argmax_group" ->
       """SELECT r_name, n_name, c FROM (
         | SELECT r_name, n_name, count(*) c,

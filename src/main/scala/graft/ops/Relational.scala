@@ -360,6 +360,32 @@ object Relational {
       .transform(orderedSmall(_, col("m")))
   }
 
+  /** Q38 — trailing-1h moving average per user (RANGE frame, µs-exact) —
+    * SURVEY A7 exposed as an oracle query via [[Analytics.movingAgg]]. */
+  def q38(spark: SparkSession, dir: String): DataFrame =
+    Analytics.movingAgg(
+        Tables.load(spark, dir, "events").filter(col("user_id") < 5),
+        "user_id", "ts", "value", 3600)
+      .select(col("user_id"), col("ts"), round(col("avg_value_3600s"), 4).as("mv"))
+      .orderBy(col("user_id"), col("ts"))
+      .limit(100)
+
+  /** Q39 — banded range self-join (SURVEY A8 via [[Analytics.bandJoin]]):
+    * same-user event pairs within 60 s, counted per type pair. The band
+    * rewrite keeps this a keyed shuffle — the naive theta form is a
+    * nested loop that dies at scale. */
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val l = ev.select(col("user_id"), col("event_id").as("eid_a"),
+      col("event_type").as("ta"), col("ts").as("tsa"))
+    val r = ev.select(col("user_id"), col("event_id").as("eid_b"),
+      col("event_type").as("tb"), col("ts").as("tsb"))
+    Analytics.bandJoin(l, r, Seq("user_id"), "tsa", "tsb", 60)
+      .filter(col("eid_a") < col("eid_b"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c"))
+      .transform(orderedSmall(_, col("ta"), col("tb")))
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -386,7 +412,9 @@ object Relational {
     "q33_correlated_count" -> (q33 _),
     "q34_window_frames" -> (q34 _),
     "q35_pivot_values" -> (q35 _),
-    "q36_ship_lag" -> (q36 _))
+    "q36_ship_lag" -> (q36 _),
+    "q38_moving_avg" -> (q38 _),
+    "q39_band_pairs" -> (q39 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

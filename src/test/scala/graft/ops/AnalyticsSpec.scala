@@ -60,7 +60,7 @@ class AnalyticsSpec extends SparkSpec {
     val banded = Analytics.bandJoin(l, r, Seq("user_id"), "lts", "rts", 600)
       .select("user_id", "lts", "rts").collect().toSet
     val naive = l.join(r, "user_id")
-      .filter(abs(col("lts").cast("long") - col("rts").cast("long")) <= 600)
+      .filter(abs(unix_micros(col("lts")) - unix_micros(col("rts"))) <= 600L * 1000000L)
       .select("user_id", "lts", "rts").collect().toSet
     assert(banded == naive)
   }
