@@ -154,6 +154,28 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Deterministic stratified sampling for corpus balancing: keep each
+    * row with its stratum's probability, decided by a CONTENT hash
+    * (xxhash64 of the id + salt), not `rand()` — so the sample is
+    * identical across retries, partition layouts, and cluster sizes
+    * (`df.stat.sampleBy` is none of those: it draws per-partition).
+    * Unlisted strata are dropped. Pure narrow map — no shuffle.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      idCol: String,
+      salt: Long = 42L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1), "fractions must be in [0,1]")
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    val u = pmod(xxhash64(col(idCol).cast("string"), lit(salt)), lit(1000000L))
+      .cast("double") / 1000000d
+    df.filter(u < frac)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),

@@ -43,6 +43,23 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup: rows of `incoming` whose `keys` do NOT
+    * already appear in `corpus`, deduped within the batch too. The
+    * standard shape for appending to a curated corpus: one left-anti
+    * join against the existing keys (shuffle on keys; at 100 TB, bucket
+    * the corpus on the dedup key so the anti join is shuffle-free on the
+    * corpus side) plus one in-batch exact dedup.
+    */
+  def incremental(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      keys: Seq[String],
+      idCol: String,
+      keep: Keep = MinId): DataFrame = {
+    val fresh = incoming.join(corpus.select(keys.map(col): _*), keys, "left_anti")
+    exact(fresh, keys, idCol, keep)
+  }
+
   /** Word-level shingles (n-gram tokens joined by space), distinct.
     *
     * ⚠ Evaluation hazard: `text` should be a plain column reference, and

@@ -148,6 +148,19 @@ object TextAnalysis {
     candidates.map(t => t -> cms.estimateCount(t)).toMap
   }
 
+  /** Pattern scrubbing for training-data hygiene: replace every match of
+    * each (regex → replacement) rule, applied in order. Pure narrow map
+    * (chained codegen'd `regexp_replace`) — no shuffle, linear scaling.
+    * Default rules mask email addresses and long digit runs (id/phone
+    * shaped); callers pass their own policy for anything serious.
+    */
+  def scrub(
+      text: Column,
+      rules: Seq[(String, String)] = Seq(
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+        "\\d{7,}" -> "<NUM>")): Column =
+    rules.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
   /** Order-sensitive 64-bit document fingerprint: rotate-XOR rolling hash
     * over token xxhash64s (rotl(acc,5) ^ h(token)). Equal token sequences
     * ⇒ equal fingerprints; reordering changes it (unlike a bag-of-tokens

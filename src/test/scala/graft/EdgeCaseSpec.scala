@@ -26,6 +26,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(AsOfJoin(left, right, Seq("k"), "ts", "qts", Seq("px" -> "px")).count() == 0)
   }
 
+  test("stratified sample: deterministic across layouts, bounded fractions") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val fr = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Curation.stratifiedSample(df, "source", fr, "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(7)) // layout must not change the sample
+    assert(a == b)
+    val bySrc = graft.ops.Curation.stratifiedSample(docs, "source", fr, "doc_id")
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == totals("src0"))          // fraction 1.0 keeps all
+    assert(!bySrc.contains("src2"))                  // fraction 0 drops all
+    assert(bySrc.keySet.subsetOf(Set("src0", "src1"))) // unlisted strata dropped
+    val f1 = bySrc("src1").toDouble / totals("src1")
+    assert(f1 > 0.2 && f1 < 0.8, s"src1 sampled fraction $f1 far from 0.5")
+  }
+
   test("dedup family on empty input returns empty, not error") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(empty, Seq("text"), "doc_id").count() == 0)

@@ -51,6 +51,17 @@ class DedupSpec extends SparkSpec {
       s"missed exact dups: ${byText -- found}")
   }
 
+  test("incremental dedup admits only keys unseen in the corpus") {
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "a"),  // already in corpus -> rejected
+      (11L, "c"), (12L, "c"), // new, in-batch dup -> one survivor (min id)
+      (13L, "d")).toDF("doc_id", "text")
+    val out = Dedup.incremental(corpus, incoming, Seq("text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((11L, "c"), (13L, "d")))
+  }
+
   test("simhash: identical texts collide at hamming 0; near-dups within 3") {
     val dup = docs.limit(5).withColumn("doc_id", col("doc_id") + 2000000L)
     val pairs = Dedup.nearSimhash(docs.unionByName(dup), "doc_id", "text", maxHamming = 3)

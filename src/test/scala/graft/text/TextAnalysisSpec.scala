@@ -66,6 +66,15 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("scrub masks emails and digit runs, leaves clean text alone") {
+    val rows = Seq(
+      "contact bob@example.com or 12345678 now",
+      "clean words only").toDF("text")
+      .select(TextAnalysis.scrub(col("text")).as("t")).collect().map(_.getString(0))
+    assert(rows(0) == "contact <EMAIL> or <NUM> now")
+    assert(rows(1) == "clean words only")
+  }
+
   test("stopword/punct/digit ratios bounded and consistent") {
     val r = Seq("the 42 cats!!").toDF("text").select(
       TextAnalysis.stopwordRatio(col("text")).as("sw"),
