@@ -54,4 +54,29 @@ object IO {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet").saveAsTable(table)
   }
+
+  /** Replay parquet file(s) as a bounded stream — the standard harness
+    * for stream-batch equivalence tests and backfills through streaming
+    * pipelines. Spark's file source demands a DIRECTORY, so a single
+    * file is staged into a temp dir; `maxFilesPerTrigger` paces
+    * micro-batches (1 file per trigger by default).
+    */
+  def replayStream(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val p = java.nio.file.Paths.get(path)
+    val dir =
+      if (java.nio.file.Files.isDirectory(p)) path
+      else {
+        val d = java.nio.file.Files.createTempDirectory("replay_stream")
+        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+        d.toString
+      }
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+  }
 }

@@ -18,20 +18,9 @@ class StreamingSpec extends SparkSpec {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  // file stream sources need a DIRECTORY; stage the single parquet file
-  private lazy val streamDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("events.parquet"))
-    dir.toString
-  }
-
   private def replayEvents: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir)
+    graft.sources.IO.replayStream(spark, s"$sf/events.parquet", eventsSchema)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
