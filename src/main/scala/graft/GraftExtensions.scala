@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, JaccardSimilarity}
+import graft.functions.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
     e.injectFunction(GraftFunctions.jaccardSimDescriptor)
+    e.injectFunction(GraftFunctions.minhashSigDescriptor)
   }
 }
 
@@ -37,15 +38,34 @@ object GraftFunctions {
     new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
     (exprs: Seq[Expression]) => JaccardSimilarity(exprs(0), exprs(1)))
 
+  private def asLiteralInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val minhashSigDescriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+    (exprs: Seq[Expression]) =>
+      MinHashSignature(exprs(0), asLiteralInt(exprs(1), "minhash_sig k")))
+
   /** Register on a live session (temp function, session-scoped). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sim", exprs => JaccardSimilarity(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinHashSignature(exprs(0), asLiteralInt(exprs(1), "minhash_sig k")),
+      "scala_udf")
   }
 
   /** Column-API faces of the native expressions (require registration). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
+  def minhashSig(arr: Column, k: Int): Column =
+    call_function("minhash_sig", arr, org.apache.spark.sql.functions.lit(k))
 }

@@ -97,9 +97,23 @@ object Dedup {
             i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("sh"))
   }
 
-  /** MinHash signature of a shingle array: `k` independent min-hashes,
-    * seeded by position via the 2-arg murmur3 `hash(shingle, seed)`. */
+  /** MinHash signature of a shingle array: `k` independent min-hashes.
+    * Native one-pass expression (see
+    * [[graft.functions.expressions.MinHashSignature]]) — requires
+    * [[graft.GraftFunctions.register]] on the session (the dedup entry
+    * points do it). Bit-identical to [[minhashSignatureHof]].
+    */
   def minhashSignature(shingleArr: Column, k: Int): Column =
+    graft.GraftFunctions.minhashSig(shingleArr, k)
+
+  /** The pure-HOF formulation of [[minhashSignature]] — kept as the
+    * reference semantics (`hash(s, j)` chains murmur3 as
+    * `hashInt(j, hashBytes(s, 42))`) and for the native-vs-HOF
+    * equivalence test. Nested lambdas drop it to interpreted mode:
+    * k full re-hashes of every shingle per row — do not use on hot
+    * paths.
+    */
+  def minhashSignatureHof(shingleArr: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingleArr, s => hash(s, seed))))
 
@@ -118,6 +132,7 @@ object Dedup {
       r: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val k = b * r
+    graft.GraftFunctions.register(df.sparkSession)
     val sh = shingleTable(df, idCol, textCol, shingleLen)
     // band j → hash of the j-th r-slice of the signature. Only (id, band
     // hash) flows into the self-join — shingle arrays would be replicated

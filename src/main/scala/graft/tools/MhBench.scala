@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.text.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off measurement: native MinHashSignature vs the HOF reference on
+  * the sf0.1 documents (5 000 docs × ~100 shingles, k = 64). Prints both
+  * wall times; evidence for BENCH_NOTES.md.
+  */
+object MhBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val sh = docs.repartition(32, col("doc_id"))
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .persist()
+    sh.count()
+    def time(label: String, c: org.apache.spark.sql.Column): Unit = {
+      // warm-up + 3 timed
+      sh.select(c.as("sig")).selectExpr("sum(size(sig))").collect()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        sh.select(c.as("sig")).selectExpr("sum(size(sig))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label: median ${ts.sorted.apply(1)}%.3f s")
+    }
+    time("native", Dedup.minhashSignature(col("sh"), 64))
+    time("hof   ", Dedup.minhashSignatureHof(col("sh"), 64))
+    spark.stop()
+  }
+}

@@ -17,6 +17,21 @@ class DedupSpec extends SparkSpec {
     assert(out.select("doc_id").except(viaMin.select("doc_id")).count() == 0)
   }
 
+  test("native minhash signature is bit-identical to the HOF reference") {
+    graft.GraftFunctions.register(spark)
+    val sh = docs.limit(50)
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val both = sh.select(
+        col("doc_id"),
+        Dedup.minhashSignature(col("sh"), 16).as("native"),
+        Dedup.minhashSignatureHof(col("sh"), 16).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"signature mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("minhash LSH finds planted near-duplicates (recall >= 0.9)") {
     // plant 10 near-dups: copy a doc, change its last token
     val planted = docs.limit(10)
