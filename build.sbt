@@ -15,7 +15,6 @@ run / fork := true
 // logger prefixes forked-process stdout with "[info] ", which breaks the
 // driver's JSON parse (BENCH_r01.json recorded "parsed": null for exactly
 // this reason). StdoutOutput passes the child's stdout through verbatim.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature}
+import graft.functions.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, SimHash64}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.cosineSimDescriptor)
     e.injectFunction(GraftFunctions.jaccardSimDescriptor)
     e.injectFunction(GraftFunctions.minhashSigDescriptor)
+    e.injectFunction(GraftFunctions.simhash64Descriptor)
   }
 }
 
@@ -51,6 +52,12 @@ object GraftFunctions {
     (exprs: Seq[Expression]) =>
       MinHashSignature(exprs(0), asLiteralInt(exprs(1), "minhash_sig k")))
 
+  private[graft] val simhash64Descriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (exprs: Seq[Expression]) => SimHash64(exprs(0)))
+
   /** Register on a live session (temp function, session-scoped). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -61,6 +68,8 @@ object GraftFunctions {
       "minhash_sig",
       exprs => MinHashSignature(exprs(0), asLiteralInt(exprs(1), "minhash_sig k")),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
   }
 
   /** Column-API faces of the native expressions (require registration). */
@@ -68,4 +77,5 @@ object GraftFunctions {
   def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
   def minhashSig(arr: Column, k: Int): Column =
     call_function("minhash_sig", arr, org.apache.spark.sql.functions.lit(k))
+  def simhash64(toks: Column): Column = call_function("simhash64", toks)
 }

@@ -160,14 +160,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint of the token multiset of `text`.
-    * Bit votes are folded with HOFs: each token contributes ±1 per bit
-    * from its xxhash64; positive vote sum ⇒ bit set.
+  /** 64-bit SimHash fingerprint of the token multiset of `text`:
+    * each token contributes ±1 per bit from its xxhash64; positive vote
+    * sum ⇒ bit set. Native one-pass expression (see
+    * [[graft.functions.expressions.SimHash64]]); requires
+    * [[graft.GraftFunctions.register]] (the dedup entry points do it).
     */
   def simhash(text: Column): Column = simhashOfTokens(split(text, " "))
 
   /** SimHash over an already-materialized token array column. */
-  def simhashOfTokens(toks: Column): Column = {
+  def simhashOfTokens(toks: Column): Column = graft.GraftFunctions.simhash64(toks)
+
+  /** The pure-HOF formulation of [[simhashOfTokens]] — reference
+    * semantics for the native expression's equivalence test. Nested
+    * lambdas run interpreted, allocating two 64-wide arrays per token:
+    * do not use on hot paths.
+    */
+  def simhashOfTokensHof(toks: Column): Column = {
     val votes = aggregate(
       toks,
       array_repeat(lit(0), 64),
@@ -198,6 +207,7 @@ object Dedup {
     // quarter of the corpus and banding no longer bounds anything
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31], got $maxHamming")
+    graft.GraftFunctions.register(df.sparkSession)
     val numChunks = maxHamming + 1
     // distribute 64 bits over numChunks chunks, widths differing by ≤1
     val baseW = 64 / numChunks

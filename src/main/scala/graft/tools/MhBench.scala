@@ -31,8 +31,25 @@ object MhBench {
       }
       println(f"$label: median ${ts.sorted.apply(1)}%.3f s")
     }
-    time("native", Dedup.minhashSignature(col("sh"), 64))
-    time("hof   ", Dedup.minhashSignatureHof(col("sh"), 64))
+    time("minhash native", Dedup.minhashSignature(col("sh"), 64))
+    time("minhash hof   ", Dedup.minhashSignatureHof(col("sh"), 64))
+
+    val toks = docs.repartition(32, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).persist()
+    toks.count()
+    def timeFp(label: String, c: org.apache.spark.sql.Column): Unit = {
+      // bit_count keeps the probe aggregate small (ANSI sum of raw
+      // fingerprints overflows long)
+      toks.select(c.as("fp")).selectExpr("sum(bit_count(fp))").collect()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        toks.select(c.as("fp")).selectExpr("sum(bit_count(fp))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label: median ${ts.sorted.apply(1)}%.3f s")
+    }
+    timeFp("simhash native", Dedup.simhashOfTokens(col("toks")))
+    timeFp("simhash hof   ", Dedup.simhashOfTokensHof(col("toks")))
     spark.stop()
   }
 }

@@ -77,6 +77,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((11L, "c"), (13L, "d")))
   }
 
+  test("native simhash is bit-identical to the HOF reference") {
+    graft.GraftFunctions.register(spark)
+    val both = docs.limit(50)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        Dedup.simhashOfTokens(col("toks")).as("native"),
+        Dedup.simhashOfTokensHof(col("toks")).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"fingerprint mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("simhash: identical texts collide at hamming 0; near-dups within 3") {
     val dup = docs.limit(5).withColumn("doc_id", col("doc_id") + 2000000L)
     val pairs = Dedup.nearSimhash(docs.unionByName(dup), "doc_id", "text", maxHamming = 3)
@@ -87,6 +100,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash banding is complete for maxHamming > 3 (derived chunks)") {
+    graft.GraftFunctions.register(spark) // Dedup.simhash uses the native expr
     // ground truth: brute-force all-pairs Hamming over the same fingerprints
     val sample = docs.limit(40)
       .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("fp"))
