@@ -154,6 +154,59 @@ object StreamingOps {
       }
   }
 
+  /** Output row of [[runningActivity]]: cumulative per-user counters. */
+  final case class UserActivity(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-key running aggregation on the MODERN arbitrary-state API
+    * (`transformWithState`, Spark 4): a [[StatefulProcessor]] holding
+    * two `ValueState` cells per user, emitting the updated cumulative
+    * (count, sum) on every input batch. Requires the RocksDB state
+    * store provider (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`) — which is also the right
+    * provider at scale: state lives off-heap/on-disk per executor with
+    * changelog checkpointing, so per-key state volume is bounded by
+    * disk, not executor heap. Pass a `ttl` to evict idle users' state
+    * (processing-time TTL) — the knob that keeps unbounded key spaces
+    * bounded.
+    */
+  def runningActivity(
+      events: DataFrame,
+      userCol: String = "user_id",
+      valueCol: String = "value",
+      ttl: Option[java.time.Duration] = None): Dataset[UserActivity] = {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    class ActivityProcessor extends StatefulProcessor[Long, (Long, Double), UserActivity] {
+      @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+      @transient private var total: org.apache.spark.sql.streaming.ValueState[Double] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        val ttlConf = ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+        count = getHandle.getValueState[Long]("count", Encoders.scalaLong, ttlConf)
+        total = getHandle.getValueState[Double]("total", Encoders.scalaDouble, ttlConf)
+      }
+      override def handleInputRows(
+          key: Long, rows: Iterator[(Long, Double)],
+          timerValues: TimerValues): Iterator[UserActivity] = {
+        var c = if (count.exists()) count.get() else 0L
+        var t = if (total.exists()) total.get() else 0d
+        rows.foreach { case (_, v) => c += 1; t += v }
+        count.update(c)
+        total.update(t)
+        Iterator.single(UserActivity(key, c, t))
+      }
+    }
+
+    events
+      .select(col(userCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new ActivityProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Watermark-drop observability (A9): accumulates
     * `numRowsDroppedByWatermark` across progress events so a pipeline
     * can alert when late data is being discarded. Attach with

@@ -46,6 +46,37 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("property: saltedAgg equals direct groupBy on arbitrary skewed data") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // generator biases toward few hot keys over a long tail
+    val rowGen = for {
+      k <- Gen.frequency(5 -> Gen.const("hot"), 2 -> Gen.oneOf("a", "b"),
+        1 -> Gen.choose(0, 50).map(i => s"t$i"))
+      v <- Gen.choose(-1000, 1000).map(_.toDouble / 8)
+    } yield (k, v)
+    def sample(i: Int): List[(String, Double)] =
+      Gen.listOfN(300, rowGen).apply(Gen.Parameters.default, Seed(7L * i)).get
+    (1 to 5).foreach { i =>
+      val df = sample(i).toDF("k", "v")
+      val direct = df.groupBy("k")
+        .agg(sum("v").as("s"), count("v").as("c"), min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      val salted = Skew.saltedAgg(df, Seq("k"),
+        Seq("v" -> Skew.Sum, "v" -> Skew.Count, "v" -> Skew.Min, "v" -> Skew.Max),
+        buckets = 7)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(salted.keySet == direct.keySet, s"sample $i key sets differ")
+      direct.foreach { case (k, (s, c, mn, mx)) =>
+        val (s2, c2, mn2, mx2) = salted(k)
+        assert(math.abs(s - s2) < 1e-9 && c == c2 && mn == mn2 && mx == mx2,
+          s"sample $i key $k differs")
+      }
+    }
+  }
+
   test("saltedJoin rejects right/full outer join types") {
     val dim = Seq(("hot", "H")).toDF("k", "label")
     intercept[IllegalArgumentException] {

@@ -165,6 +165,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.count(_._1 == 1L) == 2 && got.count(_._1 == 2L) == 1)
   }
 
+  test("transformWithState running activity accumulates across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider (also the 100 TB
+    // posture: off-heap state + changelog checkpoints)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Double)]
+      val q = StreamingOps.runningActivity(ms.toDF.toDF("user_id", "value"))
+        .toDF.writeStream.outputMode("update")
+        .format("memory").queryName("tws").start()
+      ms.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      ms.addData((1L, 5.0))
+      q.processAllAvailable()
+      q.stop()
+      // last emission per user carries the cumulative totals
+      val last = spark.table("tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last(1L) == (1L, 3L, 10.0), s"user 1 got ${last(1L)}")
+      assert(last(2L) == (2L, 1L, 10.0), s"user 2 got ${last(2L)}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch sink receives micro-batches with ids") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
