@@ -48,4 +48,13 @@ object ScaleConfig {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // stateful streaming at scale: RocksDB keeps per-executor state
+      // off-heap/on-disk with changelog checkpoints (vs the default
+      // HDFS-backed provider's full-snapshot-in-heap); required by
+      // transformWithState, strictly better for big flatMapGroupsWith
+      // State / dedupStream state too
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
 }

@@ -104,6 +104,23 @@ object Pipeline {
     branches.map { case (name, p) => name -> p(shared) }
   }
 
+  /** Resource-safe fan-out: run `use` over the branch outputs, then
+    * UNPERSIST the shared fork before returning. [[fanOut]] leaves the
+    * fork cached for the caller to manage — fine interactively, a leak
+    * in a long-lived service where every orphaned cache block squats on
+    * executor memory/disk until the session dies. Use this form when
+    * the branch ACTIONS complete inside the call.
+    */
+  def fanOutWith[A](
+      df: DataFrame,
+      branches: Map[String, Pipeline],
+      storage: StorageLevel = StorageLevel.MEMORY_AND_DISK)(
+      use: Map[String, DataFrame] => A): A = {
+    val shared = if (branches.size > 1) df.persist(storage) else df
+    try use(branches.map { case (name, p) => name -> p(shared) })
+    finally if (branches.size > 1) shared.unpersist()
+  }
+
   /** Fan-in (C4) for homogeneous branches: union by column name. */
   def fanInUnion(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_))
@@ -116,6 +133,9 @@ object Pipeline {
     * `ifTrue`, the rest through `ifFalse`; outputs re-merge by name.
     * Branch pipelines must converge to union-compatible schemas —
     * `validate` catches divergence pre-flight.
+    * Caching contract: the input is persisted (both branches read it);
+    * the caller unpersists after acting — or uses [[fanOutWith]]'s
+    * managed pattern for long-lived services.
     */
   def route(cond: org.apache.spark.sql.Column, ifTrue: Pipeline, ifFalse: Pipeline)(
       df: DataFrame): DataFrame = {
@@ -130,6 +150,8 @@ object Pipeline {
     * Row-level "exceptions" in a vectorized engine are predicates, not
     * throws — anything that would throw (bad cast, malformed JSON) is
     * expressed with try_/null-safe functions and caught here.
+    * Caching contract: same as [[route]] — caller unpersists the input
+    * after both sides are acted on.
     */
   def deadLetter(df: DataFrame, isValid: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
     val shared = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -42,6 +42,21 @@ class RoutingSpec extends SparkSpec {
     assert(m == Map(1L -> "t", 2L -> "f", 3L -> "f"))
   }
 
+  test("fanOutWith unpersists the shared fork after use") {
+    val branches = Map(
+      "pos" -> Pipeline(Stage("pos")(d => d.filter(col("v") > 0))),
+      "neg" -> Pipeline(Stage("neg")(d => d.filter(col("v") <= 0))))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val counts = Pipeline.fanOutWith(base, branches) { outs =>
+      outs.view.mapValues(_.count()).toMap
+    }
+    assert(counts == Map("pos" -> 2L, "neg" -> 1L))
+    // no NEW cache entry may survive the call (other tests' caches may
+    // come and go — only the fork created here matters)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"shared fork left persisted after fanOutWith: $leaked")
+  }
+
   test("context-aware stages receive the run context (C8)") {
     implicit val ctx: PipelineContext =
       PipelineContext(spark, "run-42", Map("tag" -> "test"))
