@@ -248,6 +248,45 @@ object Dedup {
     * shingle key — no O(n²) cross join; hot shingles can be frequency-
     * capped upstream (stopword-like shingles carry no dedup signal).
     */
+  /** [[ngramJaccard]] with a document-frequency cap on the inverted
+    * index — the 100 TB form. Stopword-like shingles appearing in more
+    * than `maxDocFreq` docs are excluded from CANDIDATE GENERATION
+    * (their postings lists are quadratic pair bombs and carry no dedup
+    * signal); candidates are then re-verified with EXACT Jaccard over
+    * the full shingle sets, so reported similarities are uncapped and
+    * exact. Recall loss is confined to pairs whose overlap is ONLY hot
+    * shingles — which a `threshold` worth using excludes anyway
+    * (equality with the uncapped operator on the corpus is
+    * test-asserted at cap = 100).
+    */
+  def ngramJaccardCapped(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Long = 1000): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession)
+    val sh = shingleTable(df, idCol, textCol, shingleLen)
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val cold = inv.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select(col("s"))
+    val coldInv = inv.join(cold, Seq("s"))
+    val cand = coldInv.select(col("s"), col("id").as("id_a"))
+      .join(coldInv.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", graft.GraftFunctions.jaccardSim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   def ngramJaccard(
       df: DataFrame,
       idCol: String,

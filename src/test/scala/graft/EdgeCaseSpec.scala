@@ -26,6 +26,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(AsOfJoin(left, right, Seq("k"), "ts", "qts", Seq("px" -> "px")).count() == 0)
   }
 
+  test("NOT IN vs anti-join: null-sensitive semantics honored (SURVEY Q08 caveat)") {
+    // SQL NOT IN over a subquery containing NULL matches NOTHING
+    // (three-valued logic); left_anti matches non-equal rows. The engine
+    // must expose both behaviors and not conflate them.
+    val cust = Seq((1L), (2L), (3L)).toDF("k")
+    val sub = Seq(Some(1L), None).toDF("sk")
+    cust.createOrReplaceTempView("ec_cust")
+    sub.createOrReplaceTempView("ec_sub")
+    val notIn = spark.sql(
+      "SELECT k FROM ec_cust WHERE k NOT IN (SELECT sk FROM ec_sub)").count()
+    assert(notIn == 0, "NOT IN over a null-bearing subquery must be empty")
+    val anti = cust.join(sub, col("k") === col("sk"), "left_anti").count()
+    assert(anti == 2, "anti join ignores the null and keeps non-matches")
+    // q08's corpus contract: o_custkey is non-null, so the two coincide
+    val orders = graft.Tables.load(spark, sf, "orders")
+    assert(orders.filter(col("o_custkey").isNull).count() == 0)
+  }
+
   test("stratified sample: deterministic across layouts, bounded fractions") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val fr = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)

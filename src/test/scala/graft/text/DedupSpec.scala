@@ -119,6 +119,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("capped ngram jaccard equals the uncapped operator on the corpus") {
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardCapped(docs, "doc_id", "text",
+        threshold = 0.5, maxDocFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped,
+      s"capped lost ${uncapped -- capped} / gained ${capped -- uncapped}")
+  }
+
   test("ngram jaccard: identical pair scores 1.0, disjoint pair absent") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon"),
