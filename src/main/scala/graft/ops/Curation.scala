@@ -176,6 +176,15 @@ object Curation {
     df.filter(u < frac)
   }
 
+  /** q41 — fuzzy near-match histogram (oracle-checked): part-name pairs
+    * within edit distance 2, counted per distance. Candidate generation
+    * is length-banded ([[TextAnalysis.fuzzyPairs]]) — no cross join. */
+  def fuzzyHistogram(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fuzzyPairs(Tables.load(spark, dir, "part"), "p_partkey", "p_name", 2)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("dist"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -189,7 +198,8 @@ object Curation {
     "q30_mm_meta" -> (mmMeta _),
     "q31_approx_distinct" -> (approxDistinct _),
     "q37_top_tokens" -> (topTokens _),
-    "q40_frame_stats" -> (frameStats _))
+    "q40_frame_stats" -> (frameStats _),
+    "q41_fuzzy_hist" -> (fuzzyHistogram _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

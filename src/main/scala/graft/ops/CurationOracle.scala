@@ -104,5 +104,13 @@ object CurationOracle {
         |  FROM documents)
         |SELECT source, CAST(sum(n_frames) AS BIGINT) total_frames,
         |       round(avg(n_frames),4) avg_frames
-        |FROM f GROUP BY source ORDER BY source""".stripMargin)
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q41_fuzzy_hist" ->
+      """SELECT dist, count(*) c FROM (
+        |  SELECT levenshtein(a.p_name, b.p_name) dist
+        |  FROM part a JOIN part b
+        |    ON a.p_partkey < b.p_partkey
+        |    AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |  ) t WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin)
 }

@@ -148,6 +148,50 @@ object TextAnalysis {
     candidates.map(t => t -> cms.estimateCount(t)).toMap
   }
 
+  /** Fuzzy near-match pairs: all (id_a < id_b) with
+    * `levenshtein(text_a, text_b) ≤ maxDist`, WITHOUT a cross join.
+    * Blocking: edit distance ≤ k implies |len(a) − len(b)| ≤ k, so rows
+    * join on length buckets of width k+1 (each left row probes its own
+    * and the two adjacent buckets) — the cross product shrinks to
+    * within-band pairs before any levenshtein runs. Length blocks are
+    * few and fat for natural text, so at corpus scale pass `blockCols`
+    * (e.g. a first-token or prefix column) to subdivide them — blocking
+    * keys compose, recall is unaffected by `blockCols` only if equal
+    * texts share them (exact for prefix blocks ≤ the distance bound's
+    * guarantees you choose).
+    */
+  def fuzzyPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      blockCols: Seq[Column] = Nil): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val w = maxDist + 1
+    val baseCols: Seq[Column] =
+      Seq(col(idCol).as("id"), col(textCol).as("t"),
+        (length(col(textCol)) / w).cast("long").as("__lb")) ++
+        blockCols.zipWithIndex.map { case (c, i) => c.as(s"__blk$i") }
+    val base = df.select(baseCols: _*)
+    val blockKeys = "__lb" +: blockCols.indices.map(i => s"__blk$i")
+    val l = base.select(
+      explode(array(col("__lb") - 1, col("__lb"), col("__lb") + 1)).as("__lb") +:
+        (col("id").as("id_a") +: col("t").as("t_a") +:
+          blockCols.indices.map(i => col(s"__blk$i"))): _*)
+    val r = base.select(
+      col("__lb") +: col("id").as("id_b") +: col("t").as("t_b") +:
+        blockCols.indices.map(i => col(s"__blk$i")): _*)
+    l.join(r, blockKeys)
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= maxDist)
+      // no dedup shuffle needed: the right side holds ONE bucket per row
+      // and the left explode values are distinct, so each (a, b) pair
+      // joins exactly once
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** Pattern scrubbing for training-data hygiene: replace every match of
     * each (regex → replacement) rule, applied in order. Pure narrow map
     * (chained codegen'd `regexp_replace`) — no shuffle, linear scaling.

@@ -66,6 +66,22 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyPairs banded candidates equal the naive cross join") {
+    val docs = Tables.load(spark, sf, "documents").limit(120)
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("t"))
+    val banded = TextAnalysis.fuzzyPairs(docs, "doc_id", "t", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive = docs.select(col("doc_id").as("id_a"), col("t").as("t_a"))
+      .crossJoin(docs.select(col("doc_id").as("id_b"), col("t").as("t_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= 3)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == naive,
+      s"banding lost ${naive -- banded} / invented ${banded -- naive}")
+  }
+
   test("scrub masks emails and digit runs, leaves clean text alone") {
     val rows = Seq(
       "contact bob@example.com or 12345678 now",
