@@ -25,6 +25,12 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   *
   * Empty input (no shingles — cannot occur via `shingleTable`, which
   * emits ≥1 shingle) yields Int.MaxValue sentinels rather than nulls.
+  *
+  * Null ELEMENTS mirror the HOF/`Murmur3Hash` semantics: a null input
+  * leaves the running hash at its seed (42), so a null shingle
+  * contributes `hashInt(j, 42)` to seed j's min (not an NPE — this
+  * expression is registered session-wide as SQL `minhash_sig`, so
+  * arbitrary user arrays reach it).
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -42,8 +48,10 @@ case class MinHashSignature(child: Expression, k: Int)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      val h1 = Murmur3_x86_32.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+      val h1 =
+        if (s == null) 42
+        else Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
       var j = 0
       while (j < k) {
         val hj = Murmur3_x86_32.hashInt(j, h1)
@@ -69,9 +77,12 @@ case class MinHashSignature(child: Expression, k: Int)
          |int[] $mins = new int[$k];
          |java.util.Arrays.fill($mins, Integer.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |  int $h1 = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42);
+         |  org.apache.spark.unsafe.types.UTF8String $s =
+         |    $a.isNullAt($i) ? null : $a.getUTF8String($i);
+         |  int $h1 = ($s == null)
+         |    ? 42
+         |    : org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42);
          |  for (int $j = 0; $j < $k; $j++) {
          |    int $hj = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt($j, $h1);
          |    if ($hj < $mins[$j]) { $mins[$j] = $hj; }

@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * lambda per token — interpreted (nested lambdas), allocating two
   * 64-element arrays per token per row. Here: one xxhash64 per token
   * and a 64-int vote tally on the stack, inside codegen.
+  *
+  * Null ELEMENTS mirror the HOF/`XxHash64` semantics: `xxhash64(null)`
+  * leaves the hash at its seed (42), so a null token votes with the bits
+  * of 42L (not an NPE — this expression is registered session-wide as
+  * SQL `simhash64`, so arbitrary user arrays reach it).
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -30,8 +35,10 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h =
+        if (s == null) 42L
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
@@ -61,9 +68,12 @@ case class SimHash64(child: Expression)
          |int $n = $a.numElements();
          |int[] $votes = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
-         |  org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($i);
-         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |  org.apache.spark.unsafe.types.UTF8String $s =
+         |    $a.isNullAt($i) ? null : $a.getUTF8String($i);
+         |  long $h = ($s == null)
+         |    ? 42L
+         |    : org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |        $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
          |  for (int $bit = 0; $bit < 64; $bit++) {
          |    if ((($h >>> $bit) & 1L) == 1L) { $votes[$bit]++; } else { $votes[$bit]--; }
          |  }

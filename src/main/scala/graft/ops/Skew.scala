@@ -22,11 +22,26 @@ import org.apache.spark.sql.functions._
   *    the small side is dimension-sized but above the broadcast
   *    threshold.
   *
-  * Salts derive from `xxhash64` of the whole row (via an internal
-  * uniform column), not `rand()` — same result set on retry/speculative
-  * re-execution, which nondeterministic salting breaks.
+  * Salts derive from `xxhash64` of the whole row MIXED WITH
+  * `monotonically_increasing_id()` (partition id ⧺ row offset), not
+  * `rand()`: for a fixed scan order the salt is reproducible on
+  * retry/speculative re-execution (which nondeterministic salting
+  * breaks), and the per-row id component means a hot key made of
+  * byte-identical duplicate rows — common in raw pre-dedup ingest, the
+  * exact skew scenario this targets — still fans out over all buckets
+  * (a row-content-only hash would send every copy to ONE bucket).
+  * Correctness never depends on the assignment: any salt in
+  * [0, buckets) merges identically in phase 2 / joins its replica.
   */
 object Skew {
+
+  /** Uniform deterministic salt in [0, buckets): row content ⊕ row
+    * position. See object scaladoc for why both components.
+    */
+  private[graft] def rowSalt(df: DataFrame, buckets: Int): Column =
+    pmod(
+      xxhash64(struct(df.columns.map(col): _*), monotonically_increasing_id()),
+      lit(buckets.toLong))
 
   /** Supported algebraic aggregates: value column -> (phase1, phase2). */
   sealed trait Agg
@@ -47,8 +62,7 @@ object Skew {
       aggs: Seq[(String, Agg)],
       buckets: Int = 16): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets.toLong)))
+    val salted = df.withColumn("__salt", rowSalt(df, buckets))
     // phase 1: partial aggregate on (keys, salt) — hot keys fan out
     val partialCols = aggs.zipWithIndex.map { case ((v, agg), i) =>
       val c = agg match {
@@ -99,8 +113,7 @@ object Skew {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
       "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left join types, got $joinType")
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets.toLong)))
+    val saltedBig = big.withColumn("__salt", rowSalt(big, buckets))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedBig.join(replicated, keys :+ "__salt", joinType).drop("__salt")

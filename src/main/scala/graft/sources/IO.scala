@@ -55,11 +55,20 @@ object IO {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Staged single-file replay dirs, one per source path — repeated
+    * replayStream calls on the same file (test suites, long-lived
+    * services) reuse the copy instead of leaking a dir per call; all
+    * staged files/dirs are registered for JVM-exit deletion.
+    */
+  private val stagedReplayDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Replay parquet file(s) as a bounded stream — the standard harness
     * for stream-batch equivalence tests and backfills through streaming
     * pipelines. Spark's file source demands a DIRECTORY, so a single
-    * file is staged into a temp dir; `maxFilesPerTrigger` paces
-    * micro-batches (1 file per trigger by default).
+    * file is staged into a temp dir (cached per source path, cleaned at
+    * JVM exit); `maxFilesPerTrigger` paces micro-batches (1 file per
+    * trigger by default).
     */
   def replayStream(
       spark: SparkSession,
@@ -69,11 +78,16 @@ object IO {
     val p = java.nio.file.Paths.get(path)
     val dir =
       if (java.nio.file.Files.isDirectory(p)) path
-      else {
+      else stagedReplayDirs.computeIfAbsent(p.toAbsolutePath.toString, { _ =>
         val d = java.nio.file.Files.createTempDirectory("replay_stream")
-        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+        val staged = d.resolve(p.getFileName)
+        java.nio.file.Files.copy(p, staged)
+        // deleteOnExit runs LIFO: register dir before file so the file
+        // deletes first and the dir is empty when its turn comes
+        d.toFile.deleteOnExit()
+        staged.toFile.deleteOnExit()
         d.toString
-      }
+      })
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

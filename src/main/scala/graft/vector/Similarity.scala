@@ -180,9 +180,15 @@ object Similarity {
       train.orderBy(xxhash64(col("id").cast("string")), col("id"))
         .limit(numCells).select(col("v")).collect().map(_.getSeq[Double](0)).toIndexedSeq
     require(centroids.nonEmpty, "corpus too small to seed centroids")
+    // the training sample may yield FEWER centroids than numCells (tiny
+    // corpus or aggressive trainFraction) — probe count follows the
+    // actual centroid count, not the requested one
+    val probes = math.min(nProbe, centroids.size)
 
+    // single-centroid degenerate case: `greatest` requires ≥2 args
     def cellOf(vec: Column, cs: IndexedSeq[Seq[Double]]): Column =
-      greatest(cs.zipWithIndex.map { case (c, i) =>
+      if (cs.size == 1) lit(0)
+      else greatest(cs.zipWithIndex.map { case (c, i) =>
         struct(
           GraftFunctions.cosineSim(vec, typedLit(c)).as("sim"),
           lit(i).as("cell"))
@@ -208,7 +214,7 @@ object Similarity {
         struct(
           (-GraftFunctions.cosineSim(col("qv"), typedLit(c))).as("negsim"),
           lit(i).as("cell"))
-    }: _*)), 1, nProbe)
+    }: _*)), 1, probes)
     val q = queries.select(
         col(queryIdCol).as("query_id"), requireDim(asDouble(col(queryVecCol)), dim).as("qv"))
       .select(col("query_id"), col("qv"),

@@ -83,4 +83,19 @@ class SkewSpec extends SparkSpec {
       Skew.saltedJoin(skewed, dim, Seq("k"), joinType = "full_outer")
     }
   }
+
+  test("byte-identical duplicate rows fan out across salt buckets (ADVICE r2)") {
+    // a hot key made of identical rows — raw pre-dedup ingest — must not
+    // collapse into one salt bucket (a row-content-only hash would)
+    val dupes = Seq.fill(512)(("hot", 1.0)).toDF("k", "v")
+    val saltCount = dupes.select(Skew.rowSalt(dupes, 16).as("salt"))
+      .agg(countDistinct("salt")).head().getLong(0)
+    assert(saltCount >= 12, s"identical rows used only $saltCount of 16 salts")
+    // and correctness is unchanged: salted agg still equals direct
+    val direct = dupes.groupBy("k").agg(sum("v"), count("v")).head()
+    val salted = Skew.saltedAgg(dupes, Seq("k"),
+      Seq("v" -> Skew.Sum, "v" -> Skew.Count), buckets = 16).head()
+    assert(salted.getDouble(1) == direct.getDouble(1) &&
+      salted.getLong(2) == direct.getLong(2))
+  }
 }

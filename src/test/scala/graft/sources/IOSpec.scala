@@ -57,4 +57,19 @@ class IOSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed scan still shuffled:\n$plan")
   }
+
+  test("replayStream reuses one staging dir per source file (ADVICE r2)") {
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def stagingDirs(): Set[String] =
+      tmpRoot.listFiles().filter(_.getName.startsWith("replay_stream"))
+        .map(_.getName).toSet
+    val schema = Tables.load(spark, sf, "events").schema
+    val before = stagingDirs()
+    (1 to 3).foreach { _ =>
+      IO.replayStream(spark, s"$sf/events.parquet", schema)
+    }
+    val added = stagingDirs() -- before
+    assert(added.size <= 1,
+      s"repeated replayStream calls leaked ${added.size} staging dirs")
+  }
 }

@@ -139,4 +139,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
+
+  test("native minhash/simhash survive null array elements, matching the HOF (ADVICE r2)") {
+    graft.GraftFunctions.register(spark)
+    // session-wide SQL registration means arbitrary user arrays reach the
+    // native expressions — null elements must hash like Murmur3Hash/XxHash64
+    // (hash unchanged at its seed), not NPE
+    val df = Seq(
+      (1L, Seq[String]("a", null, "b")),
+      (2L, Seq[String](null, null)),
+      (3L, Seq[String]("x", "y"))).toDF("id", "arr")
+    val both = df.select(col("id"),
+        Dedup.minhashSignature(col("arr"), 16).as("nm"),
+        Dedup.minhashSignatureHof(col("arr"), 16).as("hm"),
+        Dedup.simhashOfTokens(col("arr")).as("ns"),
+        Dedup.simhashOfTokensHof(col("arr")).as("hs"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"minhash mismatch for id ${r.getLong(0)}")
+      assert(r.getLong(3) == r.getLong(4), s"simhash mismatch for id ${r.getLong(0)}")
+    }
+    // and through the SQL surface (codegen path)
+    df.createOrReplaceTempView("null_arr_docs")
+    val viaSql = spark.sql(
+      "SELECT id, minhash_sig(arr, 8) AS sig, simhash64(arr) AS fp FROM null_arr_docs")
+      .collect()
+    assert(viaSql.length == 3 && viaSql.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
 }

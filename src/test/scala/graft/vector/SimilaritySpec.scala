@@ -98,4 +98,29 @@ class SimilaritySpec extends SparkSpec {
         s"$k: approx=${approx(k)} exact=$ex")
     }
   }
+
+  test("IVF degenerate shapes: one cell, and fewer centroids than numCells (ADVICE r2)") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 3)
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"), r.getAs[Long]("id")))
+    // numCells = 1: every vector lands in cell 0, probing it = brute force
+    val oneCell = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 3, numCells = 1, nProbe = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"), r.getAs[Long]("id")))
+    assert(oneCell.sorted.sameElements(exact.sorted))
+    // corpus smaller than numCells: centroid count < numCells, nProbe
+    // must clamp to the actual count instead of failing
+    val tiny = emb.filter(col("vec_id") >= 3 && col("vec_id") < 9)
+    val q1 = emb.filter(col("vec_id") === 0)
+    val tinyExact = Similarity.bruteForceTopK(tiny, "vec_id", "embedding",
+      q1, "vec_id", "embedding", k = 2).collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("id")))
+    val clamped = Similarity.ivfTopK(tiny, "vec_id", "embedding",
+      q1, "vec_id", "embedding", k = 2, numCells = 64, nProbe = 64).collect()
+      .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("id")))
+    assert(clamped.sorted.sameElements(tinyExact.sorted))
+  }
 }
