@@ -185,6 +185,59 @@ object Curation {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("dist"))
 
+  /** q42 — cluster-based dedup (oracle-checked via a DuckDB recursive
+    * CTE): connected components over the exact n-gram-Jaccard pair graph
+    * (q25's edges), so transitive chains A≈B≈C collapse into one
+    * cluster; per cluster, the survivor is the highest-quality doc
+    * (max n_chars, tie → min doc_id). Output: one row per component
+    * with ≥2 docs — (cluster_id = min member id, n_docs, keep_id).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", shingleLen = 3, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    cc.join(docs.select(col("doc_id"), col("n_chars")), cc("id") === col("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(struct((-col("n_chars")).as("negq"), col("doc_id").as("kid")))
+          .getField("kid").as("keep_id"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** q44 — containment near-dup pairs (oracle-checked): n-gram OVERLAP
+    * coefficient |A∩B|/min(|A|,|B|) ≥ 0.8 — catches short docs embedded
+    * in long ones that Jaccard (q25) misses. */
+  def overlapPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramOverlap(Tables.load(spark, dir, "documents"), "doc_id", "text",
+        shingleLen = 3, threshold = 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q45 — span-level dedup stats (oracle-checked): 8-token spans
+    * appearing in ≥2 distinct docs — repeated-passage signal
+    * (boilerplate/quotation), invisible to whole-doc measures. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.duplicatedSpans(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", spanLen = 8)
+      .agg(
+        count(lit(1)).as("n_dup_spans"),
+        coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_occurrences"))
+
+  /** q46 — vocabulary head by DOCUMENT frequency with idf
+    * (oracle-checked): q37's twin on the df axis — tokens by how many
+    * docs contain them (not total occurrences), idf = ln(N/df). */
+  def idfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val n = docs.count()
+    docs.select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("dfreq"))
+      .select(col("token"), col("dfreq"),
+        round(log(lit(n.toDouble) / col("dfreq")), 4).as("idf"))
+      .orderBy(col("dfreq").desc, col("token"))
+      .limit(10)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -199,7 +252,11 @@ object Curation {
     "q31_approx_distinct" -> (approxDistinct _),
     "q37_top_tokens" -> (topTokens _),
     "q40_frame_stats" -> (frameStats _),
-    "q41_fuzzy_hist" -> (fuzzyHistogram _))
+    "q41_fuzzy_hist" -> (fuzzyHistogram _),
+    "q42_dedup_clusters" -> (dedupClusters _),
+    "q44_overlap_pairs" -> (overlapPairs _),
+    "q45_dup_spans" -> (dupSpans _),
+    "q46_idf_terms" -> (idfTerms _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

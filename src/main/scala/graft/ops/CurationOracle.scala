@@ -112,5 +112,60 @@ object CurationOracle {
         |  FROM part a JOIN part b
         |    ON a.p_partkey < b.p_partkey
         |    AND abs(length(a.p_name) - length(b.p_name)) <= 2
-        |  ) t WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin)
+        |  ) t WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
+
+    // connected components as a recursive transitive closure: reach(id,r)
+    // = every node reachable from id; cluster = min(id, reachable ids).
+    // Exact twin of the Spark min-label-propagation fixpoint.
+    "q42_dedup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents),
+        |edges AS (
+        |  SELECT a.doc_id ea, b.doc_id eb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))) >= 0.5),
+        |sym AS (SELECT ea a, eb b FROM edges UNION SELECT eb, ea FROM edges),
+        |reach AS (
+        |  SELECT a AS id, b AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a WHERE sym.b <> reach.id),
+        |labels AS (SELECT id, least(id, min(r)) cluster_id FROM reach GROUP BY id),
+        |members AS (
+        |  SELECT l.cluster_id, d.doc_id, d.n_chars,
+        |         row_number() OVER (PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, d.doc_id) rn
+        |  FROM labels l JOIN documents d ON l.id = d.doc_id)
+        |SELECT cluster_id, count(*) n_docs, CAST(sum(CASE WHEN rn=1 THEN doc_id END) AS BIGINT) keep_id
+        |FROM members GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q44_overlap_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents)
+        |SELECT a.doc_id id_a, b.doc_id id_b,
+        |       round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/least(len(a.sh),len(b.sh)),4) overlap
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/least(len(a.sh),len(b.sh)) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q45_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
+        |spans AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7],' ') s
+        |  FROM t, unnest(range(1, greatest(len(toks)-7,0)+1)) AS u(i)
+        |  WHERE len(toks) >= 8)
+        |SELECT count(*) n_dup_spans, CAST(coalesce(sum(nd),0) AS BIGINT) n_occurrences
+        |FROM (SELECT s, count(DISTINCT doc_id) nd FROM spans GROUP BY s HAVING count(DISTINCT doc_id) > 1) x""".stripMargin,
+
+    "q46_idf_terms" ->
+      """WITH df AS (
+        |  SELECT s token, count(DISTINCT doc_id) dfreq
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) s FROM documents) t
+        |  GROUP BY s),
+        |n AS (SELECT count(*) nd FROM documents)
+        |SELECT token, dfreq, round(ln(CAST(nd AS DOUBLE)/dfreq), 4) idf
+        |FROM df, n ORDER BY dfreq DESC, token LIMIT 10""".stripMargin)
 }

@@ -170,5 +170,19 @@ object OracleSql {
         | SELECT r_name, n_name, count(*) c,
         |        row_number() OVER (PARTITION BY r_name ORDER BY count(*) DESC, n_name) rn
         | FROM customer JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
-        | GROUP BY r_name, n_name) t WHERE rn=1 ORDER BY r_name""".stripMargin)
+        | GROUP BY r_name, n_name) t WHERE rn=1 ORDER BY r_name""".stripMargin,
+
+    "q43_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty, count(*) n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q47_set_ops_all" ->
+      """SELECT 'except_all' tag, count(*) c FROM (SELECT c_nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) t
+        |UNION ALL
+        |SELECT 'inter_all' tag, count(*) c FROM (SELECT c_nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) t
+        |UNION ALL
+        |SELECT 'union_all' tag, count(*) c FROM (SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier) t
+        |ORDER BY tag""".stripMargin)
 }

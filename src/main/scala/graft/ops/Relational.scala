@@ -386,6 +386,39 @@ object Relational {
       .transform(orderedSmall(_, col("ta"), col("tb")))
   }
 
+  /** q43 — explicit GROUPING SETS: the general grouping-set form that
+    * ROLLUP (q07) and CUBE (q19) are shorthands for — here a mixed set
+    * ((flag, status), (flag), ()) no shorthand expresses. One Expand +
+    * one aggregate, same physical shape as rollup/cube.
+    */
+  def q43(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .transform(orderedSmall(_,
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+
+  /** q47 — BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL /
+    * UNION ALL), the multiplicity-preserving complement of q15's
+    * distinct set ops. Exercises `exceptAll`/`intersectAll` directly
+    * (Spark plans them as aggregate+generate over signed counts — no
+    * distinct collapse). The 100 TB alternative when only COUNTS are
+    * needed: one full-outer join of per-key counts, then
+    * Σmax(a−b,0) / Σmin(a,b) / Σ(a+b) — one shuffle total.
+    */
+  def q47(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer").select(col("c_nationkey").as("k"))
+    val s = Tables.load(spark, dir, "supplier").select(col("s_nationkey").as("k"))
+    def tagged(tag: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("c")).select(lit(tag).as("tag"), col("c"))
+    tagged("except_all", c.exceptAll(s))
+      .unionByName(tagged("inter_all", c.intersectAll(s)))
+      .unionByName(tagged("union_all", c.union(s)))
+      .transform(orderedSmall(_, col("tag")))
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -414,7 +447,9 @@ object Relational {
     "q35_pivot_values" -> (q35 _),
     "q36_ship_lag" -> (q36 _),
     "q38_moving_avg" -> (q38 _),
-    "q39_band_pairs" -> (q39 _))
+    "q39_band_pairs" -> (q39 _),
+    "q43_grouping_sets" -> (q43 _),
+    "q47_set_ops_all" -> (q47 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -64,6 +64,40 @@ object StreamingOps {
     sessionAggOut.groupBy(col("user_id"))
       .agg(count(lit(1)).as("sessions"), sum(col("n_events")).as("n_events"))
 
+  /** Stream-stream inner equi-join with a bounded event-time band —
+    * e.g. "click joined to any purchase by the same user within
+    * `bandSeconds` AFTER the click" (attribution, funnel stitching).
+    *
+    * State-boundedness is the whole design: BOTH sides carry a
+    * watermark AND the join condition bounds right.ts to
+    * [left.ts, left.ts + band], so Spark derives state-eviction
+    * watermarks for both sides — rows age out as event time advances.
+    * A stream-stream join WITHOUT a time bound must keep every row of
+    * both streams forever (state grows with corpus size — a non-starter
+    * at ingest scale), so this operator makes the band mandatory.
+    *
+    * Column layout: key, left `ts`/payload prefixed `l_`, right
+    * prefixed `r_` — prefixing avoids the ambiguous-column trap of
+    * self-joined schemas.
+    */
+  def bandedStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String = "ts",
+      bandSeconds: Long = 3600,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("k"), col(tsCol).as("l_ts"))
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("k"), col(tsCol).as("r_ts"))
+    l.join(r,
+      l("k") === r("k") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bandSeconds SECONDS"))
+      .select(l("k").as(keyCol), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming dedup with BOUNDED state: duplicates of a key arriving
     * within the watermark horizon are dropped, and the key's state is
     * evicted once the watermark passes — the streaming twin of

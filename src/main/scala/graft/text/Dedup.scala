@@ -287,6 +287,120 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact n-gram OVERLAP-coefficient pairs: |A∩B| / min(|A|,|B|) ≥
+    * `threshold`. The asymmetric companion to [[ngramJaccard]] — a short
+    * document fully CONTAINED in a long one scores overlap 1.0 but a
+    * low Jaccard (union is dominated by the long doc), so containment
+    * dedup (quotes, excerpts, boilerplate wrappers) needs this measure.
+    * Same inverted-index join shape: one shuffle on the shingle key,
+    * pair volume bounded by posting-list collisions, never corpus².
+    */
+  def ngramOverlap(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, shingleLen)
+      .withColumn("n", size(col("sh")))
+    val inv = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val pairs = inv.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(inv.select(col("s"), col("id").as("id_b"), col("n").as("n_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .withColumn("overlap",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("overlap"), 4).as("overlap"))
+  }
+
+  /** Connected components over an undirected pair relation — the
+    * clustering step of cluster-based dedup: all transitively-linked
+    * near-dup pairs collapse into one group, so "A≈B, B≈C" dedups to a
+    * single survivor even when A and C never matched directly.
+    *
+    * Iterative min-label propagation: each node's label starts as its
+    * own id; every iteration takes the min of its own and its
+    * neighbors' labels; fixpoint = every node holds its component's
+    * minimum id. Each iteration is one keyed shuffle (edges ⋈ labels +
+    * groupBy) and lineage is truncated per iteration with
+    * `localCheckpoint` so the plan stays bounded. Iterations needed =
+    * component diameter — near-dup graphs are clique-ish (tiny
+    * diameter), so convergence is fast; `maxIters` only guards
+    * pathological chains. At cluster scale swap `localCheckpoint` for
+    * reliable `checkpoint` (HDFS/S3) so a lost executor cannot force a
+    * full-lineage replay.
+    *
+    * @return (id, cluster_id) — one row per node that appears in
+    *         `pairs`; cluster_id = min id of its component.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String,
+      idBCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val sym = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nc")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nc")).as("nbr_min"))
+        .select(col("src").as("id"), col("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
+      // labels only ever decrease, so "no label decreased" = fixpoint
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
+        .filter(col("cluster_id") < col("prev"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIters iterations " +
+        "(component diameter exceeds maxIters — raise it)")
+    labels
+  }
+
+  /** Apply-step of cluster-based dedup: the surviving corpus. Groups
+    * transitively-linked `pairs` into components
+    * ([[connectedComponents]]), keeps ONE doc per component — the max
+    * by `qualityCol` (tie → min id) — and passes every unpaired doc
+    * through untouched. Anti-join on the loser set, so the full corpus
+    * is never shuffled by cluster: losers = paired docs − keepers
+    * (pair-graph-sized, ≪ corpus at real dup rates).
+    */
+  def dedupByCluster(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      qualityCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, pairs.columns(0), pairs.columns(1))
+    val keepers = cc
+      .join(df.select(col(idCol).as("id"), col(qualityCol).as("q")), Seq("id"))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("q")).as("negq"), col("id").as("kid")))
+        .getField("kid").as("id"))
+      .select(col("id"))
+    val losers = cc.select(col("id")).exceptAll(keepers)
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   def ngramJaccard(
       df: DataFrame,
       idCol: String,

@@ -128,6 +128,47 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** (id, span) relation: every DISTINCT contiguous `spanLen`-token span
+    * per document — the unit of span-level (substring) dedup, where the
+    * signal is a repeated PASSAGE across documents rather than
+    * whole-document similarity (boilerplate, quotations, templated
+    * text). Documents shorter than `spanLen` tokens emit nothing.
+    *
+    * Same evaluation-shape discipline as `Dedup.shingleTable`: tokens
+    * are materialized to an attribute before the span lambda reads them
+    * (no per-element subtree recompute), rows are spread across cores
+    * first (span cost follows row count, not file bytes), and
+    * `array_distinct` runs BEFORE the explode so a span repeated within
+    * one document crosses the shuffle once. Downstream aggregation
+    * shuffles on the span key — high cardinality, naturally spread; at
+    * 100 TB group on `xxhash64(span)` instead to shuffle 8-byte keys.
+    */
+  def spanTable(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(parallelism, col(idCol))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= spanLen)
+      .select(col("id"),
+        explode(array_distinct(
+          transform(
+            sequence(lit(1), size(col("toks")) - (spanLen - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(spanLen)))))).as("span"))
+  }
+
+  /** Spans of `spanLen` tokens duplicated ACROSS documents: one row per
+    * span appearing in ≥2 distinct docs, with its doc count. The scan
+    * side of span-level dedup — join back on `span` to locate/excise the
+    * duplicated passages.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 8): DataFrame =
+    spanTable(df, idCol, textCol, spanLen)
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs")) // spanTable is distinct per (id, span)
+      .filter(col("n_docs") > 1)
+
   /** Approximate token counts via a count-min sketch — the 100 TB twin of
     * [[topTokens]]' exact counting when the vocabulary itself is too
     * large to shuffle comfortably. The sketch is a fixed-size mergeable

@@ -103,6 +103,30 @@ class StreamingSpec extends SparkSpec {
     spark.streams.removeListener(dropMetrics)
   }
 
+  test("stream-stream banded join equals the batch band join") {
+    val clicks = replayEvents.filter(col("event_type") === "click")
+    val purchases = replayEvents.filter(col("event_type") === "purchase")
+    val joined = StreamingOps.bandedStreamJoin(
+      clicks, purchases, "user_id", bandSeconds = 600)
+    // stream-stream inner joins emit in append mode only
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_join")
+      .orderBy("user_id", "l_ts", "r_ts").collect()
+    val evB = Tables.load(spark, sf, "events")
+    val batch = StreamingOps.bandedStreamJoin(
+        evB.filter(col("event_type") === "click"),
+        evB.filter(col("event_type") === "purchase"),
+        "user_id", bandSeconds = 600)
+      .orderBy("user_id", "l_ts", "r_ts").collect()
+    assert(batch.nonEmpty, "fixture should produce matches")
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} rows vs batch ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("dedupStream drops within-watermark duplicates with bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -140,6 +140,64 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("connectedComponents: transitive chains collapse to min-id clusters") {
+    // components: {1,2,3,4,5,6,7} (a 7-path — forces multiple propagation
+    // iterations), {10,11}, and an isolated pairless node never appears
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 7L).forall(cc(_) == 1L), s"path component wrong: $cc")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(cc.size == 9)
+  }
+
+  test("connectedComponents matches brute force on the corpus pair graph") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == expected)
+  }
+
+  test("dedupByCluster keeps the best doc per component plus all unpaired docs") {
+    val corpus = Seq(
+      (1L, "short", 5L), (2L, "longer text", 11L), (3L, "longest text here", 17L),
+      (10L, "other a", 7L), (11L, "other b", 7L), // tie on quality -> min id 10
+      (99L, "unpaired survives", 17L)).toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByCluster(corpus, pairs, "doc_id", "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 10L, 99L), s"got $kept")
+  }
+
+  test("ngramOverlap catches containment that Jaccard misses") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val short = "alpha beta gamma delta epsilon zeta"   // prefix of long
+    val docs2 = Seq((1L, long), (2L, short), (3L, "wholly unrelated text body"))
+      .toDF("doc_id", "text")
+    val overlap = Dedup.ngramOverlap(docs2, "doc_id", "text", 3, 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(overlap.get((1L, 2L)).contains(1.0), s"containment pair missing: $overlap")
+    // the same pair is BELOW a 0.5 jaccard (union dominated by the long doc)
+    val jac = Dedup.ngramJaccard(docs2, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!jac.contains((1L, 2L)))
+  }
+
   test("native minhash/simhash survive null array elements, matching the HOF (ADVICE r2)") {
     graft.GraftFunctions.register(spark)
     // session-wide SQL registration means arbitrary user arrays reach the

@@ -100,4 +100,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(1) > 0 && r.getDouble(1) < 1)
     assert(r.getDouble(2) > 0 && r.getDouble(2) < 1)
   }
+
+  test("spanTable: distinct spans per doc, short docs emit nothing") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i"),       // 9 tokens -> spans at offsets 1,2
+      (2L, "too short"),               // 2 tokens -> nothing
+      (3L, "x x x x x x x x x x")      // repeated-token doc: spans dedup within doc
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.spanTable(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(spans.count(_._1 == 1L) == 2)
+    assert(!spans.exists(_._1 == 2L))
+    // all 3 raw spans of doc 3 are "x x x x x x x x" -> one distinct
+    assert(spans.count(_._1 == 3L) == 1)
+  }
+
+  test("duplicatedSpans finds cross-doc repeated passages only") {
+    val shared = "the quick brown fox jumps over the lazy"
+    val docs = Seq(
+      (1L, s"intro words $shared tail one"),
+      (2L, s"$shared completely different ending here"),
+      (3L, "nothing in common with any other document at all")
+    ).toDF("doc_id", "text")
+    val dup = TextAnalysis.duplicatedSpans(docs, "doc_id", "text", spanLen = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dup.contains((shared, 2L)), s"shared span missing from $dup")
+    // no span from doc 3 is duplicated
+    assert(dup.forall(_._1.split(" ").forall(t => !t.startsWith("nothing"))))
+  }
 }
