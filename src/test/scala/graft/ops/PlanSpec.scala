@@ -72,6 +72,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q43-q47: round-3 inventory keeps sane physical shapes") {
+    // q43: grouping sets = ONE Expand + one partial+final aggregate —
+    // not a union of three aggregations over three scans
+    val p43 = plan("q43_grouping_sets")
+    assert(p43.contains("Expand"), s"q43 lost its Expand:\n$p43")
+    assert("HashAggregate".r.findAllIn(p43).size <= 2, "q43 re-aggregated per set")
+    assert(exchanges(p43) <= 1, "q43 gained extra shuffles")
+    // q44: inverted-index join, never an all-pairs loop
+    val p44 = plan("q44_overlap_pairs")
+    assert(!p44.contains("CartesianProduct") && !p44.contains("BroadcastNestedLoopJoin"),
+      s"q44 degenerated to a loop join:\n$p44")
+    // q45: span explode + two aggregates (per-span docs, global stats)
+    assert(exchanges(plan("q45_dup_spans")) <= 3, "q45 gained extra shuffles")
+    // q47: bag set ops are aggregate-based, no loop joins
+    val p47 = plan("q47_set_ops_all")
+    assert(!p47.contains("CartesianProduct") && !p47.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>
