@@ -238,6 +238,78 @@ object Curation {
       .limit(10)
   }
 
+  /** Keep rows whose `valueCol` lies within the corpus's exact
+    * [`lo`, `hi`] percentile band — outlier trimming for corpus
+    * curation (truncated docs at the bottom, concatenation accidents at
+    * the top). Exact `percentile` is a sort-based aggregate — fine to a
+    * few hundred million rows; at 100 TB switch `exact=false` for the
+    * mergeable `approx_percentile` sketch (one pass, bounded memory,
+    * rank error ≤ 1/accuracy). Thresholds join back via broadcast — the
+    * corpus itself is never re-shuffled.
+    */
+  def quantileBand(
+      df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      exact: Boolean = true): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo <= hi, s"need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val fn = if (exact) "percentile" else "approx_percentile"
+    val b = df.agg(
+      expr(s"$fn($valueCol, $lo)").as("__lo"),
+      expr(s"$fn($valueCol, $hi)").as("__hi"))
+    df.crossJoin(broadcast(b))
+      .filter(col(valueCol) >= col("__lo") && col(valueCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
+  /** q48 — exact-percentile band filter (oracle-checked): docs with
+    * n_chars inside the corpus [p10, p90], counted per source. */
+  def quantileBandStats(spark: SparkSession, dir: String): DataFrame =
+    quantileBand(Tables.load(spark, dir, "documents"), "n_chars", 0.10, 0.90)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg(col("n_chars").cast("double")), 4).as("avg_chars"))
+      .orderBy(col("source"))
+
+  /** q49 — within-doc repetition ratio per source (oracle-checked):
+    * Gopher-style repeated-3-gram signal, docs with ≥3 tokens. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"),
+        TextAnalysis.repetitionRatioOfTokens(col("toks"), 3).as("rep"))
+      .groupBy(col("source"))
+      .agg(round(avg(col("rep")), 6).as("avg_rep"), count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  /** q50 — composite quality filter (oracle-checked): Gopher-ish rule
+    * battery — token count in [10, 1000], stopword ratio ≥ 0.05,
+    * repetition ratio ≤ 0.2 — pass counts per language. One narrow map
+    * over the corpus + one aggregate; each signal is a Catalyst
+    * expression, so the whole filter runs scan-side at any scale.
+    */
+  def qualityFilterStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val base = docs.select(col("lang"),
+        split(col("text"), " ").as("toks"),
+        split(lower(col("text")), " ").as("ltoks"))
+      .filter(size(col("toks")) >= 3)
+    val n = size(col("toks"))
+    val stopHits = size(filter(col("ltoks"), t => t.isin(oracleStopwords: _*)))
+    val rep = lit(1.0) -
+      size(array_distinct(transform(sequence(lit(1), greatest(n - 2, lit(1))),
+        i => concat_ws(" ", slice(col("toks"), i, lit(3)))))).cast("double") /
+        greatest(n - 2, lit(1))
+    val pass = n.between(10, 1000) &&
+      (stopHits.cast("double") / n >= 0.05) && (rep <= 0.2)
+    base.select(col("lang"), pass.as("pass"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pass"), 1)).as("n_pass"),
+        round(count(when(col("pass"), 1)).cast("double") / count(lit(1)), 4)
+          .as("pass_rate"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -256,7 +328,10 @@ object Curation {
     "q42_dedup_clusters" -> (dedupClusters _),
     "q44_overlap_pairs" -> (overlapPairs _),
     "q45_dup_spans" -> (dupSpans _),
-    "q46_idf_terms" -> (idfTerms _))
+    "q46_idf_terms" -> (idfTerms _),
+    "q48_quantile_band" -> (quantileBandStats _),
+    "q49_repetition" -> (repetitionStats _),
+    "q50_quality_filter" -> (qualityFilterStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -167,5 +167,38 @@ object CurationOracle {
         |  GROUP BY s),
         |n AS (SELECT count(*) nd FROM documents)
         |SELECT token, dfreq, round(ln(CAST(nd AS DOUBLE)/dfreq), 4) idf
-        |FROM df, n ORDER BY dfreq DESC, token LIMIT 10""".stripMargin)
+        |FROM df, n ORDER BY dfreq DESC, token LIMIT 10""".stripMargin,
+
+    "q48_quantile_band" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.10) lo, quantile_cont(n_chars, 0.90) hi FROM documents)
+        |SELECT source, count(*) n_kept, round(avg(CAST(n_chars AS DOUBLE)),4) avg_chars
+        |FROM documents, b WHERE n_chars >= lo AND n_chars <= hi
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q49_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text,' ') toks FROM documents),
+        |r AS (
+        |  SELECT source,
+        |         1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)-2+1),
+        |             i -> array_to_string(toks[i:i+2],' ')))) AS DOUBLE) / (len(toks)-2) rep
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT source, round(avg(rep),6) avg_rep, count(*) n_docs
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q50_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text,' ') toks,
+        |         CAST(len(list_filter(string_split(lower(text),' '),
+        |           x -> x IN ('the','of','and','a','to','in','is','it','that','for'))) AS DOUBLE) stop_hits
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang,
+        |         (len(toks) BETWEEN 10 AND 1000) AND (stop_hits / len(toks) >= 0.05) AND
+        |         (1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)-2+1),
+        |             i -> array_to_string(toks[i:i+2],' ')))) AS DOUBLE) / greatest(len(toks)-2,1) <= 0.2) pass
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT lang, count(*) n_docs, count(*) FILTER (WHERE pass) n_pass,
+        |       round(CAST(count(*) FILTER (WHERE pass) AS DOUBLE)/count(*),4) pass_rate
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
 }

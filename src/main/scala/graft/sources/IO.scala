@@ -55,6 +55,33 @@ object IO {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Small-file compaction — the maintenance pass every long-lived
+    * ingest layout needs: streaming/micro-batch writers leave thousands
+    * of KB-sized files per partition, and at 100 TB the resulting
+    * file-listing + per-file open cost dominates scan time. Rewrites
+    * `path` into ≈`targetFileMB`-sized files (computed from the actual
+    * byte size, so the file count tracks data volume, not a guess),
+    * staged via a temp dir + atomic-ish swap so a crash mid-compaction
+    * never leaves `path` half-written.
+    */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+    require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
+    val dir = java.nio.file.Paths.get(path)
+    val bytes = java.nio.file.Files.walk(dir).filter(p =>
+      java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
+    val staged = dir.resolveSibling(dir.getFileName.toString + ".compacting")
+    spark.read.parquet(path).coalesce(nFiles)
+      .write.mode("overwrite").parquet(staged.toString)
+    val old = dir.resolveSibling(dir.getFileName.toString + ".old")
+    java.nio.file.Files.move(dir, old)
+    java.nio.file.Files.move(staged, dir)
+    // best-effort cleanup of the displaced original
+    java.nio.file.Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   /** Staged single-file replay dirs, one per source path — repeated
     * replayStream calls on the same file (test suites, long-lived
     * services) reuse the copy instead of leaking a dir per call; all

@@ -64,6 +64,20 @@ object StreamingOps {
     sessionAggOut.groupBy(col("user_id"))
       .agg(count(lit(1)).as("sessions"), sum(col("n_events")).as("n_events"))
 
+  /** Stream-static enrichment join: attach dimension attributes to a
+    * stream (user → cohort, doc → license tier). The static side is
+    * broadcast per micro-batch — no stream state at all, unlike a
+    * stream-stream join — and a LEFT join keeps stream rows whose key
+    * is missing from the dimension (an inner join would silently drop
+    * them, the classic enrichment data-loss bug). At scale: keep the
+    * dimension under the broadcast threshold or pre-bucket both sides.
+    */
+  def enrichStream(
+      stream: DataFrame,
+      dim: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keyCols, "left")
+
   /** Stream-stream inner equi-join with a bounded event-time band —
     * e.g. "click joined to any purchase by the same user within
     * `bandSeconds` AFTER the click" (attribution, funnel stitching).

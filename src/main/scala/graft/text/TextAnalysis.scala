@@ -128,6 +128,27 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** Within-document repetition ratio — the Gopher-style quality
+    * signal: 1 − |distinct n-grams| / |n-grams| over token `n`-grams
+    * (0 = no repeated n-gram, →1 = highly repetitive boilerplate).
+    * Returns 0 for docs with < n tokens (no n-gram at all — and the
+    * guard keeps `sequence` from seeing a negative bound, which would
+    * otherwise generate a DESCENDING range).
+    *
+    * `toks` must be a materialized ATTRIBUTE (project `split` to a
+    * column first — see `Dedup.shingleTable`'s evaluation-shape note):
+    * HOF lambdas re-evaluate subtree arguments per element in
+    * interpreted mode, turning an inline `split` into O(tokens²) work.
+    */
+  def repetitionRatioOfTokens(toks: Column, n: Int = 3): Column = {
+    val total = size(toks) - (n - 1)
+    val grams = transform(sequence(lit(1), total),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) >= n,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / total)
+      .otherwise(lit(0.0))
+  }
+
   /** (id, span) relation: every DISTINCT contiguous `spanLen`-token span
     * per document — the unit of span-level (substring) dedup, where the
     * signal is a repeated PASSAGE across documents rather than

@@ -81,6 +81,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(p(empty).count() == 0)
   }
 
+  test("quantileBand keeps exactly the in-band rows; approx variant stays close") {
+    val docs = Tables.load(spark, sf, "documents")
+    val kept = graft.ops.Curation.quantileBand(docs, "n_chars", 0.10, 0.90)
+    // thresholds recomputed the same way must bound every kept row
+    val Array(lo, hi) = docs.selectExpr(
+      "percentile(n_chars, 0.10)", "percentile(n_chars, 0.90)")
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val bounds = kept.agg(min("n_chars"), max("n_chars")).head()
+    assert(bounds.getLong(0) >= lo && bounds.getLong(1) <= hi)
+    // a [0, 1] band is the identity
+    assert(graft.ops.Curation.quantileBand(docs, "n_chars", 0.0, 1.0).count()
+      == docs.count())
+    // the sketch-based variant deviates by at most a few percent here
+    val approx = graft.ops.Curation.quantileBand(docs, "n_chars", 0.10, 0.90,
+      exact = false).count()
+    assert(math.abs(approx - kept.count()).toDouble / kept.count() < 0.1)
+  }
+
   test("single-token and whitespace-edge documents survive text ops") {
     val df = Seq((1L, "word"), (2L, "two words")).toDF("doc_id", "text")
     val sh = df.select(Dedup.shingles(col("text"), 3).as("s")).collect()

@@ -58,6 +58,20 @@ class IOSpec extends SparkSpec {
       s"bucketed scan still shuffled:\n$plan")
   }
 
+  test("compact rewrites a small-files layout into few files, data intact") {
+    val docs = Tables.load(spark, sf, "documents")
+    val dir = tmp("compact")
+    docs.repartition(37).write.mode("overwrite").parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 37, "fixture should start fragmented")
+    val before = docs.orderBy("doc_id").collect()
+    IO.compact(spark, dir, targetFileMB = 64)
+    assert(parquetFiles() == 1, s"expected 1 compacted file, got ${parquetFiles()}")
+    val after = spark.read.parquet(dir).orderBy("doc_id").collect()
+    assert(after.sameElements(before), "compaction changed the data")
+  }
+
   test("replayStream reuses one staging dir per source file (ADVICE r2)") {
     val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
     def stagingDirs(): Set[String] =

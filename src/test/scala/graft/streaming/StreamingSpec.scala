@@ -103,6 +103,30 @@ class StreamingSpec extends SparkSpec {
     spark.streams.removeListener(dropMetrics)
   }
 
+  test("stream-static enrichment keeps unmatched stream rows (left join)") {
+    import spark.implicits._
+    // dimension covers only even user ids — odd ids must survive with null cohort
+    val dim = Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("cohort", concat(lit("c"), col("user_id") % 4))
+    val enriched = StreamingOps.enrichStream(replayEvents, dim, Seq("user_id"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.outputMode("complete")
+      .format("memory").queryName("enriched").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enriched")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val evB = Tables.load(spark, sf, "events")
+    val batch = StreamingOps.enrichStream(evB, dim, Seq("user_id"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.contains(None), "odd-id rows were dropped instead of kept")
+    assert(streamed(None) == evB.filter(col("user_id") % 2 =!= 0).count())
+  }
+
   test("stream-stream banded join equals the batch band join") {
     val clicks = replayEvents.filter(col("event_type") === "click")
     val purchases = replayEvents.filter(col("event_type") === "purchase")

@@ -101,6 +101,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getDouble(2) > 0 && r.getDouble(2) < 1)
   }
 
+  test("repetitionRatio: repeated n-grams score high, unique text scores 0") {
+    val rows = Seq(
+      (1L, "a b a b a b"),          // 2-grams: ab ba ab ba ab -> 2/5 distinct
+      (2L, "all words here unique"),
+      (3L, "x")                      // shorter than n -> 0 by definition
+    ).toDF("doc_id", "text")
+    val rep = rows.select(col("doc_id"),
+        TextAnalysis.repetitionRatioOfTokens(split(col("text"), " "), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rep(1L) - 0.6) < 1e-12, s"got ${rep(1L)}")
+    assert(rep(2L) == 0.0)
+    assert(rep(3L) == 0.0)
+  }
+
   test("spanTable: distinct spans per doc, short docs emit nothing") {
     val docs = Seq(
       (1L, "a b c d e f g h i"),       // 9 tokens -> spans at offsets 1,2
