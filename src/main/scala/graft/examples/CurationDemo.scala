@@ -73,6 +73,21 @@ object CurationDemo {
       k = 3, numCells = 8, nProbe = 4).collect()
     println("IVF TOP3: " + ivf.map(r =>
       s"${r.getLong(1)}@${r.getDouble(2)}").mkString(" "))
+
+    // full curation pass: quality-trim outliers, then cluster-dedup —
+    // transitive near-dup chains collapse, best doc per cluster survives
+    val trimmed = graft.ops.Curation.quantileBand(docs, "n_chars", 0.05, 0.95)
+    val pairs = graft.text.Dedup.ngramJaccard(trimmed, "doc_id", "text", 3, 0.5)
+    val curated = graft.text.Dedup.dedupByCluster(trimmed, pairs, "doc_id", "n_chars")
+    println(s"CURATED: ${docs.count()} docs -> ${trimmed.count()} in-band " +
+      s"-> ${curated.count()} after cluster dedup")
+
+    // compact the curated corpus into right-sized files for the next reader
+    val curDir = java.nio.file.Files.createTempDirectory("demo_curated").toString
+    curated.repartition(8).write.mode("overwrite").parquet(curDir)
+    IO.compact(spark, curDir, targetFileMB = 64)
+    val nf = new java.io.File(curDir).listFiles().count(_.getName.endsWith(".parquet"))
+    println(s"COMPACTED: $nf file(s) at $curDir")
     spark.stop()
   }
 }

@@ -90,6 +90,18 @@ class PlanSpec extends SparkSpec {
     assert(!p47.contains("CartesianProduct") && !p47.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q48-q50: curation filters keep broadcast/narrow shapes") {
+    // q48: percentile thresholds come back via BROADCAST — the corpus
+    // side is never hash-repartitioned for the band filter
+    val p48 = plan("q48_quantile_band")
+    assert(p48.contains("BroadcastNestedLoopJoin") || p48.contains("BroadcastExchange"),
+      s"q48 thresholds not broadcast:\n$p48")
+    // q49/q50: one narrow map + one aggregate + the tiny final sort —
+    // agg exchange + range exchange, nothing else
+    assert(exchanges(plan("q49_repetition")) <= 2, "q49 gained extra shuffles")
+    assert(exchanges(plan("q50_quality_filter")) <= 2, "q50 gained extra shuffles")
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>
