@@ -78,9 +78,13 @@ object StreamingOps {
       keyCols: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keyCols, "left")
 
-  /** Stream-stream inner equi-join with a bounded event-time band —
-    * e.g. "click joined to any purchase by the same user within
-    * `bandSeconds` AFTER the click" (attribution, funnel stitching).
+  /** Stream-stream equi-join (inner or left_outer) with a bounded
+    * event-time band — e.g. "click joined to any purchase by the same
+    * user within `bandSeconds` AFTER the click" (attribution, funnel
+    * stitching). With `left_outer`, a click with NO purchase in its
+    * band still emits (null-padded) — but only once the watermark
+    * proves the band empty, so unmatched rows arrive delayed by the
+    * watermark, not dropped.
     *
     * State-boundedness is the whole design: BOTH sides carry a
     * watermark AND the join condition bounds right.ts to
@@ -100,7 +104,14 @@ object StreamingOps {
       keyCol: String,
       tsCol: String = "ts",
       bandSeconds: Long = 3600,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
+    // outer variants are only state-bounded on the preserved side(s)
+    // with BOTH the watermark and the time bound present; right/full
+    // follow the same mechanics but are rarely what attribution wants
+    require(Set("inner", "left_outer", "leftouter", "left")
+      .contains(joinType.toLowerCase),
+      s"bandedStreamJoin supports inner/left_outer, got $joinType")
     val l = left.withWatermark(tsCol, watermark)
       .select(col(keyCol).as("k"), col(tsCol).as("l_ts"))
     val r = right.withWatermark(tsCol, watermark)
@@ -108,7 +119,8 @@ object StreamingOps {
     l.join(r,
       l("k") === r("k") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bandSeconds SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bandSeconds SECONDS"),
+      joinType)
       .select(l("k").as(keyCol), col("l_ts"), col("r_ts"))
   }
 

@@ -151,6 +151,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("left-outer banded stream join emits unmatched rows after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+
+    val lms = MemoryStream[(Long, java.sql.Timestamp)]
+    val rms = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingOps.bandedStreamJoin(
+      lms.toDF.toDF("user_id", "ts"), rms.toDF.toDF("user_id", "ts"),
+      "user_id", bandSeconds = 60, watermark = "1 minute",
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("lo_join").start()
+
+    // user 1: purchase inside the 60s band -> matched pair
+    // user 2: no purchase ever -> must STILL emit, null-padded, once
+    //         the watermark passes its band end
+    lms.addData((1L, ts(1)), (2L, ts(1)))
+    rms.addData((1L, ts(2)))
+    q.processAllAvailable()
+    // advance BOTH watermarks well past min 2 (global wm = min of sides)
+    lms.addData((9L, ts(60)))
+    rms.addData((9L, ts(60)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lo_join")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSet
+    assert(rows.contains((1L, Some(ts(2)))), s"matched pair missing: $rows")
+    assert(rows.contains((2L, None)),
+      s"unmatched left row not emitted after watermark: $rows")
+  }
+
   test("dedupStream drops within-watermark duplicates with bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
