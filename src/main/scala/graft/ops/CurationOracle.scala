@@ -117,17 +117,21 @@ object CurationOracle {
     // connected components as a recursive transitive closure: reach(id,r)
     // = every node reachable from id; cluster = min(id, reachable ids).
     // Exact twin of the Spark min-label-propagation fixpoint.
+    // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+    // the recursive term would otherwise re-evaluate the O(n²) shingle
+    // pair join on every iteration (observed: sf0.1 ran >30 min plain,
+    // seconds materialized).
     "q42_dedup_clusters" ->
       """WITH RECURSIVE
-        |sh AS (
+        |sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
         |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
         |  FROM documents),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT a.doc_id ea, b.doc_id eb
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))) >= 0.5),
-        |sym AS (SELECT ea a, eb b FROM edges UNION SELECT eb, ea FROM edges),
+        |sym AS MATERIALIZED (SELECT ea a, eb b FROM edges UNION SELECT eb, ea FROM edges),
         |reach AS (
         |  SELECT a AS id, b AS r FROM sym
         |  UNION
@@ -141,7 +145,7 @@ object CurationOracle {
         |FROM members GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q44_overlap_pairs" ->
-      """WITH sh AS (
+      """WITH sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
         |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
         |  FROM documents)
