@@ -238,6 +238,30 @@ object Curation {
       .limit(10)
   }
 
+  /** Deterministic train/val/test split: assigns each row to one of
+    * `weights.length` folds by content hash of its id — every row lands
+    * in EXACTLY one fold, and the assignment is stable across retries,
+    * partition layouts, cluster sizes, and re-runs (`randomSplit` is
+    * none of those: it samples per partition and double-assigns rows on
+    * resampled boundaries). Pure narrow map per fold — no shuffle; the
+    * folds are filters over the same scan, so writing all of them costs
+    * one pass with a shared cache.
+    */
+  def hashSplit(
+      df: DataFrame, idCol: String,
+      weights: Seq[Double], salt: Long = 42L): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val total = weights.sum
+    val cuts = weights.scanLeft(0.0)(_ + _ / total).tail // cumulative upper bounds
+    val u = pmod(xxhash64(col(idCol).cast("string"), lit(salt)), lit(1000000L))
+      .cast("double") / 1000000d
+    cuts.zip(0.0 +: cuts.dropRight(1)).map { case (hi, lo) =>
+      // final fold takes the closed upper bound so u ∈ [0,1) always lands
+      if (hi == cuts.last) df.filter(u >= lo && u < 1.0)
+      else df.filter(u >= lo && u < hi)
+    }
+  }
+
   /** Keep rows whose `valueCol` lies within the corpus's exact
     * [`lo`, `hi`] percentile band — outlier trimming for corpus
     * curation (truncated docs at the bottom, concatenation accidents at

@@ -81,6 +81,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(p(empty).count() == 0)
   }
 
+  test("hash split: exact partition of rows, deterministic, near-target sizes") {
+    val docs = Tables.load(spark, sf, "documents")
+    val folds = graft.ops.Curation.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+    val counts = folds.map(_.count())
+    // partition: folds are disjoint and exhaustive
+    assert(counts.sum == docs.count())
+    assert(folds(0).select("doc_id").intersect(folds(1).select("doc_id")).count() == 0)
+    assert(folds(1).select("doc_id").intersect(folds(2).select("doc_id")).count() == 0)
+    // sizes near targets (hash uniformity at n=500: ±10 pp is generous)
+    assert(math.abs(counts(0).toDouble / counts.sum - 0.8) < 0.1, counts.mkString(","))
+    // deterministic across repartitioned layouts
+    val again = graft.ops.Curation.hashSplit(docs.repartition(13), "doc_id",
+      Seq(0.8, 0.1, 0.1))
+    assert(folds(1).select("doc_id").except(again(1).select("doc_id")).count() == 0)
+    assert(again(1).select("doc_id").except(folds(1).select("doc_id")).count() == 0)
+  }
+
   test("quantileBand keeps exactly the in-band rows; approx variant stays close") {
     val docs = Tables.load(spark, sf, "documents")
     val kept = graft.ops.Curation.quantileBand(docs, "n_chars", 0.10, 0.90)
