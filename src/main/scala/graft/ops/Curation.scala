@@ -262,6 +262,24 @@ object Curation {
     }
   }
 
+  /** q51 — benchmark decontamination (oracle-checked): the corpus
+    * (doc_id % 7 ≠ 0) purged of every doc sharing an 8-token n-gram
+    * with the held-out "benchmark" slice (doc_id % 7 = 0); surviving
+    * counts and mean length per source. The benchmark n-gram set and
+    * the contaminated-id set both travel by broadcast
+    * ([[Dedup.decontaminate]]) — the corpus is never shuffled.
+    */
+  def decontaminated(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(avg(col("n_chars").cast("double")), 4).as("avg_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Keep rows whose `valueCol` lies within the corpus's exact
     * [`lo`, `hi`] percentile band — outlier trimming for corpus
     * curation (truncated docs at the bottom, concatenation accidents at
@@ -355,7 +373,8 @@ object Curation {
     "q46_idf_terms" -> (idfTerms _),
     "q48_quantile_band" -> (quantileBandStats _),
     "q49_repetition" -> (repetitionStats _),
-    "q50_quality_filter" -> (qualityFilterStats _))
+    "q50_quality_filter" -> (qualityFilterStats _),
+    "q51_decontaminate" -> (decontaminated _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -204,5 +204,26 @@ object CurationOracle {
         |  FROM t WHERE len(toks) >= 3)
         |SELECT lang, count(*) n_docs, count(*) FILTER (WHERE pass) n_pass,
         |       round(CAST(count(*) FILTER (WHERE pass) AS DOUBLE)/count(*),4) pass_rate
-        |FROM f GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // decontamination twin: same 8-gram shingle semantics as Spark's
+    // shingleTable (short docs shingle to the whole doc), benchmark =
+    // doc_id % 7 = 0 slice, corpus = the rest minus n-gram collisions
+    "q51_decontaminate" ->
+      """WITH sh AS MATERIALIZED (
+        |  SELECT doc_id, doc_id % 7 = 0 is_bench,
+        |         list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-7,1)+1),
+        |             i -> array_to_string(string_split(text,' ')[i:i+7], ' '))) sh
+        |  FROM documents),
+        |bench AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(sh) s FROM sh WHERE is_bench),
+        |cont AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(sh) s FROM sh WHERE NOT is_bench) c
+        |  JOIN bench USING (s))
+        |SELECT source, count(*) n_kept, round(avg(CAST(n_chars AS DOUBLE)),4) avg_chars
+        |FROM documents d
+        |WHERE d.doc_id % 7 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = d.doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin)
 }

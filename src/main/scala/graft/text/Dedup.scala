@@ -401,6 +401,49 @@ object Dedup {
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination: drop every corpus doc that shares ANY
+    * distinct word `n`-gram with the benchmark/eval set — the standard
+    * guard against test-set leakage into training data.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized (thousands of
+    * docs, ≪ corpus), so its distinct n-gram set is BROADCAST and the
+    * contaminated-id set (⊆ pair hits) is broadcast back for the anti
+    * join — the corpus is never shuffled by n-gram; contamination
+    * detection is one scan-side pass over the corpus shingles.
+    * `hashKeys=true` broadcasts 8-byte `xxhash64` keys instead of
+    * n-gram strings (the 100 TB form — an order of magnitude smaller
+    * broadcast); a hash collision can only FALSE-POSITIVE a removal
+    * (never leak a true contamination) at ~2^-64 per pair.
+    *
+    * Docs shorter than `n` tokens shingle to the whole doc
+    * ([[shingleTable]] semantics), so short benchmark items
+    * decontaminate by exact containment-match rather than silently
+    * not at all.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      hashKeys: Boolean = false): DataFrame = {
+    def keyed(df: DataFrame): DataFrame =
+      if (hashKeys) df.select(df.columns.filter(_ != "s").map(col) :+
+        xxhash64(col("s")).as("k"): _*)
+      else df.withColumnRenamed("s", "k")
+    val benchKeys = broadcast(
+      keyed(shingleTable(benchmark, idCol, textCol, n)
+        .select(explode(col("sh")).as("s")))
+        .distinct())
+    val contaminated = keyed(
+        shingleTable(corpus, idCol, textCol, n)
+          .select(col("id"), explode(col("sh")).as("s")))
+      .join(benchKeys, Seq("k"), "left_semi")
+      .select(col("id")).distinct()
+    corpus.join(broadcast(contaminated.withColumnRenamed("id", idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   def ngramJaccard(
       df: DataFrame,
       idCol: String,

@@ -102,6 +102,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(plan("q50_quality_filter")) <= 2, "q50 gained extra shuffles")
   }
 
+  test("q51: decontamination joins broadcast — corpus never shuffled by n-gram") {
+    val p = plan("q51_decontaminate")
+    // benchmark n-grams reach the semi join via broadcast; contaminated
+    // ids come back to the anti join via broadcast
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined,
+      s"bench n-gram set not broadcast-semi-joined:\n$p")
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"contaminated ids not broadcast-anti-joined:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // shuffles: 2 shingle repartitions + contaminated-id distinct + final
+    // agg/sort — no n-gram-keyed corpus exchange
+    assert(exchanges(p) <= 5, s"q51 gained extra shuffles:\n$p")
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>

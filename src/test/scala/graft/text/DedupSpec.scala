@@ -198,6 +198,44 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((1L, 2L)))
   }
 
+  test("decontaminate drops n-gram collisions with the benchmark, keeps the rest") {
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta extra trailing words"
+    val corpus = Seq(
+      (1L, "prefix words then " + leaked),            // shares an 8-gram -> dropped
+      (2L, "wholly unrelated body of clean text that survives decontamination fine"),
+      (3L, "tiny doc"),                               // < 8 tokens, no bench match
+      (4L, "alpha beta gamma delta")                  // sub-8-gram overlap only -> kept
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, leaked),
+      (101L, "tiny benchmark")                        // short bench doc, no exact twin
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L), s"got $kept")
+    // short docs decontaminate by exact containment: a benchmark doc equal
+    // to a short corpus doc removes it
+    val kept2 = Dedup.decontaminate(corpus, Seq((100L, "tiny doc")).toDF("doc_id", "text"),
+        "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept2.contains(3L), s"short-doc exact match not removed: $kept2")
+    assert(kept2.contains(1L) && kept2.contains(2L))
+  }
+
+  test("decontaminate hashKeys path equals the string-key path on the corpus") {
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val strKeys = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hashKeys = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8,
+        hashKeys = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(strKeys == hashKeys,
+      s"hash path lost ${strKeys -- hashKeys} / gained ${hashKeys -- strKeys}")
+    // the split must actually remove something, or this test proves nothing
+    assert(strKeys.size < corpus.count(), "no contamination found — weak fixture")
+  }
+
   test("native minhash/simhash survive null array elements, matching the HOF (ADVICE r2)") {
     graft.GraftFunctions.register(spark)
     // session-wide SQL registration means arbitrary user arrays reach the
