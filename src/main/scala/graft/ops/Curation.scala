@@ -4,7 +4,7 @@ import graft.Tables
 import graft.multimodal.Multimodal
 import graft.text.{Dedup, TextAnalysis}
 import graft.vector.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data-curation operator inventory (builder prompt: dedup,
@@ -280,6 +280,120 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Concat-and-chunk sequence packing — the LLM-training layout: the
+    * corpus token stream is concatenated in `idCol` order and split into
+    * fixed `seqLen`-token training sequences. Returns the input plus
+    * `start_tok` (global offset of the doc's first token), `seq_first` /
+    * `seq_last` (ids of the sequences the doc's tokens land in) and
+    * `n_seqs` (how many sequences the doc spans — >1 means it crosses a
+    * packing boundary).
+    *
+    * The global running offset is a distributed prefix sum, NOT a
+    * single-partition window: rows bucket by `idCol / docsPerBucket`
+    * (derived from the ID — deterministic across layouts/retries), the
+    * within-bucket running sum is a window PARTITIONED by bucket
+    * (parallel across buckets), and the per-bucket totals — a
+    * corpus/docsPerBucket-row aggregate — prefix-sum on the driver and
+    * rejoin by broadcast. At 100 TB: docsPerBucket ≈ 1e6 keeps buckets
+    * task-sized and the driver step at ~100k rows (a few MB).
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String, seqLen: Int,
+      docsPerBucket: Long = 1000000L): DataFrame = {
+    require(seqLen > 0 && docsPerBucket > 0)
+    val tok = col(tokenCol).cast("long")
+    val b = df.withColumn("__b",
+      floor(col(idCol).cast("long").cast("double") / docsPerBucket).cast("long"))
+    val bucketTotals = b.groupBy(col("__b")).agg(sum(tok).as("__bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = bucketTotals.map { case (bid, t) => val o = (bid, acc); acc += t; o }
+    val offDf = df.sparkSession.createDataFrame(
+      offsets.toIndexedSeq).toDF("__b", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col(idCol))
+      .rowsBetween(Long.MinValue, 0)
+    b.join(broadcast(offDf), Seq("__b"))
+      .withColumn("__cum", sum(tok).over(w) + col("__off"))
+      .withColumn("start_tok", col("__cum") - tok)
+      .withColumn("seq_first",
+        floor(col("start_tok").cast("double") / seqLen).cast("long"))
+      .withColumn("seq_last",
+        floor((col("__cum") - 1).cast("double") / seqLen).cast("long"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1L))
+      .drop("__b", "__off", "__cum")
+  }
+
+  /** q52 — sequence-packing layout stats (oracle-checked): pack the
+    * corpus into 128-token sequences in doc_id order; per (source,
+    * sequences-spanned) doc counts and token mass. docsPerBucket=64 so
+    * the test corpus exercises the multi-bucket prefix-sum path.
+    */
+  def packedSeqStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    packSequences(docs, "doc_id", "n_tok", seqLen = 128, docsPerBucket = 64)
+      .groupBy(col("source"), col("n_seqs"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .orderBy(col("source"), col("n_seqs"))
+  }
+
+  /** Mixture resampling: downsample each weighted source so the kept
+    * token mass approaches the target `weights` proportions, keeping as
+    * much data as possible — the budget is `min_s tokens_s / w_s` (the
+    * bottleneck source keeps everything; no source is upsampled).
+    * Sources absent from `weights` are dropped (weight 0).
+    *
+    * Sampling is by `u < round(frac_s · m)` where `u` is a caller-chosen
+    * deterministic integral column in [0, m) — e.g.
+    * `pmod(xxhash64(id), m)`, or a multiplicative mixer when the
+    * selection must be reproducible outside Spark. Deterministic across
+    * retries, layouts, and cluster sizes, unlike `sample()`.
+    *
+    * Scale shape: one tiny per-source aggregate (|sources| rows) to the
+    * driver, thresholds return as a literal CASE chain — the corpus
+    * itself is a single narrow filter pass, never shuffled.
+    */
+  def sourceMix(
+      df: DataFrame, sourceCol: String, tokenCol: String,
+      weights: Map[String, Double], u: Column,
+      m: Long = 1000000L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val weighted = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+    val totals = weighted.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- totals.keySet
+    require(missing.isEmpty, s"no rows for weighted sources: $missing")
+    val budget = totals.map { case (s, t) => t / weights(s) }.min
+    val thr = weights.map { case (s, w) =>
+      s -> math.round(w * budget / totals(s) * m) }
+    val thrCol = thr.foldLeft(lit(-1L)) { case (acc, (s, t)) =>
+      when(col(sourceCol) === s, lit(t)).otherwise(acc) }
+    weighted.filter(u < thrCol)
+  }
+
+  /** q53 — source-mixture resampling stats (oracle-checked): resample
+    * {src0,src1,src2,src7} toward 0.4/0.3/0.2/0.1 token shares with the
+    * Knuth-mixer sampler (exact integer arithmetic DuckDB reproduces);
+    * kept docs/tokens and achieved share per source.
+    */
+  def sourceMixStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src7" -> 0.1)
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+    val kept = sourceMix(docs, "source", "n_tok", weights, u)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    kept.withColumn("share",
+        round(col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+      .orderBy(col("source"))
+  }
+
   /** Keep rows whose `valueCol` lies within the corpus's exact
     * [`lo`, `hi`] percentile band — outlier trimming for corpus
     * curation (truncated docs at the bottom, concatenation accidents at
@@ -374,7 +488,9 @@ object Curation {
     "q48_quantile_band" -> (quantileBandStats _),
     "q49_repetition" -> (repetitionStats _),
     "q50_quality_filter" -> (qualityFilterStats _),
-    "q51_decontaminate" -> (decontaminated _))
+    "q51_decontaminate" -> (decontaminated _),
+    "q52_pack_sequences" -> (packedSeqStats _),
+    "q53_source_mix" -> (sourceMixStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

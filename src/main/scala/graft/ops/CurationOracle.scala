@@ -225,5 +225,41 @@ object CurationOracle {
         |FROM documents d
         |WHERE d.doc_id % 7 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM cont WHERE cont.doc_id = d.doc_id)
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // packing twin: one global running token sum in doc_id order, then
+    // the same floor-division chunk arithmetic (nt >= 1 always, so the
+    // cum-1 term never goes negative)
+    "q52_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text,' ')) AS BIGINT) nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, nt,
+        |         sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+        |  FROM t)
+        |SELECT source, (cum-1)//128 - (cum-nt)//128 + 1 n_seqs,
+        |       count(*) n_docs, CAST(sum(nt) AS BIGINT) tokens
+        |FROM c GROUP BY source, n_seqs ORDER BY source, n_seqs""".stripMargin,
+
+    // mixture twin: identical double arithmetic (w::DOUBLE keeps DuckDB
+    // off decimal math) and the same Knuth-mixer integer sampler
+    "q53_source_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text,' ')) AS BIGINT) nt
+        |  FROM documents WHERE source IN ('src0','src1','src2','src7')),
+        |tot AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) tok,
+        |         CASE source WHEN 'src0' THEN 0.4::DOUBLE WHEN 'src1' THEN 0.3::DOUBLE
+        |                     WHEN 'src2' THEN 0.2::DOUBLE ELSE 0.1::DOUBLE END w
+        |  FROM t GROUP BY source),
+        |bgt AS (SELECT min(tok / w) budget FROM tot),
+        |thr AS (SELECT source, CAST(round(w * budget / tok * 1000000) AS BIGINT) thr
+        |        FROM tot, bgt),
+        |kept AS (
+        |  SELECT t.* FROM t JOIN thr USING (source)
+        |  WHERE (doc_id * 2654435761) % 1000000 < thr)
+        |SELECT source, count(*) n_docs, CAST(sum(nt) AS BIGINT) n_tokens,
+        |       round(CAST(sum(nt) AS DOUBLE) / sum(sum(nt)) OVER (), 4) AS share
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin)
 }

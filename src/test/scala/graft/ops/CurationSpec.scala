@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing + mixture resampling semantics. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: hand-computed chunk spans") {
+    // token stream: [3,4,2,5,1] concatenated -> cum [3,7,9,14,15], seqLen 4
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L), (4L, 5L), (5L, 1L))
+      .toDF("doc_id", "n_tok")
+    val out = Curation.packSequences(docs, "doc_id", "n_tok", seqLen = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "start_tok", "seq_first", "seq_last", "n_seqs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 3L, 0L, 1L, 2L),
+      (3L, 7L, 1L, 2L, 2L),
+      (4L, 9L, 2L, 3L, 2L),
+      (5L, 14L, 3L, 3L, 1L)), out.mkString(","))
+  }
+
+  test("packSequences: bucketed prefix sum is invariant to bucket size and layout") {
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    def run(bucket: Long, parts: Int) =
+      Curation.packSequences(docs.repartition(parts), "doc_id", "n_tok",
+          seqLen = 128, docsPerBucket = bucket)
+        .select("doc_id", "start_tok", "n_seqs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val small = run(2, 3)
+    assert(small == run(1000000, 13), "bucket size changed the packing")
+    // global offsets really accumulate: last doc's start = total minus its tokens
+    val total = docs.agg(sum("n_tok")).head().getLong(0)
+    val last = small.last
+    val lastTok = docs.orderBy(col("doc_id").desc).select("n_tok").head().getLong(0)
+    assert(last._2 == total - lastTok, s"bad final offset: $last vs total $total")
+  }
+
+  test("sourceMix: bottleneck keeps everything, mixture approaches weights, rest dropped") {
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src7" -> 0.1)
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+    val kept = Curation.sourceMix(docs, "source", "n_tok", weights, u).cache()
+    try {
+      // only weighted sources survive
+      val srcs = kept.select("source").distinct().as[String].collect().toSet
+      assert(srcs.subsetOf(weights.keySet), s"unweighted sources kept: $srcs")
+      // the bottleneck source (min tokens/weight) is kept in full
+      val tots = docs.filter(col("source").isin(weights.keys.toSeq: _*))
+        .groupBy("source").agg(sum("n_tok").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bottleneck = weights.keys.minBy(s => tots(s) / weights(s))
+      val keptBn = kept.filter(col("source") === bottleneck).count()
+      val allBn = docs.filter(col("source") === bottleneck).count()
+      assert(keptBn == allBn, s"bottleneck $bottleneck lost rows: $keptBn/$allBn")
+      // achieved token shares approach the targets (doc-granular sampling
+      // on ~25-doc sources: generous ±12 pp)
+      val keptTok = kept.groupBy("source").agg(sum("n_tok").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val totalKept = keptTok.values.sum.toDouble
+      weights.foreach { case (s, w) =>
+        val share = keptTok.getOrElse(s, 0L) / totalKept
+        assert(math.abs(share - w) < 0.12, f"$s share $share%.3f vs target $w")
+      }
+    } finally kept.unpersist()
+  }
+
+  test("sourceMix: deterministic across layouts; missing weighted source rejected") {
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val weights = Map("src3" -> 0.5, "src4" -> 0.5)
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+    val a = Curation.sourceMix(docs, "source", "n_tok", weights, u)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Curation.sourceMix(docs.repartition(17), "source", "n_tok", weights, u)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "sampling depends on layout")
+    intercept[IllegalArgumentException] {
+      Curation.sourceMix(docs, "source", "n_tok", Map("nope" -> 1.0), u)
+    }
+  }
+}

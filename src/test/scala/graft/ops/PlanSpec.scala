@@ -116,6 +116,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) <= 5, s"q51 gained extra shuffles:\n$p")
   }
 
+  test("q52: packing prefix sum is bucket-parallel — no single-partition corpus window") {
+    val p = plan("q52_pack_sequences")
+    assert(p.contains("Window"), s"expected a window in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"prefix sum collapsed to one partition:\n$p")
+    assert("BroadcastHashJoin".r.findFirstIn(p).isDefined,
+      s"bucket offsets not broadcast:\n$p")
+  }
+
+  test("q53: mixture thresholds are a literal filter — corpus never joined or shuffled pre-agg") {
+    val p = plan("q53_source_mix")
+    // thresholds arrive as a CASE WHEN literal chain, not a join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for thresholds:\n$p")
+    assert(exchanges(p) <= 3, s"q53 gained extra shuffles:\n$p")
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>
