@@ -394,6 +394,51 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Deterministic epoch reshuffle: a stable pseudo-random total order
+    * over the corpus keyed by `(mix(id, epoch), id)` — each epoch gets a
+    * different but REPRODUCIBLE order (retry/layout/cluster-size
+    * invariant, unlike `orderBy(rand())`). One range shuffle
+    * (`repartitionByRange` + `sortWithinPartitions`); a downstream
+    * per-partition write preserves the order, so this is the "shuffle
+    * once per epoch, then stream shards" layout step.
+    *
+    * The mixer pre-mods the id (id % 1000003) before the Knuth multiply
+    * so the product stays far from Long overflow (ANSI mode throws on
+    * overflow); the id tie-break keeps the order total when pre-mod
+    * classes collide.
+    */
+  def epochShuffle(
+      df: DataFrame, idCol: String, epoch: Int,
+      partitions: Int = 0): DataFrame = {
+    val keyed = df.withColumn("__shuf", shuffleKey(col(idCol), epoch))
+    val parted =
+      if (partitions > 0)
+        keyed.repartitionByRange(partitions, col("__shuf"), col(idCol))
+      else keyed.repartitionByRange(col("__shuf"), col(idCol))
+    parted.sortWithinPartitions(col("__shuf"), col(idCol)).drop("__shuf")
+  }
+
+  // epoch mixes in BEFORE the multiply — the multiply-then-mod is the
+  // scrambler, so a post-multiply epoch offset would only rotate the key
+  // space and barely change the order
+  private def shuffleKey(id: Column, epoch: Int): Column =
+    pmod(pmod(id.cast("long") + lit(epoch.toLong * 10007L), lit(1000003L)) *
+      lit(2654435761L), lit(1000000007L))
+
+  /** q54 — epoch-shuffle head (oracle-checked): the first 10 docs of the
+    * epoch-3 deterministic shuffle order. Top-k by the shuffle key is a
+    * `TakeOrderedAndProject` (per-partition heaps, no global sort); the
+    * rank window runs over the 10 surviving rows only.
+    */
+  def epochShuffleHead(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val top = docs
+      .select(col("doc_id"), col("source"), shuffleKey(col("doc_id"), 3).as("shuf_key"))
+      .orderBy(col("shuf_key"), col("doc_id")).limit(10)
+    top.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("shuf_key"), col("doc_id"))))
+  }
+
   /** Keep rows whose `valueCol` lies within the corpus's exact
     * [`lo`, `hi`] percentile band — outlier trimming for corpus
     * curation (truncated docs at the bottom, concatenation accidents at
@@ -490,7 +535,8 @@ object Curation {
     "q50_quality_filter" -> (qualityFilterStats _),
     "q51_decontaminate" -> (decontaminated _),
     "q52_pack_sequences" -> (packedSeqStats _),
-    "q53_source_mix" -> (sourceMixStats _))
+    "q53_source_mix" -> (sourceMixStats _),
+    "q54_epoch_shuffle" -> (epochShuffleHead _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

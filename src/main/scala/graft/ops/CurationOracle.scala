@@ -261,5 +261,16 @@ object CurationOracle {
         |  WHERE (doc_id * 2654435761) % 1000000 < thr)
         |SELECT source, count(*) n_docs, CAST(sum(nt) AS BIGINT) n_tokens,
         |       round(CAST(sum(nt) AS DOUBLE) / sum(sum(nt)) OVER (), 4) AS share
-        |FROM kept GROUP BY source ORDER BY source""".stripMargin)
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    // epoch-shuffle twin: identical integer mixer (pre-mod keeps the
+    // product in int64 range in both engines), same (key, id) total order
+    "q54_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |         ((doc_id + 3 * 10007) % 1000003) * 2654435761 % 1000000007 AS shuf_key
+        |  FROM documents)
+        |SELECT doc_id, source, shuf_key,
+        |       CAST(row_number() OVER (ORDER BY shuf_key, doc_id) AS INT) rk
+        |FROM k ORDER BY shuf_key, doc_id LIMIT 10""".stripMargin)
 }

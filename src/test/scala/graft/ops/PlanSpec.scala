@@ -133,6 +133,11 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p) <= 3, s"q53 gained extra shuffles:\n$p")
   }
 
+  test("q54: shuffle-order head is a TakeOrdered, not a global sort") {
+    val p = plan("q54_epoch_shuffle")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$p")
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>
