@@ -1,0 +1,99 @@
+package graft.examples
+
+import graft.Tables
+import graft.ops.Curation
+import graft.text.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full training-data path, end to end, on the public API:
+  *
+  *   quality filter → outlier trim → cluster dedup → benchmark
+  *   decontamination → source-mixture resampling → train/val/test split
+  *   → epoch shuffle → sequence packing → sharded write.
+  *
+  * Every step is a deterministic, shuffle-frugal operator documented for
+  * 100 TB in its own scaladoc; this example is the composition proof —
+  * the pipeline a user of the engine actually runs before pretraining.
+  *
+  * Run: `sbt "runMain graft.examples.PretrainPipeline"`.
+  */
+object PretrainPipeline {
+
+  /** Runs the pipeline at `dir`; returns (stage → row count) in order. */
+  def run(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val stats = Seq.newBuilder[(String, Long)]
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    stats += "raw" -> docs.count()
+
+    // 1. quality: token-count band + within-doc repetition cap
+    val toks = split(col("text"), " ")
+    val quality = docs
+      .filter(col("n_tok").between(10, 1000))
+      .filter(size(toks) < 3 ||
+        TextAnalysis.repetitionRatioOfTokens(toks, 3) <= 0.2)
+    stats += "quality" -> quality.count()
+
+    // 2. outlier trim: drop the length tails (truncation / concat accidents)
+    val trimmed = Curation.quantileBand(quality, "n_chars", 0.05, 0.95)
+    stats += "trimmed" -> trimmed.count()
+
+    // 3. near-dup cluster dedup: transitive chains collapse, best doc wins
+    val pairs = Dedup.ngramJaccard(trimmed, "doc_id", "text", 3, 0.5)
+    val deduped = Dedup.dedupByCluster(trimmed, pairs, "doc_id", "n_chars")
+    stats += "deduped" -> deduped.count()
+
+    // 4. decontaminate against the held-out benchmark slice
+    val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val clean = Dedup.decontaminate(
+      deduped.filter(pmod(col("doc_id"), lit(7)) =!= 0), bench,
+      "doc_id", "text", n = 8)
+    stats += "decontaminated" -> clean.count()
+
+    // 5. resample surviving sources to a uniform token mixture
+    val srcs = clean.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    val weights = srcs.map(_ -> 1.0 / srcs.length).toMap
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+    val mixed = Curation.sourceMix(clean, "source", "n_tok", weights, u)
+    stats += "mixed" -> mixed.count()
+
+    // 6. deterministic 90/5/5 split; train continues down the pipe
+    val Seq(train, valF, testF) =
+      Curation.hashSplit(mixed, "doc_id", Seq(0.9, 0.05, 0.05))
+    stats += "train" -> train.count()
+    stats += "val" -> valF.count()
+    stats += "test" -> testF.count()
+
+    // 7. epoch-1 shuffle, then pack into 128-token sequences
+    val shuffled = Curation.epochShuffle(train, "doc_id", epoch = 1, partitions = 4)
+    val packed = Curation.packSequences(shuffled, "doc_id", "n_tok",
+      seqLen = 128, docsPerBucket = 64)
+    stats += "packed_docs" -> packed.count()
+    val seqStats = packed.agg(
+      (max(col("seq_last")) + 1).as("n_seqs"),
+      sum(when(col("n_seqs") > 1, 1L).otherwise(0L)).as("boundary_docs")).head()
+    stats += "sequences" -> seqStats.getLong(0)
+    stats += "boundary_docs" -> seqStats.getLong(1)
+
+    // 8. sharded write: one file per range shard, order preserved
+    val out = java.nio.file.Files.createTempDirectory("pretrain_shards").toString
+    shuffled.write.mode("overwrite").parquet(out)
+    stats += "shard_files" -> new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet")).toLong
+    stats.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark, "/root/testdata/sf0.001").foreach { case (k, v) =>
+      println(f"$k%-16s $v")
+    }
+    spark.stop()
+  }
+}

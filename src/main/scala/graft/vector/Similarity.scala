@@ -242,6 +242,34 @@ object Similarity {
     * near-dups (τ ≥ 0.9 ⇒ θ ≤ 26°) per-table collision is
     * (1−θ/π)^p ≈ 0.3 at p=8, so L=8 tables give ≈ 94% recall.
     */
+  /** Per-vector symmetric int8 scalar quantization: `q_i = round(v_i/s)`
+    * with `s = max|v| / 127`, stored as (`array<tinyint>`, float scale) —
+    * 4× smaller than float32 at rest AND on the wire, which at 100 TB is
+    * the difference between an embedding shuffle that fits and one that
+    * spills. Pure narrow map (codegen'd array HOFs, no shuffle);
+    * dequantize is `q_i · s` ([[dequantizeInt8]]). Element error is
+    * bounded by s/2, so cosine against the dequantized vector stays
+    * ≈ 1 − O(1/127²) (test-asserted). Zero vectors quantize to scale 0 /
+    * all-zero codes and round-trip exactly.
+    */
+  def quantizeInt8(
+      df: DataFrame, vecCol: String,
+      qCol: String = "q", scaleCol: String = "q_scale"): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = aggregate(v, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val out = df.withColumn(scaleCol, (maxAbs / 127.0d).cast("float"))
+    out.withColumn(qCol,
+      when(col(scaleCol) === 0.0f, transform(v, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(v, x =>
+          round(x.cast("double") / col(scaleCol).cast("double")).cast("tinyint"))))
+  }
+
+  /** Inverse of [[quantizeInt8]]: reconstruct `array<float>` from the
+    * int8 codes and per-vector scale. */
+  def dequantizeInt8(qCol: Column, scaleCol: Column): Column =
+    transform(qCol, x => (x.cast("double") * scaleCol.cast("double")).cast("float"))
+
   def nearDupCosine(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, useLsh: Boolean = false, p: Int = 8, L: Int = 8,

@@ -123,4 +123,31 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getAs[Int]("rk"), r.getAs[Long]("id")))
     assert(clamped.sorted.sameElements(tinyExact.sorted))
   }
+
+  test("int8 quantization: bounded element error, cosine ~ 1, zero vector exact") {
+    graft.GraftFunctions.register(spark)
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    // schema: tinyint codes + float scale (the 4x-at-rest contract)
+    val qf = q.schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(qf.elementType == org.apache.spark.sql.types.ByteType)
+    assert(q.schema("q_scale").dataType == org.apache.spark.sql.types.FloatType)
+    // element error <= scale/2 (+ float slack); cosine(orig, dequant) ~ 1
+    val deq = q.withColumn("d", Similarity.dequantizeInt8(col("q"), col("q_scale")))
+    val stats = deq.select(
+        max(aggregate(zip_with(col("embedding"), col("d"),
+          (a, b) => abs(a.cast("double") - b.cast("double")) / (col("q_scale") + lit(1e-12))),
+          lit(0.0d), (acc, x) => greatest(acc, x))).as("worst_rel"),
+        min(graft.GraftFunctions.cosineSim(col("embedding").cast("array<double>"),
+          col("d").cast("array<double>"))).as("min_cos"))
+      .head()
+    assert(stats.getDouble(0) <= 0.5 + 1e-4, s"element error ${stats.getDouble(0)} > scale/2")
+    assert(stats.getDouble(1) >= 0.999, s"cosine degraded to ${stats.getDouble(1)}")
+    // zero vector: scale 0, all-zero codes, exact round-trip
+    import spark.implicits._
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("id", "embedding"), "embedding")
+    val zr = z.withColumn("d", Similarity.dequantizeInt8(col("q"), col("q_scale"))).head()
+    assert(zr.getAs[Seq[Byte]]("q").forall(_ == 0))
+    assert(zr.getAs[Seq[Float]]("d").forall(_ == 0.0f))
+  }
 }
