@@ -305,7 +305,11 @@ object Curation {
     val b = df.withColumn("__b",
       floor(col(idCol).cast("long").cast("double") / docsPerBucket).cast("long"))
     val bucketTotals = b.groupBy(col("__b")).agg(sum(tok).as("__bt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"packSequences: null $idCol — the packing order is undefined for null ids")
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }.sortBy(_._1)
     var acc = 0L
     val offsets = bucketTotals.map { case (bid, t) => val o = (bid, acc); acc += t; o }
     val offDf = df.sparkSession.createDataFrame(
@@ -352,7 +356,8 @@ object Curation {
     *
     * Scale shape: one tiny per-source aggregate (|sources| rows) to the
     * driver, thresholds return as a literal CASE chain — the corpus
-    * itself is a single narrow filter pass, never shuffled.
+    * itself is a single narrow filter pass, never shuffled. Rows with a
+    * null source are dropped (null is never a weighted source).
     */
   def sourceMix(
       df: DataFrame, sourceCol: String, tokenCol: String,
@@ -395,22 +400,36 @@ object Curation {
   }
 
   /** Deterministic epoch reshuffle: a stable pseudo-random total order
-    * over the corpus keyed by `(mix(id, epoch), id)` — each epoch gets a
+    * over the corpus keyed by `(key(id, epoch), id)` — each epoch gets a
     * different but REPRODUCIBLE order (retry/layout/cluster-size
     * invariant, unlike `orderBy(rand())`). One range shuffle
     * (`repartitionByRange` + `sortWithinPartitions`); a downstream
     * per-partition write preserves the order, so this is the "shuffle
     * once per epoch, then stream shards" layout step.
     *
-    * The mixer pre-mods the id (id % 1000003) before the Knuth multiply
-    * so the product stays far from Long overflow (ANSI mode throws on
-    * overflow); the id tie-break keeps the order total when pre-mod
-    * classes collide.
+    * Default key is `xxhash64(id, epoch)` — 64-bit, no id-class
+    * collisions at any corpus size. [[epochShuffleMixed]] keys with the
+    * pre-mod Knuth mixer instead when the order must be reproducible
+    * outside Spark (exact integer arithmetic any engine can replay —
+    * q54's oracle); its `id % 1000003` pre-mod folds ids ≥ 1e6 into
+    * classes ordered id-ascending within a class, so prefer the hash
+    * key at scale.
     */
   def epochShuffle(
       df: DataFrame, idCol: String, epoch: Int,
-      partitions: Int = 0): DataFrame = {
-    val keyed = df.withColumn("__shuf", shuffleKey(col(idCol), epoch))
+      partitions: Int = 0): DataFrame =
+    epochShuffleBy(df, idCol, partitions,
+      xxhash64(col(idCol).cast("string"), lit(epoch)))
+
+  /** [[epochShuffle]] with the cross-engine-replayable mixer key. */
+  def epochShuffleMixed(
+      df: DataFrame, idCol: String, epoch: Int,
+      partitions: Int = 0): DataFrame =
+    epochShuffleBy(df, idCol, partitions, shuffleKey(col(idCol), epoch))
+
+  private def epochShuffleBy(
+      df: DataFrame, idCol: String, partitions: Int, key: Column): DataFrame = {
+    val keyed = df.withColumn("__shuf", key)
     val parted =
       if (partitions > 0)
         keyed.repartitionByRange(partitions, col("__shuf"), col(idCol))
@@ -420,7 +439,8 @@ object Curation {
 
   // epoch mixes in BEFORE the multiply — the multiply-then-mod is the
   // scrambler, so a post-multiply epoch offset would only rotate the key
-  // space and barely change the order
+  // space and barely change the order; the pre-mod keeps the product far
+  // from Long overflow (ANSI mode throws on overflow)
   private def shuffleKey(id: Column, epoch: Int): Column =
     pmod(pmod(id.cast("long") + lit(epoch.toLong * 10007L), lit(1000003L)) *
       lit(2654435761L), lit(1000000007L))

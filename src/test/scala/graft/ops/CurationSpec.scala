@@ -73,18 +73,28 @@ class CurationSpec extends SparkSpec {
 
   test("epochShuffle: reproducible per epoch, different across epochs, row-preserving") {
     val docs = Tables.load(spark, sf, "documents").select("doc_id", "source")
-    def order(epoch: Int, parts: Int) =
-      Curation.epochShuffle(docs.repartition(parts), "doc_id", epoch, partitions = 4)
-        .select("doc_id").collect().map(_.getLong(0)).toSeq
-    val e1 = order(1, 3)
-    // same epoch, different input layout -> identical order
-    assert(e1 == order(1, 11), "epoch order depends on input layout")
-    // different epoch -> different order, same row set
-    val e2 = order(2, 3)
-    assert(e1 != e2, "epochs produced identical orders")
-    assert(e1.toSet == e2.toSet && e1.size == docs.count(), "rows lost or duplicated")
-    // not the identity order (the mixer actually permutes)
-    assert(e1 != e1.sorted, "epoch shuffle left the corpus in id order")
+    for (shuf <- Seq(Curation.epochShuffle _, Curation.epochShuffleMixed _)) {
+      def order(epoch: Int, parts: Int) =
+        shuf(docs.repartition(parts), "doc_id", epoch, 4)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val e1 = order(1, 3)
+      // same epoch, different input layout -> identical order
+      assert(e1 == order(1, 11), "epoch order depends on input layout")
+      // different epoch -> different order, same row set
+      val e2 = order(2, 3)
+      assert(e1 != e2, "epochs produced identical orders")
+      assert(e1.toSet == e2.toSet && e1.size == docs.count(), "rows lost or duplicated")
+      // not the identity order (the key actually permutes)
+      assert(e1 != e1.sorted, "epoch shuffle left the corpus in id order")
+    }
+  }
+
+  test("packSequences rejects null ids with a clear error") {
+    val docs = Seq((Some(1L), 3L), (None, 4L)).toDF("doc_id", "n_tok")
+    val e = intercept[IllegalArgumentException] {
+      Curation.packSequences(docs, "doc_id", "n_tok", seqLen = 4)
+    }
+    assert(e.getMessage.contains("null doc_id"), e.getMessage)
   }
 
   test("sourceMix: deterministic across layouts; missing weighted source rejected") {
