@@ -531,6 +531,77 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic Bernoulli sample by id: keep a row iff the
+    * Knuth-mixed id ([[epochShuffleMixed]]'s scrambler, salted) lands
+    * under `fraction` of the 10⁶-bucket key space. Unlike `sample()`,
+    * the kept set is a pure function of ids — identical across retries,
+    * layouts, and cluster sizes, and reproducible outside Spark (the
+    * mixer is plain integer arithmetic — q58's oracle re-runs it in
+    * SQL). One narrow filter; never shuffles. For per-stratum rates use
+    * [[stratifiedSample]]; for non-integral ids hash to long first.
+    */
+  def bernoulliSample(df: DataFrame, idCol: String, fraction: Double,
+      salt: Long = 0L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    val key = pmod(pmod(col(idCol).cast("long") + lit(salt * 10007L), lit(1000003L)) *
+      lit(2654435761L), lit(1000000007L))
+    df.filter(pmod(key, lit(1000000L)) < lit(math.round(fraction * 1000000)))
+  }
+
+  /** q57 — RAG-style chunking stats (oracle-checked): 64-token chunks
+    * with 16-token overlap ([[TextAnalysis.chunkTokens]]); per-source
+    * chunk count, chunk-token mass, and full-chunk count. */
+  def chunkStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(
+        Tables.load(spark, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+      .select(col("source"), size(col("chunk")).as("ct"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("ct")).cast("long").as("chunk_tokens"),
+        count(when(col("ct") === 64, 1)).as("full_chunks"))
+      .orderBy(col("source"))
+
+  /** q58 — deterministic 10% Bernoulli sample (oracle-checked): kept
+    * doc/token mass per source under [[bernoulliSample]] (salt 7). The
+    * oracle replays the integer mixer verbatim — the proof the sample
+    * is engine-independent. */
+  def sampleStats(spark: SparkSession, dir: String): DataFrame =
+    bernoulliSample(Tables.load(spark, dir, "documents"), "doc_id", 0.10, salt = 7L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+      .orderBy(col("source"))
+
+  /** q59 — distribution moments per source (oracle-checked): mean,
+    * population variance, and skewness of `n_chars`, all derived from
+    * EXACT integer power sums (Σx, Σx², Σx³ stay in long — no
+    * floating-point accumulation order to disagree about), with the
+    * x^1.5 written as x·√x (sqrt is IEEE-exact; pow is not). At larger
+    * magnitudes than chars-per-doc, switch the power sums to decimal or
+    * use Spark's `skewness`/`var_pop` (single-pass, merge-safe — but
+    * implementation-defined rounding vs an external oracle).
+    */
+  def momentStats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("n_chars").cast("long")
+    val m = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(x).as("s1"),
+        sum(x * x).as("s2"), sum(x * x * x).as("s3"))
+      .select(col("source"), col("n"),
+        (col("s1").cast("double") / col("n")).as("m1"),
+        (col("s2").cast("double") / col("n")).as("m2"),
+        (col("s3").cast("double") / col("n")).as("m3"))
+    val v = col("m2") - col("m1") * col("m1")
+    m.select(col("source"), col("n"),
+        round(col("m1"), 6).as("mean"),
+        round(v, 6).as("pvar"),
+        round(when(v > 0,
+          (col("m3") - lit(3) * col("m1") * col("m2") +
+            lit(2) * col("m1") * col("m1") * col("m1")) / (v * sqrt(v))), 6).as("skew"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -556,7 +627,10 @@ object Curation {
     "q51_decontaminate" -> (decontaminated _),
     "q52_pack_sequences" -> (packedSeqStats _),
     "q53_source_mix" -> (sourceMixStats _),
-    "q54_epoch_shuffle" -> (epochShuffleHead _))
+    "q54_epoch_shuffle" -> (epochShuffleHead _),
+    "q57_chunk_stats" -> (chunkStats _),
+    "q58_det_sample" -> (sampleStats _),
+    "q59_moments" -> (momentStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -272,5 +272,43 @@ object CurationOracle {
         |  FROM documents)
         |SELECT doc_id, source, shuf_key,
         |       CAST(row_number() OVER (ORDER BY shuf_key, doc_id) AS INT) rk
-        |FROM k ORDER BY shuf_key, doc_id LIMIT 10""".stripMargin)
+        |FROM k ORDER BY shuf_key, doc_id LIMIT 10""".stripMargin,
+
+    // 64-token chunks, 16-token overlap ⇒ starts 1, 49, 97, … while
+    // start <= max(n-16, 1); list slice clamps, so the tail chunk is short
+    "q57_chunk_stats" ->
+      """WITH t AS (SELECT source, string_split(text,' ') toks FROM documents),
+        |c AS (
+        |  SELECT source, len(list_slice(toks, s, s + 63)) ct
+        |  FROM (SELECT source, toks,
+        |               unnest(range(1, greatest(len(toks) - 16, 1) + 1, 48)) s
+        |        FROM t))
+        |SELECT source, count(*) n_chunks, CAST(sum(ct) AS BIGINT) chunk_tokens,
+        |       count(*) FILTER (WHERE ct = 64) full_chunks
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // the same Knuth mixer as Curation.bernoulliSample, salt 7, 10%
+    "q58_det_sample" ->
+      """SELECT source, count(*) n_docs,
+        |       CAST(sum(len(string_split(text,' '))) AS BIGINT) tokens
+        |FROM documents
+        |WHERE ((doc_id + 7 * 10007) % 1000003) * 2654435761 % 1000000007 % 1000000 < 100000
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // moments from EXACT integer power sums; x^1.5 written v*sqrt(v)
+    // (sqrt is IEEE-exact, pow is not) — bit-identical arithmetic to Spark
+    "q59_moments" ->
+      """WITH a AS (
+        |  SELECT source, count(*) n,
+        |         CAST(sum(n_chars) AS BIGINT) s1,
+        |         CAST(sum(n_chars*n_chars) AS BIGINT) s2,
+        |         CAST(sum(n_chars*n_chars*n_chars) AS BIGINT) s3
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT source, n, s1/n m1, s2/n m2, s3/n m3 FROM a)
+        |SELECT source, n, round(m1, 6) mean,
+        |       round(m2 - m1*m1, 6) pvar,
+        |       round(CASE WHEN m2 - m1*m1 > 0 THEN
+        |         (m3 - 3*m1*m2 + 2*m1*m1*m1) / ((m2 - m1*m1) * sqrt(m2 - m1*m1))
+        |       END, 6) skew
+        |FROM m ORDER BY source""".stripMargin)
 }

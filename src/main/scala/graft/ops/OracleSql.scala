@@ -184,5 +184,24 @@ object OracleSql {
         |SELECT 'inter_all' tag, count(*) c FROM (SELECT c_nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) t
         |UNION ALL
         |SELECT 'union_all' tag, count(*) c FROM (SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier) t
-        |ORDER BY tag""".stripMargin)
+        |ORDER BY tag""".stripMargin,
+
+    // q55's bloom pruning is result-invisible (no false negatives, false
+    // positives removed by the join) — the oracle is the PLAIN join
+    "q55_bloom_join" ->
+      """SELECT l_returnflag, count(*) n_lines,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sliding 1h/30min: every event belongs to exactly the two
+    // epoch-aligned 30-min buckets at and before its own
+    "q56_sliding_30m" ->
+      """SELECT w, event_type, count(*) c, round(sum(value),2) s FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) w,
+        |         event_type, value
+        |  FROM events) t
+        |GROUP BY 1,2 ORDER BY 1,2 LIMIT 200""".stripMargin)
 }

@@ -419,6 +419,39 @@ object Relational {
       .transform(orderedSmall(_, col("tag")))
   }
 
+  /** q55 — Bloom-pruned fact⋈dim join ([[Prune.bloomPrunedJoin]]): the
+    * lineitem fact pre-filters against a Bloom filter over the urgent
+    * orders' keys BEFORE any join machinery touches it. Oracle = the
+    * plain join, because pruning is result-invisible (no false
+    * negatives; false positives die in the join). At 100 TB this is the
+    * difference between shuffling the whole fact table and shuffling
+    * only the ~⅕ of it that can match.
+    */
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val urgent = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    Prune.bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .transform(orderedSmall(_, col("l_returnflag")))
+  }
+
+  /** q56 — SLIDING 1h/30min window aggregate, the overlap complement of
+    * q14's tumbling window: each event lands in exactly two
+    * epoch-aligned windows. Spark's `window(ts, width, slide)` plans
+    * this as one generate (per-row window expansion) + one hash
+    * aggregate — same shuffle count as tumbling, output ×(width/slide).
+    */
+  def q56(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("s"))
+      .select(col("window.start").as("w"), col("event_type"), col("c"), col("s"))
+      .orderBy(col("w"), col("event_type"))
+      .limit(200)
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -449,7 +482,9 @@ object Relational {
     "q38_moving_avg" -> (q38 _),
     "q39_band_pairs" -> (q39 _),
     "q43_grouping_sets" -> (q43 _),
-    "q47_set_ops_all" -> (q47 _))
+    "q47_set_ops_all" -> (q47 _),
+    "q55_bloom_join" -> (q55 _),
+    "q56_sliding_30m" -> (q56 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -149,6 +149,36 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Token chunking — the RAG/context-window shaping primitive: each
+    * document's token stream splits into `chunkSize`-token chunks whose
+    * starts advance by `chunkSize − overlap` (consecutive chunks share
+    * `overlap` tokens). Start positions run while `start ≤
+    * max(n − overlap, 1)`, so every token is covered, the tail chunk may
+    * be short, and no chunk is a pure suffix of its predecessor. A doc
+    * with ≤ `overlap` tokens (including the empty doc) yields exactly
+    * one chunk.
+    *
+    * Output: the input row × (`chunk_idx` 0-based, `chunk`
+    * array<string>). Narrow map + generate — no shuffle; chunk count
+    * per row is (n−size)/step bounded, so output size scales linearly
+    * with corpus tokens at any scale. Same evaluation-shape discipline
+    * as [[spanTable]]: tokens materialize to an attribute before the
+    * slicing lambda reads them.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__starts",
+        sequence(lit(1), greatest(size(col("__toks")) - overlap, lit(1)), lit(step)))
+      .select(col("*"),
+        posexplode(transform(col("__starts"),
+          s => slice(col("__toks"), s, lit(chunkSize)))).as(Seq("chunk_idx", "chunk")))
+      .drop("__toks", "__starts")
+  }
+
   /** (id, span) relation: every DISTINCT contiguous `spanLen`-token span
     * per document — the unit of span-level (substring) dedup, where the
     * signal is a repeated PASSAGE across documents rather than

@@ -111,4 +111,36 @@ class CurationSpec extends SparkSpec {
       Curation.sourceMix(docs, "source", "n_tok", Map("nope" -> 1.0), u)
     }
   }
+
+  test("bernoulliSample: deterministic, layout-invariant, rate ≈ fraction, salts independent") {
+    val df = spark.range(0, 20000).toDF("id")
+    val a = Curation.bernoulliSample(df, "id", 0.10, salt = 7L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.bernoulliSample(df.repartition(13), "id", 0.10, salt = 7L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "kept set depends on layout")
+    assert(math.abs(a.size / 20000.0 - 0.10) < 0.02, s"rate ${a.size / 20000.0}")
+    val c = Curation.bernoulliSample(df, "id", 0.10, salt = 8L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c, "different salts must draw different samples")
+    assert(Curation.bernoulliSample(df, "id", 0.0).count() == 0)
+    assert(Curation.bernoulliSample(df, "id", 1.0).count() == 20000)
+  }
+
+  test("moment stats match driver-side computation") {
+    val m = Curation.momentStats(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1).toDouble)).groupBy(_._1)
+    for ((src, rows) <- docs) {
+      val xs = rows.map(_._2)
+      val mean = xs.sum / xs.length
+      val pvar = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      val (n, m1, v) = m(src)
+      assert(n == xs.length)
+      assert(math.abs(m1 - mean) < 1e-4, s"$src mean $m1 vs $mean")
+      assert(math.abs(v - pvar) < 1e-2 * math.max(pvar, 1), s"$src var $v vs $pvar")
+    }
+  }
 }

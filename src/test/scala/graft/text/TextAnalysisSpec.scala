@@ -142,4 +142,29 @@ class TextAnalysisSpec extends SparkSpec {
     // no span from doc 3 is duplicated
     assert(dup.forall(_._1.split(" ").forall(t => !t.startsWith("nothing"))))
   }
+
+  test("chunkTokens: coverage, overlap, tail chunk, degenerate docs") {
+    // 10 tokens, size 5, overlap 2 -> starts 1,4,7: [t1..t5][t4..t8][t7..t10]
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a"),   // 1 token <= overlap -> exactly one chunk
+      (3L, "")     // empty text -> split gives [""] -> one 1-token chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 5, overlap = 2)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      .as[(Long, Int, Seq[String])].collect().sortBy(r => (r._1, r._2))
+    val d1 = out.filter(_._1 == 1L).map(_._3)
+    assert(d1.toSeq == Seq(
+      Seq("t1", "t2", "t3", "t4", "t5"),
+      Seq("t4", "t5", "t6", "t7", "t8"),
+      Seq("t7", "t8", "t9", "t10")))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0).takeRight(2) == d1(1).take(2))
+    // every token covered
+    assert(d1.flatten.toSet == (1 to 10).map(i => s"t$i").toSet)
+    assert(out.count(_._1 == 2L) == 1 && out.count(_._1 == 3L) == 1)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 4)
+    }
+  }
 }
