@@ -55,6 +55,25 @@ object IO {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Sorted, range-partitioned layout — the data-skipping write: rows
+    * range-partition on `keys` (one shuffle; partitioner bounds come
+    * from a reservoir-sample job) and sort within each file, so every
+    * output file covers a DISJOINT key range. Parquet footers then
+    * carry tight min/max stats per file AND per row group: any engine's
+    * scan-side pruning answers a key-ranged read by touching only the
+    * files that can match — at 100 TB the difference between a full
+    * listing-and-open of every file and a handful of footer reads. The
+    * single-key special case of z-ordering; for multi-dim skipping,
+    * interleave key bits into one sort column first.
+    */
+  def writeSorted(df: DataFrame, path: String, numFiles: Int, keys: String*): Unit = {
+    require(keys.nonEmpty, "writeSorted needs at least one key column")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, keys.map(df.col): _*)
+      .sortWithinPartitions(keys.map(df.col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-file compaction — the maintenance pass every long-lived
     * ingest layout needs: streaming/micro-batch writers leave thousands
     * of KB-sized files per partition, and at 100 TB the resulting

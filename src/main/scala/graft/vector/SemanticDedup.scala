@@ -1,0 +1,75 @@
+package graft.vector
+
+import graft.GraftFunctions
+import graft.functions.VectorFunctions._
+import graft.text.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication: near-duplicate removal in
+  * EMBEDDING space (paraphrases, translations-of-boilerplate, templated
+  * rewrites — duplicates that share no n-grams and are invisible to
+  * MinHash/SimHash), made tractable by k-means clustering. The pattern
+  * follows Abbas et al. 2023 (arXiv:2303.09540), which pairs k-means
+  * clustering with within-cluster cosine thresholds on web-scale
+  * corpora; the Spark shape here is:
+  *
+  *  1. CLUSTER: Lloyd-trained centroids ([[Similarity.trainCentroids]] —
+  *     deterministic init/sample), assignment as a literal-broadcast
+  *     codegen'd map ([[Similarity.cellAssignment]]).
+  *  2. PAIR: cosine over same-cell pairs only — the cell equi-join is
+  *     one keyed shuffle, and the quadratic term drops from n² to
+  *     Σ|cell|² ≈ n²/numCells. numCells is the scale knob: grow it
+  *     linearly with the corpus (SemDeDup uses ~10⁵ cells at 10⁹ docs)
+  *     to hold E[|cell|] — and with it per-task pair work — constant.
+  *  3. RESOLVE: transitive near-dup chains collapse via
+  *     [[Dedup.connectedComponents]]; one representative (min id) per
+  *     component survives.
+  *
+  * The approximation (vs all-pairs [[Similarity.nearDupCosine]]): a pair
+  * straddling two cells is never compared. `numCells = 1` recovers the
+  * exact brute force (equivalence is test-asserted); byte-identical
+  * embeddings always share a cell, so EXACT duplicates are never missed
+  * at any cell count.
+  */
+object SemanticDedup {
+
+  /** Within-cell near-duplicate pairs: (id_a < id_b, cosine ≥ tau),
+    * cosine rounded to 6 in the projection but thresholded unrounded.
+    */
+  def semanticPairs(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      numCells: Int = 64, lloydIters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1]: $tau")
+    GraftFunctions.register(df.sparkSession)
+    val centroids =
+      Similarity.trainCentroids(df, idCol, vecCol, numCells, lloydIters, trainFraction)
+    val base = df
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", Similarity.cellAssignment(col("v"), centroids))
+    base.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+      .join(base.select(col("cell"), col("id").as("id_b"), col("v").as("vb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosineSim(col("va"), col("vb")).as("sim_raw"))
+      .filter(col("sim_raw") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** The apply step: the surviving corpus. Semantic-duplicate components
+    * keep their min-id member; rows in no pair pass through untouched.
+    * Anti-join on the LOSER set (pair-graph-sized ≪ corpus at real dup
+    * rates), so the corpus itself is never shuffled by cluster.
+    */
+  def dedup(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      numCells: Int = 64, lloydIters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
+    val pairs = semanticPairs(df, idCol, vecCol, tau, numCells, lloydIters, trainFraction)
+      .select(col("id_a"), col("id_b"))
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val losers = cc.filter(col("id") =!= col("cluster_id")).select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+}

@@ -160,12 +160,32 @@ object Similarity {
     * Ties in both argmax-assignment and probe order break by cell index
     * (deterministic). Empty cells keep their previous centroid.
     */
-  def ivfTopK(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, numCells: Int = 64, nProbe: Int = 8, lloydIters: Int = 2,
-      trainFraction: Double = 1.0): DataFrame = {
-    require(nProbe >= 1 && nProbe <= numCells, s"nProbe must be in [1, $numCells]")
+  /** Max-cosine cell assignment against literal-broadcast centroids —
+    * the shared primitive under [[ivfTopK]] and
+    * [[SemanticDedup]]: centroids are KBs of driver-side doubles baked
+    * into the expression, so assignment is one codegen'd narrow map with
+    * no model state to ship. Ties break by cell index (deterministic);
+    * a single centroid is special-cased (`greatest` requires ≥2 args).
+    */
+  def cellAssignment(vec: Column, cs: IndexedSeq[Seq[Double]]): Column =
+    if (cs.size == 1) lit(0)
+    else greatest(cs.zipWithIndex.map { case (c, i) =>
+      struct(
+        GraftFunctions.cosineSim(vec, typedLit(c)).as("sim"),
+        lit(i).as("cell"))
+    }: _*).getField("cell")
+
+  /** Lloyd-trained centroids over a deterministic corpus sample:
+    * init = smallest-xxhash64 ids (retries replay identically), then
+    * `lloydIters` rounds of element-wise mean per max-cosine cell. Each
+    * round is one aggregate whose result (numCells × dim rows) is
+    * driver-small at any corpus size; empty cells keep their previous
+    * centroid. May return FEWER than `numCells` centroids on a tiny
+    * corpus/sample — callers clamp to the actual count.
+    */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, numCells: Int,
+      lloydIters: Int = 2, trainFraction: Double = 1.0): IndexedSeq[Seq[Double]] = {
     GraftFunctions.register(corpus.sparkSession)
     val dim = vecDim(corpus, vecCol)
     val base = corpus.select(
@@ -180,24 +200,11 @@ object Similarity {
       train.orderBy(xxhash64(col("id").cast("string")), col("id"))
         .limit(numCells).select(col("v")).collect().map(_.getSeq[Double](0)).toIndexedSeq
     require(centroids.nonEmpty, "corpus too small to seed centroids")
-    // the training sample may yield FEWER centroids than numCells (tiny
-    // corpus or aggressive trainFraction) — probe count follows the
-    // actual centroid count, not the requested one
-    val probes = math.min(nProbe, centroids.size)
-
-    // single-centroid degenerate case: `greatest` requires ≥2 args
-    def cellOf(vec: Column, cs: IndexedSeq[Seq[Double]]): Column =
-      if (cs.size == 1) lit(0)
-      else greatest(cs.zipWithIndex.map { case (c, i) =>
-        struct(
-          GraftFunctions.cosineSim(vec, typedLit(c)).as("sim"),
-          lit(i).as("cell"))
-      }: _*).getField("cell")
 
     for (_ <- 0 until lloydIters) {
       // element-wise mean per cell: posexplode + (cell, pos) aggregate —
       // numCells × dim result rows, driver-small at any corpus size
-      val means = train.select(cellOf(col("v"), centroids).as("cell"),
+      val means = train.select(cellAssignment(col("v"), centroids).as("cell"),
           posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect().groupBy(_.getInt(0))
@@ -206,8 +213,27 @@ object Similarity {
         }
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    centroids
+  }
 
-    val data = base.withColumn("cell", cellOf(col("v"), centroids))
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, numCells: Int = 64, nProbe: Int = 8, lloydIters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCells, s"nProbe must be in [1, $numCells]")
+    GraftFunctions.register(corpus.sparkSession)
+    val dim = vecDim(corpus, vecCol)
+    val base = corpus.select(
+      col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
+
+    val centroids = trainCentroids(corpus, idCol, vecCol, numCells, lloydIters, trainFraction)
+    // the training sample may yield FEWER centroids than numCells (tiny
+    // corpus or aggressive trainFraction) — probe count follows the
+    // actual centroid count, not the requested one
+    val probes = math.min(nProbe, centroids.size)
+
+    val data = base.withColumn("cell", cellAssignment(col("v"), centroids))
     // nProbe nearest cells per query: sort (−sim, cell) structs, take nProbe
     val probeArr = slice(array_sort(array(centroids.zipWithIndex.map {
       case (c, i) =>

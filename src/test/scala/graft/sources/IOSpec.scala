@@ -86,4 +86,26 @@ class IOSpec extends SparkSpec {
     assert(added.size <= 1,
       s"repeated replayStream calls leaked ${added.size} staging dirs")
   }
+
+  test("writeSorted: disjoint per-file key ranges, data intact") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/li"
+    IO.writeSorted(li, dir, numFiles = 4, "l_orderkey")
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    // every file covers a disjoint l_orderkey range -> min/max footer
+    // stats let a ranged scan skip all but one file
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("l_orderkey"),
+          org.apache.spark.sql.functions.max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $hi > $lo")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == li.count())
+  }
 }

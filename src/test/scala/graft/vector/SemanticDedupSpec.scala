@@ -1,0 +1,62 @@
+package graft.vector
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic (embedding-space) dedup: exactness at numCells=1, recall of
+  * exact duplicates at any cell count, and dedup/pairs consistency. */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("numCells=1 recovers the exact all-pairs near-dup set") {
+    initQuiet()
+    val semantic = SemanticDedup.semanticPairs(emb, "vec_id", "embedding", 0.35, numCells = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.nearDupCosine(emb, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(semantic == exact)
+  }
+
+  test("clustered pairs ⊆ exact pairs; exact duplicates always caught") {
+    // inject byte-identical copies of two vectors under fresh ids
+    val dups = emb.filter(col("vec_id").isin(3L, 17L))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val corpus = emb.unionByName(dups)
+    val pairs = SemanticDedup.semanticPairs(corpus, "vec_id", "embedding", 0.35, numCells = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.nearDupCosine(corpus, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(exact), s"clustered found non-pairs: ${pairs -- exact}")
+    // identical embeddings share a cell at ANY numCells — never missed
+    assert(pairs.contains((3L, 100003L)) && pairs.contains((17L, 100017L)))
+  }
+
+  test("dedup keeps one representative per component, passes unpaired rows") {
+    val dups = emb.filter(col("vec_id").isin(3L, 17L))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    val corpus = emb.unionByName(dups)
+    val pairs = SemanticDedup.semanticPairs(corpus, "vec_id", "embedding", 0.35, numCells = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val kept = SemanticDedup.dedup(corpus, "vec_id", "embedding", 0.35, numCells = 4)
+      .select("vec_id").as[Long].collect().toSet
+
+    // driver-side union-find ground truth over the same pair graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val all = corpus.select("vec_id").as[Long].collect().toSet
+    val expected = all.filter(id => find(id) == id)
+    assert(kept == expected)
+    // the injected exact dups lost to their originals
+    assert(!kept.contains(100003L) && !kept.contains(100017L) &&
+      kept.contains(3L) && kept.contains(17L))
+  }
+}
