@@ -138,6 +138,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$p")
   }
 
+  test("q55-q59: round-3 additions keep sane physical shapes") {
+    // q55: bloom pre-filter runs scan-side on the fact table; the join
+    // itself broadcasts the urgent-orders side — no loop join, and the
+    // fact side is never hash-exchanged for the join at this selectivity
+    val p55 = plan("q55_bloom_join")
+    assert(p55.contains("BroadcastHashJoin"), s"q55 dim side not broadcast:\n$p55")
+    assert(!p55.contains("CartesianProduct") && !p55.contains("BroadcastNestedLoopJoin"))
+    // q56: sliding window = one generate (window expansion) + one agg —
+    // agg exchange + tiny final sort only, same budget as tumbling q14
+    assert(exchanges(plan("q56_sliding_30m")) <= 3, "q56 gained extra shuffles")
+    // q57: chunking is a narrow generate; only the per-source agg (+
+    // final small sort) shuffles
+    assert(exchanges(plan("q57_chunk_stats")) <= 2, "q57 gained extra shuffles")
+    // q58: the sample is a scan-side literal filter — no join, no extra
+    // exchange beyond agg + final sort
+    val p58 = plan("q58_det_sample")
+    assert(!p58.contains("Join"), s"q58 sampling must not join:\n$p58")
+    assert(exchanges(p58) <= 2, "q58 gained extra shuffles")
+    // q59: one aggregate pass (power sums) + final projection
+    assert(exchanges(plan("q59_moments")) <= 2, "q59 gained extra shuffles")
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>

@@ -42,6 +42,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming SLIDING 1h/30m agg equals the batch q56 twin") {
+    val streamed = runToCompletion(
+      StreamingOps.windowedAgg(replayEvents, slide = Some("30 minutes")), "sliding")
+      .orderBy("w", "event_type").collect()
+    val batch = StreamingOps.windowedAgg(
+        Tables.load(spark, sf, "events"), slide = Some("30 minutes"))
+      .orderBy("w", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+    // and the batch twin agrees with the q56 inventory query (sans limit)
+    val q56 = graft.ops.Relational.q56(spark, sf).collect()
+    assert(batch.take(q56.length).sameElements(q56))
+  }
+
   test("streaming session windows equal batch Q11 sessionization") {
     // gap + 1µs: session_window's exclusive window end vs the batch
     // rule's strictly-greater gap (see StreamingOps.sessionAgg scaladoc)
