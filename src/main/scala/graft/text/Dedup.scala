@@ -444,6 +444,53 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Fuzzy benchmark decontamination — the paraphrase-robust complement
+    * of [[decontaminate]]: drops every corpus doc whose shingle set is
+    * NEAR-duplicate (exact Jaccard ≥ `threshold`) of any benchmark doc,
+    * with candidates found by MinHash-LSH banding. Exact n-gram
+    * containment misses a benchmark item whose leaked copy was lightly
+    * rewritten (token substitutions every few words leave no shared
+    * 8-gram); banded MinHash still surfaces it, and the exact-Jaccard
+    * verification step keeps band false positives from over-purging.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized (≪ corpus), so
+    * its banded keys — WITH its shingle sets, for in-place verification
+    * — travel by broadcast; the corpus streams through one banding map
+    * and a broadcast equi-join, never shuffling by band or shingle.
+    * Contaminated ids (⊆ collision hits) broadcast back for the anti
+    * join. Choose (b, r) for the target threshold: recall at Jaccard J
+    * is 1−(1−J^r)^b.
+    */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      b: Int = 16,
+      r: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = b * r
+    graft.GraftFunctions.register(corpus.sparkSession)
+    def banded(sh: DataFrame): DataFrame = sh
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("id"), col("sh"),
+        posexplode(
+          transform(sequence(lit(0), lit(b - 1)),
+            j => hash(slice(col("sig"), j * r + 1, lit(r))))).as(Seq("band", "bh")))
+    val benchBands = banded(shingleTable(benchmark, idCol, textCol, shingleLen))
+      .select(col("band"), col("bh"),
+        col("id").as("bench_id"), col("sh").as("bench_sh"))
+    val contaminated = banded(shingleTable(corpus, idCol, textCol, shingleLen))
+      .join(broadcast(benchBands), Seq("band", "bh"))
+      // a pair colliding in several bands verifies once
+      .dropDuplicates("id", "bench_id")
+      .filter(graft.GraftFunctions.jaccardSim(col("sh"), col("bench_sh")) >= threshold)
+      .select(col("id")).distinct()
+    corpus.join(broadcast(contaminated.withColumnRenamed("id", idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   def ngramJaccard(
       df: DataFrame,
       idCol: String,

@@ -262,4 +262,48 @@ class DedupSpec extends SparkSpec {
       .collect()
     assert(viaSql.length == 3 && viaSql.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
+
+  test("decontaminateFuzzy purges rewritten benchmark leaks exact n-grams miss") {
+    val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val leaked = corpus.filter(col("doc_id").isin(0L, 7L))
+      .as[(Long, String)].collect().toMap
+    // rewrite every 5th token: no 8-token window survives intact, so
+    // exact 8-gram decontamination CANNOT see these as leaks
+    def rewrite(t: String): String = t.split(" ").zipWithIndex
+      .map { case (w, i) => if (i % 5 == 0) s"zz$i" else w }.mkString(" ")
+    val bench = Seq(
+      (9001L, rewrite(leaked(0L))),
+      (9002L, rewrite(leaked(7L))),
+      (9003L, "completely unrelated benchmark question about nothing at all"))
+      .toDF("doc_id", "text")
+
+    val exactKept = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKept.contains(0L) && exactKept.contains(7L),
+      "fixture broken: exact 8-gram decontamination caught the rewrite")
+
+    // 2-gram shingles survive a 1-in-5 rewrite at ~64% => Jaccard ~0.45;
+    // r=2 bands collide at J^2 ~0.2 each, 32 bands => recall ~1
+    val fuzzyKept = Dedup.decontaminateFuzzy(corpus, bench, "doc_id", "text",
+        shingleLen = 2, b = 32, r = 2, threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!fuzzyKept.contains(0L) && !fuzzyKept.contains(7L),
+      "fuzzy decontamination missed the rewritten leaks")
+    // no over-purge beyond TRUE near-dups: every purged doc really has
+    // 2-gram Jaccard >= 0.4 with some bench doc (brute-force check —
+    // catches e.g. the corpus's planted near-dup twins of docs 0/7,
+    // which legitimately match the rewritten benchmark as well)
+    def shingleSet(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val benchSh = bench.as[(Long, String)].collect().map(r => shingleSet(r._2))
+    val purged = corpus.as[(Long, String)].collect()
+      .filterNot(r => fuzzyKept.contains(r._1))
+    purged.foreach { case (id, t) =>
+      val sh = shingleSet(t)
+      val maxJ = benchSh.map(bs =>
+        sh.intersect(bs).size.toDouble / sh.union(bs).size).max
+      assert(maxJ >= 0.4, s"doc $id purged at true max Jaccard $maxJ")
+    }
+    assert(purged.length < 10, s"purged ${purged.length} docs — fixture degenerated")
+  }
 }
