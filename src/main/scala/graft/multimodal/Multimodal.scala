@@ -79,6 +79,47 @@ object Multimodal {
     }
   }
 
+  /** ===== STUB RESIZE =====
+    * Stands in for image thumbnail/resize: deterministically truncates
+    * the payload to `maxBytes` and rewrites the metadata in step (mime
+    * tagged `;thumb`, n_bytes clamped). A real kernel decodes, scales,
+    * re-encodes; the contract here — a narrow codegen'd map that
+    * replaces the payload IN PLACE and keeps metadata consistent with
+    * the bytes — is what downstream code relies on and what is tested.
+    */
+  def thumbnailStub(df: DataFrame, payloadCol: String, metaCol: String,
+      maxBytes: Int): DataFrame = {
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    df.withColumn(payloadCol, expr(s"substring($payloadCol, 1, $maxBytes)"))
+      .withColumn(metaCol, struct(
+        concat(col(s"$metaCol.mime"), lit(";thumb")).as("mime"),
+        least(col(s"$metaCol.n_bytes"), lit(maxBytes.toLong)).as("n_bytes"),
+        col(s"$metaCol.source").as("source")))
+  }
+
+  /** Overlapping audio windows — the binary twin of
+    * [[graft.text.TextAnalysis.chunkTokens]]: a `winBytes` window every
+    * `hopBytes` over the payload (consecutive windows share
+    * `winBytes − hopBytes`), start rule `s ≤ max(n − overlap, 1)` so
+    * every byte is covered and the tail window may be short. A real
+    * audio kernel windows PCM samples after a codec decode; byte
+    * windows keep the explode cardinality, indexing, and slicing
+    * honest. Narrow generate — no shuffle; output bytes ≈
+    * input × win/hop.
+    */
+  def audioWindows(df: DataFrame, payloadCol: String,
+      winBytes: Int = 64, hopBytes: Int = 32): DataFrame = {
+    require(winBytes > 0 && hopBytes > 0 && hopBytes <= winBytes,
+      s"need 0 < hopBytes <= winBytes, got win=$winBytes hop=$hopBytes")
+    val overlap = winBytes - hopBytes
+    df.withColumn("__starts",
+        sequence(lit(1),
+          greatest(length(col(payloadCol)) - overlap, lit(1)), lit(hopBytes)))
+      .select(col("*"), posexplode(col("__starts")).as(Seq("win_idx", "__start")))
+      .withColumn("window", expr(s"substring($payloadCol, __start, $winBytes)"))
+      .drop("__starts", "__start")
+  }
+
   /** ===== STUB FRAME SAMPLER =====
     * Stands in for video frame sampling: emits every `stride`-th fixed
     * -size chunk of the payload as a "frame" (explode → one row per

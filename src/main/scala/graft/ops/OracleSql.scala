@@ -203,5 +203,21 @@ object OracleSql {
         |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) w,
         |         event_type, value
         |  FROM events) t
-        |GROUP BY 1,2 ORDER BY 1,2 LIMIT 200""".stripMargin)
+        |GROUP BY 1,2 ORDER BY 1,2 LIMIT 200""".stripMargin,
+
+    // epoch_us(ts) on both sides: the engine's timestamps are µs while
+    // the raw parquet is ns — ordering must compare at the SAME precision
+    "q60_latest_events" ->
+      """SELECT user_id, epoch_us(ts) ts_us, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q61_null_semantics" ->
+      """SELECT x, count(*) n, count(y) n_y, count(DISTINCT y) nd_y,
+        |       count(*) FILTER (WHERE x IS NOT DISTINCT FROM y) nullsafe_eq
+        |FROM (SELECT nullif(event_type,'click') x, nullif(event_type,'view') y
+        |      FROM events) t
+        |GROUP BY x ORDER BY x NULLS FIRST""".stripMargin)
 }

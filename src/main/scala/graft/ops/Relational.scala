@@ -452,6 +452,55 @@ object Relational {
       .orderBy(col("w"), col("event_type"))
       .limit(200)
 
+  /** Latest-record-per-key — the CDC-compaction / upsert-view primitive:
+    * one row per key, the maximum by `orderCols` (which must totally
+    * order rows within a key — include a unique tiebreaker, or ties
+    * resolve by comparing the remaining payload fields). Implemented as
+    * ONE `max(struct(order ⧺ payload))` hash aggregate: partial
+    * aggregation collapses each map partition to ≤|keys| rows BEFORE the
+    * shuffle, so at 100 TB (think: day of change-log, billions of rows,
+    * millions of keys) the wire carries keys, not rows — where the
+    * window/`row_number` formulation shuffles and sorts EVERY row.
+    * Null order values sort first (Spark struct comparison), so a
+    * non-null record always beats an all-null one.
+    */
+  def latestByKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "need key and order columns")
+    val payload = df.columns.filterNot(c => keyCols.contains(c) || orderCols.contains(c))
+    val ordered = orderCols ++ payload
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("__top"))
+      .select(keyCols.map(col) ++ ordered.map(c => col(s"__top.$c").as(c)): _*)
+  }
+
+  /** q60 — latest event per user ([[latestByKey]]): the upsert-view
+    * read of the event change-log. `ts_us` exports epoch micros (the
+    * engine's native timestamp precision) so the oracle compares
+    * integers, not formatted timestamps.
+    */
+  def q60(spark: SparkSession, dir: String): DataFrame =
+    latestByKey(Tables.load(spark, dir, "events"),
+        keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .transform(orderedSmall(_, col("user_id")))
+
+  /** q61 — null-semantics battery: NULLIF-manufactured nulls exercise
+    * null GROUPING (nulls form one group), count(*) vs count(col) vs
+    * count(DISTINCT col) (the latter two skip nulls), the NULL-SAFE
+    * equality `<=>` (true when both sides are null — plain `=` would be
+    * unknown), and NULLS FIRST ordering. Pure single-pass aggregate.
+    */
+  def q61(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(expr("nullif(event_type, 'click')").as("x"),
+        expr("nullif(event_type, 'view')").as("y"))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("n"), count(col("y")).as("n_y"),
+        countDistinct(col("y")).as("nd_y"),
+        count(when(col("x") <=> col("y"), 1)).as("nullsafe_eq"))
+      .transform(orderedSmall(_, col("x").asc_nulls_first))
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -484,7 +533,9 @@ object Relational {
     "q43_grouping_sets" -> (q43 _),
     "q47_set_ops_all" -> (q47 _),
     "q55_bloom_join" -> (q55 _),
-    "q56_sliding_30m" -> (q56 _))
+    "q56_sliding_30m" -> (q56 _),
+    "q60_latest_events" -> (q60 _),
+    "q61_null_semantics" -> (q61 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -138,7 +138,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$p")
   }
 
-  test("q55-q59: round-3 additions keep sane physical shapes") {
+  test("q55-q61: round-3 additions keep sane physical shapes") {
     // q55: bloom pre-filter runs scan-side on the fact table; the join
     // itself broadcasts the urgent-orders side — no loop join, and the
     // fact side is never hash-exchanged for the join at this selectivity
@@ -158,6 +158,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p58) <= 2, "q58 gained extra shuffles")
     // q59: one aggregate pass (power sums) + final projection
     assert(exchanges(plan("q59_moments")) <= 2, "q59 gained extra shuffles")
+    // q60: latest-by-key is ONE partial-aggregating hash agg — no window
+    // (which would sort every row) and no extra exchange
+    val p60 = plan("q60_latest_events")
+    assert(!p60.contains("Window"), s"q60 fell back to a window sort:\n$p60")
+    assert(exchanges(p60) <= 2, "q60 gained extra shuffles")
+    // q61: single-pass aggregate battery (distinct agg adds one expand
+    // pass, still bounded)
+    assert(exchanges(plan("q61_null_semantics")) <= 3, "q61 gained extra shuffles")
   }
 
   test("whole-stage codegen covers the relational inventory hot paths") {
