@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
 /** The full training-data path, end to end, on the public API:
   *
   *   quality filter → outlier trim → cluster dedup → benchmark
-  *   decontamination → source-mixture resampling → train/val/test split
-  *   → epoch shuffle → sequence packing → sharded write.
+  *   decontamination (exact n-gram, then fuzzy MinHash) → source-mixture
+  *   resampling → train/val/test split → epoch shuffle → sequence
+  *   packing → sharded write.
   *
   * Every step is a deterministic, shuffle-frugal operator documented for
   * 100 TB in its own scaladoc; this example is the composition proof —
@@ -44,12 +45,17 @@ object PretrainPipeline {
     val deduped = Dedup.dedupByCluster(trimmed, pairs, "doc_id", "n_chars")
     stats += "deduped" -> deduped.count()
 
-    // 4. decontaminate against the held-out benchmark slice
+    // 4. decontaminate against the held-out benchmark slice — exact
+    //    8-gram containment first, then the fuzzy MinHash pass that
+    //    catches lightly rewritten leaks exact n-grams miss
     val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-    val clean = Dedup.decontaminate(
+    val exactClean = Dedup.decontaminate(
       deduped.filter(pmod(col("doc_id"), lit(7)) =!= 0), bench,
       "doc_id", "text", n = 8)
-    stats += "decontaminated" -> clean.count()
+    stats += "decontaminated" -> exactClean.count()
+    val clean = Dedup.decontaminateFuzzy(exactClean, bench,
+      "doc_id", "text", shingleLen = 3, b = 16, r = 4, threshold = 0.8)
+    stats += "decontaminated_fuzzy" -> clean.count()
 
     // 5. resample surviving sources to a uniform token mixture
     val srcs = clean.select("source").distinct()

@@ -14,7 +14,8 @@ class ExamplesSpec extends SparkSpec {
     assert(stats("trimmed") <= stats("quality"))
     assert(stats("deduped") <= stats("trimmed"))
     assert(stats("decontaminated") <= stats("deduped"))
-    assert(stats("mixed") <= stats("decontaminated"))
+    assert(stats("decontaminated_fuzzy") <= stats("decontaminated"))
+    assert(stats("mixed") <= stats("decontaminated_fuzzy"))
     // folds partition the mixed corpus
     assert(stats("train") + stats("val") + stats("test") == stats("mixed"))
     // packing covers every training doc and derives a sane sequence count:
