@@ -219,5 +219,32 @@ object OracleSql {
         |       count(*) FILTER (WHERE x IS NOT DISTINCT FROM y) nullsafe_eq
         |FROM (SELECT nullif(event_type,'click') x, nullif(event_type,'view') y
         |      FROM events) t
-        |GROUP BY x ORDER BY x NULLS FIRST""".stripMargin)
+        |GROUP BY x ORDER BY x NULLS FIRST""".stripMargin,
+
+    "q62_window_battery2" ->
+      """SELECT o_orderpriority,
+        |  round(min(fv),2) min_first, round(max(lv),2) max_last, round(min(nth),2) nth10,
+        |  round(avg(pr),4) avg_pr, round(avg(cd),4) avg_cd
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    first_value(o_totalprice) OVER wf fv,
+        |    last_value(o_totalprice) OVER wf lv,
+        |    nth_value(o_totalprice, 10) OVER wf nth,
+        |    percent_rank() OVER wr pr,
+        |    cume_dist() OVER wr cd
+        |  FROM orders
+        |  WINDOW wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |         wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // list outputs canonicalize identically (both engines surface plain
+    // lists); sort AFTER distinct — distinct's order is impl-defined
+    "q63_array_ops" ->
+      """SELECT doc_id, list_sort(list_distinct(toks))[1:5] first5,
+        |       len(list_distinct(toks)) n_distinct,
+        |       list_reverse(toks)[1:3] rev3,
+        |       list_contains(toks, 'the') has_the
+        |FROM (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id < 10) t
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -501,6 +501,54 @@ object Relational {
         count(when(col("x") <=> col("y"), 1)).as("nullsafe_eq"))
       .transform(orderedSmall(_, col("x").asc_nulls_first))
 
+  /** q62 — second window-function battery (complement of q34's running
+    * sum/lead/ntile): first/last/nth_value over the FULL frame,
+    * percent_rank and cume_dist over the default ranking frame. One
+    * partition ordering serves all five — one shuffle + one sort; the
+    * per-priority re-aggregation keeps the output group-bounded.
+    * Ordering includes the unique o_orderkey so rank ties cannot exist
+    * and every function is deterministic.
+    */
+  def q62(spark: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rank = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        first(col("o_totalprice")).over(full).as("fv"),
+        last(col("o_totalprice")).over(full).as("lv"),
+        nth_value(col("o_totalprice"), 10).over(full).as("nth"),
+        percent_rank().over(rank).as("pr"),
+        cume_dist().over(rank).as("cd"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(min(col("fv")), 2).as("min_first"),
+        round(max(col("lv")), 2).as("max_last"),
+        round(min(col("nth")), 2).as("nth10"),
+        round(avg(col("pr")), 4).as("avg_pr"),
+        round(avg(col("cd")), 4).as("avg_cd"))
+      .transform(orderedSmall(_, col("o_orderpriority")))
+  }
+
+  /** q63 — array-operation battery over tokenized documents: sort,
+    * distinct, slice, reverse, membership — the HOF/array surface a
+    * curation stage leans on, hash-checked against the oracle's list
+    * functions (array outputs canonicalize identically: both engines
+    * surface plain lists). `array_sort` AFTER `array_distinct` because
+    * distinct's output order is implementation-defined in both engines.
+    */
+  def q63(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        slice(array_sort(array_distinct(col("toks"))), 1, 5).as("first5"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        slice(reverse(col("toks")), 1, 3).as("rev3"),
+        array_contains(col("toks"), "the").as("has_the"))
+      .transform(orderedSmall(_, col("doc_id")))
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -535,7 +583,9 @@ object Relational {
     "q55_bloom_join" -> (q55 _),
     "q56_sliding_30m" -> (q56 _),
     "q60_latest_events" -> (q60 _),
-    "q61_null_semantics" -> (q61 _))
+    "q61_null_semantics" -> (q61 _),
+    "q62_window_battery2" -> (q62 _),
+    "q63_array_ops" -> (q63 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
