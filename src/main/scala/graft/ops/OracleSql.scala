@@ -246,5 +246,30 @@ object OracleSql {
         |       list_reverse(toks)[1:3] rev3,
         |       list_contains(toks, 'the') has_the
         |FROM (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id < 10) t
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // decorrelated TPC-H Q21 shape: per-(order,supplier) late flags,
+    // per-order supplier/late counts, join back — no correlated subquery
+    "q64_late_alone" ->
+      """WITH ol AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT l_orderkey, count(*) n_supp, sum(late) n_late
+        |  FROM ol GROUP BY 1)
+        |SELECT l_suppkey, count(*) n_orders
+        |FROM ol JOIN o USING (l_orderkey)
+        |WHERE late = 1 AND n_late = 1 AND n_supp >= 2
+        |GROUP BY 1 ORDER BY n_orders DESC, l_suppkey LIMIT 10""".stripMargin,
+
+    "q65_full_outer" ->
+      """WITH c AS (SELECT c_nationkey k, count(*) c_cnt FROM customer
+        |           WHERE c_nationkey < 20 GROUP BY 1),
+        |s AS (SELECT s_nationkey k, count(*) s_cnt FROM supplier
+        |      WHERE s_nationkey > 5 GROUP BY 1)
+        |SELECT coalesce(c.k, s.k) k, coalesce(c_cnt, 0) c_cnt, coalesce(s_cnt, 0) s_cnt
+        |FROM c FULL OUTER JOIN s ON c.k = s.k
+        |ORDER BY k""".stripMargin)
 }

@@ -549,6 +549,52 @@ object Relational {
         array_contains(col("toks"), "the").as("has_the"))
       .transform(orderedSmall(_, col("doc_id")))
 
+  /** q64 — TPC-H Q21-style "late alone" multi-EXISTS, written
+    * DECORRELATED: the textbook form is two correlated EXISTS/NOT EXISTS
+    * subqueries per lineitem; here each collapses into per-(order,
+    * supplier) then per-order aggregates joined back — three keyed
+    * shuffles total, no per-row subquery re-execution, which is the only
+    * shape that survives at fact-table scale. "Late" = shipped more
+    * than 90 days after the order date; a supplier qualifies in orders
+    * with ≥2 suppliers where it was the ONLY late one.
+    */
+  def q64(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val perOrderSupp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1)
+        .otherwise(0)).as("late"))
+    val perOrder = perOrderSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+    perOrderSupp.join(perOrder, Seq("l_orderkey"))
+      .filter(col("late") === 1 && col("n_late") === 1 && col("n_supp") >= 2)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("l_suppkey"))
+      .limit(10)
+  }
+
+  /** q65 — FULL OUTER join battery: per-nation customer vs supplier
+    * counts over deliberately asymmetric slices (customers from nations
+    * <20, suppliers from nations >5), so both unmatched sides actually
+    * occur and the null-coalescing semantics are exercised. Aggregate
+    * BEFORE the join: the outer join runs on two key-cardinality-sized
+    * inputs, never on raw rows.
+    */
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+      .filter(col("c_nationkey") < 20)
+      .groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("c_cnt"))
+    val s = Tables.load(spark, dir, "supplier")
+      .filter(col("s_nationkey") > 5)
+      .groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("s_cnt"))
+    c.join(s, Seq("k"), "full_outer")
+      .select(col("k"), coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+        coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+      .transform(orderedSmall(_, col("k")))
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -585,7 +631,9 @@ object Relational {
     "q60_latest_events" -> (q60 _),
     "q61_null_semantics" -> (q61 _),
     "q62_window_battery2" -> (q62 _),
-    "q63_array_ops" -> (q63 _))
+    "q63_array_ops" -> (q63 _),
+    "q64_late_alone" -> (q64 _),
+    "q65_full_outer" -> (q65 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

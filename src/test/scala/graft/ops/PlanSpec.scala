@@ -166,6 +166,14 @@ class PlanSpec extends SparkSpec {
     // q61: single-pass aggregate battery (distinct agg adds one expand
     // pass, still bounded)
     assert(exchanges(plan("q61_null_semantics")) <= 3, "q61 gained extra shuffles")
+    // q64: decorrelated Q21 — aggregates + equi joins only, never a
+    // per-row subquery loop
+    val p64 = plan("q64_late_alone")
+    assert(!p64.contains("CartesianProduct") && !p64.contains("BroadcastNestedLoopJoin"),
+      s"q64 planned a loop join:\n$p64")
+    // q65: outer join runs on two PRE-AGGREGATED key-sized inputs
+    val p65 = plan("q65_full_outer")
+    assert(p65.contains("FullOuter"), s"q65 lost its full outer join:\n$p65")
   }
 
   test("whole-stage codegen covers the relational inventory hot paths") {
