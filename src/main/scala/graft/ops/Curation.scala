@@ -531,20 +531,37 @@ object Curation {
       .orderBy(col("lang"))
   }
 
-  /** Deterministic Bernoulli sample by id: keep a row iff the
-    * Knuth-mixed id ([[epochShuffleMixed]]'s scrambler, salted) lands
-    * under `fraction` of the 10⁶-bucket key space. Unlike `sample()`,
-    * the kept set is a pure function of ids — identical across retries,
-    * layouts, and cluster sizes, and reproducible outside Spark (the
-    * mixer is plain integer arithmetic — q58's oracle re-runs it in
-    * SQL). One narrow filter; never shuffles. For per-stratum rates use
-    * [[stratifiedSample]]; for non-integral ids hash to long first.
+  /** Deterministic Bernoulli sample by id: keep a row iff the mixed id
+    * lands under `fraction` of the 10⁶-bucket key space. Unlike
+    * `sample()`, the kept set is a pure function of ids — identical
+    * across retries, layouts, and cluster sizes, and reproducible
+    * outside Spark (plain integer arithmetic — q58's oracle re-runs it
+    * in SQL). One narrow filter; never shuffles.
+    *
+    * The mix combines the id's LOW residue (`id mod 1000003`) with its
+    * HIGH bits (`id >> 16`): ids in the same residue class differ by
+    * ≥ 1000003 > 2¹⁶, so their high-bits term always differs — no two
+    * distinct long ids share a fate by construction of one term alone
+    * (a single small-modulus mix would tie every id ≡ mod 1000003
+    * together, skewing any source whose ids cluster in residue
+    * classes). All intermediates stay < 2⁶³ (ANSI-safe); ids must be
+    * NON-NEGATIVE (Spark's pmod and SQL's % disagree on negatives) and
+    * non-null — a null id raises rather than silently vanishing from
+    * the sample. For string/arbitrary ids use [[stratifiedSample]]'s
+    * xxhash64 keying instead.
     */
   def bernoulliSample(df: DataFrame, idCol: String, fraction: Double,
       salt: Long = 0L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
-    val key = pmod(pmod(col(idCol).cast("long") + lit(salt * 10007L), lit(1000003L)) *
-      lit(2654435761L), lit(1000000007L))
+    val id = col(idCol).cast("long")
+    val checked = when(id.isNull,
+      raise_error(lit(s"bernoulliSample: null or non-integral $idCol — " +
+        "the kept set must be a pure function of ids"))).otherwise(id)
+    val inner = pmod(
+      pmod(checked, lit(1000003L)) * lit(2654435761L) +
+        shiftright(checked, 16) * lit(7919L) + lit(salt * 10007L),
+      lit(1000000007L))
+    val key = pmod(inner * lit(2654435761L), lit(1000000007L))
     df.filter(pmod(key, lit(1000000L)) < lit(math.round(fraction * 1000000)))
   }
 

@@ -287,12 +287,14 @@ object CurationOracle {
         |       count(*) FILTER (WHERE ct = 64) full_chunks
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 
-    // the same Knuth mixer as Curation.bernoulliSample, salt 7, 10%
+    // the same low-residue ⊕ high-bits mixer as Curation.bernoulliSample
+    // (salt 7, 10%) — the proof the sample is engine-independent
     "q58_det_sample" ->
       """SELECT source, count(*) n_docs,
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) tokens
         |FROM documents
-        |WHERE ((doc_id + 7 * 10007) % 1000003) * 2654435761 % 1000000007 % 1000000 < 100000
+        |WHERE ((doc_id % 1000003) * 2654435761 + (doc_id >> 16) * 7919 + 7 * 10007)
+        |      % 1000000007 * 2654435761 % 1000000007 % 1000000 < 100000
         |GROUP BY source ORDER BY source""".stripMargin,
 
     // moments from EXACT integer power sums; x^1.5 written v*sqrt(v)

@@ -30,11 +30,19 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object Prune {
 
-  /** Build a Bloom filter over `keyCol` of `keys` (one aggregate pass;
-    * the filter object lands on the driver, KB–MB sized). */
+  /** Build a Bloom filter over the DISTINCT values of `keyCol` (sizing
+    * by raw row count would inflate the filter by the duplication
+    * factor — a 10⁹-row reference list over 10⁶ distinct keys must size
+    * at 10⁶). The distinct key set is persisted for the two passes over
+    * it (count for sizing, then the filter aggregate) and released
+    * before returning; the filter object lands on the driver, KB–MB
+    * sized at realistic key cardinalities. */
   def bloomFor(keys: DataFrame, keyCol: String, fpp: Double = 0.01): BloomFilter = {
-    val n = math.max(keys.count(), 1L)
-    keys.stat.bloomFilter(keyCol, n, fpp)
+    val distinctKeys = keys.select(keyCol).distinct().persist()
+    try {
+      val n = math.max(distinctKeys.count(), 1L)
+      distinctKeys.stat.bloomFilter(keyCol, n, fpp)
+    } finally distinctKeys.unpersist()
   }
 
   /** Membership-test column for `key` against a driver-held filter.
@@ -60,6 +68,11 @@ object Prune {
     * big rows are sound here (inner / left_semi): for an outer join the
     * pre-filter would delete rows the join must keep.
     */
+  /** NOTE on evaluation count: `small` is evaluated once for the filter
+    * build and again when the join runs — inherent to any plan that
+    * both summarizes and joins a dataset. If `small` is an expensive
+    * upstream computation, `persist()` it before calling (the build
+    * itself dedups and caches only the key column, not `small`). */
   def bloomPrunedJoin(
       big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       fpp: Double = 0.01, joinType: String = "inner"): DataFrame = {

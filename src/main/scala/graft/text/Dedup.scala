@@ -117,6 +117,14 @@ object Dedup {
     transform(sequence(lit(0), lit(k - 1)),
       seed => array_min(transform(shingleArr, s => hash(s, seed))))
 
+  /** LSH band keys: band j = hash of the j-th `r`-slice of a `b·r`-long
+    * MinHash signature. THE banding definition — [[nearMinhash]] and
+    * [[decontaminateFuzzy]] must band identically or their collision
+    * guarantees silently diverge, so both call this. */
+  private def bandHashes(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      j => hash(slice(sig, j * r + 1, lit(r))))
+
   /** Candidate near-duplicate pairs via MinHash-LSH banding.
     *
     * @param df     input with a unique id and a text column
@@ -140,9 +148,7 @@ object Dedup {
     val banded = sh
       .withColumn("sig", minhashSignature(col("sh"), k))
       .select(col("id"),
-        posexplode(
-          transform(sequence(lit(0), lit(b - 1)),
-            j => hash(slice(col("sig"), j * r + 1, lit(r))))).as(Seq("band", "bh")))
+        posexplode(bandHashes(col("sig"), b, r)).as(Seq("band", "bh")))
     val cand = banded.select(col("band"), col("bh"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -475,9 +481,7 @@ object Dedup {
     def banded(sh: DataFrame): DataFrame = sh
       .withColumn("sig", minhashSignature(col("sh"), k))
       .select(col("id"), col("sh"),
-        posexplode(
-          transform(sequence(lit(0), lit(b - 1)),
-            j => hash(slice(col("sig"), j * r + 1, lit(r))))).as(Seq("band", "bh")))
+        posexplode(bandHashes(col("sig"), b, r)).as(Seq("band", "bh")))
     val benchBands = banded(shingleTable(benchmark, idCol, textCol, shingleLen))
       .select(col("band"), col("bh"),
         col("id").as("bench_id"), col("sh").as("bench_sh"))

@@ -43,10 +43,13 @@ object SemanticDedup {
       trainFraction: Double = 1.0): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1]: $tau")
     GraftFunctions.register(df.sparkSession)
-    val centroids =
-      Similarity.trainCentroids(df, idCol, vecCol, numCells, lloydIters, trainFraction)
-    val base = df
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // same fail-fast dim guard as ivfTopK/annTopK: a width-mismatched
+    // vector must raise, not silently null its cosines out of every pair
+    val dim = Similarity.vecDim(df, vecCol)
+    val projected = df.select(col(idCol).as("id"),
+      Similarity.requireDim(asDouble(col(vecCol)), dim).as("v"))
+    val centroids = Similarity.trainOnBase(projected, numCells, lloydIters, trainFraction)
+    val base = projected
       .withColumn("cell", Similarity.cellAssignment(col("v"), centroids))
     base.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
       .join(base.select(col("cell"), col("id").as("id_b"), col("v").as("vb")), Seq("cell"))

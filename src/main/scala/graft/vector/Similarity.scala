@@ -36,7 +36,7 @@ object Similarity {
     * one bucket (correct output, quadratic cost). One-row metadata read;
     * at any scale this touches a single row group.
     */
-  private def vecDim(df: DataFrame, vecCol: String): Int = {
+  private[vector] def vecDim(df: DataFrame, vecCol: String): Int = {
     val first = df.select(size(col(vecCol)).as("d")).head()
     require(!first.isNullAt(0) && first.getInt(0) > 0,
       s"cannot derive embedding dim from '$vecCol': first row is null/empty")
@@ -45,7 +45,7 @@ object Similarity {
 
   /** Fail-fast guard: raise at execution if a vector's length ≠ dim
     * (one cheap size check per row, vs p·L dot products after it). */
-  private def requireDim(vec: Column, dim: Int): Column =
+  private[vector] def requireDim(vec: Column, dim: Int): Column =
     when(size(vec) === dim, vec).otherwise(
       raise_error(concat(
         lit(s"embedding dim mismatch: expected $dim, got "),
@@ -138,28 +138,6 @@ object Similarity {
       .select(col("query_id"), col("id"), col("sim"), col("rk"))
   }
 
-  /** IVF (inverted-file) ANN — the second scale path next to LSH
-    * [[annTopK]], trading LSH's obliviousness for data-adaptive cells:
-    *
-    *  1. TRAIN: `numCells` centroids by Lloyd iterations over a
-    *     deterministic corpus sample (init = smallest-xxhash64 ids, so
-    *     retries replay identically). Centroids are driver-side
-    *     (numCells × dim doubles — KBs), broadcast into expressions as
-    *     literals, so assignment stays inside codegen with no model
-    *     state to ship.
-    *  2. ASSIGN: each corpus vector to its max-cosine centroid — one
-    *     narrow map; at 100 TB you'd persist this as a `cell`-partitioned
-    *     table (see [[graft.sources.IO]] writers) and amortize across
-    *     queries.
-    *  3. PROBE: each query explodes to its `nProbe` nearest cells; the
-    *     cell equi-join pulls only those cells' vectors — work follows
-    *     probed-cell volume ≈ nProbe/numCells of the corpus, not the
-    *     corpus itself.
-    *  4. RERANK: exact cosine over candidates, rank-window top-k.
-    *
-    * Ties in both argmax-assignment and probe order break by cell index
-    * (deterministic). Empty cells keep their previous centroid.
-    */
   /** Max-cosine cell assignment against literal-broadcast centroids —
     * the shared primitive under [[ivfTopK]] and
     * [[SemanticDedup]]: centroids are KBs of driver-side doubles baked
@@ -190,7 +168,16 @@ object Similarity {
     val dim = vecDim(corpus, vecCol)
     val base = corpus.select(
       col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
+    trainOnBase(base, numCells, lloydIters, trainFraction)
+  }
 
+  /** Lloyd training over an ALREADY-projected `(id, v)` base — shared by
+    * [[trainCentroids]] and [[ivfTopK]] so a caller that has projected
+    * (and dim-guarded) its vectors once does not pay the `vecDim` head()
+    * job and the projection a second time. */
+  private[vector] def trainOnBase(
+      base: DataFrame, numCells: Int,
+      lloydIters: Int, trainFraction: Double): IndexedSeq[Seq[Double]] = {
     // deterministic subsample for training (xxhash64 of id, not rand())
     val train = if (trainFraction >= 1.0) base
       else base.filter(pmod(xxhash64(col("id").cast("string")), lit(1000000L))
@@ -216,6 +203,28 @@ object Similarity {
     centroids
   }
 
+  /** IVF (inverted-file) ANN — the second scale path next to LSH
+    * [[annTopK]], trading LSH's obliviousness for data-adaptive cells:
+    *
+    *  1. TRAIN: `numCells` centroids by Lloyd iterations over a
+    *     deterministic corpus sample ([[trainCentroids]] — init =
+    *     smallest-xxhash64 ids, so retries replay identically).
+    *     Centroids are driver-side (numCells × dim doubles — KBs),
+    *     broadcast into expressions as literals, so assignment stays
+    *     inside codegen with no model state to ship.
+    *  2. ASSIGN: each corpus vector to its max-cosine centroid
+    *     ([[cellAssignment]]) — one narrow map; at 100 TB you'd persist
+    *     this as a `cell`-partitioned table (see [[graft.sources.IO]]
+    *     writers) and amortize across queries.
+    *  3. PROBE: each query explodes to its `nProbe` nearest cells; the
+    *     cell equi-join pulls only those cells' vectors — work follows
+    *     probed-cell volume ≈ nProbe/numCells of the corpus, not the
+    *     corpus itself.
+    *  4. RERANK: exact cosine over candidates, rank-window top-k.
+    *
+    * Ties in both argmax-assignment and probe order break by cell index
+    * (deterministic). Empty cells keep their previous centroid.
+    */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
@@ -227,7 +236,7 @@ object Similarity {
     val base = corpus.select(
       col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
 
-    val centroids = trainCentroids(corpus, idCol, vecCol, numCells, lloydIters, trainFraction)
+    val centroids = trainOnBase(base, numCells, lloydIters, trainFraction)
     // the training sample may yield FEWER centroids than numCells (tiny
     // corpus or aggressive trainFraction) — probe count follows the
     // actual centroid count, not the requested one

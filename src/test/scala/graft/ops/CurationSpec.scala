@@ -125,6 +125,20 @@ class CurationSpec extends SparkSpec {
     assert(a != c, "different salts must draw different samples")
     assert(Curation.bernoulliSample(df, "id", 0.0).count() == 0)
     assert(Curation.bernoulliSample(df, "id", 1.0).count() == 20000)
+    // ids in the same residue class mod 1000003 decide INDEPENDENTLY
+    // (the high-bits term breaks the class) — a single small-modulus mix
+    // would keep or drop the whole class together
+    val classIds = (0L until 8L).map(k => 5L + k * 1000003L)
+    val ck = Curation.bernoulliSample(classIds.toDF("id"), "id", 0.5, salt = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ck.nonEmpty && ck.size < classIds.size,
+      s"residue class shares one fate: kept ${ck.size} of ${classIds.size}")
+    // null ids raise instead of silently shrinking the sample
+    val withNull = Seq[Option[Long]](Some(1L), None).toDF("id")
+    val err = intercept[Exception] {
+      Curation.bernoulliSample(withNull, "id", 1.0).collect()
+    }
+    assert(err.getMessage.contains("bernoulliSample"), s"wrong error: ${err.getMessage}")
   }
 
   test("moment stats match driver-side computation") {

@@ -33,6 +33,17 @@ class SemanticDedupSpec extends SparkSpec {
     assert(pairs.contains((3L, 100003L)) && pairs.contains((17L, 100017L)))
   }
 
+  test("width-mismatched embedding fails fast instead of silently escaping dedup") {
+    val poisoned = emb.unionByName(
+      emb.limit(1).withColumn("vec_id", lit(424242L))
+        .withColumn("embedding", slice(col("embedding"), 1, 3)))
+    val err = intercept[Exception] {
+      SemanticDedup.semanticPairs(poisoned, "vec_id", "embedding", 0.35, numCells = 4)
+        .collect()
+    }
+    assert(err.getMessage.contains("dim mismatch"), s"wrong error: ${err.getMessage}")
+  }
+
   test("dedup keeps one representative per component, passes unpaired rows") {
     val dups = emb.filter(col("vec_id").isin(3L, 17L))
       .withColumn("vec_id", col("vec_id") + 100000L)
