@@ -43,6 +43,11 @@ object SemanticDedup {
       trainFraction: Double = 1.0): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1]: $tau")
     GraftFunctions.register(df.sparkSession)
+    // empty corpus → empty pair set (dedup of nothing is nothing), not a
+    // seed-centroid error from the trainer
+    if (df.isEmpty)
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0d).as("sim")).limit(0)
     // same fail-fast dim guard as ivfTopK/annTopK: a width-mismatched
     // vector must raise, not silently null its cosines out of every pair
     val dim = Similarity.vecDim(df, vecCol)

@@ -73,6 +73,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("file sink + checkpoint: restart resumes exactly-once, no duplicates") {
+    // the durability contract: a stopped query restarted on the same
+    // checkpoint processes ONLY data it has not yet committed — rows are
+    // neither lost nor written twice across restarts
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    val (src, out, ck) = (s"$base/src", s"$base/out", s"$base/ck")
+    val ev = spark.read.schema(eventsSchema).parquet(s"$sf/events.parquet")
+    val firstHalf = ev.filter(col("event_id") % 2 === 0)
+    val secondHalf = ev.filter(col("event_id") % 2 =!= 0)
+    firstHalf.write.parquet(src)
+
+    def drainOnce(): Unit = {
+      val q = spark.readStream.schema(eventsSchema).parquet(src)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ck).option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not drain in time")
+    }
+
+    drainOnce()
+    assert(spark.read.parquet(out).count() == firstHalf.count())
+    // new data lands while the query is DOWN; restart picks up only it
+    secondHalf.write.mode("append").parquet(src)
+    drainOnce()
+    val result = spark.read.parquet(out)
+    assert(result.count() == ev.count(), "lost or duplicated rows across restart")
+    assert(result.select("event_id").distinct().count() == ev.count(),
+      "duplicate event_ids after restart")
+  }
+
   test("watermark drops late rows in append mode (A9 contract)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -33,6 +33,12 @@ class SemanticDedupSpec extends SparkSpec {
     assert(pairs.contains((3L, 100003L)) && pairs.contains((17L, 100017L)))
   }
 
+  test("empty corpus dedups to empty, not a trainer error") {
+    val empty = emb.limit(0)
+    assert(SemanticDedup.semanticPairs(empty, "vec_id", "embedding", 0.35).count() == 0)
+    assert(SemanticDedup.dedup(empty, "vec_id", "embedding", 0.35).count() == 0)
+  }
+
   test("width-mismatched embedding fails fast instead of silently escaping dedup") {
     val poisoned = emb.unionByName(
       emb.limit(1).withColumn("vec_id", lit(424242L))
