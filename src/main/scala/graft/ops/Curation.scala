@@ -619,6 +619,38 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Per-source document cap — the "domain cap" heuristic (no single
+    * domain/source may dominate the mixture): keep at most `cap` rows
+    * per source, selected DETERMINISTICALLY by the epoch-shuffle mixer
+    * over ids (so the kept subset is a uniform, layout/retry-stable
+    * sample of the source, not "whatever sorted first" — and the oracle
+    * can replay it). One shuffle on the source key + a per-partition
+    * rank. At 100 TB a handful of mega-sources make that shuffle skewed:
+    * either pre-filter those sources with [[bernoulliSample]] at
+    * ≈cap/count first (one tiny count aggregate), or accept the hot
+    * partitions — the window itself never materializes a source in
+    * memory (it streams sorted runs).
+    */
+  def capPerSource(df: DataFrame, srcCol: String, idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(shuffleKey(col(idCol), 0), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+  /** q66 — domain-cap stats (oracle-checked): cap each source at 40
+    * docs, report surviving doc/token mass per source. Sources above
+    * the cap land exactly AT it; smaller sources pass through whole. */
+  def sourceCapStats(spark: SparkSession, dir: String): DataFrame =
+    capPerSource(Tables.load(spark, dir, "documents"), "source", "doc_id", cap = 40)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
+      .orderBy(col("source"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -647,7 +679,8 @@ object Curation {
     "q54_epoch_shuffle" -> (epochShuffleHead _),
     "q57_chunk_stats" -> (chunkStats _),
     "q58_det_sample" -> (sampleStats _),
-    "q59_moments" -> (momentStats _))
+    "q59_moments" -> (momentStats _),
+    "q66_source_cap" -> (sourceCapStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -312,5 +312,16 @@ object CurationOracle {
         |       round(CASE WHEN m2 - m1*m1 > 0 THEN
         |         (m3 - 3*m1*m2 + 2*m1*m1*m1) / ((m2 - m1*m1) * sqrt(m2 - m1*m1))
         |       END, 6) skew
-        |FROM m ORDER BY source""".stripMargin)
+        |FROM m ORDER BY source""".stripMargin,
+
+    // same epoch-0 shuffle-key mixer as Curation.capPerSource
+    "q66_source_cap" ->
+      """WITH r AS (
+        |  SELECT source, text, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY (doc_id % 1000003) * 2654435761 % 1000000007, doc_id) rk
+        |  FROM documents)
+        |SELECT source, count(*) n_docs,
+        |       CAST(sum(len(string_split(text,' '))) AS BIGINT) tokens
+        |FROM r WHERE rk <= 40 GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -271,5 +271,14 @@ object OracleSql {
         |      WHERE s_nationkey > 5 GROUP BY 1)
         |SELECT coalesce(c.k, s.k) k, coalesce(c_cnt, 0) c_cnt, coalesce(s_cnt, 0) s_cnt
         |FROM c FULL OUTER JOIN s ON c.k = s.k
-        |ORDER BY k""".stripMargin)
+        |ORDER BY k""".stripMargin,
+
+    "q67_schema_drift" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 <> 0)
+        |SELECT coalesce(o_orderpriority, '<missing>') prio, count(*) n,
+        |       round(sum(o_totalprice),2) total
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -595,6 +595,26 @@ object Relational {
       .transform(orderedSmall(_, col("k")))
   }
 
+  /** q67 — schema-drift union: two ingest "generations" of the same
+    * table with different column sets merge by NAME with missing
+    * columns null-filled (`unionByName(allowMissingColumns)` — the
+    * positional `union` would silently misalign), then aggregate across
+    * the seam. The everyday shape of a table whose schema grew
+    * mid-history; at scale this is how old and new partitions read as
+    * one relation without a rewrite.
+    */
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val gen2 = o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<missing>")).as("prio"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .transform(orderedSmall(_, col("prio")))
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -633,7 +653,8 @@ object Relational {
     "q62_window_battery2" -> (q62 _),
     "q63_array_ops" -> (q63 _),
     "q64_late_alone" -> (q64 _),
-    "q65_full_outer" -> (q65 _))
+    "q65_full_outer" -> (q65 _),
+    "q67_schema_drift" -> (q67 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

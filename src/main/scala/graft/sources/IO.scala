@@ -25,6 +25,16 @@ object IO {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Read a parquet layout whose schema GREW over time: `mergeSchema`
+    * unions the per-file footers so old files surface the new columns
+    * as nulls (the default read trusts one footer and silently drops
+    * late-added columns). Merging reads every footer — at 100 TB pin
+    * the merged schema in a metastore table instead of re-deriving it
+    * per read; this entry point is for the schema-drift seam itself.
+    */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 

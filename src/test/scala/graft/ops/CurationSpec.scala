@@ -141,6 +141,20 @@ class CurationSpec extends SparkSpec {
     assert(err.getMessage.contains("bernoulliSample"), s"wrong error: ${err.getMessage}")
   }
 
+  test("capPerSource: big sources land at the cap, small pass whole, layout-stable") {
+    val df = (0L until 100L).map(i => (i, "big")) ++ (1000L until 1030L).map(i => (i, "small"))
+    val d = df.toDF("id", "source")
+    val capped = Curation.capPerSource(d, "source", "id", cap = 40)
+    val bySrc = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("big" -> 40L, "small" -> 30L))
+    // deterministic across layouts: same kept ids
+    val a = capped.select("id").collect().map(_.getLong(0)).toSet
+    val b = Curation.capPerSource(d.repartition(7), "source", "id", cap = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "kept set depends on layout")
+  }
+
   test("moment stats match driver-side computation") {
     val m = Curation.momentStats(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap

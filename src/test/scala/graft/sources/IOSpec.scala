@@ -87,6 +87,21 @@ class IOSpec extends SparkSpec {
       s"repeated replayStream calls leaked ${added.size} staging dirs")
   }
 
+  test("parquetEvolved surfaces late-added columns as nulls on old files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "c", 30.0), (4L, "d", 40.0)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/gen=2")
+    val merged = IO.parquetEvolved(spark, dir)
+    assert(merged.columns.toSet == Set("id", "v", "score", "gen"))
+    val rows = merged.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "old rows must null-fill")
+    assert(rows(3L).contains(30.0) && rows(4L).contains(40.0))
+  }
+
   test("writeSorted: disjoint per-file key ranges, data intact") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_sorted").toString + "/li"
