@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.StructType
 
 /** Sources and sinks. Thin, deliberately: Spark's DataSource V2 already
@@ -82,6 +83,44 @@ object IO {
     df.repartitionByRange(numFiles, keys.map(df.col): _*)
       .sortWithinPartitions(keys.map(df.col): _*)
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** MERGE-INTO for a plain parquet table: rows of `updates` REPLACE
+    * same-key rows of the table at `path` (latest generation wins —
+    * [[graft.ops.Relational.latestByKey]] with an internal generation
+    * marker as the order column, so the merge is ONE hash aggregate,
+    * not a join), new keys insert, untouched keys carry over. Staged
+    * write + swap, same crash discipline as [[compact]]: `path` is
+    * never half-written.
+    *
+    * At 100 TB this full-rewrite form is the fallback; partition the
+    * table (see [[writePartitioned]]) and rewrite ONLY the partitions
+    * `updates` touches — same merge expression, pruned input. A real
+    * table format (Delta/Iceberg) adds snapshot isolation; the merge
+    * SEMANTICS are exactly this function.
+    *
+    * `updates` must carry ONE row per key (pre-collapse with
+    * [[graft.ops.Relational.latestByKey]] if it is a raw change-log);
+    * with several, which one wins is decided by payload comparison, not
+    * arrival order. Output column order follows latestByKey (keys
+    * first) — parquet readers resolve by name, not position.
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsert needs key columns")
+    val existing = spark.read.parquet(path).withColumn("__gen", lit(0))
+    val merged = graft.ops.Relational.latestByKey(
+        existing.unionByName(updates.withColumn("__gen", lit(1))),
+        keys, Seq("__gen"))
+      .drop("__gen")
+    val dir = java.nio.file.Paths.get(path)
+    val staged = dir.resolveSibling(dir.getFileName.toString + ".upserting")
+    merged.write.mode("overwrite").parquet(staged.toString)
+    val old = dir.resolveSibling(dir.getFileName.toString + ".old")
+    java.nio.file.Files.move(dir, old)
+    java.nio.file.Files.move(staged, dir)
+    java.nio.file.Files.walk(old).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   /** Small-file compaction — the maintenance pass every long-lived

@@ -87,6 +87,26 @@ class IOSpec extends SparkSpec {
       s"repeated replayStream calls leaked ${added.size} staging dirs")
   }
 
+  test("upsert: updates replace, inserts add, untouched rows carry over") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "score").write.parquet(dir)
+    val updates = Seq((2L, "b2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "score")
+    IO.upsert(spark, dir, updates, Seq("k"))
+    val rows = spark.read.parquet(dir)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "a", 10.0),    // untouched
+      (2L, "b2", 99.0),   // replaced
+      (3L, "c", 30.0),    // untouched
+      (4L, "d", 40.0)))   // inserted
+    // no stray staging dirs left behind
+    val parent = new java.io.File(dir).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.endsWith(".upserting") || f.getName.endsWith(".old")))
+  }
+
   test("parquetEvolved surfaces late-added columns as nulls on old files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
