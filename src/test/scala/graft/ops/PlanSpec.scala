@@ -174,6 +174,16 @@ class PlanSpec extends SparkSpec {
     // q65: outer join runs on two PRE-AGGREGATED key-sized inputs
     val p65 = plan("q65_full_outer")
     assert(p65.contains("FullOuter"), s"q65 lost its full outer join:\n$p65")
+    // q66: cap = source-keyed window + agg — no join, bounded exchanges
+    val p66 = plan("q66_source_cap")
+    assert(p66.contains("Window") && !p66.contains("Join"),
+      s"q66 shape changed:\n$p66")
+    assert(exchanges(p66) <= 3, "q66 gained extra shuffles")
+    // q67: by-name union then ONE aggregate — never a join across the seam
+    val p67 = plan("q67_schema_drift")
+    assert(p67.contains("Union") && !p67.contains("Join"),
+      s"q67 shape changed:\n$p67")
+    assert(exchanges(p67) <= 2, "q67 gained extra shuffles")
   }
 
   test("whole-stage codegen covers the relational inventory hot paths") {
