@@ -633,9 +633,16 @@ object Curation {
     */
   def capPerSource(df: DataFrame, srcCol: String, idCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
+    // ids must be non-null AND unique for the kept set to be
+    // deterministic (ties on a duplicated id break arbitrarily across
+    // layouts); nulls fail fast — Spark sorts them FIRST, so they would
+    // silently fill the cap ahead of real docs
+    val checkedKey = when(col(idCol).isNull,
+      raise_error(lit(s"capPerSource: null $idCol — the capped subset " +
+        "is undefined for null ids"))).otherwise(shuffleKey(col(idCol), 0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(srcCol))
-      .orderBy(shuffleKey(col(idCol), 0), col(idCol))
+      .orderBy(checkedKey, col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= cap)
       .drop("__rk")

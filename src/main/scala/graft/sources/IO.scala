@@ -108,19 +108,62 @@ object IO {
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "upsert needs key columns")
-    val existing = spark.read.parquet(path).withColumn("__gen", lit(0))
+    healSwap(path) // the read below needs the healed table dir
+    val existing = spark.read.parquet(path)
+    require(!existing.columns.contains("__gen") && !updates.columns.contains("__gen"),
+      "upsert reserves the column name __gen for its generation marker")
     val merged = graft.ops.Relational.latestByKey(
-        existing.unionByName(updates.withColumn("__gen", lit(1))),
+        existing.withColumn("__gen", lit(0))
+          .unionByName(updates.withColumn("__gen", lit(1))),
         keys, Seq("__gen"))
       .drop("__gen")
+    stagedSwap(path) { staged =>
+      merged.write.mode("overwrite").parquet(staged)
+    }
+  }
+
+  /** Staged rewrite + swap, shared by [[upsert]] and [[compact]]. The
+    * staged copy is COMPLETE before the first rename, so `path` never
+    * holds a partial table. The two renames themselves are not one
+    * atomic step: a crash in that window leaves `path` absent with the
+    * finished `.staged` (or displaced `.old`) beside it — which the
+    * NEXT call self-heals before doing anything else, and which a human
+    * can heal with a single `mv`. Crash-stale `.staged`/`.old` garbage
+    * from older attempts is cleared up front, so a previous failure can
+    * never brick later rewrites.
+    */
+  private def swapPaths(path: String) = {
     val dir = java.nio.file.Paths.get(path)
-    val staged = dir.resolveSibling(dir.getFileName.toString + ".upserting")
-    merged.write.mode("overwrite").parquet(staged.toString)
-    val old = dir.resolveSibling(dir.getFileName.toString + ".old")
+    (dir, dir.resolveSibling(dir.getFileName.toString + ".staged"),
+      dir.resolveSibling(dir.getFileName.toString + ".old"))
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => java.nio.file.Files.deleteIfExists(q))
+
+  /** Preflight for [[stagedSwap]]: self-heal a crash between the two
+    * renames of a PRIOR swap (table dir missing, complete survivor
+    * beside it) and clear stale `.staged`/`.old` garbage so an old
+    * failure can never brick later rewrites. Runs BEFORE the caller
+    * reads the table — the read needs the healed dir. */
+  private def healSwap(path: String): Unit = {
+    val (dir, staged, old) = swapPaths(path)
+    if (!java.nio.file.Files.exists(dir)) {
+      if (java.nio.file.Files.exists(staged)) java.nio.file.Files.move(staged, dir)
+      else if (java.nio.file.Files.exists(old)) java.nio.file.Files.move(old, dir)
+    }
+    rmTree(staged); rmTree(old)
+  }
+
+  private def stagedSwap(path: String)(write: String => Unit): Unit = {
+    healSwap(path)
+    val (dir, staged, old) = swapPaths(path)
+    write(staged.toString)
     java.nio.file.Files.move(dir, old)
     java.nio.file.Files.move(staged, dir)
-    java.nio.file.Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    rmTree(old)
   }
 
   /** Small-file compaction — the maintenance pass every long-lived
@@ -134,20 +177,16 @@ object IO {
     */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
+    healSwap(path) // the size walk below needs the healed table dir
     val dir = java.nio.file.Paths.get(path)
     val bytes = java.nio.file.Files.walk(dir).filter(p =>
       java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .mapToLong(p => java.nio.file.Files.size(p)).sum()
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
-    val staged = dir.resolveSibling(dir.getFileName.toString + ".compacting")
-    spark.read.parquet(path).coalesce(nFiles)
-      .write.mode("overwrite").parquet(staged.toString)
-    val old = dir.resolveSibling(dir.getFileName.toString + ".old")
-    java.nio.file.Files.move(dir, old)
-    java.nio.file.Files.move(staged, dir)
-    // best-effort cleanup of the displaced original
-    java.nio.file.Files.walk(old).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    stagedSwap(path) { staged =>
+      spark.read.parquet(path).coalesce(nFiles)
+        .write.mode("overwrite").parquet(staged)
+    }
   }
 
   /** Staged single-file replay dirs, one per source path — repeated

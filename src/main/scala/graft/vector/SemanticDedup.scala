@@ -44,13 +44,15 @@ object SemanticDedup {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1]: $tau")
     GraftFunctions.register(df.sparkSession)
     // empty corpus → empty pair set (dedup of nothing is nothing), not a
-    // seed-centroid error from the trainer
-    if (df.isEmpty)
+    // seed-centroid error; detected by the dim probe itself, so the
+    // non-empty path pays no extra job
+    val dimOpt = Similarity.vecDimOpt(df, vecCol)
+    if (dimOpt.isEmpty)
       return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0d).as("sim")).limit(0)
     // same fail-fast dim guard as ivfTopK/annTopK: a width-mismatched
     // vector must raise, not silently null its cosines out of every pair
-    val dim = Similarity.vecDim(df, vecCol)
+    val dim = dimOpt.get
     val projected = df.select(col(idCol).as("id"),
       Similarity.requireDim(asDouble(col(vecCol)), dim).as("v"))
     val centroids = Similarity.trainOnBase(projected, numCells, lloydIters, trainFraction)

@@ -36,12 +36,19 @@ object Similarity {
     * one bucket (correct output, quadratic cost). One-row metadata read;
     * at any scale this touches a single row group.
     */
-  private[vector] def vecDim(df: DataFrame, vecCol: String): Int = {
-    val first = df.select(size(col(vecCol)).as("d")).head()
-    require(!first.isNullAt(0) && first.getInt(0) > 0,
-      s"cannot derive embedding dim from '$vecCol': first row is null/empty")
-    first.getInt(0)
-  }
+  private[vector] def vecDim(df: DataFrame, vecCol: String): Int =
+    vecDimOpt(df, vecCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot derive embedding dim from '$vecCol': input is empty"))
+
+  /** [[vecDim]] for callers that handle an EMPTY corpus themselves
+    * (None) rather than erroring; one head(1) job either way. */
+  private[vector] def vecDimOpt(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol)).as("d")).head(1).headOption.map { first =>
+      require(!first.isNullAt(0) && first.getInt(0) > 0,
+        s"cannot derive embedding dim from '$vecCol': first row is null/empty")
+      first.getInt(0)
+    }
 
   /** Fail-fast guard: raise at execution if a vector's length ≠ dim
     * (one cheap size check per row, vs p·L dot products after it). */

@@ -153,6 +153,13 @@ class CurationSpec extends SparkSpec {
     val b = Curation.capPerSource(d.repartition(7), "source", "id", cap = 40)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a == b, "kept set depends on layout")
+    // null ids raise (Spark sorts nulls first — they would silently
+    // fill the cap ahead of real docs)
+    val withNull = (Seq[Option[Long]](Some(1L), None)).map(o => (o, "s")).toDF("id", "source")
+    val err = intercept[Exception] {
+      Curation.capPerSource(withNull, "source", "id", cap = 1).collect()
+    }
+    assert(err.getMessage.contains("capPerSource"), s"wrong error: ${err.getMessage}")
   }
 
   test("moment stats match driver-side computation") {

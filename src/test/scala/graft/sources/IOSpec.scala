@@ -104,7 +104,26 @@ class IOSpec extends SparkSpec {
     // no stray staging dirs left behind
     val parent = new java.io.File(dir).getParentFile
     assert(!parent.listFiles().exists(f =>
-      f.getName.endsWith(".upserting") || f.getName.endsWith(".old")))
+      f.getName.endsWith(".staged") || f.getName.endsWith(".old")))
+    // the generation marker column name is reserved, never clobbered
+    intercept[IllegalArgumentException] {
+      IO.upsert(spark, dir, updates.withColumn("__gen", lit(9)), Seq("k"))
+    }
+  }
+
+  test("upsert self-heals a crash between the swap renames") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString + "/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "score").write.parquet(dir)
+    // simulate a prior run killed between move(dir, old) and
+    // move(staged, dir): table dir gone, the COMPLETE new data in .staged
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.move(p, p.resolveSibling("t.staged"))
+    assert(!java.nio.file.Files.exists(p))
+    IO.upsert(spark, dir, Seq((3L, 30.0)).toDF("k", "score"), Seq("k"))
+    val rows = spark.read.parquet(dir).as[(Long, Double)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      "self-heal lost the staged survivor or the update")
   }
 
   test("parquetEvolved surfaces late-added columns as nulls on old files") {
