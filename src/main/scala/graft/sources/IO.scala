@@ -99,24 +99,40 @@ object IO {
     * table format (Delta/Iceberg) adds snapshot isolation; the merge
     * SEMANTICS are exactly this function.
     *
-    * `updates` must carry ONE row per key (pre-collapse with
-    * [[graft.ops.Relational.latestByKey]] if it is a raw change-log);
-    * with several, which one wins is decided by payload comparison, not
-    * arrival order. Output column order follows latestByKey (keys
-    * first) — parquet readers resolve by name, not position.
+    * Two conflict policies, chosen by `orderCols`:
+    *  - EMPTY (default) — ARRIVAL order: an update always replaces the
+    *    table's same-key row (classic MERGE INTO). `updates` must then
+    *    carry ONE row per key (pre-collapse with
+    *    [[graft.ops.Relational.latestByKey]] if it is a raw
+    *    change-log); with several, which one wins is decided by payload
+    *    comparison. The name `__gen` is reserved for the internal
+    *    generation marker.
+    *  - NON-EMPTY — EVENT-TIME order: the max-by-`orderCols` row wins
+    *    across table ∪ updates, so a late-arriving OLDER record never
+    *    overwrites a newer one (the out-of-order-stream form;
+    *    [[graft.streaming.StreamingOps.upsertSink]] uses this).
+    *
+    * Output column order follows latestByKey (keys first) — parquet
+    * readers resolve by name, not position.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], orderCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "upsert needs key columns")
     healSwap(path) // the read below needs the healed table dir
     val existing = spark.read.parquet(path)
-    require(!existing.columns.contains("__gen") && !updates.columns.contains("__gen"),
-      "upsert reserves the column name __gen for its generation marker")
-    val merged = graft.ops.Relational.latestByKey(
-        existing.withColumn("__gen", lit(0))
-          .unionByName(updates.withColumn("__gen", lit(1))),
-        keys, Seq("__gen"))
-      .drop("__gen")
+    val merged =
+      if (orderCols.nonEmpty)
+        graft.ops.Relational.latestByKey(
+          existing.unionByName(updates), keys, orderCols)
+      else {
+        require(!existing.columns.contains("__gen") && !updates.columns.contains("__gen"),
+          "upsert reserves the column name __gen for its generation marker")
+        graft.ops.Relational.latestByKey(
+            existing.withColumn("__gen", lit(0))
+              .unionByName(updates.withColumn("__gen", lit(1))),
+            keys, Seq("__gen"))
+          .drop("__gen")
+      }
     stagedSwap(path) { staged =>
       merged.write.mode("overwrite").parquet(staged)
     }

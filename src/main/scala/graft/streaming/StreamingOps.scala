@@ -290,4 +290,31 @@ object StreamingOps {
   def foreachBatchSink(df: DataFrame, name: String)(
       f: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream.queryName(name).foreachBatch(f)
+
+  /** Streaming CDC apply: maintain a latest-record-per-key parquet
+    * table from a change stream. Each micro-batch collapses to one row
+    * per key ([[graft.ops.Relational.latestByKey]] over `orderCols`) and
+    * merges into the table via [[graft.sources.IO.upsert]] in its
+    * EVENT-TIME mode — so the table is, at every commit, the max-by-
+    * `orderCols` view of everything consumed, and a micro-batch
+    * carrying a LATE, older record for a key never overwrites the newer
+    * one already in the table (the stream's arrival order does not
+    * matter). The first batch CREATES the table.
+    *
+    * Caveat at scale: each merge rewrites the table (see
+    * [[graft.sources.IO.upsert]]'s partitioned-rewrite note) — size
+    * trigger intervals so batches amortize the rewrite; a replay after
+    * a crash re-merges the uncommitted batch, which upsert absorbs
+    * idempotently (same keys, same winners).
+    */
+  def upsertSink(
+      df: DataFrame, path: String, keys: Seq[String], orderCols: Seq[String],
+      name: String = "upsert_sink"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(df, name) { (batch, _) =>
+      val collapsed = graft.ops.Relational.latestByKey(batch, keys, orderCols)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        collapsed.write.parquet(path)
+      else
+        graft.sources.IO.upsert(batch.sparkSession, path, collapsed, keys, orderCols)
+    }
 }

@@ -111,6 +111,21 @@ class IOSpec extends SparkSpec {
     }
   }
 
+  test("event-time upsert: a late OLDER update never overwrites a newer row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evt").toString + "/t"
+    Seq((1L, 100L, "new"), (2L, 50L, "mid")).toDF("k", "ver", "v").write.parquet(dir)
+    val late = Seq((1L, 40L, "stale"), (2L, 60L, "newer"), (3L, 10L, "insert"))
+      .toDF("k", "ver", "v")
+    IO.upsert(spark, dir, late, Seq("k"), orderCols = Seq("ver"))
+    val rows = spark.read.parquet(dir).as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, 100L, "new"),    // stale late update lost
+      (2L, 60L, "newer"),   // genuinely newer update won
+      (3L, 10L, "insert"))) // new key inserted
+  }
+
   test("upsert self-heals a crash between the swap renames") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString + "/t"

@@ -324,6 +324,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("upsertSink maintains the latest-per-user table across micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_upsink")
+    val table = s"$base/latest"
+    // replay paced at 1 file/trigger so the upsert path (not just the
+    // initial create) is exercised across several micro-batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$base/src"
+    val ev = spark.read.schema(eventsSchema).parquet(s"$sf/events.parquet")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(src)
+    ev.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingOps.upsertSink(stream, table,
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ck").start()
+    assert(q.awaitTermination(120000), "stream did not drain")
+
+    val got = spark.read.parquet(table)
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.Relational.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "streamed upsert view diverged from the batch twin")
+  }
+
   test("foreachBatch sink receives micro-batches with ids") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
