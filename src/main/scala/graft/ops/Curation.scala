@@ -633,13 +633,16 @@ object Curation {
     */
   def capPerSource(df: DataFrame, srcCol: String, idCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    // ids must be non-null AND unique for the kept set to be
-    // deterministic (ties on a duplicated id break arbitrarily across
-    // layouts); nulls fail fast — Spark sorts them FIRST, so they would
-    // silently fill the cap ahead of real docs
-    val checkedKey = when(col(idCol).isNull,
-      raise_error(lit(s"capPerSource: null $idCol — the capped subset " +
-        "is undefined for null ids"))).otherwise(shuffleKey(col(idCol), 0))
+    // ids must be castable-to-long, non-null AND unique for the kept
+    // set to be deterministic (ties on a duplicated id break
+    // arbitrarily across layouts); the guard checks the CASTED value —
+    // a string/UUID id casts to null without error, and null sort keys
+    // sort FIRST in Spark, so they would silently fill the cap
+    val idL = col(idCol).cast("long")
+    val checkedKey = when(idL.isNull,
+      raise_error(lit(s"capPerSource: null or non-integral $idCol — the " +
+        "capped subset is undefined without a total id order; hash " +
+        "string ids to long first"))).otherwise(shuffleKey(idL, 0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(srcCol))
       .orderBy(checkedKey, col(idCol))

@@ -159,27 +159,55 @@ object IO {
       java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(q => java.nio.file.Files.deleteIfExists(q))
 
-  /** Preflight for [[stagedSwap]]: self-heal a crash between the two
-    * renames of a PRIOR swap (table dir missing, complete survivor
-    * beside it) and clear stale `.staged`/`.old` garbage so an old
-    * failure can never brick later rewrites. Runs BEFORE the caller
-    * reads the table — the read needs the healed dir. */
+  /** A staged dir is promotable only if its write COMMITTED — Spark's
+    * `_SUCCESS` marker is the witness; a crash mid-write leaves
+    * `_temporary` and no marker. */
+  private def isCommitted(p: java.nio.file.Path): Boolean =
+    java.nio.file.Files.exists(p.resolve("_SUCCESS"))
+
+  /** Preflight for [[stagedSwap]] / [[createOrUpsert]]: self-heal a
+    * crash of a PRIOR attempt (table dir missing with a COMMITTED
+    * survivor beside it — a crash between the swap renames, or after a
+    * committed first create) and clear stale `.staged`/`.old` garbage,
+    * so an old failure can never brick later rewrites. Must run BEFORE
+    * the caller reads or existence-checks the table. */
   private def healSwap(path: String): Unit = {
     val (dir, staged, old) = swapPaths(path)
     if (!java.nio.file.Files.exists(dir)) {
-      if (java.nio.file.Files.exists(staged)) java.nio.file.Files.move(staged, dir)
+      if (java.nio.file.Files.exists(staged) && isCommitted(staged))
+        java.nio.file.Files.move(staged, dir)
       else if (java.nio.file.Files.exists(old)) java.nio.file.Files.move(old, dir)
     }
     rmTree(staged); rmTree(old)
   }
 
+  /** Callers must [[healSwap]] first (they all read or existence-check
+    * the table before writing, which itself needs the healed dir). */
   private def stagedSwap(path: String)(write: String => Unit): Unit = {
-    healSwap(path)
     val (dir, staged, old) = swapPaths(path)
     write(staged.toString)
     java.nio.file.Files.move(dir, old)
     java.nio.file.Files.move(staged, dir)
     rmTree(old)
+  }
+
+  /** [[upsert]] when the table may not exist yet — the form a streaming
+    * sink needs ([[graft.streaming.StreamingOps.upsertSink]]). The
+    * create is staged too (write beside, single rename in), so a crash
+    * mid-create leaves no half-table at `path` — an uncommitted staged
+    * dir is cleared, not promoted, by the next call's heal. */
+  def createOrUpsert(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], orderCols: Seq[String] = Nil): Unit = {
+    healSwap(path)
+    val (dir, staged, _) = swapPaths(path)
+    if (java.nio.file.Files.exists(dir))
+      upsert(spark, path, updates, keys, orderCols)
+    else {
+      val initial = if (orderCols.isEmpty) updates
+        else graft.ops.Relational.latestByKey(updates, keys, orderCols)
+      initial.write.mode("overwrite").parquet(staged.toString)
+      java.nio.file.Files.move(staged, dir)
+    }
   }
 
   /** Small-file compaction — the maintenance pass every long-lived

@@ -311,10 +311,10 @@ object StreamingOps {
       df: DataFrame, path: String, keys: Seq[String], orderCols: Seq[String],
       name: String = "upsert_sink"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     foreachBatchSink(df, name) { (batch, _) =>
-      val collapsed = graft.ops.Relational.latestByKey(batch, keys, orderCols)
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-        collapsed.write.parquet(path)
-      else
-        graft.sources.IO.upsert(batch.sparkSession, path, collapsed, keys, orderCols)
+      // createOrUpsert heals prior crashes BEFORE deciding create-vs-
+      // merge, and stages the create — a bare exists() check here would
+      // mistake a mid-swap crash for a fresh table and orphan history
+      graft.sources.IO.createOrUpsert(batch.sparkSession, path,
+        graft.ops.Relational.latestByKey(batch, keys, orderCols), keys, orderCols)
     }
 }

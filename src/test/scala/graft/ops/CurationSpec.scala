@@ -160,6 +160,13 @@ class CurationSpec extends SparkSpec {
       Curation.capPerSource(withNull, "source", "id", cap = 1).collect()
     }
     assert(err.getMessage.contains("capPerSource"), s"wrong error: ${err.getMessage}")
+    // string ids cast to null WITHOUT error — the guard must catch the
+    // casted value, not just literal nulls
+    val strIds = Seq(("doc-a", "s"), ("doc-b", "s")).toDF("id", "source")
+    val err2 = intercept[Exception] {
+      Curation.capPerSource(strIds, "source", "id", cap = 1).collect()
+    }
+    assert(err2.getMessage.contains("capPerSource"), s"wrong error: ${err2.getMessage}")
   }
 
   test("moment stats match driver-side computation") {

@@ -126,6 +126,23 @@ class IOSpec extends SparkSpec {
       (3L, 10L, "insert"))) // new key inserted
   }
 
+  test("createOrUpsert: uncommitted staged create is cleared, never promoted") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_create")
+    val dir = s"$base/t"
+    // simulate a crash MID-create: a staged dir with _temporary and no
+    // _SUCCESS — promoting it would surface a half-written table
+    val staged = java.nio.file.Paths.get(s"$base/t.staged/_temporary")
+    java.nio.file.Files.createDirectories(staged)
+    IO.createOrUpsert(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    val rows = spark.read.parquet(dir).as[(Long, String)].collect()
+    assert(rows.toSeq == Seq((1L, "a")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/t.staged")))
+    // and a second call takes the upsert branch
+    IO.createOrUpsert(spark, dir, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("upsert self-heals a crash between the swap renames") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_heal").toString + "/t"
