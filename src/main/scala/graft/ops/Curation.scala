@@ -661,6 +661,44 @@ object Curation {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
       .orderBy(col("source"))
 
+  /** q68 — contamination report (oracle-checked): per benchmark item
+    * (the doc_id%7 slice, as in q51), how many distinct corpus docs
+    * share an 8-gram with it — the triage view run BEFORE q51's purge.
+    */
+  def contaminationReportStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(7)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0),
+        "doc_id", "text", n = 8)
+      .orderBy(col("n_docs").desc, col("bench_id"))
+      .limit(20)
+  }
+
+  /** q69 — unigram negative-log-likelihood quality score
+    * (oracle-checked): the deterministic stand-in for LM-perplexity
+    * filtering — score each doc by the mean −ln p(token) under the
+    * corpus's own unigram distribution, aggregate per source. Two
+    * aggregates + one BROADCAST vocabulary join (the frequency table is
+    * vocab-sized); at 100 TB vocabularies, swap the exact table for the
+    * count-min twin ([[TextAnalysis.approxTokenCounts]]) or let the
+    * join shuffle. High NLL = rare-token-heavy docs (gibberish,
+    * boilerplate-free noise) — the usual filter tail.
+    */
+  def unigramNllStats(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
+    val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("n"))
+    tok.join(broadcast(freq), Seq("t"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(avg(-log(col("c").cast("double") / col("n"))).as("nll"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("nll")), 4).as("avg_nll"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -690,7 +728,9 @@ object Curation {
     "q57_chunk_stats" -> (chunkStats _),
     "q58_det_sample" -> (sampleStats _),
     "q59_moments" -> (momentStats _),
-    "q66_source_cap" -> (sourceCapStats _))
+    "q66_source_cap" -> (sourceCapStats _),
+    "q68_contamination_report" -> (contaminationReportStats _),
+    "q69_unigram_nll" -> (unigramNllStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

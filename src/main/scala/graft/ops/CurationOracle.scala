@@ -323,5 +323,31 @@ object CurationOracle {
         |  FROM documents)
         |SELECT source, count(*) n_docs,
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) tokens
-        |FROM r WHERE rk <= 40 GROUP BY source ORDER BY source""".stripMargin)
+        |FROM r WHERE rk <= 40 GROUP BY source ORDER BY source""".stripMargin,
+
+    // per-benchmark-item leak counts — same 8-gram shingle semantics as
+    // q51's purge, LIMIT is deterministic via (n_docs DESC, bench_id)
+    "q68_contamination_report" ->
+      """WITH bench AS (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id % 7 = 0),
+        |corpus AS (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id % 7 <> 0),
+        |bsh AS (SELECT doc_id bench_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-7,1)+1),
+        |        i -> array_to_string(toks[i:i+7], ' ')))) s FROM bench),
+        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks)-7,1)+1),
+        |        i -> array_to_string(toks[i:i+7], ' ')))) s FROM corpus)
+        |SELECT bench_id, count(DISTINCT doc_id) n_docs
+        |FROM bsh JOIN csh USING (s)
+        |GROUP BY bench_id ORDER BY n_docs DESC, bench_id LIMIT 20""".stripMargin,
+
+    // unigram NLL: ln over the SAME double division in both engines;
+    // round(4) absorbs summation-order ulps
+    "q69_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text,' ')) t FROM documents),
+        |freq AS (SELECT t, count(*) c FROM tok GROUP BY t),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) n FROM freq),
+        |scored AS (
+        |  SELECT doc_id, source, avg(-ln(c / n)) nll
+        |  FROM tok JOIN freq USING (t), tot
+        |  GROUP BY doc_id, source)
+        |SELECT source, count(*) n_docs, round(avg(nll), 4) avg_nll
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin)
 }

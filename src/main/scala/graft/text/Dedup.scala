@@ -495,6 +495,26 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Contamination REPORT — the observability twin of [[decontaminate]]:
+    * instead of purging, counts per BENCHMARK item how many distinct
+    * corpus docs share an n-gram with it (which eval items leak most,
+    * how bad, and whether a single boilerplate question is inflating
+    * the purge). Same broadcast shape: the corpus streams through one
+    * scan-side shingle join, never shuffled by n-gram.
+    */
+  def contaminationReport(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val benchSh = broadcast(
+      shingleTable(benchmark, idCol, textCol, n)
+        .select(col("id").as("bench_id"), explode(col("sh")).as("s")))
+    shingleTable(corpus, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("s"))
+      .join(benchSh, Seq("s"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("id")).as("n_docs"))
+  }
+
   def ngramJaccard(
       df: DataFrame,
       idCol: String,
