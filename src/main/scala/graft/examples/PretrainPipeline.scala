@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
 /** The full training-data path, end to end, on the public API:
   *
   *   quality filter → outlier trim → cluster dedup → benchmark
-  *   decontamination (exact n-gram, then fuzzy MinHash) → source-mixture
-  *   resampling → train/val/test split → epoch shuffle → sequence
-  *   packing → sharded write.
+  *   decontamination (exact n-gram, then fuzzy MinHash) → domain cap →
+  *   source-mixture resampling → train/val/test split → epoch shuffle →
+  *   sequence packing → sharded write.
   *
   * Every step is a deterministic, shuffle-frugal operator documented for
   * 100 TB in its own scaladoc; this example is the composition proof —
@@ -57,12 +57,16 @@ object PretrainPipeline {
       "doc_id", "text", shingleLen = 3, b = 16, r = 4, threshold = 0.8)
     stats += "decontaminated_fuzzy" -> clean.count()
 
+    // 4b. domain cap: no source may dominate what the mixer sees
+    val capped = Curation.capPerSource(clean, "source", "doc_id", cap = 20)
+    stats += "capped" -> capped.count()
+
     // 5. resample surviving sources to a uniform token mixture
-    val srcs = clean.select("source").distinct()
+    val srcs = capped.select("source").distinct()
       .collect().map(_.getString(0)).sorted
     val weights = srcs.map(_ -> 1.0 / srcs.length).toMap
     val u = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
-    val mixed = Curation.sourceMix(clean, "source", "n_tok", weights, u)
+    val mixed = Curation.sourceMix(capped, "source", "n_tok", weights, u)
     stats += "mixed" -> mixed.count()
 
     // 6. deterministic 90/5/5 split; train continues down the pipe

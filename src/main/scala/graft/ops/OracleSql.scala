@@ -280,5 +280,15 @@ object OracleSql {
         |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderkey % 2 <> 0)
         |SELECT coalesce(o_orderpriority, '<missing>') prio, count(*) n,
         |       round(sum(o_totalprice),2) total
-        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q70_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) h, count(*) c, round(sum(value),2) s
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |bounds AS (SELECT min(date_trunc('hour', ts)) lo, max(date_trunc('hour', ts)) hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) h FROM bounds)
+        |SELECT h, coalesce(c, 0) c, coalesce(s, 0.0) s
+        |FROM spine LEFT JOIN hourly USING (h)
+        |ORDER BY h LIMIT 200""".stripMargin)
 }

@@ -615,6 +615,30 @@ object Relational {
       .transform(orderedSmall(_, col("prio")))
   }
 
+  /** q70 — time-series GAP FILL: hourly error counts joined onto a
+    * generated calendar spine, missing hours surfacing as explicit
+    * zeros (a plain groupBy silently skips empty buckets — poison for
+    * downstream moving averages and anomaly baselines). The spine
+    * derives from one scalar min/max aggregate and `sequence()`, so it
+    * is hours-sized regardless of event volume, and the left join runs
+    * small-spine ⋈ small-aggregate — the raw table is touched exactly
+    * once, by the aggregate.
+    */
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val hourly = ev.filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"), round(sum(col("value")), 2).as("s"))
+    val spine = ev
+      .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("s"), lit(0.0)).as("s"))
+      .orderBy(col("h")).limit(200)
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -654,7 +678,8 @@ object Relational {
     "q63_array_ops" -> (q63 _),
     "q64_late_alone" -> (q64 _),
     "q65_full_outer" -> (q65 _),
-    "q67_schema_drift" -> (q67 _))
+    "q67_schema_drift" -> (q67 _),
+    "q70_gap_fill" -> (q70 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -15,7 +15,8 @@ class ExamplesSpec extends SparkSpec {
     assert(stats("deduped") <= stats("trimmed"))
     assert(stats("decontaminated") <= stats("deduped"))
     assert(stats("decontaminated_fuzzy") <= stats("decontaminated"))
-    assert(stats("mixed") <= stats("decontaminated_fuzzy"))
+    assert(stats("capped") <= stats("decontaminated_fuzzy"))
+    assert(stats("mixed") <= stats("capped"))
     // folds partition the mixed corpus
     assert(stats("train") + stats("val") + stats("test") == stats("mixed"))
     // packing covers every training doc and derives a sane sequence count:

@@ -138,7 +138,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a full sort:\n$p")
   }
 
-  test("q55-q61: round-3 additions keep sane physical shapes") {
+  test("q55-q70: round-3 additions keep sane physical shapes") {
     // q55: bloom pre-filter runs scan-side on the fact table; the join
     // itself broadcasts the urgent-orders side — no loop join, and the
     // fact side is never hash-exchanged for the join at this selectivity
@@ -184,6 +184,15 @@ class PlanSpec extends SparkSpec {
     assert(p67.contains("Union") && !p67.contains("Join"),
       s"q67 shape changed:\n$p67")
     assert(exchanges(p67) <= 2, "q67 gained extra shuffles")
+    // q68/q69: bench n-grams / vocabulary travel by BROADCAST — the
+    // corpus is never shuffled by n-gram or token for the join
+    assert(plan("q68_contamination_report").contains("BroadcastHashJoin"),
+      "q68 bench side not broadcast")
+    assert(plan("q69_unigram_nll").contains("BroadcastHashJoin"),
+      "q69 vocabulary not broadcast")
+    // q70: the spine join is tiny-tiny — no loop join over raw events
+    val p70 = plan("q70_gap_fill")
+    assert(!p70.contains("CartesianProduct"), s"q70 planned a cartesian:\n$p70")
   }
 
   test("whole-stage codegen covers the relational inventory hot paths") {
