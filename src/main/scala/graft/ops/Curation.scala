@@ -687,7 +687,8 @@ object Curation {
     */
   def unigramNllStats(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("t"))
     val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val tot = freq.agg(sum(col("c")).as("n"))
     tok.join(broadcast(freq), Seq("t"))

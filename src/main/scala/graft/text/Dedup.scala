@@ -499,17 +499,23 @@ object Dedup {
     * instead of purging, counts per BENCHMARK item how many distinct
     * corpus docs share an n-gram with it (which eval items leak most,
     * how bad, and whether a single boilerplate question is inflating
-    * the purge). Same broadcast shape: the corpus streams through one
-    * scan-side shingle join, never shuffled by n-gram.
+    * the purge). Same broadcast shape as the purge: the corpus streams
+    * through one scan-side shingle join, never shuffled by n-gram —
+    * and the same `hashKeys` option (broadcast 8-byte xxhash64 keys
+    * instead of n-gram strings, the 100 TB form; a collision only
+    * inflates a count at ~2⁻⁶⁴ per pair).
     */
   def contaminationReport(
       corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 8): DataFrame = {
-    val benchSh = broadcast(
+      idCol: String, textCol: String, n: Int = 8,
+      hashKeys: Boolean = false): DataFrame = {
+    def keyed(df: DataFrame): DataFrame =
+      if (hashKeys) df.withColumn("s", xxhash64(col("s"))) else df
+    val benchSh = broadcast(keyed(
       shingleTable(benchmark, idCol, textCol, n)
-        .select(col("id").as("bench_id"), explode(col("sh")).as("s")))
-    shingleTable(corpus, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id").as("bench_id"), explode(col("sh")).as("s"))))
+    keyed(shingleTable(corpus, idCol, textCol, n)
+        .select(col("id"), explode(col("sh")).as("s")))
       .join(benchSh, Seq("s"))
       .groupBy(col("bench_id"))
       .agg(countDistinct(col("id")).as("n_docs"))

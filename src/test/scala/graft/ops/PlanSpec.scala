@@ -190,9 +190,10 @@ class PlanSpec extends SparkSpec {
       "q68 bench side not broadcast")
     assert(plan("q69_unigram_nll").contains("BroadcastHashJoin"),
       "q69 vocabulary not broadcast")
-    // q70: the spine join is tiny-tiny — no loop join over raw events
+    // q70: the spine join is a keyed equi-join — no loop join of any kind
     val p70 = plan("q70_gap_fill")
-    assert(!p70.contains("CartesianProduct"), s"q70 planned a cartesian:\n$p70")
+    assert(!p70.contains("CartesianProduct") && !p70.contains("BroadcastNestedLoopJoin"),
+      s"q70 planned a loop join:\n$p70")
   }
 
   test("whole-stage codegen covers the relational inventory hot paths") {

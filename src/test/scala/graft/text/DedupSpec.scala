@@ -263,6 +263,18 @@ class DedupSpec extends SparkSpec {
     assert(viaSql.length == 3 && viaSql.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("contaminationReport hashKeys path equals the string-key path") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    def report(hk: Boolean) =
+      Dedup.contaminationReport(corpus, bench, "doc_id", "text", 8, hashKeys = hk)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (byString, byHash) = (report(false), report(true))
+    assert(byString.nonEmpty, "weak fixture: no contamination found")
+    assert(byString == byHash, "hashKeys report diverged from string keys")
+  }
+
   test("decontaminateFuzzy purges rewritten benchmark leaks exact n-grams miss") {
     val corpus = Tables.load(spark, sf, "documents").select("doc_id", "text")
     val leaked = corpus.filter(col("doc_id").isin(0L, 7L))
