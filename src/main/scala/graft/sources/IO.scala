@@ -26,6 +26,20 @@ object IO {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC round-trip — the other columnar format large estates carry
+    * (Hive-era tables); same pushdown/pruning behavior as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Raw text ingestion: one row per line (`value: string`) — the entry
+    * point for unstructured corpora before any schema exists. Pair with
+    * `input_file_name()` when provenance must survive the read. */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** Read a parquet layout whose schema GREW over time: `mergeSchema`
     * unions the per-file footers so old files surface the new columns
     * as nulls (the default read trusts one footer and silently drops

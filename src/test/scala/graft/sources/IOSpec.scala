@@ -87,6 +87,21 @@ class IOSpec extends SparkSpec {
       s"repeated replayStream calls leaked ${added.size} staging dirs")
   }
 
+  test("orc round-trip preserves data; text source reads raw lines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    IO.writeOrc(docs, s"$dir/docs_orc")
+    val back = IO.orc(spark, s"$dir/docs_orc")
+    assert(back.schema == docs.schema)
+    assert(back.orderBy("doc_id").collect()
+      .sameElements(docs.orderBy("doc_id").collect()))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/raw.txt"),
+      "line one\nline two\n".getBytes)
+    val lines = IO.textLines(spark, s"$dir/raw.txt").as[String].collect().sorted
+    assert(lines.toSeq == Seq("line one", "line two"))
+  }
+
   test("upsert: updates replace, inserts add, untouched rows carry over") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
