@@ -25,7 +25,13 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity dot(a,b)/(|a||b|) over array<double> inputs. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+  /** Cosine similarity dot(a,b)/(|a||b|) over array<double> inputs.
+    * Zero-norm operands yield 0.0, matching the native
+    * [[graft.functions.expressions.CosineSimilarity]] — NaN would
+    * satisfy every `>= tau` filter under Spark's NaN-is-largest
+    * ordering. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = sqrt(normSq(a)) * sqrt(normSq(b))
+    when(denom === 0d, lit(0d)).otherwise(dot(a, b) / denom)
+  }
 }

@@ -19,6 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Null elements are not expected (embeddings are dense); a null array
   * yields null via BinaryExpression's default null intolerance.
+  *
+  * A zero-norm operand yields 0.0, NOT NaN (0/0). Under Spark's
+  * NaN-is-largest ordering semantics a NaN cosine satisfies every
+  * `>= tau` threshold, so one all-zeros embedding would otherwise pair
+  * with its whole cell in [[graft.vector.SemanticDedup]] and collapse
+  * the cell into a single component. "No direction ⇒ similar to
+  * nothing" is the only threshold-safe convention.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -39,7 +46,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0d) 0d else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -59,7 +67,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $y = $b.getDouble($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double ${n}_denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ${n}_denom == 0.0 ? 0.0 : $dot / ${n}_denom;
        """.stripMargin
     })
 

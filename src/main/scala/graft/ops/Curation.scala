@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
 
 /** Training-data-curation operator inventory (builder prompt: dedup,
   * similarity search, multimodal, text analysis), exposed as driver
-  * queries. Everything except q24 (xxhash64-derived Hamming distances)
-  * and q31 (implementation-specific HLL estimates) carries a DuckDB
-  * oracle in [[CurationOracle]]; those two are rows-only checked by the
-  * driver and recall/bound-tested in ScalaTest.
+  * queries. EVERY entry carries a DuckDB oracle in [[CurationOracle]]:
+  * q24 runs the banded SimHash pairing over an md5-derived signature
+  * the oracle recomputes from scratch, and q31 emits the HLL estimate
+  * as a deterministic within-bound boolean next to the exact count.
   */
 object Curation {
 
@@ -59,10 +59,18 @@ object Curation {
         shingleLen = 3, b = 16, r = 4, threshold = 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** q24 — SimHash near-dup pairs (rows-only). */
+  /** q24 — SimHash near-dup pairs (oracle-checked): the banded pairing
+    * runs over [[Dedup.simhashMd5]], a 60-bit signature the DuckDB
+    * oracle recomputes from scratch (md5 is engine-independent), then
+    * pairs by exact all-pairs `bit_count(xor) <= 3`. The 4-band
+    * pigeonhole guarantee makes Spark's banded output provably EQUAL to
+    * that exact set, so hash-match verifies the whole pairing algebra.
+    * Production dedup uses the xxhash64 native signature
+    * ([[Dedup.simhashOfTokens]]) — same pairing code path, faster hash.
+    */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.nearSimhash(Tables.load(spark, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)
+        maxHamming = 3, sig = Dedup.simhashMd5, sigBits = 60)
       .orderBy(col("id_a"), col("id_b"))
 
   /** q25 — exact n-gram Jaccard near-dup pairs (oracle-checked: the
@@ -125,12 +133,25 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  /** q31 — approximate distinct users per event type (rows-only; bound
-    * vs exact Q06 is ScalaTest-asserted per SURVEY A3). */
+  /** q31 — approximate distinct users per event type (oracle-checked):
+    * emits the exact count next to a deterministic `approx_ok` boolean
+    * (HLL++ estimate within 3×rsd = 15% of exact — Spark's sketch is
+    * deterministic on fixed data, so the boolean is stable). The DuckDB
+    * oracle reproduces `exact_u` and asserts the boolean is `true`,
+    * which turns the implementation-specific estimate into a
+    * hash-checkable contract; tighter bound assertions live in
+    * ScalaTest (SURVEY A3). Production use is the approx aggregate
+    * alone — `exact_u` here is the oracle's anchor.
+    */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_u"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_u"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx"))
+      .select(col("event_type"), col("exact_u"),
+        (abs(col("approx") - col("exact_u"))
+          <= col("exact_u") * lit(0.15)).as("approx_ok"))
       .orderBy(col("event_type"))
 
   /** q37 — exact top-10 vocabulary head (oracle-checked); the
@@ -554,15 +575,29 @@ object Curation {
       salt: Long = 0L): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
     val id = col(idCol).cast("long")
-    val checked = when(id.isNull,
-      raise_error(lit(s"bernoulliSample: null or non-integral $idCol — " +
-        "the kept set must be a pure function of ids"))).otherwise(id)
+    // negatives raise like nulls: Spark pmod vs SQL % and shiftright on
+    // negatives silently diverge from the oracle instead of erroring
+    val checked = when(id.isNull || id < 0,
+      raise_error(lit(s"bernoulliSample: null, negative or non-integral $idCol — " +
+        "the kept set must be a pure function of NON-NEGATIVE ids"))).otherwise(id)
+    df.filter(pmod(mixedKey(checked, salt), lit(1000000L))
+      < lit(math.round(fraction * 1000000)))
+  }
+
+  /** The two-term id mixer shared by [[bernoulliSample]] and
+    * [[capPerSource]]: LOW residue (`id mod 1000003`) plus HIGH bits
+    * (`id >> 16`) — ids in the same residue class differ by ≥ 1000003 >
+    * 2¹⁶, so their high-bits term always differs and no residue class
+    * ever ties as a block. All intermediates stay < 2⁶³ (ANSI-safe);
+    * caller guarantees non-negative non-null ids. Oracles replay it
+    * verbatim in SQL (q58, q66).
+    */
+  private def mixedKey(id: Column, salt: Long): Column = {
     val inner = pmod(
-      pmod(checked, lit(1000003L)) * lit(2654435761L) +
-        shiftright(checked, 16) * lit(7919L) + lit(salt * 10007L),
+      pmod(id, lit(1000003L)) * lit(2654435761L) +
+        shiftright(id, 16) * lit(7919L) + lit(salt * 10007L),
       lit(1000000007L))
-    val key = pmod(inner * lit(2654435761L), lit(1000000007L))
-    df.filter(pmod(key, lit(1000000L)) < lit(math.round(fraction * 1000000)))
+    pmod(inner * lit(2654435761L), lit(1000000007L))
   }
 
   /** q57 — RAG-style chunking stats (oracle-checked): 64-token chunks
@@ -638,11 +673,16 @@ object Curation {
     // arbitrarily across layouts); the guard checks the CASTED value —
     // a string/UUID id casts to null without error, and null sort keys
     // sort FIRST in Spark, so they would silently fill the cap
+    // order by the TWO-term mixer, not the single-modulus shuffleKey:
+    // with only `id mod 1000003` every id in a residue class ties on
+    // the key, so for sources past ~10⁶ docs the doc_id tiebreak would
+    // bias the kept set toward low ids — the exact residue-class skew
+    // bernoulliSample's doc warns about
     val idL = col(idCol).cast("long")
     val checkedKey = when(idL.isNull,
       raise_error(lit(s"capPerSource: null or non-integral $idCol — the " +
         "capped subset is undefined without a total id order; hash " +
-        "string ids to long first"))).otherwise(shuffleKey(idL, 0))
+        "string ids to long first"))).otherwise(mixedKey(idL, 0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(srcCol))
       .orderBy(checkedKey, col(idCol))

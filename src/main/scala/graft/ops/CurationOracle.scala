@@ -2,10 +2,13 @@ package graft.ops
 
 /** DuckDB oracle SQL for the SQL-expressible subset of [[Curation]].
   *
-  * q24 (SimHash emits an xxhash64-derived Hamming distance DuckDB cannot
-  * reproduce) and q31 (HLL estimates are implementation-specific) stay
-  * oracle-free — the driver records rows-only checks and ScalaTest owns
-  * recall/bound assertions.
+  * q24 pairs over the md5-derived [[graft.text.Dedup.simhashMd5]]
+  * signature, which this oracle recomputes FROM SCRATCH (md5 hex is
+  * engine-independent) and pairs by exact all-pairs
+  * `bit_count(xor) <= 3` — Spark's banded form is provably equal by
+  * the 4-band pigeonhole. q31 renders the implementation-specific HLL
+  * estimate as a within-bound boolean next to the exact count, which
+  * the oracle reproduces exactly.
   *
   * q23/q28/q29 ARE oracle-checked even though the operators are
   * hash/LSH-based, because on fixed data with fixed seeds their output
@@ -33,6 +36,31 @@ object CurationOracle {
       """SELECT source, round(avg(CAST(length(text) AS DOUBLE)),4) avg_len,
         |       round(avg(CAST(len(list_filter(string_split(lower(text),' '), x -> x IN ('the','of','and','a','to','in','is','it','that','for'))) AS DOUBLE) / greatest(len(string_split(text,' ')),1)),6) stop_ratio
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // simhash twin: recompute the md5-derived 60-bit signature from
+    // scratch (token MULTISET vote; first 15 hex chars of md5(token)
+    // parsed big-endian; tie bits = 0), then exact all-pairs Hamming —
+    // Spark's banded candidate generation is provably equal to this set
+    "q24_dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, tok -> CAST(list_sum(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef', md5(tok)[i]) - 1 AS BIGINT)
+        |           * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)) hs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN 2 * len(list_filter(hs, hv -> (hv >> j) & 1 = 1)) > len(hs)
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) sig
+        |  FROM h)
+        |SELECT a.doc_id id_a, b.doc_id id_b,
+        |       bit_count(xor(a.sig, b.sig)) hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q25_dedup_ngram" ->
       """WITH sh AS (
@@ -91,6 +119,13 @@ object CurationOracle {
     "q30_mm_meta" ->
       """SELECT source, count(*) n, CAST(sum(octet_length(encode(text))) AS BIGINT) total_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // HLL twin: the oracle reproduces the exact distinct count; the
+    // boolean contract "estimate within 3×rsd of exact" is always true
+    // for a correct HLL++ at rsd 0.05, so `true` is the expected value
+    "q31_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) exact_u, true approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q37_top_tokens" ->
       """SELECT token, count(*) cnt FROM (
@@ -238,7 +273,7 @@ object CurationOracle {
         |  SELECT source, nt,
         |         sum(nt) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
         |  FROM t)
-        |SELECT source, (cum-1)//128 - (cum-nt)//128 + 1 n_seqs,
+        |SELECT source, CAST((cum-1)//128 - (cum-nt)//128 + 1 AS BIGINT) n_seqs,
         |       count(*) n_docs, CAST(sum(nt) AS BIGINT) tokens
         |FROM c GROUP BY source, n_seqs ORDER BY source, n_seqs""".stripMargin,
 
@@ -315,11 +350,14 @@ object CurationOracle {
         |FROM m ORDER BY source""".stripMargin,
 
     // same epoch-0 shuffle-key mixer as Curation.capPerSource
+    // cap ordering replays the two-term mixer (low residue + high bits)
+    // so residue classes never tie as a block — mirrors Curation.mixedKey
     "q66_source_cap" ->
       """WITH r AS (
         |  SELECT source, text, row_number() OVER (
         |    PARTITION BY source
-        |    ORDER BY (doc_id % 1000003) * 2654435761 % 1000000007, doc_id) rk
+        |    ORDER BY ((doc_id % 1000003) * 2654435761 + (doc_id >> 16) * 7919)
+        |             % 1000000007 * 2654435761 % 1000000007, doc_id) rk
         |  FROM documents)
         |SELECT source, count(*) n_docs,
         |       CAST(sum(len(string_split(text,' '))) AS BIGINT) tokens

@@ -238,12 +238,13 @@ object OracleSql {
         |         wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // list outputs canonicalize identically (both engines surface plain
-    // lists); sort AFTER distinct — distinct's order is impl-defined
+    // arrays rendered as space-joined strings (pandas comparator can't
+    // hash list cells); sort AFTER distinct — distinct's order is
+    // impl-defined
     "q63_array_ops" ->
-      """SELECT doc_id, list_sort(list_distinct(toks))[1:5] first5,
+      """SELECT doc_id, array_to_string(list_sort(list_distinct(toks))[1:5], ' ') first5,
         |       len(list_distinct(toks)) n_distinct,
-        |       list_reverse(toks)[1:3] rev3,
+        |       array_to_string(list_reverse(toks)[1:3], ' ') rev3,
         |       list_contains(toks, 'the') has_the
         |FROM (SELECT doc_id, string_split(text,' ') toks FROM documents WHERE doc_id < 10) t
         |ORDER BY doc_id""".stripMargin,
@@ -290,5 +291,19 @@ object OracleSql {
         |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) h FROM bounds)
         |SELECT h, coalesce(c, 0) c, coalesce(s, 0.0) s
         |FROM spine LEFT JOIN hourly USING (h)
-        |ORDER BY h LIMIT 200""".stripMargin)
+        |ORDER BY h LIMIT 200""".stripMargin,
+
+    // decimal twin: EXACT decimal sums rendered as strings (identical
+    // across engines); avg divides the exact decimal sum as double —
+    // DuckDB's avg(DECIMAL) returns DOUBLE, so avg is never aggregated
+    // natively on either side
+    "q71_decimal_pricing" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) sum_base,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) sum_disc,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) avg_price,
+        |       count(*) cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -533,19 +533,22 @@ object Relational {
 
   /** q63 — array-operation battery over tokenized documents: sort,
     * distinct, slice, reverse, membership — the HOF/array surface a
-    * curation stage leans on, hash-checked against the oracle's list
-    * functions (array outputs canonicalize identically: both engines
-    * surface plain lists). `array_sort` AFTER `array_distinct` because
-    * distinct's output order is implementation-defined in both engines.
+    * curation stage leans on. The array results are rendered as
+    * space-joined strings (`array_join` / `array_to_string`) because the
+    * driver's pandas comparator cannot sort/hash raw list cells
+    * (numpy.ndarray is unhashable — CORRECTNESS_r03 q63 err); the array
+    * operators themselves are unchanged, only the output rendering is
+    * scalar. `array_sort` AFTER `array_distinct` because distinct's
+    * output order is implementation-defined in both engines.
     */
   def q63(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .filter(col("doc_id") < 10)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        slice(array_sort(array_distinct(col("toks"))), 1, 5).as("first5"),
+        array_join(slice(array_sort(array_distinct(col("toks"))), 1, 5), " ").as("first5"),
         size(array_distinct(col("toks"))).as("n_distinct"),
-        slice(reverse(col("toks")), 1, 3).as("rev3"),
+        array_join(slice(reverse(col("toks")), 1, 3), " ").as("rev3"),
         array_contains(col("toks"), "the").as("has_the"))
       .transform(orderedSmall(_, col("doc_id")))
 
@@ -639,6 +642,35 @@ object Relational {
       .orderBy(col("h")).limit(200)
   }
 
+  /** q71 — DecimalType surface (oracle-checked): the corpus stores
+    * money as double (SURVEY §1.2 put decimals off the critical path),
+    * but real money columns arrive as DECIMAL fast — so cast at the
+    * scan and aggregate in EXACT decimal arithmetic (sum, discounted
+    * sum). Sums are rendered as strings: decimal-to-string is exact
+    * and identical across engines, where double rendering can diverge
+    * in the last bit. The avg goes through the exact decimal sum, cast
+    * to double only for the final division (both engines divide the
+    * same exact value — deterministic IEEE). DuckDB's `avg(DECIMAL)`
+    * returns DOUBLE, which is why avg is NOT aggregated natively.
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = col("l_discount").cast("decimal(4,2)")
+    li.filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(price).as("sum_base_dec"),
+        sum(price * (lit(1) - disc)).as("sum_disc_dec"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        col("sum_base_dec").cast("string").as("sum_base"),
+        col("sum_disc_dec").cast("string").as("sum_disc"),
+        round(col("sum_base_dec").cast("double") / col("cnt"), 4).as("avg_price"),
+        col("cnt"))
+      .transform(orderedSmall(_, col("l_returnflag")))
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -679,7 +711,8 @@ object Relational {
     "q64_late_alone" -> (q64 _),
     "q65_full_outer" -> (q65 _),
     "q67_schema_drift" -> (q67 _),
-    "q70_gap_fill" -> (q70 _))
+    "q70_gap_fill" -> (q70 _),
+    "q71_decimal_pricing" -> (q71 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -196,28 +196,63 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (0–31).
+  /** Oracle-reproducible SimHash: a 60-bit signature whose per-token
+    * bit source is the first 15 hex chars of `md5(token)` parsed as an
+    * integer — computable IDENTICALLY in any engine with `md5` (the
+    * DuckDB oracle for q24 recomputes it from scratch; see
+    * [[graft.ops.CurationOracle]]). 15 hex chars = 60 bits keeps the
+    * value inside a signed 64-bit int in both engines. Production paths
+    * use [[simhashOfTokens]] (xxhash64, native codegen'd expression —
+    * measurably faster); this variant exists so the PAIRING algebra
+    * (banding, pigeonhole recall, Hamming verify) gets an
+    * engine-independent correctness check. The vote is over the token
+    * MULTISET, matching [[simhashOfTokens]] — this corpus draws from a
+    * small shared vocabulary, so set-based votes would correlate across
+    * unrelated docs (measured: 3k spurious pairs at sf0.001 vs 25 for
+    * multiset). A bit with exactly half the votes (tie) is 0.
+    */
+  def simhashMd5(toks: Column): Column = {
+    val hs = transform(toks,
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bits = transform(sequence(lit(0), lit(59)), j =>
+      when(
+        size(filter(hs, h =>
+          call_function("shiftright", h, j).bitwiseAND(1) === 1)) * 2
+          > size(hs),
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Banding by fingerprint chunks bounds the self-join; the pigeonhole
     * guarantee needs maxHamming+1 chunks (≤ maxHamming differing bits
     * can dirty at most maxHamming chunks, so ≥1 chunk matches exactly),
-    * so the chunk count is DERIVED from maxHamming — the 64 bits are
-    * split into maxHamming+1 near-equal-width chunks. Wider maxHamming ⇒
-    * narrower chunks ⇒ more collisions: recall stays exact, cost grows.
+    * so the chunk count is DERIVED from maxHamming — the `sigBits` bits
+    * are split into maxHamming+1 near-equal-width chunks. Wider
+    * maxHamming ⇒ narrower chunks ⇒ more collisions: recall stays
+    * exact, cost grows.
+    *
+    * @param sig     signature expression over the token-array column;
+    *                default is the production xxhash64 native
+    *                expression, [[simhashMd5]] is the oracle twin
+    * @param sigBits width of the signature produced by `sig`
     */
   def nearSimhash(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // > 31 would make chunks < 2 bits wide: every row collides with a
-    // quarter of the corpus and banding no longer bounds anything
-    require(maxHamming >= 0 && maxHamming <= 31,
-      s"maxHamming must be in [0, 31], got $maxHamming")
+      maxHamming: Int = 3,
+      sig: Column => Column = simhashOfTokens,
+      sigBits: Int = 64): DataFrame = {
+    // chunks < 2 bits wide would make every row collide with a quarter
+    // of the corpus and banding no longer bounds anything
+    require(maxHamming >= 0 && (maxHamming + 1) * 2 <= sigBits,
+      s"maxHamming must be in [0, ${sigBits / 2 - 1}] for $sigBits-bit signatures, got $maxHamming")
     graft.GraftFunctions.register(df.sparkSession)
     val numChunks = maxHamming + 1
-    // distribute 64 bits over numChunks chunks, widths differing by ≤1
-    val baseW = 64 / numChunks
-    val extra = 64 % numChunks
+    // distribute sigBits bits over numChunks chunks, widths differing by ≤1
+    val baseW = sigBits / numChunks
+    val extra = sigBits % numChunks
     val chunks: Seq[(Int, Int)] = { // (bitOffset, width)
       var off = 0
       (0 until numChunks).map { c =>
@@ -231,7 +266,7 @@ object Dedup {
     // so spread rows regardless of input file size
     val fp = df.repartition(parallelism, col(idCol))
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
-      .select(col("id"), simhashOfTokens(col("toks")).as("fp"))
+      .select(col("id"), sig(col("toks")).as("fp"))
     val chunkCols = chunks.map { case (off, w) =>
       val mask = if (w >= 64) -1L else (1L << w) - 1
       call_function("shiftright", col("fp"), lit(off)).bitwiseAND(lit(mask))
@@ -335,9 +370,15 @@ object Dedup {
     * `localCheckpoint` so the plan stays bounded. Iterations needed =
     * component diameter — near-dup graphs are clique-ish (tiny
     * diameter), so convergence is fast; `maxIters` only guards
-    * pathological chains. At cluster scale swap `localCheckpoint` for
-    * reliable `checkpoint` (HDFS/S3) so a lost executor cannot force a
-    * full-lineage replay.
+    * pathological chains.
+    *
+    * `checkpointDir` selects the truncation mode: `None` (default)
+    * uses `localCheckpoint` — fastest, but blocks live on executors,
+    * so ONE lost executor forces the whole job to restart (fine in
+    * local mode / short jobs). At cluster scale pass a reliable
+    * HDFS/S3 path: iterations then `checkpoint()` to durable storage
+    * and an hours-long 100 TB dedup survives executor loss. The dir is
+    * set once per SparkContext (a pre-set dir is respected).
     *
     * @return (id, cluster_id) — one row per node that appears in
     *         `pairs`; cluster_id = min id of its component.
@@ -346,14 +387,20 @@ object Dedup {
       pairs: DataFrame,
       idACol: String,
       idBCol: String,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach { dir =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    }
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val sym = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
+    var labels = truncate(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -361,11 +408,10 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nc")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nc")).as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = truncate(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint()
+            .as("cluster_id")))
       // labels only ever decrease, so "no label decreased" = fixpoint
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))

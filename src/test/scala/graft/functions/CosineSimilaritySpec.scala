@@ -34,6 +34,29 @@ class CosineSimilaritySpec extends SparkSpec {
     assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, s"fell out of codegen:\n$plan")
   }
 
+  test("zero-norm operand yields 0.0, not NaN, in native and HOF forms") {
+    GraftFunctions.register(spark)
+    // NaN would satisfy every >= tau threshold under Spark's
+    // NaN-is-largest ordering and collapse SemanticDedup cells
+    val df = spark.sql(
+      """SELECT cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) zl,
+        |       cosine_sim(array(1.0d, 2.0d), array(0.0d, 0.0d)) zr,
+        |       cosine_sim(array(0.0d, 0.0d), array(0.0d, 0.0d)) zz""".stripMargin)
+    val r = df.head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0,
+      s"zero-norm cosine not 0.0: $r")
+    // interpreted eval path agrees with codegen
+    val e = graft.functions.expressions.CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.0, 0.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3.0, 4.0), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 0.0)
+    val hof = spark.range(1).select(
+      cosine(lit(Array(0.0, 0.0)), lit(Array(3.0, 4.0))).as("c")).head.getDouble(0)
+    assert(hof == 0.0, s"HOF zero-norm cosine not 0.0: $hof")
+  }
+
   test("extensions-injected session exposes cosine_sim without registration") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -139,6 +139,13 @@ class CurationSpec extends SparkSpec {
       Curation.bernoulliSample(withNull, "id", 1.0).collect()
     }
     assert(err.getMessage.contains("bernoulliSample"), s"wrong error: ${err.getMessage}")
+    // negative ids raise too: pmod/% and shiftright disagree across
+    // engines on negatives, so they'd silently diverge from the oracle
+    val withNeg = Seq(1L, -5L).toDF("id")
+    val errNeg = intercept[Exception] {
+      Curation.bernoulliSample(withNeg, "id", 1.0).collect()
+    }
+    assert(errNeg.getMessage.contains("bernoulliSample"), s"wrong error: ${errNeg.getMessage}")
   }
 
   test("capPerSource: big sources land at the cap, small pass whole, layout-stable") {

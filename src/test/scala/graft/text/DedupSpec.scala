@@ -119,6 +119,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("md5 simhash (oracle twin): banded pairing equals brute force; 60-bit signature") {
+    // the q24 oracle recomputes this signature in DuckDB from scratch;
+    // here the banded candidate generation is checked against exact
+    // all-pairs over the same signatures (pigeonhole completeness)
+    val sample = docs.limit(60)
+      .select(col("doc_id").as("id"),
+        Dedup.simhashMd5(split(col("text"), " ")).as("fp"))
+    assert(sample.filter(col("fp") < 0L || col("fp") >= (1L << 60)).count() == 0,
+      "signature escaped 60 bits")
+    val l = sample.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val r = sample.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    val brute = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 3)
+      .collect().map(row => (row.getAs[Long]("id_a"), row.getAs[Long]("id_b"))).toSet
+    val banded = Dedup.nearSimhash(docs.limit(60), "doc_id", "text",
+        maxHamming = 3, sig = Dedup.simhashMd5, sigBits = 60)
+      .collect().map(row => (row.getAs[Long]("id_a"), row.getAs[Long]("id_b"))).toSet
+    assert(banded == brute, s"banding missed ${brute -- banded}")
+  }
+
   test("capped ngram jaccard equals the uncapped operator on the corpus") {
     val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -151,6 +171,25 @@ class DedupSpec extends SparkSpec {
     assert((1L to 7L).forall(cc(_) == 1L), s"path component wrong: $cc")
     assert(cc(10L) == 10L && cc(11L) == 10L)
     assert(cc.size == 9)
+  }
+
+  test("connectedComponents: reliable-checkpoint mode matches localCheckpoint mode") {
+    // checkpointDir = Some(path) swaps localCheckpoint (executor-loss-
+    // unsafe) for durable checkpoint() — same labels either way
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = Dedup.connectedComponents(edges, "id_a", "id_b",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    // checkpoint files actually landed in the durable dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no checkpoint files written under $dir")
   }
 
   test("connectedComponents matches brute force on the corpus pair graph") {

@@ -33,6 +33,21 @@ class SemanticDedupSpec extends SparkSpec {
     assert(pairs.contains((3L, 100003L)) && pairs.contains((17L, 100017L)))
   }
 
+  test("a zero-norm embedding pairs with nothing and survives dedup") {
+    // cosine(0⃗, v) is defined as 0.0 (not NaN — which Spark orders
+    // ABOVE every tau, so one zero vector would otherwise pair with its
+    // whole cell and dedup would collapse the cell to one doc)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val zero = Seq((999999L, Array.fill(dim)(0f))).toDF("vec_id", "embedding")
+    val corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    val pairs = SemanticDedup.semanticPairs(corpus, "vec_id", "embedding", 0.35, numCells = 1)
+    assert(pairs.filter(col("id_a") === 999999L || col("id_b") === 999999L).count() == 0,
+      "zero vector paired with something")
+    val kept = SemanticDedup.dedup(corpus, "vec_id", "embedding", 0.35, numCells = 1)
+    assert(kept.filter(col("vec_id") === 999999L).count() == 1,
+      "zero vector was deduped away")
+  }
+
   test("empty corpus dedups to empty, not a trainer error") {
     val empty = emb.limit(0)
     assert(SemanticDedup.semanticPairs(empty, "vec_id", "embedding", 0.35).count() == 0)
