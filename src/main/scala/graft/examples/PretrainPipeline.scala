@@ -1,17 +1,18 @@
 package graft.examples
 
 import graft.Tables
-import graft.ops.Curation
+import graft.ops.{Curation, Validate}
 import graft.text.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The full training-data path, end to end, on the public API:
   *
-  *   quality filter → outlier trim → cluster dedup → benchmark
-  *   decontamination (exact n-gram, then fuzzy MinHash) → domain cap →
-  *   source-mixture resampling → train/val/test split → epoch shuffle →
-  *   sequence packing → sharded write.
+  *   validation gate (dead-letter quarantine) → quality filter →
+  *   outlier trim → cluster dedup → benchmark decontamination (exact
+  *   n-gram, then fuzzy MinHash) → domain cap → source-mixture
+  *   resampling → train/val/test split → epoch shuffle → sequence
+  *   packing → sharded write.
   *
   * Every step is a deterministic, shuffle-frugal operator documented for
   * 100 TB in its own scaladoc; this example is the composition proof —
@@ -21,12 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object PretrainPipeline {
 
+  /** The ingest contract: rows violating ANY rule are quarantined to a
+    * dead-letter sink with their violation names, never silently
+    * dropped (clean ∪ quarantined = input — Validate.split invariant).
+    */
+  val ingestRules: Seq[Validate.Rule] = Seq(
+    Validate.notNull("doc_id"),
+    Validate.notNull("text"),
+    Validate.Rule("nonempty_text", length(col("text")) > 0),
+    Validate.Rule("nonneg_doc_id", col("doc_id") >= 0))
+
   /** Runs the pipeline at `dir`; returns (stage → row count) in order. */
-  def run(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+  def run(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    runOn(spark, Tables.load(spark, dir, "documents"))
+
+  /** Runs the pipeline on an already-loaded documents table (tests
+    * inject malformed rows here to drive the dead-letter path). */
+  def runOn(spark: SparkSession, rawDocs: DataFrame): Seq[(String, Long)] = {
     val stats = Seq.newBuilder[(String, Long)]
-    val docs = Tables.load(spark, dir, "documents")
+    stats += "raw" -> rawDocs.count()
+
+    // 0. validation gate: quarantine malformed rows to the dead-letter
+    //    sink BEFORE any operator assumes non-null ids/text (the
+    //    curation mixers RAISE on null/negative ids by design — the
+    //    gate is what keeps a poisoned batch from failing the job)
+    val (validDocs, quarantine) = Validate.split(rawDocs, ingestRules)
+    val dl = java.nio.file.Files.createTempDirectory("pretrain_deadletter").toString
+    quarantine.withColumn("violations", concat_ws(",", col("violations")))
+      .write.mode("overwrite").parquet(dl)
+    stats += "quarantined" -> spark.read.parquet(dl).count()
+    val docs = validDocs
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
-    stats += "raw" -> docs.count()
+    stats += "validated" -> docs.count()
 
     // 1. quality: token-count band + within-doc repetition cap
     val toks = split(col("text"), " ")

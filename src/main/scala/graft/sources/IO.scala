@@ -69,6 +69,21 @@ object IO {
   /** Bucketed table layout: co-locates rows by join key so repeated
     * big-big joins on `bucketCols` skip their shuffle entirely
     * (bucket-aware scan). Requires a metastore table, hence saveAsTable.
+    *
+    * Statistics posture (the 100 TB join-order contract): after the
+    * write, table-level stats (row count + size) are computed via
+    * [[analyzeTable]] so the CBO ranks this table against others from
+    * DAY ONE — join order must never depend on the accident of
+    * authoring order. Column NDV histograms are opt-in per query
+    * workload (`analyzeTable(spark, t, joinKeyCols)`) because FOR
+    * COLUMNS scans the data once more — at 100 TB run it on the join/
+    * filter keys only. PATH-based layouts ([[writeSorted]],
+    * [[writePartitioned]]) have no catalog entry to hang stats on:
+    * there Spark estimates from file sizes (`sizeInBytes`) and AQE
+    * re-plans joins at runtime from OBSERVED shuffle sizes — that pair
+    * is the documented reliance, and it is why every layout writer
+    * still produces evenly-sized files (the size estimate is only as
+    * good as the layout).
     */
   def writeBucketed(
       df: DataFrame, table: String,
@@ -78,6 +93,23 @@ object IO {
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .format("parquet").saveAsTable(table)
+    analyzeTable(df.sparkSession, table)
+  }
+
+  /** ANALYZE for metastore tables: table-level stats (row count, size)
+    * always; per-column min/max/NDV when `columns` is non-empty — the
+    * inputs Catalyst's cost-based join reordering and broadcast
+    * selection read. Cheap at any scale for the table-level pass
+    * (metadata-only for parquet); the FOR COLUMNS pass scans once, so
+    * restrict it to join/filter keys. [[writeBucketed]] runs the
+    * table-level pass automatically.
+    */
+  def analyzeTable(spark: SparkSession, table: String,
+      columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${columns.mkString(", ")}")
   }
 
   /** Sorted, range-partitioned layout — the data-skipping write: rows

@@ -1,0 +1,84 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import graft.ops.Relational
+import org.apache.spark.sql.SparkSession
+
+/** Per-query time breakdown for the bench suite: plan BUILD (analysis +
+  * optimization + physical planning, forced via `executedPlan`) vs
+  * EXECUTE (collect on the already-planned Dataset) vs re-EXECUTE
+  * (second collect on the same Dataset — pure job time, plan cached).
+  * Separates Catalyst's per-query constant from actual execution so
+  * bench tuning attacks the right term.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUF", "8")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuf)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
+    // extra configs: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.names.foreach(n => Tables.load(spark, sfDir, n).persist().count())
+
+    val names = Relational.allNames.filter(_.slice(1, 3).toInt <= 20)
+    def nowMs = System.nanoTime() / 1e6
+    // warm-up: everything JITs/codegens once
+    (1 to 2).foreach(_ => names.foreach(n => SparkEntry.queries(n)(spark, sfDir).collect()))
+    println(f"${"query"}%-28s ${"build"}%8s ${"exec1"}%8s ${"exec2"}%8s")
+    var (tb, t1, t2) = (0.0, 0.0, 0.0)
+    names.foreach { n =>
+      val a = nowMs
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.queryExecution.executedPlan // force full planning
+      val b = nowMs
+      df.collect()
+      val c = nowMs
+      df.collect()
+      val d = nowMs
+      tb += b - a; t1 += c - b; t2 += d - c
+      println(f"$n%-28s ${b - a}%8.1f ${c - b}%8.1f ${d - c}%8.1f")
+    }
+    println(f"${"TOTAL"}%-28s $tb%8.1f $t1%8.1f $t2%8.1f")
+
+    // stage-level anatomy of ONE fresh execution per query: where the
+    // wall time goes — inside tasks (executor run) or between them
+    // (scheduling gaps, serialization, codegen, broadcast build)
+    import org.apache.spark.scheduler._
+    import scala.collection.mutable
+    val stages = mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Long)]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
+        stages += ((si.stageId, si.numTasks, wall,
+          si.taskMetrics.executorRunTime,
+          si.taskMetrics.executorDeserializeTime,
+          si.taskMetrics.jvmGCTime))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    println(f"\n${"query"}%-28s ${"stages"}%6s ${"tasks"}%6s ${"stageWall"}%9s ${"run"}%7s ${"deser"}%7s ${"gc"}%5s ${"wall"}%8s")
+    names.foreach { n =>
+      stages.clear()
+      val a = nowMs
+      SparkEntry.queries(n)(spark, sfDir).collect()
+      val w = nowMs - a
+      Thread.sleep(300) // let the listener bus drain
+      val (nt, sw, run, de, gc) = stages.foldLeft((0, 0L, 0L, 0L, 0L)) {
+        case ((t, s, r, d, g), (_, t2, s2, r2, d2, g2)) => (t + t2, s + s2, r + r2, d + d2, g + g2)
+      }
+      println(f"$n%-28s ${stages.size}%6d $nt%6d $sw%9d $run%7d $de%7d $gc%5d $w%8.1f")
+    }
+    spark.stop()
+  }
+}

@@ -7,8 +7,12 @@ class ExamplesSpec extends SparkSpec {
 
   test("PretrainPipeline: monotone filtering, disjoint folds, sane packing") {
     val stats = PretrainPipeline.run(spark, sf).toMap
-    // every stage produced rows
-    assert(stats.values.forall(_ > 0), s"empty stage in $stats")
+    // every stage produced rows (the quarantine is rightly empty on a
+    // clean corpus — the poison test below drives it)
+    assert(stats.filter(_._1 != "quarantined").values.forall(_ > 0),
+      s"empty stage in $stats")
+    assert(stats("quarantined") == 0, s"clean corpus quarantined rows: $stats")
+    assert(stats("validated") == stats("raw"))
     // filters only remove
     assert(stats("quality") <= stats("raw"))
     assert(stats("trimmed") <= stats("quality"))
@@ -24,5 +28,29 @@ class ExamplesSpec extends SparkSpec {
     assert(stats("packed_docs") == stats("train"))
     assert(stats("sequences") > 0 && stats("boundary_docs") < stats("packed_docs"))
     assert(stats("shard_files") >= 1)
+  }
+
+  test("PretrainPipeline: malformed rows land in the dead-letter, not the job") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    // three poison rows: null text, empty text, negative id — each
+    // would RAISE inside the curation mixers if it got past the gate
+    val poison = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(9000001L, null, "srcX", "en", 0L),
+        org.apache.spark.sql.Row(9000002L, "", "srcX", "en", 0L),
+        org.apache.spark.sql.Row(-1L, "negative id doc", "srcX", "en", 15L))),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string")
+        .add("source", "string").add("lang", "string").add("n_chars", "long"))
+    val poisoned = docs.select("doc_id", "text", "source", "lang", "n_chars")
+      .unionByName(poison)
+    val clean = PretrainPipeline.runOn(spark,
+      docs.select("doc_id", "text", "source", "lang", "n_chars")).toMap
+    val stats = PretrainPipeline.runOn(spark, poisoned).toMap
+    assert(stats("quarantined") == 3, s"expected 3 quarantined rows: $stats")
+    // the gate isolates the poison: downstream stages are unchanged
+    assert(stats("validated") == clean("validated"))
+    assert(stats("train") == clean("train"))
   }
 }

@@ -56,6 +56,18 @@ class IOSpec extends SparkSpec {
     val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed scan still shuffled:\n$plan")
+    // the write computed catalog stats: the CBO sees a real row count,
+    // so join order never rides on authoring order (stats posture)
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("orders_bkt"))
+    assert(cat.stats.exists(_.rowCount.contains(BigInt(orders.count()))),
+      s"no row-count stats on bucketed table: ${cat.stats}")
+    // column-level NDV stats are opt-in on the join keys
+    IO.analyzeTable(spark, "orders_bkt", Seq("o_custkey"))
+    val cat2 = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("orders_bkt"))
+    assert(cat2.stats.exists(_.colStats.get("o_custkey").exists(_.distinctCount.isDefined)),
+      s"no NDV stats for o_custkey: ${cat2.stats.map(_.colStats)}")
   }
 
   test("compact rewrites a small-files layout into few files, data intact") {
