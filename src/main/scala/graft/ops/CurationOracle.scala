@@ -39,8 +39,12 @@ object CurationOracle {
 
     // simhash twin: recompute the md5-derived 60-bit signature from
     // scratch (token MULTISET vote; first 15 hex chars of md5(token)
-    // parsed big-endian; tie bits = 0), then exact all-pairs Hamming —
-    // Spark's banded candidate generation is provably equal to this set
+    // parsed big-endian; tie bits = 0), then pair via the same 4×15-bit
+    // banding Spark uses. The banding is NOT an approximation here:
+    // hamming ≤ 3 pairs differ in ≤ 3 of 4 bands, so ≥ 1 band matches
+    // exactly (pigeonhole) — band-join + verify ≡ all-pairs, and the
+    // equi-join keeps DuckDB off the O(n²) inequality nested loop that
+    // an `ON a.doc_id < b.doc_id` all-pairs form costs at sf0.1+
     "q24_dedup_simhash" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') toks FROM documents),
@@ -55,11 +59,16 @@ object CurationOracle {
         |    CAST(list_sum(list_transform(range(0, 60), j ->
         |      CASE WHEN 2 * len(list_filter(hs, hv -> (hv >> j) & 1 = 1)) > len(hs)
         |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) sig
-        |  FROM h)
-        |SELECT a.doc_id id_a, b.doc_id id_b,
-        |       bit_count(xor(a.sig, b.sig)) hamming
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 ck
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b) bi),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b, x.sig sa, y.sig sb
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.ck = y.ck
+        |  WHERE x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, bit_count(xor(sa, sb)) hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q25_dedup_ngram" ->

@@ -305,5 +305,17 @@ object OracleSql {
         |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) avg_price,
         |       count(*) cnt
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // map twin: the Spark side parses props into a real map column and
+    // explodes entries; the oracle reproduces the values from the JSON
+    // text (json_keys + computed-path json_extract)
+    "q72_map_entries" ->
+      """WITH kv AS (
+        |  SELECT event_type, unnest(json_keys(props)) k, props FROM events)
+        |SELECT event_type, k, count(*) n,
+        |       CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) sum_v,
+        |       min(CAST(json_extract(props, '$.' || k) AS BIGINT)) min_v,
+        |       max(CAST(json_extract(props, '$.' || k) AS BIGINT)) max_v
+        |FROM kv GROUP BY event_type, k ORDER BY event_type, k""".stripMargin)
 }

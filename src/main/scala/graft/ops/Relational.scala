@@ -5,6 +5,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
 
 /** The relational operator inventory, SURVEY.md §2.2 (Q01–Q20).
   *
@@ -671,6 +672,27 @@ object Relational {
       .transform(orderedSmall(_, col("l_returnflag")))
   }
 
+  /** q72 — MapType surface (oracle-checked): parse the JSON props into
+    * a real `map<string,bigint>` column, explode its entries, and
+    * aggregate per (event_type, key). Closes the declared MapType gap
+    * the same way q71 closes DecimalType: the corpus carries no native
+    * map column, so the map is materialized in-plan (`from_json` to
+    * MapType — schema-pinned, no sampling inference) and the map
+    * codepath (MapType encoder → generate/explode over entries) is what
+    * the query exercises; the oracle reproduces the values from the
+    * JSON text with `json_keys`/`json_extract`.
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.select(col("event_type"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(col("event_type"), explode(col("m")).as(Seq("k", "v")))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .transform(orderedSmall(_, col("event_type"), col("k")))
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -712,7 +734,8 @@ object Relational {
     "q65_full_outer" -> (q65 _),
     "q67_schema_drift" -> (q67 _),
     "q70_gap_fill" -> (q70 _),
-    "q71_decimal_pricing" -> (q71 _))
+    "q71_decimal_pricing" -> (q71 _),
+    "q72_map_entries" -> (q72 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

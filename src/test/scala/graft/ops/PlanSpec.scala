@@ -196,6 +196,31 @@ class PlanSpec extends SparkSpec {
       s"q70 planned a loop join:\n$p70")
   }
 
+  test("q24/q31/q71/q72: round-4 additions keep sane physical shapes") {
+    // q24: banded self-join on (chunk, chunk-key) — an equi join, never
+    // an all-pairs loop; one exchange for the band key join + dedup +
+    // final sort
+    val p24 = plan("q24_dedup_simhash")
+    assert(!p24.contains("CartesianProduct") && !p24.contains("BroadcastNestedLoopJoin"),
+      s"q24 degenerated to a loop join:\n$p24")
+    // q31: exact + approx distinct in ONE aggregate pass over events —
+    // no second scan for the exact side
+    val p31 = plan("q31_approx_distinct")
+    assert("HashAggregate".r.findAllIn(p31).size <= 4, // partial+final × expand pass
+      s"q31 re-scanned for exact/approx:\n$p31")
+    assert(!p31.contains("Join"), s"q31 must not join:\n$p31")
+    // q71: decimal agg is still one partial+final aggregate, pruned scan
+    val p71 = plan("q71_decimal_pricing")
+    assert(exchanges(p71) <= 2, s"q71 gained extra shuffles:\n$p71")
+    val read71 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p71).map(_.group(1)).getOrElse("")
+    assert(read71.split(",").length <= 4, s"q71 scan not pruned: $read71")
+    // q72: map explode is a narrow generate — only the agg (+ final
+    // small sort) shuffles
+    val p72 = plan("q72_map_entries")
+    assert(p72.contains("Generate"), s"q72 lost its explode:\n$p72")
+    assert(exchanges(p72) <= 2, s"q72 gained extra shuffles:\n$p72")
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>
