@@ -1,0 +1,32 @@
+package graft
+
+/** Inventory-integrity guard: the driver contract is only as good as
+  * the registration — a query written but not wired into
+  * `SparkEntry.queries`, or an oracle keyed to a missing/renamed query,
+  * silently drops out of the correctness gate. Every entry runs once at
+  * sf0.001 and must produce rows (the driver's smoke expectation).
+  */
+class InventorySpec extends SparkSpec {
+
+  test("every oracle key has a query; keys are well-formed") {
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert((ok -- qk).isEmpty, s"oracles without queries: ${ok -- qk}")
+    assert(qk.forall(_.matches("q\\d{2}_[a-z0-9_]+")), "malformed query key")
+    // the gate sorts columns by name: oracle SQL must not collide keys
+    assert(SparkEntry.oracleSql.size == ok.size)
+  }
+
+  test("every registered query executes at sf0.001 and returns rows") {
+    initQuiet()
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with zero rows at sf0.001: $empty")
+  }
+
+  test("flagship entry produces rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
