@@ -16,19 +16,23 @@ import org.apache.spark.sql.SparkSession
   * DuckDB's own buffer layer.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** The bench session, shared with [[graft.tools.Profile]] so the
+    * profiler measures the SAME engine config the bench runs — a
+    * profile under different knobs steers tuning at the wrong term.
+    * Env knobs: SPARK_GRAFT_CPUS, SPARK_GRAFT_SHUF (600 k-row shuffles
+    * don't amortize 32 tasks' dispatch — 8 measured ~25% faster at
+    * sf0.1, see tools/Tune), SPARK_GRAFT_CACHE_BATCH /
+    * SPARK_GRAFT_CACHE_COMPRESSED (cache scan knobs),
+    * SPARK_GRAFT_MAXPART, and SPARK_GRAFT_CONF ("k=v;k=v" passthrough).
+    */
+  def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // 600 k-row shuffles don't amortize 32 tasks' dispatch; 8 partitions
-    // measured ~25% faster per query at sf0.1 (see tools/Tune).
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUF", "8")
-    // cached-scan knobs: batch size bounds the codegen loop over
-    // InMemoryRelation batches; uncompressed cache trades memory (we
-    // have 128 GiB for ~20 MB of tables) for zero per-pass decode
     val cacheBatch = sys.env.getOrElse("SPARK_GRAFT_CACHE_BATCH", "65536")
     val cacheComp = sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESSED", "false")
     val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAXPART", "4194304")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.inMemoryColumnarStorage.batchSize", cacheBatch)
@@ -42,14 +46,25 @@ object Bench {
       // single-node 128 GiB: broadcasting a 10-30 MB side within the JVM
       // beats a shuffle; on a real cluster stats/AQE make this call
       .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  /** The 20 BASELINE.md headline queries (q32+ additions are not in the
+    * baseline suite; including them would skew the comparison). */
+  def headlineNames: Seq[String] =
+    graft.ops.Relational.allNames.filter(_.slice(1, 3).toInt <= 20)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
 
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).persist().count())
 
-    // headline = the 20 BASELINE.md queries (q32+ additions are not in
-    // the baseline suite; including them would skew the comparison)
-    val names = Relational.allNames.filter(_.slice(1, 3).toInt <= 20)
+    val names = headlineNames
     def runPass(): Map[String, Double] =
       names.map { name =>
         val t0 = System.nanoTime()
@@ -69,10 +84,11 @@ object Bench {
     // Per-query dispatch FLOOR (measured anatomy in BENCH_NOTES.md):
     // local-mode Spark pays a fixed per-job cost — plan→RDD, codegen
     // lookup, 2-stage scheduling, result fetch — that DuckDB's
-    // in-process executor doesn't. The probe is a suite-row-count
-    // `range(600k).sum()` rebuilt fresh each rep: the same two-stage
-    // aggregate shape as the suite queries with (measured) ~1 ms of
-    // actual compute — the JVM sums 600 k longs in ~0.2 ms, so its
+    // in-process executor doesn't. The probe is a `range(N).sum()`
+    // rebuilt fresh each rep, with N = the ACTUAL fact-table row count
+    // at this sf (so the premise scales with SPARK_GRAFT_SF_DIR): the
+    // same two-stage aggregate shape as the suite queries with ~1 ms
+    // of real compute — the JVM sums 600 k longs in ~0.2 ms, so the
     // median IS the fixed job cost. Uniform across queries, amortizes
     // to zero at the 100 TB design point. `value_over_floor` = suite
     // total net of 20 floors, reported alongside the raw total so the
@@ -80,6 +96,7 @@ object Bench {
     // bounds the single-stage variant.
     import org.apache.spark.sql.functions.{col, sum => fsum}
     val region = Tables.load(spark, sfDir, "region")
+    val factRows = Tables.load(spark, sfDir, "lineitem").count() // cached
     def probeMedian(probe: () => Unit): Double = {
       probe(); probe() // warm the probe's own codegen
       val ts = Seq.fill(11) {
@@ -91,7 +108,7 @@ object Bench {
     }
     val floorScan = probeMedian(() => { region.select(col("r_regionkey")).collect(); () })
     val floor = probeMedian(() =>
-      { spark.range(0, 600000, 1, 3).agg(fsum(col("id"))).collect(); () })
+      { spark.range(0, factRows, 1, 3).agg(fsum(col("id"))).collect(); () })
     val overFloor = math.max(0.0, total - names.size * floor)
 
     // value/queries = per-BASELINE.md medians; *_min = noise floor on this

@@ -37,8 +37,17 @@ object PretrainPipeline {
     runOn(spark, Tables.load(spark, dir, "documents"))
 
   /** Runs the pipeline on an already-loaded documents table (tests
-    * inject malformed rows here to drive the dead-letter path). */
-  def runOn(spark: SparkSession, rawDocs: DataFrame): Seq[(String, Long)] = {
+    * inject malformed rows here to drive the dead-letter path).
+    *
+    * @param deadLetterDir where quarantined rows land WITH their
+    *        violation names — an operator triaging a batch reads this
+    *        path, so it must be a real, shared-filesystem sink on a
+    *        cluster (HDFS/S3), not a driver-local temp dir. Defaults
+    *        to a temp dir only for the local example/test runs, and is
+    *        always announced on stdout so the rows are findable.
+    */
+  def runOn(spark: SparkSession, rawDocs: DataFrame,
+      deadLetterDir: Option[String] = None): Seq[(String, Long)] = {
     val stats = Seq.newBuilder[(String, Long)]
     stats += "raw" -> rawDocs.count()
 
@@ -47,9 +56,11 @@ object PretrainPipeline {
     //    curation mixers RAISE on null/negative ids by design — the
     //    gate is what keeps a poisoned batch from failing the job)
     val (validDocs, quarantine) = Validate.split(rawDocs, ingestRules)
-    val dl = java.nio.file.Files.createTempDirectory("pretrain_deadletter").toString
+    val dl = deadLetterDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("pretrain_deadletter").toString)
     quarantine.withColumn("violations", concat_ws(",", col("violations")))
       .write.mode("overwrite").parquet(dl)
+    println(s"[pretrain] dead-letter sink: $dl")
     stats += "quarantined" -> spark.read.parquet(dl).count()
     val docs = validDocs
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))

@@ -678,11 +678,14 @@ object Curation {
     // the key, so for sources past ~10⁶ docs the doc_id tiebreak would
     // bias the kept set toward low ids — the exact residue-class skew
     // bernoulliSample's doc warns about
+    // negatives raise like nulls: mixedKey requires non-negative ids
+    // (Spark pmod/shiftright vs SQL %/>> diverge on negatives — same
+    // contract as bernoulliSample)
     val idL = col(idCol).cast("long")
-    val checkedKey = when(idL.isNull,
-      raise_error(lit(s"capPerSource: null or non-integral $idCol — the " +
-        "capped subset is undefined without a total id order; hash " +
-        "string ids to long first"))).otherwise(mixedKey(idL, 0))
+    val checkedKey = when(idL.isNull || idL < 0,
+      raise_error(lit(s"capPerSource: null, negative or non-integral $idCol — " +
+        "the capped subset is undefined without a total order over " +
+        "NON-NEGATIVE ids; hash string ids to long first"))).otherwise(mixedKey(idL, 0))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(srcCol))
       .orderBy(checkedKey, col(idCol))

@@ -358,7 +358,6 @@ object CurationOracle {
         |       END, 6) skew
         |FROM m ORDER BY source""".stripMargin,
 
-    // same epoch-0 shuffle-key mixer as Curation.capPerSource
     // cap ordering replays the two-term mixer (low residue + high bits)
     // so residue classes never tie as a block — mirrors Curation.mixedKey
     "q66_source_cap" ->

@@ -389,17 +389,36 @@ object Dedup {
       idBCol: String,
       maxIters: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
+    val session = pairs.sparkSession
+    val sc = session.sparkContext
     checkpointDir.foreach { dir =>
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
     }
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // Reliable mode checkpoints through an explicit RDD so each
+    // iteration can DELETE its predecessor's checkpoint files once they
+    // are superseded — Spark's own cleaner leaves them (cleanCheckpoints
+    // defaults false), and up to maxIters full label-table copies on
+    // HDFS/S3 can exhaust quota mid-job at corpus scale. Only the FINAL
+    // labels' checkpoint survives; it lives until the caller drops the
+    // checkpointDir (the dir is per-job by contract).
+    def truncate(df: DataFrame): (DataFrame, Option[String]) =
+      if (checkpointDir.isDefined) {
+        val r = df.rdd
+        r.persist() // compute once: checkpoint() otherwise re-runs the plan
+        r.checkpoint()
+        r.foreachPartition(_ => ()) // materialize + write the checkpoint now
+        r.unpersist(blocking = false) // reads now come from reliable storage
+        (session.createDataFrame(r, df.schema), r.getCheckpointFile)
+      } else (df.localCheckpoint(), None)
+    def dropCheckpoint(file: Option[String]): Unit = file.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+    }
     val sym = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()
       .persist()
-    var labels = truncate(sym.select(col("src").as("id")).distinct()
+    var (labels, labelsCkpt) = truncate(sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id")))
     var converged = false
     var iter = 0
@@ -408,7 +427,7 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nc")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("nc")).as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
-      val next = truncate(labels.join(nbrMin, Seq("id"), "left")
+      val (next, nextCkpt) = truncate(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id")))
@@ -418,7 +437,9 @@ object Dedup {
         .filter(col("cluster_id") < col("prev"))
         .limit(1).count()
       labels.unpersist()
+      dropCheckpoint(labelsCkpt) // superseded: next is durable, changed computed
       labels = next
+      labelsCkpt = nextCkpt
       converged = changed == 0
       iter += 1
     }
@@ -435,14 +456,18 @@ object Dedup {
     * by `qualityCol` (tie → min id) — and passes every unpaired doc
     * through untouched. Anti-join on the loser set, so the full corpus
     * is never shuffled by cluster: losers = paired docs − keepers
-    * (pair-graph-sized, ≪ corpus at real dup rates).
+    * (pair-graph-sized, ≪ corpus at real dup rates). `checkpointDir`
+    * passes through to [[connectedComponents]] — set it on any
+    * cluster-scale run so label propagation survives executor loss.
     */
   def dedupByCluster(
       df: DataFrame,
       pairs: DataFrame,
       idCol: String,
-      qualityCol: String): DataFrame = {
-    val cc = connectedComponents(pairs, pairs.columns(0), pairs.columns(1))
+      qualityCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cc = connectedComponents(pairs, pairs.columns(0), pairs.columns(1),
+      checkpointDir = checkpointDir)
     val keepers = cc
       .join(df.select(col(idCol).as("id"), col(qualityCol).as("q")), Seq("id"))
       .groupBy(col("cluster_id"))

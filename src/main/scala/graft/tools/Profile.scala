@@ -1,8 +1,6 @@
 package graft.tools
 
 import graft.{SparkEntry, Tables}
-import graft.ops.Relational
-import org.apache.spark.sql.SparkSession
 
 /** Per-query time breakdown for the bench suite: plan BUILD (analysis +
   * optimization + physical planning, forced via `executedPlan`) vs
@@ -14,23 +12,12 @@ import org.apache.spark.sql.SparkSession
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUF", "8")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuf)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
-    // extra configs: SPARK_GRAFT_CONF="k=v;k=v"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // the SAME session and headline list as the bench — a profile under
+    // different knobs would attribute time the real bench never spends
+    val spark = graft.Bench.session()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).persist().count())
 
-    val names = Relational.allNames.filter(_.slice(1, 3).toInt <= 20)
+    val names = graft.Bench.headlineNames
     def nowMs = System.nanoTime() / 1e6
     // warm-up: everything JITs/codegens once
     (1 to 2).foreach(_ => names.foreach(n => SparkEntry.queries(n)(spark, sfDir).collect()))

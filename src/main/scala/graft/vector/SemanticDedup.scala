@@ -71,14 +71,19 @@ object SemanticDedup {
     * keep their min-id member; rows in no pair pass through untouched.
     * Anti-join on the LOSER set (pair-graph-sized ≪ corpus at real dup
     * rates), so the corpus itself is never shuffled by cluster.
+    * `checkpointDir` passes through to
+    * [[graft.text.Dedup.connectedComponents]] — set it on any
+    * cluster-scale run so label propagation survives executor loss.
     */
   def dedup(
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
       numCells: Int = 64, lloydIters: Int = 2,
-      trainFraction: Double = 1.0): DataFrame = {
+      trainFraction: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     val pairs = semanticPairs(df, idCol, vecCol, tau, numCells, lloydIters, trainFraction)
       .select(col("id_a"), col("id_b"))
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b",
+      checkpointDir = checkpointDir)
     val losers = cc.filter(col("id") =!= col("cluster_id")).select(col("id"))
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }

@@ -47,8 +47,18 @@ class ExamplesSpec extends SparkSpec {
       .unionByName(poison)
     val clean = PretrainPipeline.runOn(spark,
       docs.select("doc_id", "text", "source", "lang", "n_chars")).toMap
-    val stats = PretrainPipeline.runOn(spark, poisoned).toMap
+    val dl = java.nio.file.Files.createTempDirectory("examples_deadletter").toString
+    val stats = PretrainPipeline.runOn(spark, poisoned, deadLetterDir = Some(dl)).toMap
     assert(stats("quarantined") == 3, s"expected 3 quarantined rows: $stats")
+    // the dead-letter sink is where the caller SAID, with the violation
+    // names attached — quarantined rows must be findable and diagnosable
+    val quarantined = spark.read.parquet(dl)
+      .select("doc_id", "violations").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(quarantined.keySet == Set(9000001L, 9000002L, -1L), s"$quarantined")
+    assert(quarantined(9000001L).contains("not_null_text"))
+    assert(quarantined(9000002L).contains("nonempty_text"))
+    assert(quarantined(-1L).contains("nonneg_doc_id"))
     // the gate isolates the poison: downstream stages are unchanged
     assert(stats("validated") == clean("validated"))
     assert(stats("train") == clean("train"))

@@ -8,13 +8,24 @@ package graft
   */
 class InventorySpec extends SparkSpec {
 
-  test("every oracle key has a query; keys are well-formed") {
+  test("every oracle key has a query; keys are well-formed; no key collisions") {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert((ok -- qk).isEmpty, s"oracles without queries: ${ok -- qk}")
     assert(qk.forall(_.matches("q\\d{2}_[a-z0-9_]+")), "malformed query key")
-    // the gate sorts columns by name: oracle SQL must not collide keys
-    assert(SparkEntry.oracleSql.size == ok.size)
+    // SparkEntry merges the source Seqs with `.toMap`, which keeps the
+    // LAST entry on a duplicate key — a query or oracle defined in two
+    // inventories would silently shadow its twin and drop out of the
+    // gate. Compare the raw Seq sizes against the merged maps.
+    import graft.ops.{Curation, CurationOracle, OracleSql, Relational}
+    assert(Relational.all.size + Curation.all.size == SparkEntry.queries.size,
+      "duplicate query key across Relational.all and Curation.all")
+    assert(OracleSql.all.size + CurationOracle.all.size == SparkEntry.oracleSql.size,
+      "duplicate oracle key across OracleSql.all and CurationOracle.all")
+    assert(Relational.all.map(_._1).distinct.size == Relational.all.size)
+    assert(Curation.all.map(_._1).distinct.size == Curation.all.size)
+    assert(OracleSql.all.map(_._1).distinct.size == OracleSql.all.size)
+    assert(CurationOracle.all.map(_._1).distinct.size == CurationOracle.all.size)
   }
 
   test("every registered query executes at sf0.001 and returns rows") {

@@ -101,8 +101,10 @@ class DedupSpec extends SparkSpec {
 
   test("simhash banding is complete for maxHamming > 3 (derived chunks)") {
     graft.GraftFunctions.register(spark) // Dedup.simhash uses the native expr
-    // ground truth: brute-force all-pairs Hamming over the same fingerprints
-    val sample = docs.limit(40)
+    // ground truth: brute-force all-pairs Hamming over the same
+    // fingerprints; id filter (not limit) so both plans see one row set
+    val sampleDocs = docs.filter(col("doc_id") < 40)
+    val sample = sampleDocs
       .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("fp"))
     val l = sample.select(col("id").as("id_a"), col("fp").as("fp_a"))
     val r = sample.select(col("id").as("id_b"), col("fp").as("fp_b"))
@@ -110,7 +112,7 @@ class DedupSpec extends SparkSpec {
       val brute = l.crossJoin(r).filter(col("id_a") < col("id_b"))
         .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxH)
         .collect().map(row => (row.getAs[Long]("id_a"), row.getAs[Long]("id_b"))).toSet
-      val banded = Dedup.nearSimhash(docs.limit(40), "doc_id", "text", maxHamming = maxH)
+      val banded = Dedup.nearSimhash(sampleDocs, "doc_id", "text", maxHamming = maxH)
         .collect().map(row => (row.getAs[Long]("id_a"), row.getAs[Long]("id_b"))).toSet
       assert(banded == brute, s"maxHamming=$maxH: banding missed ${brute -- banded}")
     }
@@ -123,7 +125,10 @@ class DedupSpec extends SparkSpec {
     // the q24 oracle recomputes this signature in DuckDB from scratch;
     // here the banded candidate generation is checked against exact
     // all-pairs over the same signatures (pigeonhole completeness)
-    val sample = docs.limit(60)
+    // deterministic sample: an unordered limit() evaluated twice can
+    // pick different rows per plan — id filter selects the same set
+    val sampleDocs = docs.filter(col("doc_id") < 60)
+    val sample = sampleDocs
       .select(col("doc_id").as("id"),
         Dedup.simhashMd5(split(col("text"), " ")).as("fp"))
     assert(sample.filter(col("fp") < 0L || col("fp") >= (1L << 60)).count() == 0,
@@ -133,7 +138,7 @@ class DedupSpec extends SparkSpec {
     val brute = l.crossJoin(r).filter(col("id_a") < col("id_b"))
       .filter(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= 3)
       .collect().map(row => (row.getAs[Long]("id_a"), row.getAs[Long]("id_b"))).toSet
-    val banded = Dedup.nearSimhash(docs.limit(60), "doc_id", "text",
+    val banded = Dedup.nearSimhash(sampleDocs, "doc_id", "text",
         maxHamming = 3, sig = Dedup.simhashMd5, sigBits = 60)
       .collect().map(row => (row.getAs[Long]("id_a"), row.getAs[Long]("id_b"))).toSet
     assert(banded == brute, s"banding missed ${brute -- banded}")
@@ -186,10 +191,21 @@ class DedupSpec extends SparkSpec {
     val local = Dedup.connectedComponents(edges, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reliable == local)
-    // checkpoint files actually landed in the durable dir
+    // checkpoint files actually landed in the durable dir...
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, s"no checkpoint files written under $dir")
+    // ...and superseded iterations were deleted mid-job: the 7-path
+    // needs several propagation rounds, but only the FINAL labels'
+    // rdd-* checkpoint may remain (quota safety on an hours-long job)
+    import scala.jdk.CollectionConverters._
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p)
+        && p.getFileName.toString.startsWith("rdd-"))
+      .toList
+    assert(rddDirs.size == 1,
+      s"superseded checkpoints not cleaned: ${rddDirs.map(_.getFileName)}")
   }
 
   test("connectedComponents matches brute force on the corpus pair graph") {
