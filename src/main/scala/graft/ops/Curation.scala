@@ -743,6 +743,33 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q73 — PII scrub + normalization battery (oracle-checked): every
+    * third doc gets a synthetic email + long digit run CONCATENATED in
+    * the query itself, so the scrub regexes are exercised on real
+    * matches in both engines regardless of corpus content (the corpus
+    * carries no PII, and an all-zeros redaction count would verify
+    * nothing). Reports per source: docs, redacted-doc count (exactly
+    * the injected third), post-scrub length mass, and post-normalize
+    * length mass. DuckDB twin needs the 'g' flag — its regexp_replace
+    * is first-match-only by default where Spark's replaces all.
+    */
+  def scrubNormalizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val injected = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"),
+          lit(" reach me: john.doe+spam@mail.example.org or 12345678901")))
+      .otherwise(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), injected.as("s0"))
+      .select(col("source"), col("s0"), TextAnalysis.scrub(col("s0")).as("s1"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("s1") =!= col("s0"), 1)).as("n_redacted"),
+        sum(length(col("s1"))).cast("long").as("scrubbed_len"),
+        sum(length(TextAnalysis.normalize(col("s1")))).cast("long").as("normalized_len"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -774,7 +801,8 @@ object Curation {
     "q59_moments" -> (momentStats _),
     "q66_source_cap" -> (sourceCapStats _),
     "q68_contamination_report" -> (contaminationReportStats _),
-    "q69_unigram_nll" -> (unigramNllStats _))
+    "q69_unigram_nll" -> (unigramNllStats _),
+    "q73_scrub_normalize" -> (scrubNormalizeStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -358,6 +358,29 @@ object CurationOracle {
         |       END, 6) skew
         |FROM m ORDER BY source""".stripMargin,
 
+    // scrub/normalize twin: same injected PII, same regex chain — NOTE
+    // the 'g' flag (DuckDB replaces first match only without it; Spark
+    // replaces all), and the double-escaped \d inside the Scala string
+    "q73_scrub_normalize" ->
+      """WITH b AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN text || ' reach me: john.doe+spam@mail.example.org or 12345678901'
+        |              ELSE text END s0
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, s0,
+        |         regexp_replace(regexp_replace(s0,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |           '\d{7,}', '<NUM>', 'g') s1
+        |  FROM b)
+        |SELECT source, count(*) n_docs,
+        |       count(CASE WHEN s1 <> s0 THEN 1 END) n_redacted,
+        |       CAST(sum(length(s1)) AS BIGINT) scrubbed_len,
+        |       CAST(sum(length(trim(regexp_replace(regexp_replace(lower(s1),
+        |         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS BIGINT) normalized_len
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     // cap ordering replays the two-term mixer (low residue + high bits)
     // so residue classes never tie as a block — mirrors Curation.mixedKey
     "q66_source_cap" ->

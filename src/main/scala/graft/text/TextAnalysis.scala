@@ -297,6 +297,17 @@ object TextAnalysis {
         "\\d{7,}" -> "<NUM>")): Column =
     rules.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
 
+  /** Canonical text normalization for matching/dedup keys: lowercase,
+    * non-alphanumerics to spaces, whitespace runs collapsed, trimmed.
+    * Narrow codegen'd map, no shuffle. Run AFTER [[scrub]] when both
+    * apply — scrub's `<EMAIL>`-style sentinels are angle-bracketed
+    * precisely so normalization folds them into plain tokens. ASCII
+    * semantics by construction (the regexes say a-z0-9); swap the
+    * classes for `\\p{L}\\p{N}` when a corpus needs full Unicode.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Order-sensitive 64-bit document fingerprint: rotate-XOR rolling hash
     * over token xxhash64s (rotl(acc,5) ^ h(token)). Equal token sequences
     * ⇒ equal fingerprints; reordering changes it (unlike a bag-of-tokens

@@ -167,4 +167,23 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.chunkTokens(docs, "doc_id", "text", chunkSize = 4, overlap = 4)
     }
   }
+
+  test("scrub masks emails and long digit runs; normalize canonicalizes") {
+    val rows = Seq(
+      "Email a.b+c@ex.co or call 5551234567 now",
+      "short 123 is kept",
+      "  Hello,   World!! 42  ").toDF("text")
+      .select(
+        TextAnalysis.scrub(col("text")).as("s"),
+        TextAnalysis.normalize(col("text")).as("n"))
+      .as[(String, String)].collect()
+    assert(rows(0)._1 == "Email <EMAIL> or call <NUM> now")
+    assert(rows(1)._1 == "short 123 is kept", "short digit runs must survive")
+    assert(rows(2)._2 == "hello world 42", s"got '${rows(2)._2}'")
+    // scrub-then-normalize folds sentinels into plain tokens
+    val both = Seq("Ping x@y.io!").toDF("text")
+      .select(TextAnalysis.normalize(TextAnalysis.scrub(col("text"))))
+      .as[String].head()
+    assert(both == "ping email", s"got '$both'")
+  }
 }
