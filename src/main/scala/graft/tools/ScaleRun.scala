@@ -65,6 +65,19 @@ object ScaleRun {
     timeIt("epoch_shuffle") {
       Curation.epochShuffle(docs, "doc_id", epoch = 2).count()
     }
+    // round-4 additions: durable-checkpoint label propagation (the
+    // executor-loss-safe form), and the scrub+normalize narrow pass
+    timeIt("cluster_dedup_ckpt") {
+      val dir = java.nio.file.Files.createTempDirectory("scalerun-ckpt").toString
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+      Dedup.dedupByCluster(docs, pairs, "doc_id", "n_chars",
+        checkpointDir = Some(dir)).count()
+    }
+    timeIt("scrub_normalize") {
+      docs.select(
+          TextAnalysis.normalize(TextAnalysis.scrub(col("text"))).as("t"))
+        .agg(sum(length(col("t")))).count()
+    }
     spark.stop()
   }
 }
