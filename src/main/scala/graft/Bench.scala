@@ -47,7 +47,13 @@ object Bench {
       // beats a shuffle; on a real cluster stats/AQE make this call
       .config("spark.sql.autoBroadcastJoinThreshold", "33554432")
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not k=v (expected 'k=v;k=v')")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark

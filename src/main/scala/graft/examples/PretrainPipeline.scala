@@ -58,10 +58,16 @@ object PretrainPipeline {
     val (validDocs, quarantine) = Validate.split(rawDocs, ingestRules)
     val dl = deadLetterDir.getOrElse(
       java.nio.file.Files.createTempDirectory("pretrain_deadletter").toString)
-    quarantine.withColumn("violations", concat_ws(",", col("violations")))
-      .write.mode("overwrite").parquet(dl)
+    // APPEND, never overwrite: the dir is a durable audit trail across
+    // batches — an overwrite would destroy a prior batch's quarantined
+    // rows before anyone triaged them. The count is THIS run's rows
+    // (the persisted split side), not the accumulated sink total.
+    val q = quarantine.withColumn("violations", concat_ws(",", col("violations")))
+      .persist()
+    q.write.mode("append").parquet(dl)
     println(s"[pretrain] dead-letter sink: $dl")
-    stats += "quarantined" -> spark.read.parquet(dl).count()
+    stats += "quarantined" -> q.count()
+    q.unpersist(blocking = false)
     val docs = validDocs
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
     stats += "validated" -> docs.count()

@@ -135,13 +135,18 @@ object Curation {
 
   /** q31 — approximate distinct users per event type (oracle-checked):
     * emits the exact count next to a deterministic `approx_ok` boolean
-    * (HLL++ estimate within 3×rsd = 15% of exact — Spark's sketch is
+    * (HLL++ estimate within 4×rsd = 20% of exact — Spark's sketch is
     * deterministic on fixed data, so the boolean is stable). The DuckDB
     * oracle reproduces `exact_u` and asserts the boolean is `true`,
     * which turns the implementation-specific estimate into a
-    * hash-checkable contract; tighter bound assertions live in
-    * ScalaTest (SURVEY A3). Production use is the approx aggregate
-    * alone — `exact_u` here is the oracle's anchor.
+    * hash-checkable contract. The bound is 4σ, not 3σ: the sketch has
+    * no hard guarantee, so a regenerated corpus could land a group
+    * outside 3σ (~0.3% per group) and turn a sketch outlier into a
+    * confusing hash mismatch — at 4σ that residual risk is ~1e-4 per
+    * group while the check still catches any real estimator break.
+    * Tighter bound assertions live in ScalaTest (SURVEY A3).
+    * Production use is the approx aggregate alone — `exact_u` here is
+    * the oracle's anchor.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
@@ -151,7 +156,7 @@ object Curation {
         approx_count_distinct(col("user_id"), 0.05).as("approx"))
       .select(col("event_type"), col("exact_u"),
         (abs(col("approx") - col("exact_u"))
-          <= col("exact_u") * lit(0.15)).as("approx_ok"))
+          <= col("exact_u") * lit(0.20)).as("approx_ok"))
       .orderBy(col("event_type"))
 
   /** q37 — exact top-10 vocabulary head (oracle-checked); the

@@ -130,8 +130,10 @@ object CurationOracle {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // HLL twin: the oracle reproduces the exact distinct count; the
-    // boolean contract "estimate within 3×rsd of exact" is always true
-    // for a correct HLL++ at rsd 0.05, so `true` is the expected value
+    // boolean contract "estimate within 4×rsd (20%) of exact" holds for
+    // a correct HLL++ at rsd 0.05 with ~1e-4 residual risk per group
+    // on a REGENERATED corpus (the sketch is deterministic on fixed
+    // data, so on any given corpus the boolean is stable either way)
     "q31_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) exact_u, true approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

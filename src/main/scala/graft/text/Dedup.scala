@@ -401,6 +401,16 @@ object Dedup {
     // HDFS/S3 can exhaust quota mid-job at corpus scale. Only the FINAL
     // labels' checkpoint survives; it lives until the caller drops the
     // checkpointDir (the dir is per-job by contract).
+    //
+    // The df.rdd → createDataFrame round-trip boxes each row once per
+    // iteration — accepted deliberately: the label table is PAIR-GRAPH-
+    // sized (only docs appearing in near-dup pairs, two longs per row),
+    // not corpus-sized, and the boxing buys the one thing Dataset
+    // .checkpoint cannot give — the exact checkpoint file handle, so
+    // cleanup never has to guess which rdd-* dirs in a (possibly
+    // shared) checkpoint dir are ours. If labels ever become
+    // corpus-sized, switch to queryExecution.toRdd (InternalRow) and
+    // directory-diff cleanup.
     def truncate(df: DataFrame): (DataFrame, Option[String]) =
       if (checkpointDir.isDefined) {
         val r = df.rdd

@@ -41,13 +41,16 @@ object Profile {
     // wall time goes — inside tasks (executor run) or between them
     // (scheduling gaps, serialization, codegen, broadcast build)
     import org.apache.spark.scheduler._
-    import scala.collection.mutable
-    val stages = mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Long)]()
+    // events arrive on the async listener-bus thread while the main
+    // thread drains per query — a concurrent queue gives safe publish
+    // and a happens-before edge (an ArrayBuffer would race)
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long, Long, Long)]()
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        stages += ((si.stageId, si.numTasks, wall,
+        stages.add((si.stageId, si.numTasks, wall,
           si.taskMetrics.executorRunTime,
           si.taskMetrics.executorDeserializeTime,
           si.taskMetrics.jvmGCTime))
@@ -61,10 +64,13 @@ object Profile {
       SparkEntry.queries(n)(spark, sfDir).collect()
       val w = nowMs - a
       Thread.sleep(300) // let the listener bus drain
-      val (nt, sw, run, de, gc) = stages.foldLeft((0, 0L, 0L, 0L, 0L)) {
+      // drain a SNAPSHOT: late events (bus backlog > the sleep) belong
+      // to this query but would otherwise leak into the next window
+      val drained = Iterator.continually(stages.poll()).takeWhile(_ != null).toList
+      val (nt, sw, run, de, gc) = drained.foldLeft((0, 0L, 0L, 0L, 0L)) {
         case ((t, s, r, d, g), (_, t2, s2, r2, d2, g2)) => (t + t2, s + s2, r + r2, d + d2, g + g2)
       }
-      println(f"$n%-28s ${stages.size}%6d $nt%6d $sw%9d $run%7d $de%7d $gc%5d $w%8.1f")
+      println(f"$n%-28s ${drained.size}%6d $nt%6d $sw%9d $run%7d $de%7d $gc%5d $w%8.1f")
     }
     spark.stop()
   }

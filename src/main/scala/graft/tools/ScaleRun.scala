@@ -74,9 +74,11 @@ object ScaleRun {
         checkpointDir = Some(dir)).count()
     }
     timeIt("scrub_normalize") {
+      // head(), NOT count(): count(1) lets Catalyst prune the whole
+      // scrub/normalize projection and no regex would ever run
       docs.select(
           TextAnalysis.normalize(TextAnalysis.scrub(col("text"))).as("t"))
-        .agg(sum(length(col("t")))).count()
+        .agg(sum(length(col("t"))).as("s")).head.getLong(0)
     }
     spark.stop()
   }
