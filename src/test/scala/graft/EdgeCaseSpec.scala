@@ -126,4 +126,43 @@ class EdgeCaseSpec extends SparkSpec {
       .filter(col("q") < 0 || col("q") > 1).count()
     assert(q == 0)
   }
+
+  test("md5 simhash: degenerate docs (empty, single-token) fingerprint without error") {
+    val df = Seq((1L, ""), (2L, "word"), (3L, "word word word")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhashMd5(split(col("text"), " ")).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps.values.forall(f => f >= 0L && f < (1L << 60)))
+    // a unanimous single-token vote sets exactly the token-hash bits;
+    // repeating the token must not change the majority outcome
+    assert(fps(2L) == fps(3L), "multiset repetition flipped a unanimous vote")
+  }
+
+  test("map parsing: null and malformed props yield null maps, explode drops them") {
+    // from_json is null-safe: a poisoned JSON column must not fail the
+    // job, and exploding a null map contributes zero rows (the q72
+    // shape applied to dirty input)
+    val df = Seq((1L, """{"k": 7}"""), (2L, null), (3L, "not json"), (4L, "{}"))
+      .toDF("id", "props")
+      .select(col("id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+    assert(df.filter(col("m").isNull).count() == 2) // null + malformed
+    val exploded = df.select(col("id"), explode(col("m")).as(Seq("k", "v")))
+    assert(exploded.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq == Seq((1L, "k", 7L)))
+  }
+
+  test("decimal aggregation: null prices are skipped, all-null group sums to null string") {
+    val df = Seq[(String, Option[Double])](
+      ("a", Some(1.005)), ("a", Some(2.0)), ("b", None))
+      .toDF("g", "p")
+      .groupBy(col("g"))
+      .agg(sum(col("p").cast("decimal(12,2)")).cast("string").as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // 1.005 rounds half-up to 1.01 at the cast (Spark HALF_UP), sum 3.01
+    assert(df("a") == "3.01", s"got ${df("a")}")
+    assert(df("b") == null, "all-null decimal sum must be null, not 0")
+  }
 }
