@@ -354,6 +354,83 @@ object Curation {
       .drop("__b", "__off", "__cum")
   }
 
+  /** No-split sequence packing (the complement of [[packSequences]]):
+    * assign whole docs to fixed-capacity bins — next-fit in id order —
+    * for pipelines that must never split a document across training
+    * sequences (packSequences concatenates and CHUNKS; this one pads).
+    * Returns the (id, bin_id, oversize) assignment; callers join it
+    * back when they need the payload columns.
+    *
+    * Semantics: docs are walked in ascending id order; a doc that no
+    * longer fits closes the current bin and opens the next. Next-fit
+    * guarantees > 50% utilization whenever every doc fits a bin
+    * (adjacent bins' combined fill exceeds seqLen by construction). A
+    * doc LONGER than seqLen gets a bin of its own and is flagged
+    * `oversize` — truncation policy belongs to the caller; silent
+    * splitting would contradict the operator's one promise.
+    *
+    * Scale shape: bin filling is an inherently sequential recurrence
+    * (the running fill resets on overflow — not prefix-sum
+    * decomposable, unlike packSequences' arithmetic), so the
+    * sequential scope is BOUNDED to an id-range bucket of
+    * `docsPerBucket` docs (≤ 16 MB of (id, tokens) pairs at the
+    * default) and buckets pack in parallel — one keyed shuffle, no
+    * driver-side state, deterministic across layouts/retries because
+    * bucket membership and in-bucket order are pure functions of ids.
+    * Bin ids are globally unique: bucket × docsPerBucket + local bin.
+    */
+  def packBins(
+      df: DataFrame, idCol: String, tokenCol: String, seqLen: Int,
+      docsPerBucket: Long = 1000000L): DataFrame = {
+    require(seqLen > 0 && docsPerBucket > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val checked = when(col(idCol).isNull,
+      raise_error(lit(s"packBins: null $idCol — the packing order is " +
+        "undefined for null ids"))).otherwise(col(idCol).cast("long"))
+    df.select(checked.as("id"), col(tokenCol).cast("long").as("nt"))
+      .withColumn("b", floor(col("id").cast("double") / docsPerBucket).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (b: Long, it: Iterator[(Long, Long, Long)]) =>
+        val docs = it.toArray.sortBy(_._1)
+        var bin = 0L
+        var fill = 0L
+        docs.iterator.map { case (id, nt, _) =>
+          val t = math.max(nt, 0L)
+          if (fill > 0 && fill + t > seqLen) { bin += 1; fill = 0L }
+          fill += t
+          (id, b * docsPerBucket + bin, t > seqLen)
+        }
+      }
+      .toDF(idCol, "bin_id", "oversize")
+  }
+
+  /** q74 — no-split bin-packing stats (oracle-checked): [[packBins]]
+    * at seqLen=64 / docsPerBucket=64, summarized as one row (bin
+    * count, docs, token mass, oversize count, mean fill). seqLen 64
+    * sits INSIDE the corpus token range (10–99), so the oversize
+    * isolation path is oracle-exercised on ~40% of docs, not just
+    * unit-tested. The DuckDB twin replays next-fit exactly with a
+    * recursive CTE stepping rank-by-rank within each bucket — the
+    * recurrence Spark bounds to a bucket is depth-64 recursion there.
+    */
+  def packBinsStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+    val bins = packBins(docs, "doc_id", "n_tok", seqLen = 64, docsPerBucket = 64)
+    bins.join(docs.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+      .groupBy(col("bin_id"))
+      .agg(sum(col("n_tok")).as("fill"), count(lit(1)).as("nd"),
+        max(col("oversize").cast("int")).as("ov"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("nd")).cast("long").as("n_docs"),
+        sum(col("fill")).cast("long").as("total_tokens"),
+        sum(col("ov")).cast("long").as("n_oversize"),
+        round(avg(col("fill").cast("double")), 4).as("avg_fill"))
+  }
+
   /** q52 — sequence-packing layout stats (oracle-checked): pack the
     * corpus into 128-token sequences in doc_id order; per (source,
     * sequences-spanned) doc counts and token mass. docsPerBucket=64 so
@@ -807,7 +884,8 @@ object Curation {
     "q66_source_cap" -> (sourceCapStats _),
     "q68_contamination_report" -> (contaminationReportStats _),
     "q69_unigram_nll" -> (unigramNllStats _),
-    "q73_scrub_normalize" -> (scrubNormalizeStats _))
+    "q73_scrub_normalize" -> (scrubNormalizeStats _),
+    "q74_pack_bins" -> (packBinsStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

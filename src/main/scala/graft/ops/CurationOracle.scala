@@ -288,6 +288,34 @@ object CurationOracle {
         |       count(*) n_docs, CAST(sum(nt) AS BIGINT) tokens
         |FROM c GROUP BY source, n_seqs ORDER BY source, n_seqs""".stripMargin,
 
+    // no-split bin-packing twin: next-fit is a running-fill recurrence
+    // (not prefix-sum decomposable), replayed exactly by a recursive
+    // CTE stepping rank-by-rank within each 64-doc bucket — all buckets
+    // advance in parallel per recursion step, depth = bucket size
+    "q74_pack_bins" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) nt,
+        |         CAST(floor(doc_id / 64.0) AS BIGINT) b,
+        |         row_number() OVER (PARTITION BY CAST(floor(doc_id / 64.0) AS BIGINT)
+        |                            ORDER BY doc_id) rk
+        |  FROM documents),
+        |s AS (
+        |  SELECT b, rk, doc_id, nt, CAST(0 AS BIGINT) bin, nt fill FROM d WHERE rk = 1
+        |  UNION ALL
+        |  SELECT d.b, d.rk, d.doc_id, d.nt,
+        |         CASE WHEN s.fill > 0 AND s.fill + d.nt > 64 THEN s.bin + 1 ELSE s.bin END,
+        |         CASE WHEN s.fill > 0 AND s.fill + d.nt > 64 THEN d.nt ELSE s.fill + d.nt END
+        |  FROM s JOIN d ON d.b = s.b AND d.rk = s.rk + 1),
+        |bins AS (
+        |  SELECT b * 64 + bin bin_id, sum(nt) fill, count(*) nd,
+        |         max(CASE WHEN nt > 64 THEN 1 ELSE 0 END) ov
+        |  FROM s GROUP BY 1)
+        |SELECT count(*) n_bins, CAST(sum(nd) AS BIGINT) n_docs,
+        |       CAST(sum(fill) AS BIGINT) total_tokens,
+        |       CAST(sum(ov) AS BIGINT) n_oversize,
+        |       round(avg(CAST(fill AS DOUBLE)), 4) avg_fill
+        |FROM bins""".stripMargin,
+
     // mixture twin: identical double arithmetic (w::DOUBLE keeps DuckDB
     // off decimal math) and the same Knuth-mixer integer sampler
     "q53_source_mix" ->

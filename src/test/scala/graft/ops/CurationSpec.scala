@@ -97,6 +97,50 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("null doc_id"), e.getMessage)
   }
 
+  test("packBins: hand-computed next-fit, oversize isolation, capacity") {
+    // id order: 3,3,3 -> bin0(3+3), bin1(3) with cap 7? 3+3=6, +3>7 ->
+    // bins [0:{1,2}, 1:{3}]; oversize doc 4 (nt=9) gets its own bin
+    val docs = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 9L), (5L, 2L))
+      .toDF("doc_id", "n_tok")
+    val out = Curation.packBins(docs, "doc_id", "n_tok", seqLen = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._1 == out(2L)._1, "first two 3-token docs share a bin")
+    assert(out(3L)._1 != out(1L)._1, "third doc overflows into the next bin")
+    assert(out(4L)._2 && !out(1L)._2, "only the 9-token doc is oversize")
+    assert(out.values.filter(_._1 == out(4L)._1).size == 1, "oversize doc is alone")
+    // every doc assigned exactly once
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("packBins: invariants on the corpus — capacity, coverage, >50% utilization, determinism") {
+    val seqLen = 256
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tok") <= seqLen) // utilization bound assumes fitting docs
+    val out = Curation.packBins(docs, "doc_id", "n_tok", seqLen, docsPerBucket = 64)
+    assert(out.count() == docs.count(), "every doc exactly once")
+    val fills = out.join(docs.select("doc_id", "n_tok"), Seq("doc_id"))
+      .groupBy(col("bin_id")).agg(sum(col("n_tok")).as("fill"))
+    assert(fills.filter(col("fill") > seqLen).count() == 0, "bin over capacity")
+    // next-fit guarantee: adjacent bins sum > seqLen => mean fill > 50%
+    val Seq(totalFill, nBins) = fills.agg(sum(col("fill")), count(lit(1)))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    assert(totalFill.toDouble / (nBins * seqLen) > 0.5,
+      s"utilization ${totalFill.toDouble / (nBins * seqLen)}")
+    // layout-invariant: same assignment from a different partitioning
+    val again = Curation.packBins(docs.repartition(17), "doc_id", "n_tok",
+        seqLen, docsPerBucket = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(first == again, "assignment depends on layout")
+    // null ids raise like packSequences
+    val withNull = Seq((Some(1L), 3L), (None, 4L)).toDF("doc_id", "n_tok")
+    val e = intercept[Exception] {
+      Curation.packBins(withNull, "doc_id", "n_tok", seqLen = 4).collect()
+    }
+    assert(e.getMessage.contains("packBins"), e.getMessage)
+  }
+
   test("sourceMix: deterministic across layouts; missing weighted source rejected") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
