@@ -358,52 +358,85 @@ object Curation {
     * assign whole docs to fixed-capacity bins — next-fit in id order —
     * for pipelines that must never split a document across training
     * sequences (packSequences concatenates and CHUNKS; this one pads).
-    * Returns the (id, bin_id, oversize) assignment; callers join it
-    * back when they need the payload columns.
+    * Returns the (id, bin_id, oversize, tokens) assignment — the token
+    * count rides along so per-bin fill aggregates need no join back to
+    * (and second scan of) the corpus.
     *
     * Semantics: docs are walked in ascending id order; a doc that no
-    * longer fits closes the current bin and opens the next. Next-fit
-    * guarantees > 50% utilization whenever every doc fits a bin
-    * (adjacent bins' combined fill exceeds seqLen by construction). A
-    * doc LONGER than seqLen gets a bin of its own and is flagged
-    * `oversize` — truncation policy belongs to the caller; silent
-    * splitting would contradict the operator's one promise.
+    * longer fits closes the current bin and opens the next. A doc
+    * LONGER than seqLen gets a bin of its own — alone even among
+    * zero-token neighbors — and is flagged `oversize`; truncation
+    * policy belongs to the caller, silent splitting would contradict
+    * the operator's one promise. Utilization: consecutive non-oversize
+    * bins within a bucket sum past seqLen by construction, which
+    * bounds waste at roughly half PLUS whatever single outlier docs
+    * strand (next-fit has NO universal >50% guarantee — token counts
+    * 5, 96, 5 at seqLen 100 pack at 35%); id order is the price of
+    * determinism, sort-by-length packing would need a global sort.
+    *
+    * Ids must be UNIQUE and non-null (checked; duplicate ids would
+    * both overflow the per-bucket bin-id space and make tie order —
+    * hence the assignment — depend on shuffle arrival). Null token
+    * counts raise with a named error rather than dying in the encoder.
     *
     * Scale shape: bin filling is an inherently sequential recurrence
     * (the running fill resets on overflow — not prefix-sum
     * decomposable, unlike packSequences' arithmetic), so the
     * sequential scope is BOUNDED to an id-range bucket of
-    * `docsPerBucket` docs (≤ 16 MB of (id, tokens) pairs at the
-    * default) and buckets pack in parallel — one keyed shuffle, no
-    * driver-side state, deterministic across layouts/retries because
-    * bucket membership and in-bucket order are pure functions of ids.
-    * Bin ids are globally unique: bucket × docsPerBucket + local bin.
+    * `docsPerBucket` docs and buckets pack in parallel — one keyed
+    * shuffle, no driver-side state, deterministic across layouts and
+    * retries because bucket membership and in-bucket order are pure
+    * functions of ids. The bucket materializes as BOXED tuples
+    * (~100 bytes/doc: tuple header + boxed longs), so the default
+    * 2¹⁸ docs is ~26 MB per in-flight group — size `docsPerBucket`
+    * against executor memory with that constant, not 16 bytes/row.
+    * Bin ids are globally unique: bucket × 2·docsPerBucket + local
+    * bin (the factor of two because an oversize doc closes its bin
+    * behind itself, so a bucket can open up to 2n bin indices).
     */
   def packBins(
       df: DataFrame, idCol: String, tokenCol: String, seqLen: Int,
-      docsPerBucket: Long = 1000000L): DataFrame = {
+      docsPerBucket: Long = 262144L): DataFrame = {
     require(seqLen > 0 && docsPerBucket > 0)
     val spark = df.sparkSession
     import spark.implicits._
-    val checked = when(col(idCol).isNull,
+    val checkedId = when(col(idCol).isNull,
       raise_error(lit(s"packBins: null $idCol — the packing order is " +
         "undefined for null ids"))).otherwise(col(idCol).cast("long"))
-    df.select(checked.as("id"), col(tokenCol).cast("long").as("nt"))
+    val checkedTok = when(col(tokenCol).isNull,
+      raise_error(lit(s"packBins: null $tokenCol — a doc without a token " +
+        "count cannot be packed; fill or filter upstream")))
+      .otherwise(col(tokenCol).cast("long"))
+    df.select(checkedId.as("id"), checkedTok.as("nt"))
       .withColumn("b", floor(col("id").cast("double") / docsPerBucket).cast("long"))
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (b: Long, it: Iterator[(Long, Long, Long)]) =>
         val docs = it.toArray.sortBy(_._1)
+        var i = 1
+        while (i < docs.length) {
+          if (docs(i)._1 == docs(i - 1)._1)
+            throw new IllegalArgumentException(
+              s"packBins: duplicate id ${docs(i)._1} — bin assignment is " +
+                "undefined without a total id order")
+          i += 1
+        }
         var bin = 0L
         var fill = 0L
+        var nonEmpty = false
         docs.iterator.map { case (id, nt, _) =>
           val t = math.max(nt, 0L)
-          if (fill > 0 && fill + t > seqLen) { bin += 1; fill = 0L }
-          fill += t
-          (id, b * docsPerBucket + bin, t > seqLen)
+          val oversize = t > seqLen
+          if (nonEmpty && (oversize || fill + t > seqLen)) {
+            bin += 1; fill = 0L; nonEmpty = false
+          }
+          val assigned = bin
+          if (oversize) { bin += 1; fill = 0L; nonEmpty = false }
+          else { fill += t; nonEmpty = true }
+          (id, b * (2 * docsPerBucket) + assigned, oversize, nt)
         }
       }
-      .toDF(idCol, "bin_id", "oversize")
+      .toDF(idCol, "bin_id", "oversize", tokenCol)
   }
 
   /** q74 — no-split bin-packing stats (oracle-checked): [[packBins]]
@@ -418,8 +451,9 @@ object Curation {
   def packBinsStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
-    val bins = packBins(docs, "doc_id", "n_tok", seqLen = 64, docsPerBucket = 64)
-    bins.join(docs.select(col("doc_id"), col("n_tok")), Seq("doc_id"))
+    // packBins carries n_tok through, so the per-bin fill aggregates
+    // straight off the assignment — no join back, no second scan
+    packBins(docs, "doc_id", "n_tok", seqLen = 64, docsPerBucket = 64)
       .groupBy(col("bin_id"))
       .agg(sum(col("n_tok")).as("fill"), count(lit(1)).as("nd"),
         max(col("oversize").cast("int")).as("ov"))

@@ -98,8 +98,8 @@ class CurationSpec extends SparkSpec {
   }
 
   test("packBins: hand-computed next-fit, oversize isolation, capacity") {
-    // id order: 3,3,3 -> bin0(3+3), bin1(3) with cap 7? 3+3=6, +3>7 ->
-    // bins [0:{1,2}, 1:{3}]; oversize doc 4 (nt=9) gets its own bin
+    // id order with cap 7: 3+3=6, +3>7 -> bins [{1,2}, {3}]; oversize
+    // doc 4 (nt=9) gets its own bin; doc 5 opens a fresh one after it
     val docs = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 9L), (5L, 2L))
       .toDF("doc_id", "n_tok")
     val out = Curation.packBins(docs, "doc_id", "n_tok", seqLen = 7)
@@ -108,37 +108,61 @@ class CurationSpec extends SparkSpec {
     assert(out(3L)._1 != out(1L)._1, "third doc overflows into the next bin")
     assert(out(4L)._2 && !out(1L)._2, "only the 9-token doc is oversize")
     assert(out.values.filter(_._1 == out(4L)._1).size == 1, "oversize doc is alone")
+    assert(out(5L)._1 != out(4L)._1, "nothing joins the oversize doc's bin")
     // every doc assigned exactly once
     assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // zero-token docs must not let an oversize doc share their bin
+    // (fill stays 0 there — isolation rides bin OCCUPANCY, not fill)
+    val zeros = Seq((1L, 0L), (2L, 0L), (3L, 100L), (4L, 1L))
+      .toDF("doc_id", "n_tok")
+    val z = Curation.packBins(zeros, "doc_id", "n_tok", seqLen = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(z(1L)._1 == z(2L)._1, "zero-token docs share a bin")
+    assert(z(3L)._2 && z.values.count(_._1 == z(3L)._1) == 1,
+      s"oversize doc not isolated among zero-token neighbors: $z")
+    assert(z(4L)._1 != z(3L)._1)
   }
 
-  test("packBins: invariants on the corpus — capacity, coverage, >50% utilization, determinism") {
+  test("packBins: invariants on the corpus — capacity, coverage, waste bound, determinism") {
     val seqLen = 256
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
-      .filter(col("n_tok") <= seqLen) // utilization bound assumes fitting docs
+      .filter(col("n_tok") <= seqLen) // waste bound assumes fitting docs
     val out = Curation.packBins(docs, "doc_id", "n_tok", seqLen, docsPerBucket = 64)
     assert(out.count() == docs.count(), "every doc exactly once")
-    val fills = out.join(docs.select("doc_id", "n_tok"), Seq("doc_id"))
-      .groupBy(col("bin_id")).agg(sum(col("n_tok")).as("fill"))
+    val fills = out.groupBy(col("bin_id")).agg(sum(col("n_tok")).as("fill"))
     assert(fills.filter(col("fill") > seqLen).count() == 0, "bin over capacity")
-    // next-fit guarantee: adjacent bins sum > seqLen => mean fill > 50%
+    // the GUARANTEED next-fit bound (not a universal >50%): within a
+    // bucket, consecutive bins sum past seqLen, so across B buckets
+    // total fill > (nBins - B)/2 * seqLen
     val Seq(totalFill, nBins) = fills.agg(sum(col("fill")), count(lit(1)))
       .head().toSeq.map(_.asInstanceOf[Long])
-    assert(totalFill.toDouble / (nBins * seqLen) > 0.5,
-      s"utilization ${totalFill.toDouble / (nBins * seqLen)}")
+    val nBuckets = docs.select(floor(col("doc_id") / 64).cast("long")).distinct().count()
+    assert(totalFill > (nBins - nBuckets) * seqLen / 2,
+      s"fill $totalFill under the pairwise bound (bins=$nBins buckets=$nBuckets)")
     // layout-invariant: same assignment from a different partitioning
     val again = Curation.packBins(docs.repartition(17), "doc_id", "n_tok",
         seqLen, docsPerBucket = 64)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val first = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(first == again, "assignment depends on layout")
-    // null ids raise like packSequences
-    val withNull = Seq((Some(1L), 3L), (None, 4L)).toDF("doc_id", "n_tok")
+    // null ids and null token counts raise with NAMED errors; duplicate
+    // ids raise (assignment undefined without a total id order)
+    val withNull = Seq((Some(1L), Some(3L)), (None, Some(4L))).toDF("doc_id", "n_tok")
     val e = intercept[Exception] {
       Curation.packBins(withNull, "doc_id", "n_tok", seqLen = 4).collect()
     }
     assert(e.getMessage.contains("packBins"), e.getMessage)
+    val withNullTok = Seq((Some(1L), Some(3L)), (Some(2L), None)).toDF("doc_id", "n_tok")
+    val e2 = intercept[Exception] {
+      Curation.packBins(withNullTok, "doc_id", "n_tok", seqLen = 4).collect()
+    }
+    assert(e2.getMessage.contains("packBins"), e2.getMessage)
+    val dup = Seq((1L, 3L), (1L, 4L)).toDF("doc_id", "n_tok")
+    val e3 = intercept[Exception] {
+      Curation.packBins(dup, "doc_id", "n_tok", seqLen = 4).collect()
+    }
+    assert(e3.getMessage.contains("duplicate id"), e3.getMessage)
   }
 
   test("sourceMix: deterministic across layouts; missing weighted source rejected") {
