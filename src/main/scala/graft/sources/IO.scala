@@ -55,16 +55,36 @@ object IO {
 
   /** 100 TB layout: hive-partition by low-cardinality pruning columns
     * (date, tenant, lang...) so partition pruning skips whole directories,
-    * and pre-shuffle into `filesPerPartition` files of even size so no
-    * partition directory degenerates into one giant or 10 000 tiny files.
+    * and pre-shuffle into ≤ `filesPerPartition` files per directory so no
+    * partition dir degenerates into one giant or 10 000 tiny files.
+    *
+    * The shuffle keys are the partition columns PLUS a deterministic
+    * row-hash salt in [0, filesPerPartition): `repartition(n, cols)`
+    * alone would send every row of a partition key to ONE task (a
+    * single file per dir regardless of n — and with n=1, the whole
+    * dataset through one task, the exact single-writer funnel this
+    * writer exists to prevent). The salt is a hash of every column, so
+    * the split is retry-deterministic. A file materializes per TASK
+    * holding rows of a dir, so two salts hashing into one shuffle
+    * partition merge into one file — the shuffle width is therefore
+    * 256× the requested file count (collision odds per key pair
+    * < 0.4%), and the contract is "≤ n evenly-hashed files", not
+    * exactly n.
     */
   def writePartitioned(
       df: DataFrame, path: String,
-      partitionCols: Seq[String], filesPerPartition: Int = 1): Unit =
-    df.repartition(filesPerPartition, partitionCols.map(df.col): _*)
+      partitionCols: Seq[String], filesPerPartition: Int = 1): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
+    require(filesPerPartition > 0, s"filesPerPartition must be positive")
+    val salt = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(df.columns.map(df.col): _*),
+      org.apache.spark.sql.functions.lit(filesPerPartition.toLong))
+    df.repartition(filesPerPartition * 256,
+        (partitionCols.map(df.col) :+ salt): _*)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 
   /** Bucketed table layout: co-locates rows by join key so repeated
     * big-big joins on `bucketCols` skip their shuffle entirely
@@ -89,6 +109,8 @@ object IO {
       df: DataFrame, table: String,
       bucketCols: Seq[String], nBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     val w: DataFrameWriter[Row] = df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
@@ -165,6 +187,7 @@ object IO {
       keys: Seq[String], orderCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "upsert needs key columns")
     healSwap(path) // the read below needs the healed table dir
+    requireUnpartitioned("upsert", path)
     val existing = spark.read.parquet(path)
     val merged =
       if (orderCols.nonEmpty)
@@ -201,9 +224,36 @@ object IO {
   }
 
   private def rmTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (java.nio.file.Files.exists(p)) {
+      // close the walk stream: a leaked directory fd per micro-batch
+      // (upsertSink → healSwap → here) eventually hits the ulimit
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
         .forEach(q => java.nio.file.Files.deleteIfExists(q))
+      finally w.close()
+    }
+
+  /** A hive-partitioned layout (key=value subdirs) must not be rewritten
+    * flat: partition discovery folds dir keys into data columns with
+    * TYPE INFERENCE (a `tenant=0123` string partition comes back as
+    * int 123 — silent key corruption) and the flat rewrite loses
+    * directory pruning for every later reader. [[compact]]/[[upsert]]
+    * refuse; compact the individual leaf partition dirs instead.
+    */
+  private def requireUnpartitioned(op: String, path: String): Unit = {
+    val dir = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val ls = java.nio.file.Files.list(dir)
+      val partitioned =
+        try ls.anyMatch(p =>
+          java.nio.file.Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        finally ls.close()
+      require(!partitioned,
+        s"$op: $path is a hive-partitioned layout (key=value subdirs) — a flat " +
+          "rewrite would lose directory pruning and type-infer the partition " +
+          s"keys; run $op on each leaf partition directory instead")
+    }
+  }
 
   /** A staged dir is promotable only if its write COMMITTED — Spark's
     * `_SUCCESS` marker is the witness; a crash mid-write leaves
@@ -268,10 +318,14 @@ object IO {
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
     healSwap(path) // the size walk below needs the healed table dir
+    requireUnpartitioned("compact", path)
     val dir = java.nio.file.Paths.get(path)
-    val bytes = java.nio.file.Files.walk(dir).filter(p =>
-      java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    val walk = java.nio.file.Files.walk(dir)
+    val bytes =
+      try walk.filter(p =>
+        java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum()
+      finally walk.close()
     val nFiles = math.max(1, math.ceil(bytes.toDouble / (targetFileMB * 1024L * 1024L)).toInt)
     stagedSwap(path) { staged =>
       spark.read.parquet(path).coalesce(nFiles)
@@ -279,10 +333,12 @@ object IO {
     }
   }
 
-  /** Staged single-file replay dirs, one per source path — repeated
-    * replayStream calls on the same file (test suites, long-lived
-    * services) reuse the copy instead of leaking a dir per call; all
-    * staged files/dirs are registered for JVM-exit deletion.
+  /** Staged single-file replay dirs, one per (source path, mtime,
+    * size) — repeated replayStream calls on the same UNCHANGED file
+    * (test suites, long-lived services) reuse the copy instead of
+    * leaking a dir per call, while a rewritten source gets a fresh
+    * copy instead of silently replaying stale contents; all staged
+    * files/dirs are registered for JVM-exit deletion.
     */
   private val stagedReplayDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -300,9 +356,15 @@ object IO {
       schema: StructType,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     val p = java.nio.file.Paths.get(path)
+    // cache key includes mtime+size: a REWRITTEN source file must get a
+    // fresh staged copy, or the stream silently replays stale contents
+    val cacheKey = {
+      val mtime = java.nio.file.Files.getLastModifiedTime(p).toMillis
+      s"${p.toAbsolutePath}@$mtime:${java.nio.file.Files.size(p)}"
+    }
     val dir =
       if (java.nio.file.Files.isDirectory(p)) path
-      else stagedReplayDirs.computeIfAbsent(p.toAbsolutePath.toString, { _ =>
+      else stagedReplayDirs.computeIfAbsent(cacheKey, { _ =>
         val d = java.nio.file.Files.createTempDirectory("replay_stream")
         val staged = d.resolve(p.getFileName)
         java.nio.file.Files.copy(p, staged)

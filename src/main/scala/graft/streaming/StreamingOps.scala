@@ -112,16 +112,23 @@ object StreamingOps {
     require(Set("inner", "left_outer", "leftouter", "left")
       .contains(joinType.toLowerCase),
       s"bandedStreamJoin supports inner/left_outer, got $joinType")
+    // ALL non-key columns ride through with their side's prefix — the
+    // attribution use case needs the matched row's payload (amount,
+    // order id...), not just its timestamp
     val l = left.withWatermark(tsCol, watermark)
-      .select(col(keyCol).as("k"), col(tsCol).as("l_ts"))
+      .select(col(keyCol).as("k") +:
+        left.columns.filterNot(_ == keyCol).map(c => col(c).as(s"l_$c")).toSeq: _*)
     val r = right.withWatermark(tsCol, watermark)
-      .select(col(keyCol).as("k"), col(tsCol).as("r_ts"))
+      .select(col(keyCol).as("k") +:
+        right.columns.filterNot(_ == keyCol).map(c => col(c).as(s"r_$c")).toSeq: _*)
     l.join(r,
       l("k") === r("k") &&
-        col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bandSeconds SECONDS"),
+        col(s"r_$tsCol") >= col(s"l_$tsCol") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $bandSeconds SECONDS"),
       joinType)
-      .select(l("k").as(keyCol), col("l_ts"), col("r_ts"))
+      .select(l("k").as(keyCol) +:
+        (left.columns.filterNot(_ == keyCol).map(c => col(s"l_$c")) ++
+          right.columns.filterNot(_ == keyCol).map(c => col(s"r_$c"))).toSeq: _*)
   }
 
   /** Streaming dedup with BOUNDED state: duplicates of a key arriving
@@ -227,7 +234,12 @@ object StreamingOps {
     * changelog checkpointing, so per-key state volume is bounded by
     * disk, not executor heap. Pass a `ttl` to evict idle users' state
     * (processing-time TTL) — the knob that keeps unbounded key spaces
-    * bounded.
+    * bounded. The knob switches the operator to
+    * `TimeMode.ProcessingTime` (Spark rejects TTL state under
+    * `TimeMode.None`), which also means the query schedules
+    * clock-driven maintenance batches: `processAllAvailable()` no
+    * longer reports caught-up, so tests/tools must poll the sink with
+    * a deadline instead of awaiting quiescence.
     */
   def runningActivity(
       events: DataFrame,
@@ -259,12 +271,15 @@ object StreamingOps {
       }
     }
 
+    // TTL state requires a clock: TimeMode.None() with a TTLConfig is
+    // rejected by Spark at query start, so the mode follows the knob
+    val timeMode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     events
       .select(col(userCol).cast("long"), col(valueCol).cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new ActivityProcessor,
-        TimeMode.None(), OutputMode.Update())
+        timeMode, OutputMode.Update())
   }
 
   /** Watermark-drop observability (A9): accumulates

@@ -56,8 +56,12 @@ object SemanticDedup {
     val projected = df.select(col(idCol).as("id"),
       Similarity.requireDim(asDouble(col(vecCol)), dim).as("v"))
     val centroids = Similarity.trainOnBase(projected, numCells, lloydIters, trainFraction)
+    // persisted: the self-join scans `base` twice, and cellAssignment
+    // is numCells full-dim cosines per row — the dominant per-row cost.
+    // ContextCleaner reclaims the blocks once the plan is unreachable.
     val base = projected
       .withColumn("cell", Similarity.cellAssignment(col("v"), centroids))
+      .persist()
     base.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
       .join(base.select(col("cell"), col("id").as("id_b"), col("v").as("vb")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))

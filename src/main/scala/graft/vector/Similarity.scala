@@ -318,7 +318,13 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val dim = vecDim(df, vecCol)
+    // persisted: both the LSH banding and the verify step scan `base`
+    // more than once — without the cache the dim guard and the
+    // L×p-dot-product code array recompute per scan (the dominant
+    // per-row cost). ContextCleaner reclaims the blocks when the
+    // returned plan is garbage-collected.
     val base = df.select(col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
+      .persist()
     val pairs =
       if (useLsh) {
         val codes = array((0 until L).map(t => bucketCode(col("v"), dim, p, seed + t * 7919L)): _*)

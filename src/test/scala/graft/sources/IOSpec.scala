@@ -45,6 +45,21 @@ class IOSpec extends SparkSpec {
     val enFiles = new java.io.File(s"$dir/lang=en").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(enFiles == 1)
+    // filesPerPartition > 1 actually splits each dir (a bare
+    // repartition(n, cols) would put every key in ONE task and ONE
+    // file — and at n=1 funnel the whole dataset through one task)
+    val dir3 = tmp("part3")
+    IO.writePartitioned(docs, dir3, Seq("lang"), filesPerPartition = 3)
+    val enFiles3 = new java.io.File(s"$dir3/lang=en").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(enFiles3 >= 2 && enFiles3 <= 3, s"expected 2-3 files, got $enFiles3")
+    assert(spark.read.parquet(dir3).count() == docs.count())
+    // compact/upsert must refuse the partitioned layout: a flat rewrite
+    // loses directory pruning and type-infers the partition keys
+    val err = intercept[IllegalArgumentException] {
+      IO.compact(spark, dir3)
+    }
+    assert(err.getMessage.contains("hive-partitioned"), err.getMessage)
   }
 
   test("bucketed table join avoids shuffle on the bucket key") {

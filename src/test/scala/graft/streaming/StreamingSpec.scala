@@ -196,6 +196,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("banded join carries payload columns with side prefixes") {
+    // the attribution use case needs the matched row's payload, not
+    // just its timestamp — dropping payloads made the operator useless
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val clicks = Seq((1L, ts(1), "c1")).toDF("user_id", "ts", "click_id")
+    val purchases = Seq((1L, ts(2), 9.99)).toDF("user_id", "ts", "amount")
+    val out = StreamingOps.bandedStreamJoin(clicks, purchases, "user_id",
+      bandSeconds = 600)
+    assert(out.columns.toSeq ==
+      Seq("user_id", "l_ts", "l_click_id", "r_ts", "r_amount"), out.columns.toSeq)
+    val row = out.head()
+    assert(row.getString(2) == "c1" && row.getDouble(4) == 9.99)
+  }
+
   test("left-outer banded stream join emits unmatched rows after the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
@@ -310,6 +325,22 @@ class StreamingSpec extends SparkSpec {
       ms.addData((1L, 5.0))
       q.processAllAvailable()
       q.stop()
+      // the ttl knob must START and process data (TimeMode must be
+      // ProcessingTime when a TTLConfig is set — TimeMode.None + TTL is
+      // rejected by Spark at first batch). Processing-time mode keeps
+      // scheduling clock-driven maintenance batches, so the query never
+      // reports caught-up — poll the sink with a deadline, then stop.
+      val ms2 = MemoryStream[(Long, Double)]
+      ms2.addData((7L, 1.0))
+      val q2 = StreamingOps.runningActivity(ms2.toDF.toDF("user_id", "value"),
+          ttl = Some(java.time.Duration.ofHours(1)))
+        .toDF.writeStream.outputMode("update")
+        .format("memory").queryName("tws_ttl").start()
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("tws_ttl").count() < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      q2.stop()
+      assert(spark.table("tws_ttl").count() == 1, "ttl variant produced no rows")
       // last emission per user carries the cumulative totals
       val last = spark.table("tws").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
