@@ -400,13 +400,20 @@ object Curation {
     require(seqLen > 0 && docsPerBucket > 0)
     val spark = df.sparkSession
     import spark.implicits._
-    val checkedId = when(col(idCol).isNull,
-      raise_error(lit(s"packBins: null $idCol — the packing order is " +
-        "undefined for null ids"))).otherwise(col(idCol).cast("long"))
-    val checkedTok = when(col(tokenCol).isNull,
-      raise_error(lit(s"packBins: null $tokenCol — a doc without a token " +
-        "count cannot be packed; fill or filter upstream")))
-      .otherwise(col(tokenCol).cast("long"))
+    // Guard the CASTED value, not the raw column: a non-integral id or
+    // token (string/UUID — the input capPerSource tells users to hash
+    // first) is non-null pre-cast but null after, and would die in the
+    // tuple encoder with an unnamed NPE instead of this named raise.
+    val idL = col(idCol).cast("long")
+    val checkedId = when(idL.isNull,
+      raise_error(lit(s"packBins: null or non-integral $idCol — the " +
+        "packing order is undefined; hash non-integral ids first")))
+      .otherwise(idL)
+    val tokL = col(tokenCol).cast("long")
+    val checkedTok = when(tokL.isNull,
+      raise_error(lit(s"packBins: null or non-integral $tokenCol — a doc " +
+        "without a token count cannot be packed; fill or filter upstream")))
+      .otherwise(tokL)
     df.select(checkedId.as("id"), checkedTok.as("nt"))
       .withColumn("b", floor(col("id").cast("double") / docsPerBucket).cast("long"))
       .as[(Long, Long, Long)]

@@ -299,15 +299,32 @@ object CurationOracle {
         |         row_number() OVER (PARTITION BY CAST(floor(doc_id / 64.0) AS BIGINT)
         |                            ORDER BY doc_id) rk
         |  FROM documents),
+        |-- state carried per step mirrors packBins exactly: `assigned` is the
+        |-- doc's bin, `bin`/`fill`/`occ` the post-doc open-bin state. occ is
+        |-- the EXPLICIT occupancy flag (packBins' nonEmpty) — inferring it
+        |-- from fill > 0 would co-bin an oversize doc with zero-token
+        |-- predecessors where packBins isolates it.
         |s AS (
-        |  SELECT b, rk, doc_id, nt, CAST(0 AS BIGINT) bin, nt fill FROM d WHERE rk = 1
+        |  SELECT b, rk, doc_id, nt,
+        |         CAST(0 AS BIGINT) assigned,
+        |         CAST(CASE WHEN nt > 64 THEN 1 ELSE 0 END AS BIGINT) bin,
+        |         CASE WHEN nt > 64 THEN CAST(0 AS BIGINT) ELSE greatest(nt, 0) END fill,
+        |         nt <= 64 occ
+        |  FROM d WHERE rk = 1
         |  UNION ALL
         |  SELECT d.b, d.rk, d.doc_id, d.nt,
-        |         CASE WHEN s.fill > 0 AND s.fill + d.nt > 64 THEN s.bin + 1 ELSE s.bin END,
-        |         CASE WHEN s.fill > 0 AND s.fill + d.nt > 64 THEN d.nt ELSE s.fill + d.nt END
+        |         s.bin + CASE WHEN s.occ AND (d.nt > 64 OR s.fill + greatest(d.nt, 0) > 64)
+        |                      THEN 1 ELSE 0 END,
+        |         s.bin + CASE WHEN s.occ AND (d.nt > 64 OR s.fill + greatest(d.nt, 0) > 64)
+        |                      THEN 1 ELSE 0 END
+        |               + CASE WHEN d.nt > 64 THEN 1 ELSE 0 END,
+        |         CASE WHEN d.nt > 64 THEN CAST(0 AS BIGINT)
+        |              WHEN s.occ AND s.fill + greatest(d.nt, 0) > 64 THEN greatest(d.nt, 0)
+        |              ELSE s.fill + greatest(d.nt, 0) END,
+        |         d.nt <= 64
         |  FROM s JOIN d ON d.b = s.b AND d.rk = s.rk + 1),
         |bins AS (
-        |  SELECT b * 64 + bin bin_id, sum(nt) fill, count(*) nd,
+        |  SELECT b * 128 + assigned bin_id, sum(nt) fill, count(*) nd,
         |         max(CASE WHEN nt > 64 THEN 1 ELSE 0 END) ov
         |  FROM s GROUP BY 1)
         |SELECT count(*) n_bins, CAST(sum(nd) AS BIGINT) n_docs,

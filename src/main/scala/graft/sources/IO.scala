@@ -70,14 +70,29 @@ object IO {
     * 256× the requested file count (collision odds per key pair
     * < 0.4%), and the contract is "≤ n evenly-hashed files", not
     * exactly n.
+    *
+    * The salt hashes only the HASHABLE columns: MapType is excluded
+    * (Spark rejects hash functions over maps — unordered entries have
+    * no canonical hash), so a frame carrying a map column writes fine.
+    * If every column is a map the salt falls back to the partition
+    * columns (single-file-per-dir, the pre-salt behavior) — that
+    * degenerate frame has no row identity to split on anyway.
     */
   def writePartitioned(
       df: DataFrame, path: String,
       partitionCols: Seq[String], filesPerPartition: Int = 1): Unit = {
     require(partitionCols.nonEmpty, "writePartitioned needs partition columns")
     require(filesPerPartition > 0, s"filesPerPartition must be positive")
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case _ => true
+    }
+    val saltCols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => df.col(f.name))
+    val saltInput = if (saltCols.nonEmpty) saltCols.toSeq else partitionCols.map(df.col)
     val salt = org.apache.spark.sql.functions.pmod(
-      org.apache.spark.sql.functions.xxhash64(df.columns.map(df.col): _*),
+      org.apache.spark.sql.functions.xxhash64(saltInput: _*),
       org.apache.spark.sql.functions.lit(filesPerPartition.toLong))
     df.repartition(filesPerPartition * 256,
         (partitionCols.map(df.col) :+ salt): _*)

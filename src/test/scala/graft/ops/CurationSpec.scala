@@ -163,6 +163,18 @@ class CurationSpec extends SparkSpec {
       Curation.packBins(dup, "doc_id", "n_tok", seqLen = 4).collect()
     }
     assert(e3.getMessage.contains("duplicate id"), e3.getMessage)
+    // NON-INTEGRAL ids/tokens (cast to null, not null pre-cast) must hit
+    // the same named raise, not an unnamed NPE in the tuple encoder
+    val strId = Seq(("a-uuid", 3L), ("b-uuid", 4L)).toDF("doc_id", "n_tok")
+    val e4 = intercept[Exception] {
+      Curation.packBins(strId, "doc_id", "n_tok", seqLen = 4).collect()
+    }
+    assert(e4.getMessage.contains("packBins"), e4.getMessage)
+    val strTok = Seq((1L, "three"), (2L, "four")).toDF("doc_id", "n_tok")
+    val e5 = intercept[Exception] {
+      Curation.packBins(strTok, "doc_id", "n_tok", seqLen = 4).collect()
+    }
+    assert(e5.getMessage.contains("packBins"), e5.getMessage)
   }
 
   test("sourceMix: deterministic across layouts; missing weighted source rejected") {

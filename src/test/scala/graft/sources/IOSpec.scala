@@ -60,6 +60,13 @@ class IOSpec extends SparkSpec {
       IO.compact(spark, dir3)
     }
     assert(err.getMessage.contains("hive-partitioned"), err.getMessage)
+    // a MapType column must not break the salt (hash functions reject
+    // maps — the salt hashes only the hashable columns)
+    val withMap = docs.select(col("doc_id"), col("lang"),
+      map(lit("k"), col("source")).as("attrs"))
+    val dirM = tmp("partmap")
+    IO.writePartitioned(withMap, dirM, Seq("lang"), filesPerPartition = 2)
+    assert(spark.read.parquet(dirM).count() == docs.count())
   }
 
   test("bucketed table join avoids shuffle on the bucket key") {
