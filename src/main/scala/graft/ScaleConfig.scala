@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.broadcast
 
 /** The 100 TB posture, as code (SURVEY.md §4.3). Two profiles:
   *
@@ -36,6 +37,35 @@ object ScaleConfig {
       .config("spark.sql.autoBroadcastJoinThreshold", (32 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+
+  /** Broadcast hint for DATA-SCALING build sides — sides derived from
+    * corpus tables (a filtered customer dim, a distinct orders key set)
+    * that are comfortably broadcastable at bench scale but grow with
+    * the data. The hint is applied only while the session permits
+    * broadcasts; when the operator disables auto-broadcast
+    * (`spark.sql.autoBroadcastJoinThreshold=-1` — the posture of a
+    * cluster where no corpus-derived side fits executor memory), the
+    * hint is withheld so Catalyst demotes the join cleanly to
+    * sort-merge / shuffled-hash instead of being FORCED into an
+    * impossible broadcast by a stale hint (an explicit hint overrides
+    * the threshold, so without this gate threshold=-1 could not demote
+    * these joins).
+    *
+    * Contrast with BOUNDED sides — nation (25 rows), region (5),
+    * scalar-aggregate thresholds, k-means centroids — which keep their
+    * unconditional `broadcast()` hints: they are O(1)-sized by
+    * construction at any corpus scale, and broadcasting them is right
+    * even on a 1000-executor cluster.
+    */
+  def scalingBroadcast(df: DataFrame): DataFrame =
+    if (broadcastDisabled(df.sparkSession)) df else broadcast(df)
+
+  /** True when auto-broadcast is globally off (threshold set negative).
+    * Spark renders the conf as a byte string ("-1", "-1b", "10485760b");
+    * a leading '-' is the disabled posture. */
+  def broadcastDisabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+      .trim.startsWith("-")
 
   def cluster(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.adaptive.enabled", "true")

@@ -58,11 +58,15 @@ object Relational {
   /** Q03 — 5-way equi-join + agg (TPC-H Q5 analogue).
     *
     * Join order is written smallest-out first: region filter → nation →
-    * customer (all broadcastable), so the only shuffles are the big
-    * orders⋈lineitem exchange and the final aggregation. region/nation/
-    * customer stay far under the broadcast threshold at any SF where
-    * customer ≪ lineitem; at 100 TB the explicit broadcast hint on the
-    * dimension side keeps the plan stable even without fresh stats.
+    * customer (all broadcastable at bench scale), so the only shuffles
+    * are the big orders⋈lineitem exchange and the final aggregation.
+    * nation/region are BOUNDED dims (25/5 rows at any SF) and keep
+    * unconditional broadcast hints; custDim is customer-derived and
+    * SCALES, so its hint goes through [[graft.ScaleConfig.scalingBroadcast]]
+    * — broadcast while the session allows it, clean sort-merge demotion
+    * when the operator sets autoBroadcastJoinThreshold=-1 (the regime
+    * where customer no longer fits an executor). NoBroadcastPlanSpec
+    * pins both plans.
     */
   def q03(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")
@@ -79,7 +83,11 @@ object Relational {
 
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+      // custDim SCALES with the corpus (it is customer-derived):
+      // broadcast while the session allows it, demote to a keyed
+      // shuffle join when broadcasts are off (threshold=-1)
+      .join(graft.ScaleConfig.scalingBroadcast(custDim),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .transform(orderedSmall(_, col("revenue").desc, col("n_name")))
@@ -128,7 +136,10 @@ object Relational {
     val customer = Tables.load(spark, dir, "customer")
     val orderKeys = Tables.load(spark, dir, "orders")
       .select(col("o_custkey")).distinct()
-    customer.join(broadcast(orderKeys), col("c_custkey") === col("o_custkey"), "left")
+    // the distinct order-key set scales with orders — hint only while
+    // the session permits broadcasts (see ScaleConfig.scalingBroadcast)
+    customer.join(graft.ScaleConfig.scalingBroadcast(orderKeys),
+        col("c_custkey") === col("o_custkey"), "left")
       .agg(
         count(when(col("o_custkey").isNotNull, 1)).as("with_orders"),
         count(when(col("o_custkey").isNull, 1)).as("without_orders"))
