@@ -4,6 +4,12 @@ import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.StructType
 
+/** Thrown when a second writer attempts [[IO.upsert]]/[[IO.compact]]/
+  * [[IO.createOrUpsert]] on a table another writer currently holds —
+  * fail-fast instead of an interleaved stage/swap that silently loses
+  * one writer's rows. */
+class ConcurrentWriterException(msg: String) extends IllegalStateException(msg)
+
 /** Sources and sinks. Thin, deliberately: Spark's DataSource V2 already
   * provides the formats; the engine's value-add is (a) schema-pinned
   * reads (no sampling-inference jobs in production paths) and (b) the
@@ -197,9 +203,21 @@ object IO {
     *
     * Output column order follows latestByKey (keys first) — parquet
     * readers resolve by name, not position.
+    *
+    * Concurrency: guarded by the single-writer lease (see
+    * [[acquireTableLock]]) — a second simultaneous upsert/compact on
+    * the same path fails fast with [[ConcurrentWriterException]]
+    * instead of silently losing one writer's rows to an interleaved
+    * read→swap.
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String], orderCols: Seq[String] = Nil): Unit = {
+      keys: Seq[String], orderCols: Seq[String] = Nil): Unit =
+    withTableLock("upsert", path) {
+      upsertLocked(spark, path, updates, keys, orderCols)
+    }
+
+  private def upsertLocked(spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], orderCols: Seq[String]): Unit = {
     require(keys.nonEmpty, "upsert needs key columns")
     healSwap(path) // the read below needs the healed table dir
     requireUnpartitioned("upsert", path)
@@ -292,6 +310,70 @@ object IO {
     rmTree(staged); rmTree(old)
   }
 
+  /** Cooperative single-writer lease for the rewrite ops. The unsafe
+    * window is the WHOLE read→merge→swap, not just the two renames: two
+    * upserts that both read the pre-merge table and then swap
+    * sequentially silently lose the first writer's rows (classic lost
+    * update), so the lease is held across the entire operation.
+    *
+    * Mechanics: atomic `createFile` of `<table>.lock` (O_EXCL — the
+    * create either wins or throws, no read-then-create race on a POSIX
+    * filesystem); the loser fails fast with a named
+    * [[ConcurrentWriterException]] instead of corrupting the table. The
+    * file records holder pid + timestamp for debuggability. A CRASHED
+    * holder must not brick the table forever (the same self-healing
+    * discipline as [[healSwap]]): a lock older than `staleLockMs` is
+    * broken and re-raced — size that constant above the longest
+    * expected rewrite (default 30 min covers a full-table rewrite at
+    * the scales this flat-parquet form is for; beyond that, use a real
+    * table format). Known limit, documented not hidden: object stores
+    * without atomic create (S3) need an external lock service — this
+    * lease encodes the SEMANTICS a Delta/Iceberg catalog provides.
+    */
+  @volatile private[sources] var staleLockMs: Long = 30L * 60L * 1000L
+
+  private def lockFile(path: String): java.nio.file.Path = {
+    val (dir, _, _) = swapPaths(path)
+    dir.resolveSibling(dir.getFileName.toString + ".lock")
+  }
+
+  private[sources] def acquireTableLock(op: String, path: String): Unit = {
+    val lock = lockFile(path)
+    if (lock.getParent != null) java.nio.file.Files.createDirectories(lock.getParent)
+    def tryCreate(): Boolean =
+      try {
+        java.nio.file.Files.createFile(lock)
+        java.nio.file.Files.writeString(lock,
+          s"pid=${ProcessHandle.current().pid()} ts=${System.currentTimeMillis()}")
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryCreate()) {
+      val age =
+        try System.currentTimeMillis() -
+          java.nio.file.Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.io.IOException => 0L } // holder just released: not stale
+      val brokeStale = age > staleLockMs && {
+        // break the stale lease, then RE-RACE through the atomic create —
+        // two breakers cannot both win the createFile
+        java.nio.file.Files.deleteIfExists(lock)
+        tryCreate()
+      }
+      if (!brokeStale)
+        throw new ConcurrentWriterException(
+          s"$op: table $path is held by a concurrent writer ($lock, age ${age}ms) — " +
+            "retry after it finishes; a crashed holder's lock expires after " +
+            s"${staleLockMs}ms")
+    }
+  }
+
+  private[sources] def releaseTableLock(path: String): Unit =
+    java.nio.file.Files.deleteIfExists(lockFile(path))
+
+  private def withTableLock[A](op: String, path: String)(body: => A): A = {
+    acquireTableLock(op, path)
+    try body finally releaseTableLock(path)
+  }
+
   /** Callers must [[healSwap]] first (they all read or existence-check
     * the table before writing, which itself needs the healed dir). */
   private def stagedSwap(path: String)(write: String => Unit): Unit = {
@@ -308,18 +390,19 @@ object IO {
     * mid-create leaves no half-table at `path` — an uncommitted staged
     * dir is cleared, not promoted, by the next call's heal. */
   def createOrUpsert(spark: SparkSession, path: String, updates: DataFrame,
-      keys: Seq[String], orderCols: Seq[String] = Nil): Unit = {
-    healSwap(path)
-    val (dir, staged, _) = swapPaths(path)
-    if (java.nio.file.Files.exists(dir))
-      upsert(spark, path, updates, keys, orderCols)
-    else {
-      val initial = if (orderCols.isEmpty) updates
-        else graft.ops.Relational.latestByKey(updates, keys, orderCols)
-      initial.write.mode("overwrite").parquet(staged.toString)
-      java.nio.file.Files.move(staged, dir)
+      keys: Seq[String], orderCols: Seq[String] = Nil): Unit =
+    withTableLock("createOrUpsert", path) {
+      healSwap(path)
+      val (dir, staged, _) = swapPaths(path)
+      if (java.nio.file.Files.exists(dir))
+        upsertLocked(spark, path, updates, keys, orderCols)
+      else {
+        val initial = if (orderCols.isEmpty) updates
+          else graft.ops.Relational.latestByKey(updates, keys, orderCols)
+        initial.write.mode("overwrite").parquet(staged.toString)
+        java.nio.file.Files.move(staged, dir)
+      }
     }
-  }
 
   /** Small-file compaction — the maintenance pass every long-lived
     * ingest layout needs: streaming/micro-batch writers leave thousands
@@ -330,7 +413,12 @@ object IO {
     * staged via a temp dir + atomic-ish swap so a crash mid-compaction
     * never leaves `path` half-written.
     */
-  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit = {
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 256): Unit =
+    withTableLock("compact", path) {
+      compactLocked(spark, path, targetFileMB)
+    }
+
+  private def compactLocked(spark: SparkSession, path: String, targetFileMB: Int): Unit = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
     healSwap(path) // the size walk below needs the healed table dir
     requireUnpartitioned("compact", path)

@@ -207,6 +207,80 @@ class IOSpec extends SparkSpec {
       "self-heal lost the staged survivor or the update")
   }
 
+  test("concurrent upsert: second writer refuses with a named error; table equals the winner") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lock").toString + "/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "score").write.parquet(dir)
+    val before = spark.read.parquet(dir).as[(Long, Double)].collect().sortBy(_._1)
+    // writer A holds the lease (mid-flight); writer B must fail FAST with
+    // the named error and leave the table exactly as A's read saw it
+    IO.acquireTableLock("test", dir)
+    try {
+      val e = intercept[ConcurrentWriterException] {
+        IO.upsert(spark, dir, Seq((2L, 99.0)).toDF("k", "score"), Seq("k"))
+      }
+      assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+      assert(e.getMessage.contains(dir), e.getMessage)
+      val eC = intercept[ConcurrentWriterException] {
+        IO.compact(spark, dir)
+      }
+      assert(eC.getMessage.contains("compact"), eC.getMessage)
+      assert(spark.read.parquet(dir).as[(Long, Double)].collect().sortBy(_._1)
+        .sameElements(before), "refused writer still mutated the table")
+    } finally IO.releaseTableLock(dir)
+    // lease released -> the writer goes through; table equals the winner
+    IO.upsert(spark, dir, Seq((2L, 99.0)).toDF("k", "score"), Seq("k"))
+    assert(spark.read.parquet(dir).as[(Long, Double)].collect().sortBy(_._1)
+      .toSeq == Seq((1L, 10.0), (2L, 99.0)))
+    // no lock file left behind after a successful write
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".lock")))
+  }
+
+  test("concurrent upsert race: exactly one of two simultaneous writers wins the lease") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_race").toString + "/t"
+    Seq((1L, 1.0)).toDF("k", "score").write.parquet(dir)
+    // a barrier maximizes the overlap; upsert runs Spark jobs so the
+    // loser reliably arrives while the winner still holds the lease
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    def attempt(v: Double): Future[Either[Throwable, Unit]] = Future {
+      gate.await()
+      try Right(IO.upsert(spark, dir, Seq((1L, v)).toDF("k", "score"), Seq("k")))
+      catch { case e: ConcurrentWriterException => Left(e) }
+    }
+    val results = Await.result(
+      Future.sequence(Seq(attempt(2.0), attempt(3.0))), 120.seconds)
+    val wins = results.count(_.isRight)
+    assert(wins >= 1, s"no writer succeeded: $results")
+    assert(results.forall {
+      case Left(e) => e.isInstanceOf[ConcurrentWriterException]
+      case Right(_) => true
+    }, s"loser failed with the wrong error: $results")
+    // the table equals ONE winner's result — never a torn mix
+    val rows = spark.read.parquet(dir).as[(Long, Double)].collect()
+    assert(rows.length == 1 && Set(2.0, 3.0).contains(rows.head._2), rows.toSeq.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".lock")))
+  }
+
+  test("stale lease from a crashed writer is broken, not honored forever") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString + "/t"
+    Seq((1L, 1.0)).toDF("k", "score").write.parquet(dir)
+    // a crashed holder leaves the lock file behind; with age past the
+    // lease the next writer breaks it and proceeds
+    IO.acquireTableLock("test", dir)
+    val lock = java.nio.file.Paths.get(dir + ".lock")
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - IO.staleLockMs - 1000))
+    IO.upsert(spark, dir, Seq((1L, 2.0)).toDF("k", "score"), Seq("k"))
+    assert(spark.read.parquet(dir).as[(Long, Double)].head()._2 == 2.0)
+    assert(!java.nio.file.Files.exists(lock), "broken lease not cleaned up")
+  }
+
   test("parquetEvolved surfaces late-added columns as nulls on old files") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
