@@ -322,20 +322,37 @@ object Curation {
     * corpus/docsPerBucket-row aggregate — prefix-sum on the driver and
     * rejoin by broadcast. At 100 TB: docsPerBucket ≈ 1e6 keeps buckets
     * task-sized and the driver step at ~100k rows (a few MB).
+    *
+    * The bounded-driver contract is ENFORCED, not assumed: the bucket
+    * count is checked (against `maxDriverBuckets`, default 2e6 ≈
+    * 200 MB of boxed driver rows) BEFORE the collect, so a caller
+    * passing a tiny `docsPerBucket` at corpus scale gets a named error
+    * naming the fix instead of a driver OOM. The totals aggregate is
+    * persisted across the count+collect pair — both read the
+    * bucket-sized cached result, not the corpus twice.
     */
   def packSequences(
       df: DataFrame, idCol: String, tokenCol: String, seqLen: Int,
-      docsPerBucket: Long = 1000000L): DataFrame = {
-    require(seqLen > 0 && docsPerBucket > 0)
+      docsPerBucket: Long = 1000000L,
+      maxDriverBuckets: Long = 2000000L): DataFrame = {
+    require(seqLen > 0 && docsPerBucket > 0 && maxDriverBuckets > 0)
     val tok = col(tokenCol).cast("long")
     val b = df.withColumn("__b",
       floor(col(idCol).cast("long").cast("double") / docsPerBucket).cast("long"))
-    val bucketTotals = b.groupBy(col("__b")).agg(sum(tok).as("__bt"))
-      .collect().map { r =>
-        require(!r.isNullAt(0),
-          s"packSequences: null $idCol — the packing order is undefined for null ids")
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      }.sortBy(_._1)
+    val totalsDf = b.groupBy(col("__b")).agg(sum(tok).as("__bt")).persist()
+    val bucketTotals =
+      try {
+        val nBuckets = totalsDf.count()
+        require(nBuckets <= maxDriverBuckets,
+          s"packSequences: $nBuckets buckets would land on the driver (cap " +
+            s"$maxDriverBuckets) — raise docsPerBucket so corpus/docsPerBucket " +
+            "fits the documented driver budget")
+        totalsDf.collect().map { r =>
+          require(!r.isNullAt(0),
+            s"packSequences: null $idCol — the packing order is undefined for null ids")
+          (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        }.sortBy(_._1)
+      } finally totalsDf.unpersist()
     var acc = 0L
     val offsets = bucketTotals.map { case (bid, t) => val o = (bid, acc); acc += t; o }
     val offDf = df.sparkSession.createDataFrame(

@@ -97,6 +97,22 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("null doc_id"), e.getMessage)
   }
 
+  test("packSequences: bucket-count cap raises BEFORE the driver collect") {
+    // docsPerBucket=1 → one bucket per doc; with the cap forced below
+    // the doc count the named guard must fire (the enforced form of the
+    // bounded-driver contract, not a crash-later OOM)
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.packSequences(docs, "doc_id", "n_tok", seqLen = 128,
+        docsPerBucket = 1, maxDriverBuckets = 10)
+    }
+    assert(e.getMessage.contains("raise docsPerBucket"), e.getMessage)
+    // at the default cap the same call works
+    assert(Curation.packSequences(docs, "doc_id", "n_tok", seqLen = 128,
+      docsPerBucket = 1).count() == docs.count())
+  }
+
   test("packBins: hand-computed next-fit, oversize isolation, capacity") {
     // id order with cap 7: 3+3=6, +3>7 -> bins [{1,2}, {3}]; oversize
     // doc 4 (nt=9) gets its own bin; doc 5 opens a fresh one after it
