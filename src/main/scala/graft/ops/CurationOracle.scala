@@ -71,26 +71,44 @@ object CurationOracle {
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // q23/q25 twins: inverted-index EQUI-join form, not the quadratic
+    // `ON a.doc_id < b.doc_id` all-pairs nested loop (multi-minute-to-
+    // hour at sf0.1 — ROUND4.md measures it). EXACTLY equivalent, not
+    // an approximation: any pair with Jaccard ≥ τ > 0 shares ≥ 1
+    // shingle, so the shingle join generates every qualifying pair, and
+    // |A∪B| = |A| + |B| − |A∩B| recovers the same Jaccard from the
+    // per-pair intersection count (shingle lists are list_distinct'd).
+    // Verified equal to the all-pairs form at sf0.001/sf0.01 both
+    // thresholds; this form runs sf0.1 in seconds, making the full
+    // inventory sf0.1-sweepable.
     "q25_dedup_ngram" ->
-      """WITH sh AS (
+      """WITH t AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
         |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
-        |  FROM documents)
-        |SELECT a.doc_id id_a, b.doc_id id_b,
-        |       round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))),4) jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))) >= 0.5
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/(na + nb - inter),4) jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q23_dedup_minhash" ->
-      """WITH sh AS (
+      """WITH t AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
         |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
-        |  FROM documents)
-        |SELECT a.doc_id id_a, b.doc_id id_b,
-        |       round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))),4) jaccard
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))) >= 0.8
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/(na + nb - inter),4) jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q26_embed_neardup" ->
