@@ -322,14 +322,24 @@ object StreamingOps {
     * a crash re-merges the uncommitted batch, which upsert absorbs
     * idempotently (same keys, same winners).
     */
+  /** The per-micro-batch merge body of [[upsertSink]], exposed so the
+    * exactly-once discipline is testable under an INJECTED crash in the
+    * window between the merge completing and the checkpoint committing
+    * (StreamingSpec replays exactly that window). Replay-idempotent by
+    * construction: event-time upsert keeps max-by-`orderCols` per key,
+    * so re-merging an already-merged batch changes nothing. */
+  private[streaming] def upsertBatch(batch: DataFrame, path: String,
+      keys: Seq[String], orderCols: Seq[String]): Unit =
+    // createOrUpsert heals prior crashes BEFORE deciding create-vs-
+    // merge, and stages the create — a bare exists() check here would
+    // mistake a mid-swap crash for a fresh table and orphan history
+    graft.sources.IO.createOrUpsert(batch.sparkSession, path,
+      graft.ops.Relational.latestByKey(batch, keys, orderCols), keys, orderCols)
+
   def upsertSink(
       df: DataFrame, path: String, keys: Seq[String], orderCols: Seq[String],
       name: String = "upsert_sink"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     foreachBatchSink(df, name) { (batch, _) =>
-      // createOrUpsert heals prior crashes BEFORE deciding create-vs-
-      // merge, and stages the create — a bare exists() check here would
-      // mistake a mid-swap crash for a fresh table and orphan history
-      graft.sources.IO.createOrUpsert(batch.sparkSession, path,
-        graft.ops.Relational.latestByKey(batch, keys, orderCols), keys, orderCols)
+      upsertBatch(batch, path, keys, orderCols)
     }
 }

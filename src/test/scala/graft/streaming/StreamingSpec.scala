@@ -382,6 +382,53 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed upsert view diverged from the batch twin")
   }
 
+  test("upsertSink exactly-once: crash between merge and checkpoint commit replays idempotently") {
+    // The adversarial window: batch 1's MERGE completes, then the job
+    // dies BEFORE the checkpoint commit. On restart Spark replays batch
+    // 1; the event-time upsert must absorb the double merge (same keys,
+    // same max-by-order winners) so the table still equals the batch
+    // latest-by-key view — the same discipline batch upsert is tested
+    // for, now under a real streaming replay.
+    val base = java.nio.file.Files.createTempDirectory("graft_upscrash")
+    val table = s"$base/latest"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s"$base/src"
+    val ev = spark.read.schema(eventsSchema).parquet(s"$sf/events.parquet")
+    ev.filter(col("event_id") % 2 === 0).write.parquet(src)
+    ev.filter(col("event_id") % 2 =!= 0).write.mode("append").parquet(src)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = {
+      val stream = spark.readStream.schema(eventsSchema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      StreamingOps.foreachBatchSink(stream, "upsert_crash") { (batch, id) =>
+        StreamingOps.upsertBatch(batch, table,
+          Seq("user_id"), Seq("ts", "event_id"))
+        if (id == 1 && !crashed.getAndSet(true))
+          throw new RuntimeException(
+            "injected crash between merge and checkpoint commit")
+      }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ck").start()
+    }
+    val q1 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(e.getMessage.contains("injected crash"), e.getMessage)
+    // the merge ran: the table already holds batch 1's rows even though
+    // the batch never committed — the exact double-apply hazard
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(table)))
+    val q2 = start()
+    assert(q2.awaitTermination(120000), "restart did not drain")
+    val got = spark.read.parquet(table)
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.ops.Relational.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "event_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      "replayed micro-batch double-applied: table diverged from the batch twin")
+  }
+
   test("foreachBatch sink receives micro-batches with ids") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
