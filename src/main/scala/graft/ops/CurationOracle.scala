@@ -182,19 +182,26 @@ object CurationOracle {
     // = every node reachable from id; cluster = min(id, reachable ids).
     // Exact twin of the Spark min-label-propagation fixpoint.
     // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
-    // the recursive term would otherwise re-evaluate the O(n²) shingle
-    // pair join on every iteration (observed: sf0.1 ran >30 min plain,
-    // seconds materialized).
+    // the recursive term would otherwise re-evaluate the shingle pair
+    // join on every iteration (observed: sf0.1 ran >30 min plain,
+    // seconds materialized). The edge CTE uses the q23/q25 inverted-
+    // index equi-join form (exactly equivalent — see that comment):
+    // the old `ON a.doc_id < b.doc_id` all-pairs list_intersect scan
+    // was 930 s at sf0.1; this is seconds.
     "q42_dedup_clusters" ->
       """WITH RECURSIVE
         |sh AS MATERIALIZED (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
         |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
         |  FROM documents),
+        |ex AS MATERIALIZED (SELECT doc_id, len(sh) n, unnest(sh) s FROM sh),
         |edges AS MATERIALIZED (
-        |  SELECT a.doc_id ea, b.doc_id eb
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/len(list_distinct(list_concat(a.sh,b.sh))) >= 0.5),
+        |  SELECT id_a ea, id_b eb FROM (
+        |    SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |           any_value(a.n) na, any_value(b.n) nb
+        |    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5),
         |sym AS MATERIALIZED (SELECT ea a, eb b FROM edges UNION SELECT eb, ea FROM edges),
         |reach AS (
         |  SELECT a AS id, b AS r FROM sym
@@ -208,15 +215,23 @@ object CurationOracle {
         |SELECT cluster_id, count(*) n_docs, CAST(sum(CASE WHEN rn=1 THEN doc_id END) AS BIGINT) keep_id
         |FROM members GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
+    // overlap-coefficient twin in the q23/q25 inverted-index equi-join
+    // form (exactly equivalent: overlap ≥ 0.8 > 0 ⇒ ≥ 1 shared shingle,
+    // and |A∩B| = per-pair match count over distinct shingles). The old
+    // all-pairs list_intersect form was 290 s at sf0.1; this is seconds.
     "q44_overlap_pairs" ->
-      """WITH sh AS MATERIALIZED (
+      """WITH t AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
         |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
-        |  FROM documents)
-        |SELECT a.doc_id id_a, b.doc_id id_b,
-        |       round(CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/least(len(a.sh),len(b.sh)),4) overlap
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh,b.sh)) AS DOUBLE)/least(len(a.sh),len(b.sh)) >= 0.8
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/least(na, nb),4) overlap
+        |FROM p WHERE CAST(inter AS DOUBLE)/least(na, nb) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q45_dup_spans" ->
