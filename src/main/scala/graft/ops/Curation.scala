@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Boilerplate, Dedup, TextAnalysis}
 import graft.vector.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -765,6 +765,43 @@ object Curation {
         sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"))
       .orderBy(col("source"))
 
+  /** Deterministic weighted sample without replacement: priority
+    * sampling (Duffield–Lund–Thorup). Classic A-ES takes the k items
+    * with the largest u^(1/w); the equivalent bottom-k formulation
+    * keeps the k SMALLEST priorities u/w, which this operator computes
+    * in fixed point — `((u+1) · 10⁶) div w` with u the id's
+    * [[mixedKey]] residue in [0, 10⁶) — so selection is pure integer
+    * arithmetic: identical across engines, retries, layouts, and
+    * cluster sizes, and replayable by the oracle in SQL (q77). Larger
+    * weights ⇒ smaller priorities ⇒ more likely selected; ties break
+    * by id.
+    *
+    * One narrow projection + a global top-k (TakeOrdered — per-partition
+    * heaps of size k, never a full sort). Ids must be non-negative
+    * non-null (same contract and failure mode as [[bernoulliSample]]);
+    * weights must be positive — zero/negative/null weights raise rather
+    * than silently biasing the sample.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val id = col(idCol).cast("long")
+    val checkedId = when(id.isNull || id < 0,
+      raise_error(lit(s"prioritySample: null, negative or non-integral $idCol — " +
+        "selection must be a pure function of NON-NEGATIVE ids"))).otherwise(id)
+    val w = col(weightCol).cast("long")
+    val checkedW = when(w.isNull || w <= 0,
+      raise_error(lit(s"prioritySample: null, non-positive or non-integral $weightCol — " +
+        "priority u/w needs a positive integer weight"))).otherwise(w)
+    val u = pmod(mixedKey(checkedId, salt), lit(1000000L))
+    df.withColumn("_u1", (u + lit(1L)) * lit(1000000L))
+      .withColumn("_w", checkedW)
+      .withColumn("priority", expr("_u1 div _w"))
+      .drop("_u1", "_w")
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** q59 — distribution moments per source (oracle-checked): mean,
     * population variance, and skewness of `n_chars`, all derived from
     * EXACT integer power sums (Σx, Σx², Σx³ stay in long — no
@@ -910,6 +947,58 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** q75 — corpus boilerplate n-gram coverage per source
+    * (oracle-checked): [[Boilerplate.coverage]] with 3-grams at
+    * document frequency ≥ 3; per-source doc count, n-gram position
+    * mass, boilerplate-position mass, mean per-doc coverage, and the
+    * count of docs more than ⅓ covered (the docs a scrub pass would
+    * rewrite hardest). The heavy-doc compare is integer
+    * (`hits·3 > positions`) — no float boundary.
+    */
+  def boilerplateStats(spark: SparkSession, dir: String): DataFrame =
+    Boilerplate.coverage(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", n = 3, minDf = 3, carryCols = Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("positions")).cast("long").as("positions"),
+        sum(col("bp_positions")).cast("long").as("bp_positions"),
+        round(avg(col("bp_positions").cast("double") /
+          col("positions").cast("double")), 6).as("avg_cov"),
+        count(when(col("bp_positions") * 3 > col("positions"), 1)).as("heavy_docs"))
+      .orderBy(col("source"))
+
+  /** q76 — count-min heavy hitters (oracle-checked): tokens above
+    * 3.35 % of total token mass with the CMS estimate's deterministic
+    * over-estimate and ε = e/width bound emitted as booleans (q31's
+    * reshape — the oracle recomputes the exact counts and emits the
+    * literal trues the sketch's guarantees pin).
+    */
+  def heavyHittersStats(spark: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(Tables.load(spark, dir, "documents"), "text",
+      phiNum = 335, phiDen = 10000, depth = 4, width = 1024, seed = 42L)
+
+  /** q77 — deterministic weighted sample (oracle-checked):
+    * [[prioritySample]] of 25 documents weighted by `n_chars`
+    * (salt 11). The oracle replays the fixed-point priority
+    * `((u+1)·10⁶) div n_chars` verbatim in SQL — the proof the
+    * weighted selection is engine-independent.
+    */
+  def weightedSampleHead(spark: SparkSession, dir: String): DataFrame =
+    prioritySample(
+        Tables.load(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "n_chars", k = 25, salt = 11L)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("priority").as("pkey"))
+
+  /** q78 — rank-bounded median per event type (oracle-checked):
+    * [[Sketches.quantileBound]] at p = 0.5, accuracy 100 — the
+    * mergeable percentile sketch verified within n/100 ranks of the
+    * exact median, which the oracle recomputes with `quantile_cont`.
+    */
+  def quantileSketchStats(spark: SparkSession, dir: String): DataFrame =
+    Sketches.quantileBound(Tables.load(spark, dir, "events"),
+      "value", "event_type", p = 0.5, accuracy = 100)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -943,7 +1032,11 @@ object Curation {
     "q68_contamination_report" -> (contaminationReportStats _),
     "q69_unigram_nll" -> (unigramNllStats _),
     "q73_scrub_normalize" -> (scrubNormalizeStats _),
-    "q74_pack_bins" -> (packBinsStats _))
+    "q74_pack_bins" -> (packBinsStats _),
+    "q75_boilerplate" -> (boilerplateStats _),
+    "q76_heavy_hitters" -> (heavyHittersStats _),
+    "q77_weighted_sample" -> (weightedSampleHead _),
+    "q78_quantile_sketch" -> (quantileSketchStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -498,5 +498,58 @@ object CurationOracle {
         |  FROM tok JOIN freq USING (t), tot
         |  GROUP BY doc_id, source)
         |SELECT source, count(*) n_docs, round(avg(nll), 4) avg_nll
-        |FROM scored GROUP BY source ORDER BY source""".stripMargin)
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
+
+    // boilerplate twin: 3-grams rebuilt positionally from string_split
+    // (1-based list indexing), doc frequency over DISTINCT doc ids,
+    // integer heavy-doc compare (hits*3 > npos) — no float boundary
+    "q75_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text,' ') arr FROM documents),
+        |pos AS (
+        |  SELECT doc_id, source, arr, unnest(range(len(arr)-2)) i
+        |  FROM toks WHERE len(arr) >= 3),
+        |ng AS (
+        |  SELECT doc_id, source, arr[i+1]||' '||arr[i+2]||' '||arr[i+3] ng FROM pos),
+        |bp AS (
+        |  SELECT ng FROM (SELECT ng, count(DISTINCT doc_id) dfc FROM ng GROUP BY ng)
+        |  WHERE dfc >= 3),
+        |cov AS (
+        |  SELECT n.doc_id, any_value(n.source) src, count(*) npos, count(b.ng) hits
+        |  FROM ng n LEFT JOIN bp b USING (ng) GROUP BY n.doc_id)
+        |SELECT src source, count(*) n_docs, CAST(sum(npos) AS BIGINT) positions,
+        |       CAST(sum(hits) AS BIGINT) bp_positions,
+        |       round(avg(hits*1.0/npos), 6) avg_cov,
+        |       count(CASE WHEN hits*3 > npos THEN 1 END) heavy_docs
+        |FROM cov GROUP BY src ORDER BY source""".stripMargin,
+
+    // heavy-hitter twin: exact counts + the CMS guarantees as literal
+    // trues (q31's reshape); integer threshold cnt*10000 > total*335
+    "q76_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text,' ')) tok FROM documents),
+        |c AS (SELECT tok token, count(*) cnt FROM t GROUP BY tok),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) total FROM c)
+        |SELECT token, cnt, true est_ge, true est_within
+        |FROM c, n WHERE cnt*10000 > total*335
+        |ORDER BY cnt DESC, token""".stripMargin,
+
+    // priority-sampling twin: the same two-term id mixer as q58/q66,
+    // then the fixed-point priority ((u+1)*1e6) // n_chars — selection
+    // replayed entirely in integer arithmetic
+    "q77_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ((((doc_id % 1000003) * 2654435761 + (doc_id >> 16) * 7919 + 11 * 10007)
+        |       % 1000000007 * 2654435761) % 1000000007) % 1000000 AS u
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, ((u + 1) * 1000000) // n_chars AS pkey
+        |FROM k ORDER BY pkey, doc_id LIMIT 25""".stripMargin,
+
+    // quantile twin: exact interpolated median (quantile_cont ==
+    // Spark's percentile definition, rounded 4 dp) + the sketch's
+    // rank-bound as a literal true
+    "q78_quantile_sketch" ->
+      """SELECT event_type, count(value) n, round(quantile_cont(value, 0.5), 4) p50,
+        |       true approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -288,4 +288,46 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(v - pvar) < 1e-2 * math.max(pvar, 1), s"$src var $v vs $pvar")
     }
   }
+
+  test("prioritySample: deterministic, layout-invariant, matches driver replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    val a = Curation.prioritySample(docs, "doc_id", "n_chars", k = 10, salt = 11L)
+      .select("doc_id").collect().map(_.getLong(0))
+    val b = Curation.prioritySample(docs.repartition(7), "doc_id", "n_chars", 10, 11L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(a.sameElements(b), "selection must not depend on layout")
+    // replay the fixed-point priority on the driver
+    val replay = docs.collect().map { r =>
+      val id = r.getLong(0); val w = r.getLong(2)
+      val inner = ((id % 1000003L) * 2654435761L + (id >> 16) * 7919L + 11L * 10007L) % 1000000007L
+      val u = (inner * 2654435761L) % 1000000007L % 1000000L
+      (((u + 1L) * 1000000L) / w, id)
+    }.sorted.take(10).map(_._2)
+    assert(a.sameElements(replay))
+  }
+
+  test("prioritySample: heavier rows are preferentially selected") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "n_chars")
+    val k = 10
+    val sel = Curation.prioritySample(docs, "doc_id", "n_chars", k, salt = 3L)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).collect().head.getDouble(0)
+    val all = docs.agg(org.apache.spark.sql.functions.avg("n_chars")).collect().head.getDouble(0)
+    assert(sel > all, s"weighted sample mean $sel should exceed corpus mean $all")
+  }
+
+  test("prioritySample: guards raise on bad ids, weights, k") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (-2L, 5L)).toDF("id", "w")
+    val boom = intercept[Exception](
+      Curation.prioritySample(df, "id", "w", 1).collect())
+    assert(boom.getMessage.contains("prioritySample"))
+    val zeroW = Seq((1L, 0L)).toDF("id", "w")
+    val boomW = intercept[Exception](
+      Curation.prioritySample(zeroW, "id", "w", 1).collect())
+    assert(boomW.getMessage.contains("positive"))
+    intercept[IllegalArgumentException](
+      Curation.prioritySample(df, "id", "w", 0))
+  }
 }
