@@ -69,7 +69,12 @@ object Sketches {
     require(phiNum > 0 && phiDen > 0, s"phi must be positive: $phiNum/$phiDen")
     val toks = df.select(explode(split(col(textCol), " ")).as("_tok"))
     val exact = toks.groupBy(col("_tok").as("token")).agg(count(lit(1)).as("cnt"))
-    val total = exact.agg(sum(col("cnt")).as("_total"))
+    // total mass WITHOUT a second explode+shuffle over the corpus: a
+    // narrow per-document token count collapses to one scalar in a
+    // single scan (Catalyst does not share the exact-count subtree, so
+    // deriving the total from `exact` would re-run its shuffle)
+    val total = df.agg(
+      sum(size(split(col(textCol), " ")).cast("long")).as("_total"))
     val cand = exact.crossJoin(broadcast(total))
       .filter(col("cnt") * lit(phiDen) > col("_total") * lit(phiNum))
     val sketch = countMinSketch(df, textCol, depth, width, seed)

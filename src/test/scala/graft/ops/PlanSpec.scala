@@ -221,6 +221,35 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p72) <= 2, s"q72 gained extra shuffles:\n$p72")
   }
 
+  test("q75-q78: round-5 additions keep sane physical shapes") {
+    // q75: doc-frequency is ONE ngram-key shuffle (array_distinct before
+    // the explode — no countDistinct double shuffle); the boilerplate
+    // set joins broadcast; positions never cartesian
+    val p75 = plan("q75_boilerplate")
+    assert(!p75.contains("CartesianProduct") && !p75.contains("BroadcastNestedLoopJoin"),
+      s"q75 degenerated to a loop join:\n$p75")
+    assert(!p75.contains("countDistinct") && !p75.toLowerCase.contains("distinct(doc_id"),
+      s"q75 doc frequency fell back to countDistinct:\n$p75")
+    assert(exchanges(p75) <= 4, s"q75 gained extra shuffles:\n$p75")
+    // q76: the total-mass scalar is a narrow scan (no second token
+    // explode+shuffle); the CMS table and candidate estimates join
+    // broadcast. The scalar-threshold cross is the allowlisted
+    // broadcast-scalar BNLJ (same as q48).
+    val p76 = plan("q76_heavy_hitters")
+    assert(!p76.contains("CartesianProduct"), s"q76 cartesian:\n$p76")
+    assert("Generate explode\\(split".r.findAllIn(p76).size == 2,
+      s"q76 must explode the corpus exactly twice (exact counts + sketch):\n$p76")
+    // q77: pure narrow projection + TakeOrdered — NO exchange at all
+    val p77 = plan("q77_weighted_sample")
+    assert(p77.contains("TakeOrderedAndProject"), s"q77 lost its top-k:\n$p77")
+    assert(exchanges(p77) == 0, s"q77 must not shuffle:\n$p77")
+    // q78: sketch + rank-check joins stay broadcast; no loop join
+    val p78 = plan("q78_quantile_sketch")
+    assert(!p78.contains("CartesianProduct") && !p78.contains("BroadcastNestedLoopJoin"),
+      s"q78 degenerated to a loop join:\n$p78")
+    assert(p78.contains("percentile_approx"), s"q78 lost the sketch:\n$p78")
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>
