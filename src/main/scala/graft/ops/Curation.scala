@@ -999,6 +999,45 @@ object Curation {
     Sketches.quantileBound(Tables.load(spark, dir, "events"),
       "value", "event_type", p = 0.5, accuracy = 100)
 
+  /** q79 — SCD Type-2 build (oracle-checked): [[Temporal.scd2]] over
+    * the events stream tracking each user's event_type transitions;
+    * per attribute value: version count, open (current) count, total
+    * closed-version duration in whole seconds (integer µs arithmetic —
+    * no float accumulation), and the deepest version number reached.
+    */
+  def scd2Stats(spark: SparkSession, dir: String): DataFrame =
+    Temporal.scd2(Tables.load(spark, dir, "events"),
+        "user_id", "ts", Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_versions"),
+        count(when(col("is_current"), 1)).as("n_current"),
+        sum(when(!col("is_current"),
+          expr("(unix_micros(valid_to) - unix_micros(valid_from)) div 1000000")))
+          .cast("long").as("closed_seconds"),
+        max(col("version")).as("max_version"))
+      .orderBy(col("event_type"))
+
+  /** q80 — ordered funnel (oracle-checked): signup → view → click →
+    * purchase over the events stream via [[Temporal.funnelSteps]]'s
+    * single-shuffle greedy scan. The oracle replays the equivalent
+    * relational min-chain (first step-i match strictly after the
+    * step-(i−1) match); counts are integers and the conversion ratio
+    * is one exact long-to-double division per row.
+    */
+  def funnelStats(spark: SparkSession, dir: String): DataFrame =
+    Temporal.funnelSteps(Tables.load(spark, dir, "events"),
+      "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+
+  /** q81 — cohort retention (oracle-checked): users bucketed by
+    * first-event ISO week, distinct-user counts per (cohort week,
+    * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
+    * weeks agree across engines under the pinned UTC session; the
+    * offset is pure integer day arithmetic.
+    */
+  def cohortStats(spark: SparkSession, dir: String): DataFrame =
+    Temporal.cohortRetention(Tables.load(spark, dir, "events"), "user_id", "ts")
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -1036,7 +1075,10 @@ object Curation {
     "q75_boilerplate" -> (boilerplateStats _),
     "q76_heavy_hitters" -> (heavyHittersStats _),
     "q77_weighted_sample" -> (weightedSampleHead _),
-    "q78_quantile_sketch" -> (quantileSketchStats _))
+    "q78_quantile_sketch" -> (quantileSketchStats _),
+    "q79_scd2" -> (scd2Stats _),
+    "q80_funnel" -> (funnelStats _),
+    "q81_cohort_retention" -> (cohortStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -551,5 +551,67 @@ object CurationOracle {
     "q78_quantile_sketch" ->
       """SELECT event_type, count(value) n, round(quantile_cont(value, 0.5), 4) p50,
         |       true approx_ok
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // SCD2 twin: lag-compress consecutive duplicate states, then
+    // version + validity windows; durations in whole seconds via
+    // integer µs arithmetic (epoch_us // 1000000 — no float)
+    "q79_scd2" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, ts, event_type FROM base
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |ver AS (
+        |  SELECT user_id, event_type, ts vf,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) vt,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) version
+        |  FROM chg)
+        |SELECT event_type, count(*) n_versions,
+        |       count(CASE WHEN vt IS NULL THEN 1 END) n_current,
+        |       CAST(sum(CASE WHEN vt IS NOT NULL
+        |                THEN (epoch_us(vt) - epoch_us(vf)) // 1000000 END) AS BIGINT)
+        |         closed_seconds,
+        |       max(version) max_version
+        |FROM ver GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // funnel twin: the relational min-chain — first step-i match
+    // strictly after the step-(i-1) match — provably equal to the
+    // greedy earliest-completion scan (taking the first occurrence of
+    // each step is optimal)
+    "q80_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) ts FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > t1.ts GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) ts FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t2.ts GROUP BY e.user_id),
+        |t4 AS (SELECT e.user_id, min(e.ts) ts FROM events e
+        |       JOIN t3 ON e.user_id = t3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t3.ts GROUP BY e.user_id),
+        |counts AS (
+        |  SELECT 1 step_idx, 'signup' step, count(*) n_users FROM t1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM t2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM t3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM t4)
+        |SELECT step_idx, step, n_users,
+        |       round(n_users * 1.0 /
+        |         (SELECT n_users FROM counts WHERE step_idx = 1), 6) conv
+        |FROM counts ORDER BY step_idx""".stripMargin,
+
+    // cohort twin: window-min first-seen per user, Monday week
+    // truncation on both stamps, integer day difference // 7
+    "q81_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE) cohort_week,
+        |         CAST(date_trunc('week', ts) AS DATE) wk
+        |  FROM events),
+        |d AS (SELECT DISTINCT user_id, cohort_week, (wk - cohort_week) // 7 week_offset FROM a)
+        |SELECT cohort_week, week_offset, count(*) n_users
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal-modeling operators over change streams: SCD Type-2
+  * versioned-dimension builds, ordered funnel analysis, and cohort
+  * retention. All three are single-key-shuffle plans — the window /
+  * aggregation key is the entity id, so at 100 TB they scale with the
+  * entity count and never hold more than one entity's sorted run in
+  * memory at a time.
+  */
+object Temporal {
+
+  /** Build an SCD Type-2 versioned dimension from a change stream.
+    *
+    * Input: one row per observed state `(key, ts, attrs...)`. Output:
+    * one row per VERSION — consecutive rows whose tracked attributes
+    * did not change are compressed away (classic change-data-capture
+    * compaction), then each surviving row gets `version` (1-based per
+    * key), `valid_from`, `valid_to` (the next version's start, null
+    * while open) and `is_current`.
+    *
+    * Null-safe attribute comparison (`<=>`): a null attribute equals
+    * itself, so a run of nulls is ONE version, not one per row. Both
+    * windows share the same partitioning key, so the plan carries a
+    * single hash exchange on `keyCol`; the post-filter re-sort is
+    * partition-local. At 100 TB the state stream shuffles once by
+    * entity — the sorted-run streaming of the window never
+    * materializes an entity's history in memory.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "scd2: need at least one tracked attribute")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val compressed = df
+      .withColumn("_prev", lag(attrs, 1).over(w))
+      .filter(col("_prev").isNull || !(col("_prev") <=> attrs))
+      .drop("_prev")
+    compressed
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Per-user funnel depth: the greedy earliest-completion scan.
+    *
+    * For each user, sort the event sequence by time and advance
+    * through `steps` — step i+1 only counts when it appears strictly
+    * after the match of step i (the standard "ordered funnel"
+    * semantics; taking the FIRST occurrence of each step is optimal,
+    * so the greedy scan and the relational min-chain agree). Returns
+    * `(userCol, depth)` with depth in 0..steps.length.
+    *
+    * ONE shuffle: `collect_list` per user, then the scan runs as a
+    * codegen'd `aggregate` higher-order function over the sorted
+    * in-memory sequence — no join per step, no re-shuffle per step.
+    * Per-user state is that user's event list; at 100 TB bound it by
+    * pre-filtering to the funnel's event types (done here) and, for
+    * pathological users, a `slice` cap.
+    */
+  def funnelDepth(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel steps must be non-empty and distinct: $steps")
+    val stepsArr = steps.map(s => s"'$s'").mkString("array(", ",", ")")
+    df.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(typeCol).as("et")))).as("_seq"))
+      .withColumn("depth", expr(
+        s"""aggregate(_seq, 0, (d, x) ->
+           |  IF(d < ${steps.size} AND x.et = element_at($stepsArr, d + 1),
+           |     d + 1, d))""".stripMargin))
+      .drop("_seq")
+  }
+
+  /** Funnel step counts: one row per step with the users reaching it
+    * and the conversion vs step 1. A user reaching depth d contributes
+    * to steps 1..d — expressed as an `explode(sequence(1, depth))`
+    * (depth-0 users filtered FIRST: Spark's `sequence(1, 0)` counts
+    * DOWN, it is not empty). The final window is over the ≤|steps|-row
+    * aggregate — single-partition by construction, not a scale term.
+    */
+  def funnelSteps(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val stepsArr = steps.map(s => s"'$s'").mkString("array(", ",", ")")
+    val reached = funnelDepth(df, userCol, tsCol, typeCol, steps)
+      .filter(col("depth") >= 1)
+      .select(explode(expr("sequence(1, depth)")).as("step_idx"))
+      .groupBy(col("step_idx"))
+      .agg(count(lit(1)).as("n_users"))
+    val first = max(when(col("step_idx") === 1, col("n_users")))
+      .over(Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    reached
+      .withColumn("step", expr(s"element_at($stepsArr, step_idx)"))
+      .withColumn("conv", round(col("n_users").cast("double") / first, 6))
+      .select(col("step_idx"), col("step"), col("n_users"), col("conv"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Cohort retention matrix: users bucketed by the week of their
+    * first event; `n_users` = distinct users from `cohort_week` active
+    * during week `cohort_week + 7·week_offset`.
+    *
+    * The first-seen timestamp comes from a window `min` over the user
+    * partition (no self-join back to a firsts table), then
+    * `(user, cohort, offset)` is deduplicated and counted. Weeks are
+    * ISO Monday truncations — `date_trunc('week', …)` agrees between
+    * Spark and DuckDB under the pinned UTC session — and the offset is
+    * exact integer arithmetic (both week stamps are Mondays, so the
+    * day difference is a multiple of 7).
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    df.select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+      .withColumn("cohort_week", to_date(date_trunc("week", min(col("_ts")).over(w))))
+      .withColumn("_wk", to_date(date_trunc("week", col("_ts"))))
+      .select(col("_u"), col("cohort_week"),
+        expr("datediff(_wk, cohort_week) div 7").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+}
