@@ -68,19 +68,39 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
 
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).persist().count())
+    // A table that fails to load (e.g. future corpus drift the adaptive
+    // reader doesn't cover) should break its queries, not the process.
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).persist().count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] load $n failed: ${e.getMessage}")
+      }
+    }
 
-    val names = headlineNames
-    def runPass(): Map[String, Double] =
-      names.map { name =>
+    // Per-query fault isolation: one broken query must cost one red cell,
+    // never the whole bench (round 5: a single AnalysisException aborted
+    // the process before any JSON was printed). Failed queries are dropped
+    // from the timing stats and reported under "errors".
+    val allNames = headlineNames
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def runPass(names: Seq[String]): Map[String, Double] =
+      names.flatMap { name =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).collect()
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          SparkEntry.queries(name)(spark, sfDir).collect()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors.getOrElseUpdate(name, e.toString.take(300)); None
+        }
       }.toMap
 
-    runPass(); runPass() // warm-up: JIT + codegen compile + cache population
-    val passes = Seq.fill(5)(runPass())
-    def stat(f: Seq[Double] => Double) = names.map { n => n -> f(passes.map(_(n))) }
+    runPass(allNames); runPass(allNames) // warm-up: JIT + codegen + cache population
+    val names = allNames.filterNot(errors.contains)
+    val passes = Seq.fill(5)(runPass(names))
+    // A query can also fail mid-timed-passes; keep whatever timings exist.
+    def stat(f: Seq[Double] => Double) = names
+      .map { n => n -> passes.flatMap(_.get(n)) }
+      .collect { case (n, ts) if ts.nonEmpty => n -> f(ts) }
     val medians = stat(ts => ts.sorted.apply(ts.size / 2))
     val mins = stat(_.min)
     def fmt(m: Seq[(String, Double)]) =
@@ -119,10 +139,13 @@ object Bench {
 
     // value/queries = per-BASELINE.md medians; *_min = noise floor on this
     // VM (run-to-run variance is ±2x — see BENCH_NOTES.md)
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},""" +
       s""""value_min":${mins.map(_._2).sum},"queries_min":${fmt(mins)},""" +
       s""""floor_per_query":$floor,"floor_scan_only":$floorScan,""" +
-      s""""value_over_floor":$overFloor,"sf":"$sfDir"}""")
+      s""""value_over_floor":$overFloor,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

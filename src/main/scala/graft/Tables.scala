@@ -24,17 +24,36 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.computeIfAbsent((spark, sfDir, name), { _ =>
-      // events.ts is parquet timestamp[ns], which Spark's reader rejects
-      // (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to µs with
-      // integer division — identical to DuckDB's internal ns→µs truncation
-      // (FIXTURES.md hazard 1). Plain double division would lose precision
-      // (1.7e18 ns > 2^53).
+      // The corpus has regenerated with different physical types for
+      // events.ts over time (timestamp[ns] → timestamp[us]); an engine
+      // with 100 TB posture must tolerate upstream type drift, so branch
+      // on the OBSERVED schema, not the table name:
+      //  - int64 (nanosAsLong) → truncate ns→µs with integer division,
+      //    identical to DuckDB's internal ns→µs truncation. Plain double
+      //    division would lose precision (1.7e18 ns > 2^53).
+      //  - TIMESTAMP_NTZ (timestamp[us] without tz) → cast to the session
+      //    timestamp type; under the pinned UTC session the instants are
+      //    identical and downstream unix_micros/window/lag code is unchanged.
+      //  - TIMESTAMP → already what every operator expects; pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      if (name == "events")
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      if (name == "events") normalizeTs(df, "ts") else df
     })
+
+  /** Schema-adaptive timestamp normalization (see `load`). Public so the
+    * ingestion drift-regression spec can exercise it on fixture files.
+    */
+  def normalizeTs(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case LongType          => df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case _: TimestampNTZType => df.withColumn(colName, col(colName).cast("timestamp"))
+      case _: TimestampType  => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unsupported physical type for $colName: $other (expected int64-nanos, timestamp[us] or timestamp[us,UTC])")
+    }
+  }
 
   /** Register every table as a temp view (SQL entry point E2). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -567,14 +567,14 @@ object CurationOracle {
         |ver AS (
         |  SELECT user_id, event_type, ts vf,
         |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) vt,
-        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) version
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts) ver_no
         |  FROM chg)
         |SELECT event_type, count(*) n_versions,
         |       count(CASE WHEN vt IS NULL THEN 1 END) n_current,
         |       CAST(sum(CASE WHEN vt IS NOT NULL
         |                THEN (epoch_us(vt) - epoch_us(vf)) // 1000000 END) AS BIGINT)
         |         closed_seconds,
-        |       max(version) max_version
+        |       max(ver_no) max_version
         |FROM ver GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // funnel twin: the relational min-chain — first step-i match
@@ -599,8 +599,8 @@ object CurationOracle {
         |  UNION ALL SELECT 3, 'click', count(*) FROM t3
         |  UNION ALL SELECT 4, 'purchase', count(*) FROM t4)
         |SELECT step_idx, step, n_users,
-        |       round(n_users * 1.0 /
-        |         (SELECT n_users FROM counts WHERE step_idx = 1), 6) conv
+        |       round(CAST(n_users AS DOUBLE) /
+        |         NULLIF((SELECT n_users FROM counts WHERE step_idx = 1), 0), 6) conv
         |FROM counts ORDER BY step_idx""".stripMargin,
 
     // cohort twin: window-min first-seen per user, Monday week

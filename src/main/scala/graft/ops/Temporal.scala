@@ -33,8 +33,12 @@ object Temporal {
   def scd2(df: DataFrame, keyCol: String, tsCol: String,
       attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "scd2: need at least one tracked attribute")
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     val attrs = struct(attrCols.map(col): _*)
+    // attrs as secondary sort: lag/lead/row_number stay deterministic
+    // across partitionings even if a key carries duplicate timestamps
+    // (rows identical in (ts, attrs) are interchangeable, so any residual
+    // tie is semantically harmless).
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), attrs)
     val compressed = df
       .withColumn("_prev", lag(attrs, 1).over(w))
       .filter(col("_prev").isNull || !(col("_prev") <=> attrs))
@@ -66,15 +70,27 @@ object Temporal {
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       s"funnel steps must be non-empty and distinct: $steps")
-    val stepsArr = steps.map(s => s"'$s'").mkString("array(", ",", ")")
+    // Column-lambda HOF, not an interpolated SQL string: step names pass
+    // through typedLit, so quotes/backslashes in a step can't break
+    // parsing or inject SQL. The scan state is (depth, ts of the last
+    // match); step i+1 requires x.ts STRICTLY after the step-i match —
+    // the same semantics as the relational min-chain oracle, including
+    // on duplicate (user, ts) pairs.
+    val stepsLit = typedLit(steps)
+    val n = steps.size
     df.filter(col(typeCol).isin(steps: _*))
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
         col(typeCol).as("et")))).as("_seq"))
-      .withColumn("depth", expr(
-        s"""aggregate(_seq, 0, (d, x) ->
-           |  IF(d < ${steps.size} AND x.et = element_at($stepsArr, d + 1),
-           |     d + 1, d))""".stripMargin))
+      .withColumn("depth", aggregate(
+        col("_seq"),
+        struct(lit(0).as("d"), lit(null).cast("timestamp").as("mts")),
+        (s, x) => when(
+          s.getField("d") < n &&
+            x.getField("et") === element_at(stepsLit, s.getField("d") + 1) &&
+            (s.getField("mts").isNull || x.getField("ts") > s.getField("mts")),
+          struct((s.getField("d") + 1).as("d"), x.getField("ts").as("mts")))
+          .otherwise(s)).getField("d"))
       .drop("_seq")
   }
 
@@ -87,18 +103,27 @@ object Temporal {
     */
   def funnelSteps(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
-    val stepsArr = steps.map(s => s"'$s'").mkString("array(", ",", ")")
-    val reached = funnelDepth(df, userCol, tsCol, typeCol, steps)
+    val counted = funnelDepth(df, userCol, tsCol, typeCol, steps)
       .filter(col("depth") >= 1)
       .select(explode(expr("sequence(1, depth)")).as("step_idx"))
       .groupBy(col("step_idx"))
       .agg(count(lit(1)).as("n_users"))
+    // Every step gets a row even when zero users reach it — the oracle's
+    // counts CTE always emits |steps| rows (count(*) over an empty CTE is
+    // 0), so the shapes must match. |steps| rows: broadcast by size.
+    val allSteps = df.sparkSession.range(1, steps.size + 1)
+      .select(col("id").cast("int").as("step_idx"))
+    val reached = allSteps.join(counted, Seq("step_idx"), "left")
+      .withColumn("n_users", coalesce(col("n_users"), lit(0L)))
     val first = max(when(col("step_idx") === 1, col("n_users")))
       .over(Window.orderBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing))
     reached
-      .withColumn("step", expr(s"element_at($stepsArr, step_idx)"))
-      .withColumn("conv", round(col("n_users").cast("double") / first, 6))
+      .withColumn("step", element_at(typedLit(steps), col("step_idx")))
+      // conv is NULL (not an error, not Inf) when step 1 is empty — the
+      // oracle divides by NULLIF(first, 0) for the same definition
+      .withColumn("conv", when(first > 0,
+        round(col("n_users").cast("double") / first, 6)))
       .select(col("step_idx"), col("step"), col("n_users"), col("conv"))
       .orderBy(col("step_idx"))
   }
@@ -116,7 +141,9 @@ object Temporal {
     * day difference is a multiple of 7).
     */
   def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val w = Window.partitionBy(col(userCol))
+    // partition by the RENAMED key: the window is applied after the
+    // select below, where userCol no longer exists
+    val w = Window.partitionBy(col("_u"))
     df.select(col(userCol).as("_u"), col(tsCol).as("_ts"))
       .withColumn("cohort_week", to_date(date_trunc("week", min(col("_ts")).over(w))))
       .withColumn("_wk", to_date(date_trunc("week", col("_ts"))))

@@ -10,18 +10,19 @@ import org.apache.spark.sql.types._
   */
 class StreamingSpec extends SparkSpec {
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // timestamp[ns] read as long (nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // Derived from the live file, not hard-coded: the corpus has shipped
+  // events.ts as both int64-nanos and timestamp[us] across regenerations,
+  // and a replay schema pinned to one physical type goes dark on the next
+  // drift. Tables.normalizeTs then maps whichever type we got to TIMESTAMP.
+  private lazy val eventsSchema: StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet").schema
+  }
 
   private def replayEvents: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.sources.IO.replayStream(spark, s"$sf/events.parquet", eventsSchema)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(
+      graft.sources.IO.replayStream(spark, s"$sf/events.parquet", eventsSchema), "ts")
   }
 
   private def runToCompletion(df: DataFrame, name: String): DataFrame = {
