@@ -250,6 +250,37 @@ class PlanSpec extends SparkSpec {
     assert(p78.contains("percentile_approx"), s"q78 lost the sketch:\n$p78")
   }
 
+  test("q79-q81: temporal operators keep single-entity-key-shuffle shapes") {
+    // q79: scd2's lag-compress and version windows SHARE one user_id
+    // hash exchange; budget = that + agg partial/final + final sort.
+    // Never a cartesian/loop join, never a single-partition corpus sort.
+    val p79 = plan("q79_scd2")
+    assert(!p79.contains("CartesianProduct") && !p79.contains("BroadcastNestedLoopJoin"),
+      s"q79 planned a loop join:\n$p79")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p79).size <= 1,
+      s"q79 re-shuffled by entity key:\n$p79")
+    assert(!p79.contains("Exchange SinglePartition"),
+      s"q79 collapsed the corpus to one partition:\n$p79")
+    assert(exchanges(p79) <= 3, s"q79 gained extra shuffles:\n$p79")
+    // q80: funnel = ONE user-keyed collect_list aggregate, then all
+    // per-step work happens on the ≤|steps|-row aggregate (the step
+    // spine joins broadcast). No join per funnel step on the corpus.
+    val p80 = plan("q80_funnel")
+    assert(!p80.contains("CartesianProduct"), s"q80 cartesian:\n$p80")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p80).size <= 1,
+      s"q80 shuffled the corpus more than once by user:\n$p80")
+    assert("SortMergeJoin".r.findAllIn(p80).isEmpty,
+      s"q80 step spine fell back to a corpus-sized SMJ:\n$p80")
+    // q81: cohort = first-seen window + distinct + count, all keyed work
+    // behind a single user exchange; never a loop join
+    val p81 = plan("q81_cohort_retention")
+    assert(!p81.contains("CartesianProduct") && !p81.contains("BroadcastNestedLoopJoin"),
+      s"q81 planned a loop join:\n$p81")
+    assert("Exchange hashpartitioning\\(_u".r.findAllIn(p81).size <= 1,
+      s"q81 re-shuffled by entity key:\n$p81")
+    assert(exchanges(p81) <= 4, s"q81 gained extra shuffles:\n$p81")
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>
