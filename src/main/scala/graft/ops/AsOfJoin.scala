@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * form degrades to a big sort, not a pair explosion.
   *
   * Tie rule: a right row at exactly `left.time` matches (`<=`), ensured by
-  * sorting right-side rows before left-side rows at equal times.
+  * sorting right-side rows before left-side rows at equal times — the same
+  * inclusive-boundary rule as DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`.
+  * Null rule: a null-ts right row never matches anyone; a null-ts left row
+  * is kept with a null match (left-join contract). Both are pinned by
+  * AsOfJoinPropertySpec against a reference scan on tie-heavy fixtures.
   */
 object AsOfJoin {
 
@@ -52,11 +56,18 @@ object AsOfJoin {
     // always carry the matched right timestamp — tolerance needs it
     val carried = rightCols :+ (rightTime -> "__match_ts")
 
+    // A null-ts right row can never be "at or before" anything, but under
+    // ascending null-first ordering it would sort ahead of every real row
+    // and its payload would be carried as a bogus match — drop them here.
+    // Null-ts LEFT rows are kept (left-join contract) and get a null
+    // match via the __ts guard in withinTol below.
+    val rightNonNull = right.filter(col(rightTime).isNotNull)
+
     // Tag and align both sides to one schema:
     //   keys ++ __ts ++ __side ++ __r_<out>* ++ __l_<leftCol>*
     // side 0 = right, 1 = left: right rows sort before left rows at equal
     // ts in BOTH directions, so a ts-equal right row is visible (<= / >=).
-    val taggedRight = right.select(
+    val taggedRight = rightNonNull.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__ts"), lit(0).as("__side")) ++
         carried.map { case (src, out) => col(src).as(s"__r_$out") } ++
@@ -85,9 +96,9 @@ object AsOfJoin {
       .filter(col("__side") === 1)
 
     val withinTol = toleranceSeconds match {
-      case Some(tol) =>
+      case Some(tol) => col("__ts").isNotNull &&
         abs(col("__ts").cast("long") - col("__match_ts").cast("long")) <= tol
-      case None => col("__match_ts").isNotNull
+      case None => col("__ts").isNotNull && col("__match_ts").isNotNull
     }
     matched
       .select(

@@ -317,5 +317,23 @@ object OracleSql {
         |       CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) sum_v,
         |       min(CAST(json_extract(props, '$.' || k) AS BIGINT)) min_v,
         |       max(CAST(json_extract(props, '$.' || k) AS BIGINT)) max_v
-        |FROM kv GROUP BY event_type, k ORDER BY event_type, k""".stripMargin)
+        |FROM kv GROUP BY event_type, k ORDER BY event_type, k""".stripMargin,
+
+    // tie-stress ASOF twin: DuckDB's native ASOF JOIN on an hour-
+    // truncated grid (equal timestamps are the common case) in both
+    // directions — pins the inclusive-boundary rule engine-to-engine
+    "q82_asof_ties" ->
+      """WITH v AS (SELECT user_id, date_trunc('hour', ts) ts FROM events
+        |           WHERE event_type = 'view'),
+        |     c AS (SELECT user_id, date_trunc('hour', ts) ts, max(value) v
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |     b AS (SELECT v.user_id, c.v FROM v
+        |           ASOF JOIN c ON v.user_id = c.user_id AND v.ts >= c.ts),
+        |     f AS (SELECT v.user_id, c.v FROM v
+        |           ASOF JOIN c ON v.user_id = c.user_id AND v.ts <= c.ts)
+        |SELECT (SELECT count(*) FROM v) n_left,
+        |       (SELECT count(*) FROM b) n_b,
+        |       (SELECT round(sum(v), 2) FROM b) sum_v_b,
+        |       (SELECT count(*) FROM f) n_f,
+        |       (SELECT round(sum(v), 2) FROM f) sum_v_f""".stripMargin)
 }

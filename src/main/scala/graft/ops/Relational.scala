@@ -704,6 +704,33 @@ object Relational {
       .transform(orderedSmall(_, col("event_type"), col("k")))
   }
 
+  /** q82 — as-of join under HEAVY timestamp ties, oracled by DuckDB's
+    * native `ASOF JOIN` (the only engine-to-engine pin of the derived
+    * operator's boundary semantics; the unit/property specs pin it
+    * against an in-repo reference scan). Both sides' ts are truncated
+    * to the hour so equal timestamps are the common case, exercising
+    * the inclusive rule (rt == lt matches) in both directions —
+    * backward (`l.ts >= r.ts`) and forward (`l.ts <= r.ts`). The right
+    * side is pre-aggregated to one row per (user, hour): with duplicate
+    * right timestamps the carried payload is ambiguous in any engine.
+    */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("ts"), col("value"))
+      .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("v"))
+    def stats(direction: String, sfx: String) =
+      AsOfJoin(views, clicks, Seq("user_id"), "ts", "ts", Seq("v" -> "v"),
+          direction = direction)
+        .agg(count(col("v")).as(s"n_$sfx"),
+          round(sum(col("v")), 2).as(s"sum_v_$sfx"))
+    views.agg(count(lit(1)).as("n_left"))
+      .crossJoin(stats("backward", "b"))
+      .crossJoin(stats("forward", "f"))
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -746,7 +773,8 @@ object Relational {
     "q67_schema_drift" -> (q67 _),
     "q70_gap_fill" -> (q70 _),
     "q71_decimal_pricing" -> (q71 _),
-    "q72_map_entries" -> (q72 _))
+    "q72_map_entries" -> (q72 _),
+    "q82_asof_ties" -> (q82 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * copy untouched — exactly how a 10× corpus grows in production: facts
   * scale, dims don't.
   *
-  * `events.ts` stays int64 nanoseconds (the raw on-disk type) so
-  * [[graft.Tables.load]]'s ns→µs truncation applies to the amplified
-  * layout identically.
+  * `events.ts` round-trips in whatever physical type the corpus ships
+  * (int64-nanos pre round 5, timestamp[us] since) — it is read raw and
+  * written back unchanged, and [[graft.Tables.load]]'s schema-adaptive
+  * normalization applies to the amplified layout identically.
   *
   * Documents/embeddings replicate with identical text/vectors under new
   * ids — an every-doc-has-9-exact-twins corpus, which is a STRESS shape
@@ -36,8 +37,8 @@ object Amplify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet timestamp[ns]; read it as long and write it
-      // back as long so the amplified layout round-trips Tables.load
+      // tolerate an int64-nanos events.ts (pre-round-5 corpus); the
+      // column is round-tripped raw either way
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -41,9 +41,21 @@ object ScaleCheck {
     // scalar-attach plan (IdentityBroadcastMode of one row); the fact
     // side streams through untouched. Allowlisted, not excused: the
     // cartesian ban still applies to it.
-    val scalarBroadcastOk = Set("q13_cosine_topk")
+    // q76 attaches a single-row total-mass scalar to the heavy-hitter
+    // candidates the same way (IdentityBroadcastMode of one aggregate
+    // row) — also a non-scaling side by construction.
+    val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters")
 
-    val names = (graft.Bench.headlineNames ++ NoBroadcastVerify.queries).distinct.sorted
+    // headline 20 + join battery + the round-5/6 additions (boilerplate
+    // n-grams, count-min, priority sampling, quantile sketch, scd2,
+    // funnel, cohort) — the newest operators get the same amplified-
+    // corpus plan evidence as the originals
+    val round56 = Seq("q75_boilerplate", "q76_heavy_hitters",
+      "q77_weighted_sample", "q78_quantile_sketch", "q79_scd2",
+      "q80_funnel", "q81_cohort_retention")
+    val names =
+      (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
+        .distinct.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, dir).collect() // warm: codegen + cache
