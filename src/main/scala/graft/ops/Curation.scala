@@ -1038,6 +1038,29 @@ object Curation {
   def cohortStats(spark: SparkSession, dir: String): DataFrame =
     Temporal.cohortRetention(Tables.load(spark, dir, "events"), "user_id", "ts")
 
+  /** q83 — point-in-time enrichment (oracle-checked): build the SCD2
+    * "browsing state" dimension from each user's NON-purchase events
+    * ([[Temporal.scd2]] tracking event_type), then enrich every
+    * purchase with the state version valid at purchase time via
+    * [[Temporal.pointInTime]] (one as-of join, not a range join).
+    * Purchases before a user's first non-purchase event report state
+    * 'none'. The oracle replays the equivalent tiling range join
+    * (`vf <= ts AND (vt IS NULL OR ts < vt)`) — equality of the two
+    * formulations is exactly the contiguity argument in the scaladoc.
+    */
+  def pitStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val dim = Temporal.scd2(ev.filter(col("event_type") =!= "purchase"),
+      "user_id", "ts", Seq("event_type"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    Temporal.pointInTime(purchases, dim, Seq("user_id"), "ts",
+        Seq("event_type" -> "state"))
+      .groupBy(coalesce(col("state"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+      .orderBy(col("state"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -1078,7 +1101,8 @@ object Curation {
     "q78_quantile_sketch" -> (quantileSketchStats _),
     "q79_scd2" -> (scd2Stats _),
     "q80_funnel" -> (funnelStats _),
-    "q81_cohort_retention" -> (cohortStats _))
+    "q81_cohort_retention" -> (cohortStats _),
+    "q83_pit_enrichment" -> (pitStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

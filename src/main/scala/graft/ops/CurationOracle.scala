@@ -613,5 +613,25 @@ object CurationOracle {
         |  FROM events),
         |d AS (SELECT DISTINCT user_id, cohort_week, (wk - cohort_week) // 7 week_offset FROM a)
         |SELECT cohort_week, week_offset, count(*) n_users
-        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // point-in-time twin: the tiling range join (vf <= ts < vt) over the
+    // lag-compressed non-purchase state dimension — provably equal to
+    // the engine's single as-of join because SCD2 versions tile each
+    // key's timeline
+    "q83_pit_enrichment" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |ver AS (
+        |  SELECT user_id, event_type, ts vf,
+        |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) vt
+        |  FROM base WHERE prev IS NULL OR prev <> event_type),
+        |p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT p.value, v.event_type st FROM p
+        |      LEFT JOIN ver v ON p.user_id = v.user_id
+        |        AND v.vf <= p.ts AND (v.vt IS NULL OR p.ts < v.vt))
+        |SELECT coalesce(st, 'none') state, count(*) n, round(sum(value), 2) sum_v
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -140,6 +140,32 @@ object Temporal {
     * exact integer arithmetic (both week stamps are Mondays, so the
     * day difference is a multiple of 7).
     */
+  /** Point-in-time ("as-was") enrichment: attach to each fact row the
+    * dimension VERSION that was valid at the fact's timestamp — the
+    * standard consumer of an SCD2 dimension (reports must see the state
+    * a key had WHEN the fact happened, not its current state).
+    *
+    * Requires `scd2Dim` to be an [[scd2]] output (or any dimension
+    * whose versions TILE each key's timeline: `valid_to` = next
+    * version's `valid_from`, last version open). Under that contiguity
+    * the version valid at fact time is exactly "the latest
+    * `valid_from` <= fact ts", so the whole lookup is ONE as-of join —
+    * a single key-shuffle + per-key sort ([[AsOfJoin]]'s union-window
+    * form) instead of the naive range join (`valid_from <= ts <
+    * valid_to`), which Spark can only plan as an equi-join on keys
+    * with a residual range filter ON TOP of every (fact, version) pair
+    * of the key — quadratic in per-key version count at 100 TB.
+    * Facts before a key's first version (or with no dimension rows at
+    * all) keep their row with null carried columns.
+    *
+    * Boundary: a fact AT `valid_from` sees the NEW version (inclusive,
+    * matching the oracle's `vf <= ts < vt` tiling and AsOfJoin's tie
+    * rule).
+    */
+  def pointInTime(facts: DataFrame, scd2Dim: DataFrame, keys: Seq[String],
+      factTs: String, carry: Seq[(String, String)]): DataFrame =
+    AsOfJoin(facts, scd2Dim, keys, factTs, "valid_from", carry)
+
   def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
     // partition by the RENAMED key: the window is applied after the
     // select below, where userCol no longer exists

@@ -250,7 +250,7 @@ class PlanSpec extends SparkSpec {
     assert(p78.contains("percentile_approx"), s"q78 lost the sketch:\n$p78")
   }
 
-  test("q79-q81: temporal operators keep single-entity-key-shuffle shapes") {
+  test("q79-q83: temporal operators keep single-entity-key-shuffle shapes") {
     // q79: scd2's lag-compress and version windows SHARE one user_id
     // hash exchange; budget = that + agg partial/final + final sort.
     // Never a cartesian/loop join, never a single-partition corpus sort.
@@ -279,6 +279,17 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(_u".r.findAllIn(p81).size <= 1,
       s"q81 re-shuffled by entity key:\n$p81")
     assert(exchanges(p81) <= 4, s"q81 gained extra shuffles:\n$p81")
+    // q83: point-in-time = scd2's user exchange + ONE as-of union-window
+    // user exchange + the small agg — never the naive range join (which
+    // would plan each key's (fact, version) cross as a loop-ish filter)
+    val p83 = plan("q83_pit_enrichment")
+    assert(!p83.contains("CartesianProduct") && !p83.contains("BroadcastNestedLoopJoin"),
+      s"q83 planned a loop join:\n$p83")
+    assert(!p83.contains("SortMergeJoin"),
+      s"q83 fell back to a fact-sized range join:\n$p83")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p83).size <= 2,
+      s"q83 re-shuffled by entity key more than scd2+asof:\n$p83")
+    assert(exchanges(p83) <= 4, s"q83 gained extra shuffles:\n$p83")
   }
 
   test("whole-stage codegen covers the relational inventory hot paths") {
