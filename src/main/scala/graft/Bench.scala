@@ -27,7 +27,11 @@ object Bench {
     * SPARK_GRAFT_MAXPART, and SPARK_GRAFT_CONF ("k=v;k=v" passthrough).
     */
   def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // r06 sweep on the refreshed corpus (suite totals, same session):
+    // local[4] 4.25s, local[8] 4.23s, local[16] 4.28s, local[32] 4.12s —
+    // all within VM noise; 32 was never worse across five comparisons
+    // and matches the target execution environment, so it is the default
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUF", "8")
     val cacheBatch = sys.env.getOrElse("SPARK_GRAFT_CACHE_BATCH", "65536")
     val cacheComp = sys.env.getOrElse("SPARK_GRAFT_CACHE_COMPRESSED", "false")
