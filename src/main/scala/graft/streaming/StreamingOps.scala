@@ -342,4 +342,22 @@ object StreamingOps {
     foreachBatchSink(df, name) { (batch, _) =>
       upsertBatch(batch, path, keys, orderCols)
     }
+
+  /** Streaming SCD2 maintenance: keep a versioned dimension up to date
+    * from a change stream — each micro-batch merges via
+    * [[graft.sources.IO.scd2Merge]] (rebuild-affected-keys; see its
+    * scaladoc for the in-order equivalence contract and the
+    * compressed-history late-row semantics). Idempotent under
+    * micro-batch replay, so a crash between merge and checkpoint commit
+    * re-applies harmlessly — the same discipline [[upsertSink]] is
+    * crash-tested for.
+    */
+  def scd2Sink(
+      df: DataFrame, path: String, keyCol: String, tsCol: String,
+      attrCols: Seq[String],
+      name: String = "scd2_sink"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(df, name) { (batch, _) =>
+      graft.sources.IO.scd2Merge(batch.sparkSession, path, batch,
+        keyCol, tsCol, attrCols)
+    }
 }
