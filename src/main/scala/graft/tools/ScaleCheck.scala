@@ -43,8 +43,10 @@ object ScaleCheck {
     // cartesian ban still applies to it.
     // q76 attaches a single-row total-mass scalar to the heavy-hitter
     // candidates the same way (IdentityBroadcastMode of one aggregate
-    // row) — also a non-scaling side by construction.
-    val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters")
+    // row); q82 cross-combines THREE single-row aggregates into its
+    // 1-row result — all non-scaling sides by construction.
+    val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters",
+      "q82_asof_ties")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -52,7 +54,8 @@ object ScaleCheck {
     // corpus plan evidence as the originals
     val round56 = Seq("q75_boilerplate", "q76_heavy_hitters",
       "q77_weighted_sample", "q78_quantile_sketch", "q79_scd2",
-      "q80_funnel", "q81_cohort_retention")
+      "q80_funnel", "q81_cohort_retention", "q82_asof_ties",
+      "q83_pit_enrichment")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted
