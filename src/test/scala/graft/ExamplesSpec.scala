@@ -30,6 +30,19 @@ class ExamplesSpec extends SparkSpec {
     assert(stats("shard_files") >= 1)
   }
 
+  test("TemporalCdcDemo: streamed dimension, as-was enrichment, funnel, compaction") {
+    val stats = graft.examples.TemporalCdcDemo.run(spark, sf).toMap
+    // versions compress the change stream; exactly one open version per user
+    assert(stats("versions") > stats("current") && stats("current") > 0)
+    // left-join contract: every purchase enriched (possibly with 'none')
+    assert(stats("enriched") == stats("purchases"))
+    // ordered funnel can only narrow
+    assert(stats("funnel_first") >= stats("funnel_last"))
+    assert(stats("cohort_cells") > 0)
+    // compaction preserves the table
+    assert(stats("versions_after_compact") == stats("versions"))
+  }
+
   test("PretrainPipeline: malformed rows land in the dead-letter, not the job") {
     import org.apache.spark.sql.functions._
     val docs = Tables.load(spark, sf, "documents")
