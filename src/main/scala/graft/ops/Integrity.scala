@@ -1,0 +1,263 @@
+package graft.ops
+
+import graft.Tables
+import graft.text.FuzzyJoin
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table fingerprinting, column profiling and statistical summaries —
+  * the integrity surface a 100 TB pipeline needs around every copy,
+  * migration and backfill (SURVEY.md §2.3.1 extensions, q84–q88).
+  *
+  * Scale shapes:
+  *  - [[bucketChecksum]] shuffles once on the bucket key; per-bucket
+  *    state is the bucket's rows (pick `bucket` so a bucket is
+  *    row-group-sized — e.g. key ranges or file partitions), and the
+  *    result is one 128-bit digest per bucket, so verifying a replica
+  *    moves digests, never data.
+  *  - [[fastChecksum]] is fully algebraic (sum/xor of per-row hashes):
+  *    map-side partial aggregation, O(1) state, no sort — the default
+  *    at unbounded scale. It is Spark-specific (xxhash64), so the
+  *    portable md5 variant is the one under the DuckDB oracle.
+  *  - [[profile]] is one aggregate pass; exact `count(DISTINCT)` over
+  *    many columns plans through Catalyst's Expand (one shuffle, data
+  *    duplicated per distinct-column) — at extreme widths switch
+  *    `approxDistinct = true` for one sketch per column instead.
+  */
+object Integrity {
+
+  /** Portable bucketed table checksum: rows are rendered with `rowStr`
+    * (keep it to integer/string columns — float rendering is not
+    * portable across engines), sorted within a bucket by `sortKeys`
+    * WITH the rendered row string as the final tiebreaker (so a
+    * non-unique sort key still yields a deterministic digest — an
+    * external reproducer must order the same way), newline-joined and
+    * md5'd. Two tables are replicas iff the (bucket, n_rows, checksum)
+    * sets match.
+    */
+  def bucketChecksum(
+      df: DataFrame, bucket: Column, sortKeys: Seq[Column], rowStr: Column): DataFrame =
+    df.select(bucket.as("bucket"), struct(sortKeys :+ rowStr.as("__rs"): _*).as("__s"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        md5(array_join(
+          transform(array_sort(collect_list(col("__s"))), s => s.getField("__rs")),
+          "\n").cast("binary")).as("checksum"))
+
+  /** Algebraic whole-table fingerprint: order- and layout-independent
+    * (commutative sum + xor of per-row xxhash64, plus count). One row
+    * out; any single-cell change flips it. The sum runs in
+    * decimal(38,0) so it can never overflow (ANSI-safe at any row
+    * count). Not portable across engines — use [[bucketChecksum]] when
+    * an external system must reproduce the digest.
+    */
+  def fastChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    val h = xxhash64(cols.map(col): _*)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(h.cast("decimal(38,0)")).as("hash_sum"),
+      expr(s"bit_xor(xxhash64(${cols.mkString(", ")}))").as("hash_xor"))
+  }
+
+  /** Long-format column profile: per column — row count, null count,
+    * exact (or approximate) distinct count, min/max rendered as
+    * strings. One aggregate pass over the table.
+    */
+  def profile(df: DataFrame, cols: Seq[String], approxDistinct: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        (if (approxDistinct) approx_count_distinct(col(c)) else countDistinct(col(c)))
+          .as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__nd_$c").cast("long").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+  }
+
+  // ---------------------------------------------------------------- q84
+
+  /** q84 — portable replication checksum of lineitem in 16 key-range
+    * buckets. The row rendering sticks to integers and strings (price
+    * scaled to cents — `round` yields an integral double in both
+    * engines, so the long cast is exact); the digest is engine-portable
+    * md5, which is exactly what the DuckDB oracle recomputes.
+    */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    bucketChecksum(
+      li,
+      bucket = col("l_orderkey") % 16,
+      sortKeys = Seq(col("l_orderkey"), col("l_linenumber")),
+      rowStr = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long"), col("l_returnflag")))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------- q85
+
+  /** q85 — column profile of documents (text/lang/source/n_chars):
+    * null counts, exact distincts, min/max (long values truncated to 20
+    * chars so document-length cells stay readable; ASCII corpus, so
+    * lexicographic order agrees across engines).
+    */
+  def profileDocs(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.load(spark, dir, "documents"), Seq("text", "lang", "source", "n_chars"))
+      .withColumn("min_val", substring(col("min_val"), 1, 20))
+      .withColumn("max_val", substring(col("max_val"), 1, 20))
+      .orderBy(col("col_name"))
+
+  // ---------------------------------------------------------------- q86
+
+  /** q86 — correlation/regression battery per return flag: Pearson
+    * corr, sample covariance and the OLS line of extendedprice on
+    * quantity (slope/intercept/R²). All single-pass algebraic
+    * aggregates (co-moments merge associatively — map-side partials,
+    * one shuffle); rounded so cross-engine accumulation-order noise
+    * (≤1e-9 relative) cannot flip the hash.
+    */
+  def corrRegr(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 4).as("covar_pq"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- q87
+
+  /** q87 — unpivot (wide → long), the inverse of q35's pivot: the
+    * pricing summary melted to (flag, metric, value) triples via the
+    * native `unpivot` operator (a Generate — no shuffle beyond the
+    * aggregate that built the wide side). Metrics are cast to one
+    * common double type, as unpivot (and SQL UNION ALL) require.
+    */
+  def unpivotPricing(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_rows")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
+  // ---------------------------------------------------------------- q88
+
+  /** q88 — fuzzy vocabulary matching: all token pairs of the documents
+    * vocabulary within edit distance 2, via [[FuzzyJoin.symDeleteJoin]]
+    * (lossless symmetric-delete blocking — candidates share a ≤2-char
+    * deletion variant, then exact levenshtein verifies). The oracle is
+    * the brute-force all-pairs filter, so the blocking's losslessness
+    * is itself under the correctness gate.
+    */
+  def fuzzyVocab(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    FuzzyJoin.symDeleteJoin(vocab, "w", maxDist = 2)
+      .select(col("s1").as("w1"), col("s2").as("w2"), col("dist"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q84_table_checksum" -> (tableChecksum _),
+    "q85_profile" -> (profileDocs _),
+    "q86_corr_regr" -> (corrRegr _),
+    "q87_unpivot" -> (unpivotPricing _),
+    "q88_fuzzy_vocab" -> (fuzzyVocab _))
+
+  val allNames: Seq[String] = all.map(_._1)
+}
+
+/** DuckDB twins for [[Integrity]] (driver correctness gate). */
+object IntegrityOracle {
+
+  val all: Seq[(String, String)] = Seq(
+    // portable digest twin: same rendering (ints + strings only), same
+    // per-bucket ordering, same newline join, same md5
+    "q84_table_checksum" ->
+      """WITH r AS (
+        |  SELECT l_orderkey % 16 AS bucket,
+        |         concat_ws('|', l_orderkey, l_linenumber,
+        |           CAST(round(l_extendedprice*100) AS BIGINT), l_returnflag) AS rs,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n_rows,
+        |       md5(string_agg(rs, chr(10) ORDER BY l_orderkey, l_linenumber, rs)) AS checksum
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q85_profile" ->
+      """SELECT col_name, n_rows, n_null, n_distinct,
+        |       substr(min_val, 1, 20) AS min_val, substr(max_val, 1, 20) AS max_val
+        |FROM (
+        |  SELECT 'text' AS col_name, count(*) AS n_rows, count(*)-count(text) AS n_null,
+        |         count(DISTINCT text) AS n_distinct, min(text) AS min_val, max(text) AS max_val
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*), count(*)-count(lang), count(DISTINCT lang),
+        |         min(lang), max(lang) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*), count(*)-count(source), count(DISTINCT source),
+        |         min(source), max(source) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*), count(*)-count(n_chars), count(DISTINCT n_chars),
+        |         CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |ORDER BY col_name""".stripMargin,
+
+    // y-then-x argument order in both engines (regr_*(y, x))
+    "q86_corr_regr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_pq,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q87_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |         round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price,
+        |         CAST(count(*) AS DOUBLE) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM wide)
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // brute-force all-pairs twin — the engine's sym-delete blocking must
+    // reproduce it exactly (losslessness under the gate)
+    "q88_fuzzy_vocab" ->
+      """WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT w FROM tok WHERE length(w) > 0)
+        |SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w) AS dist
+        |FROM t a JOIN t b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
+        |ORDER BY w1, w2""".stripMargin)
+}

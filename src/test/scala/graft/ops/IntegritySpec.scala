@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins for the integrity surface: digests must be layout-invariant
+  * (same data, any partitioning → same fingerprint) and sensitive
+  * (one changed cell → different fingerprint); the profile must match
+  * driver-side recomputation including null handling.
+  */
+class IntegritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = graft.Tables.load(spark, sf, "lineitem")
+
+  test("bucketChecksum: layout-invariant, deterministic, sensitive to one cell") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Integrity.bucketChecksum(df,
+          col("l_orderkey") % 4,
+          Seq(col("l_orderkey"), col("l_linenumber")),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))
+        .orderBy(col("bucket")).collect().toSeq
+    val base = run(li)
+    assert(base.size == 4)
+    assert(run(li.repartition(13)) == base, "digest changed under repartition")
+    assert(run(li.orderBy(col("l_extendedprice"))) == base, "digest changed under reorder")
+    // flip one row's returnflag: exactly that row's bucket digest moves,
+    // row counts stay identical
+    val oneRow = li.select(col("l_orderkey"), col("l_linenumber")).head()
+    val mutated = li.withColumn("l_returnflag",
+      when(col("l_orderkey") === oneRow.getLong(0) &&
+          col("l_linenumber") === oneRow.getInt(1), lit("Z"))
+        .otherwise(col("l_returnflag")))
+    val mut = run(mutated)
+    assert(mut.map(_.getLong(1)) == base.map(_.getLong(1)), "row counts moved")
+    val changed = base.zip(mut).count { case (a, b) => a.getString(2) != b.getString(2) }
+    assert(changed == 1, s"expected exactly 1 bucket digest to change, got $changed")
+  }
+
+  test("fastChecksum: layout-invariant and sensitive") {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
+    val base = Integrity.fastChecksum(li, cols).head()
+    assert(base.getLong(0) == li.count())
+    val re = Integrity.fastChecksum(li.repartition(7).orderBy(col("l_discount")), cols).head()
+    assert(re == base, "algebraic fingerprint must not depend on layout/order")
+    val oneRow = li.select(col("l_orderkey"), col("l_linenumber")).head()
+    val mutated = li.withColumn("l_returnflag",
+      when(col("l_orderkey") === oneRow.getLong(0) &&
+          col("l_linenumber") === oneRow.getInt(1), lit("Z"))
+        .otherwise(col("l_returnflag")))
+    val mut = Integrity.fastChecksum(mutated, cols).head()
+    assert(mut.getDecimal(1) != base.getDecimal(1) || mut.getLong(2) != base.getLong(2),
+      "single-cell change must flip the fingerprint")
+  }
+
+  test("profile: matches driver-side recomputation, counts nulls") {
+    val df = Seq(
+      (Some("a"), Some(1L)), (Some("b"), None), (None, Some(1L)), (Some("a"), Some(3L))
+    ).toDF("s", "v")
+    val p = Integrity.profile(df, Seq("s", "v")).orderBy(col("col_name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(p.toSeq == Seq(
+      ("s", 4L, 1L, 2L, "a", "b"),
+      ("v", 4L, 1L, 2L, "1", "3")))
+  }
+
+  test("profile: approxDistinct mode stays within HLL error on the corpus") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val exact = Integrity.profile(docs, Seq("source")).head().getLong(3)
+    val approx = Integrity.profile(docs, Seq("source"), approxDistinct = true)
+      .head().getLong(3)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}
