@@ -64,6 +64,38 @@ object Analytics {
       .agg(expr(s"approx_percentile($valueCol, $probsSql, $accuracy)").as("quantiles"))
   }
 
+  /** Robust per-group outlier detection: exact median and MAD (median
+    * absolute deviation) of `valueCol`, plus the count of rows whose
+    * deviation exceeds `z`·MAD — the standard robust z-score screen,
+    * immune to the outliers it hunts (unlike mean/stddev).
+    *
+    * Shape: two keyed aggregation passes (medians are holistic — one
+    * for the median, one for the MAD) with the group-cardinality-sized
+    * medians broadcast back between them. Exact `percentile` holds a
+    * per-group value buffer, fine for bounded groups; at unbounded
+    * group sizes pass `exact = false` for the mergeable
+    * `approx_percentile` sketch instead.
+    */
+  def robustOutliers(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      z: Double = 3.0, exact: Boolean = true): DataFrame = {
+    require(groupCols.nonEmpty, "no group columns given")
+    val pct = if (exact) "percentile" else "approx_percentile"
+    val gs = groupCols.map(col)
+    val med = df.groupBy(gs: _*)
+      .agg(expr(s"$pct($valueCol, 0.5)").as("__med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__ad", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(gs: _*).agg(expr(s"$pct(__ad, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(gs: _*)
+      .agg(
+        round(min(col("__med")), 4).as("med"),
+        round(min(col("__mad")), 4).as("mad"),
+        count(when(col("__ad") > lit(z) * col("__mad"), 1)).as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
   /** General theta join: arbitrary boolean condition. Executes as a
     * broadcast nested loop — correct but O(|l|·|r|); the perf guard is
     * that NO inventory query plans through this (PlanSpec asserts Q03/Q18

@@ -1061,6 +1061,26 @@ object Curation {
       .orderBy(col("state"))
   }
 
+  /** q89 — robust outlier screen (oracle-checked): per event type, the
+    * exact median and MAD of `value` via [[Analytics.robustOutliers]],
+    * plus the count beyond 3·MAD — the outlier gate that mean/stddev
+    * screens get wrong (the outliers drag the mean toward themselves).
+    */
+  def robustOutlierStats(spark: SparkSession, dir: String): DataFrame =
+    Analytics.robustOutliers(Tables.load(spark, dir, "events"),
+        Seq("event_type"), "value")
+      .orderBy(col("event_type"))
+
+  /** q90 — TF-IDF cosine top-10 document pairs within one source
+    * (oracle-checked): [[TextAnalysis.tfidfPairs]]' term-partitioned
+    * sparse dot product vs DuckDB replaying the same postings algebra
+    * relationally.
+    */
+  def tfidfPairStats(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.tfidfPairs(
+      Tables.load(spark, dir, "documents").filter(col("source") === "src0"),
+      "doc_id", "text", 10)
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -1102,7 +1122,9 @@ object Curation {
     "q79_scd2" -> (scd2Stats _),
     "q80_funnel" -> (funnelStats _),
     "q81_cohort_retention" -> (cohortStats _),
-    "q83_pit_enrichment" -> (pitStats _))
+    "q83_pit_enrichment" -> (pitStats _),
+    "q89_robust_outliers" -> (robustOutlierStats _),
+    "q90_tfidf_pairs" -> (tfidfPairStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -633,5 +633,41 @@ object CurationOracle {
         |      LEFT JOIN ver v ON p.user_id = v.user_id
         |        AND v.vf <= p.ts AND (v.vt IS NULL OR p.ts < v.vt))
         |SELECT coalesce(st, 'none') state, count(*) n, round(sum(value), 2) sum_v
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // robust-outlier twin: two median passes (median, then MAD), then
+    // the 3-MAD screen — both engines interpolate the even-count median
+    "q89_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) m FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.value, med.m, abs(e.value - med.m) ad
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, median(ad) md FROM dev GROUP BY event_type)
+        |SELECT d.event_type, round(any_value(d.m), 4) AS med,
+        |       round(any_value(mad.md), 4) AS mad,
+        |       count(CASE WHEN d.ad > 3*mad.md THEN 1 END) AS n_outliers,
+        |       count(*) AS n
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
+    // tf-idf pair twin: the same postings algebra (tf, ln(N/df)+1 idf,
+    // L2 norms, term-join dot product) written relationally
+    "q90_tfidf_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) tf FROM tok
+        |       WHERE length(term) > 0 GROUP BY 1, 2),
+        |idf AS (SELECT term, ln((SELECT count(*) FROM d)*1.0/count(*)) + 1 AS idf
+        |        FROM tf GROUP BY term),
+        |w AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w
+        |      FROM tf JOIN idf USING (term)),
+        |nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nn FROM w GROUP BY doc_id),
+        |p AS (SELECT a.doc_id d1, b.doc_id d2, sum(a.w*b.w) dot
+        |      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT d1, d2, round(dot/(x.nn*y.nn), 6) AS cosine
+        |FROM p JOIN nrm x ON p.d1 = x.doc_id JOIN nrm y ON p.d2 = y.doc_id
+        |ORDER BY cosine DESC, d1, d2 LIMIT 10""".stripMargin)
 }

@@ -335,5 +335,28 @@ object OracleSql {
         |       (SELECT count(*) FROM b) n_b,
         |       (SELECT round(sum(v), 2) FROM b) sum_v_b,
         |       (SELECT count(*) FROM f) n_f,
-        |       (SELECT round(sum(v), 2) FROM f) sum_v_f""".stripMargin)
+        |       (SELECT round(sum(v), 2) FROM f) sum_v_f""".stripMargin,
+
+    // concurrent-sessions twin: the naive range-predicate self-join
+    // over the same 30-min-gap sessionization — the engine's bucket-
+    // tiled interval join must reproduce it exactly
+    "q91_concurrent_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |                   > 1800000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE user_id < 50),
+        |s AS (
+        |  SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g),
+        |sess AS (
+        |  SELECT user_id, sid, min(ts) st, max(ts) en FROM s GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.user_id u1, b.user_id u2
+        |  FROM sess a JOIN sess b
+        |    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en)
+        |SELECT u1, u2, count(*) AS n_overlaps
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n_overlaps DESC, u1, u2 LIMIT 20""".stripMargin)
 }

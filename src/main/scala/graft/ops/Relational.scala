@@ -731,6 +731,35 @@ object Relational {
       .crossJoin(stats("forward", "f"))
   }
 
+  /** q91 — concurrent-session detection: sessionize (30-min gap, the
+    * q11 rule) a bounded user cohort, then find cross-user session
+    * pairs that overlap in time via [[IntervalJoin.overlapJoin]] — the
+    * bucket-tiled rewrite (one keyed shuffle, each pair emitted exactly
+    * once in its overlap-start bucket), never a nested loop. The oracle
+    * replays the naive range-predicate self-join, so the tiling
+    * rewrite's exactness is itself under the gate.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sess = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < 50)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("brk")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val a = sess.select(col("user_id").as("u1"), col("st").as("st1"), col("en").as("en1"))
+    val b = sess.select(col("user_id").as("u2"), col("st").as("st2"), col("en").as("en2"))
+    IntervalJoin.overlapJoin(a, b, "st1", "en1", "st2", "en2", bucketSeconds = 6 * 3600)
+      .filter(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2")).agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("n_overlaps").desc, col("u1"), col("u2"))
+      .limit(20)
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -774,7 +803,8 @@ object Relational {
     "q70_gap_fill" -> (q70 _),
     "q71_decimal_pricing" -> (q71 _),
     "q72_map_entries" -> (q72 _),
-    "q82_asof_ties" -> (q82 _))
+    "q82_asof_ties" -> (q82 _),
+    "q91_concurrent_sessions" -> (q91 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -115,6 +115,43 @@ object TextAnalysis {
       .withColumn("idf", log(lit(nDocs + 1) / (col("df") + 1)) + 1)
   }
 
+  /** Top-k most similar document pairs by TF-IDF cosine, via a
+    * term-partitioned sparse dot product: weight vectors never
+    * materialize — the pair dot product is assembled by equi-joining
+    * the (doc, term, w) postings on the term and summing w·w per pair,
+    * the classic inverted-index formulation. idf here is ln(N/df)+1
+    * (every term occurs somewhere, so no smoothing needed — cf. the
+    * smooth variant in [[documentFrequency]]).
+    *
+    * Shape: postings build = one (doc,term) aggregate; idf is
+    * vocab-sized (broadcast); the pair sum shuffles postings once on
+    * the term. Cost is Σ_t df(t)² — dominated by stop-words, so the
+    * scale lever is dropping the low-idf head (a WHERE on idf) before
+    * the self-join; kept exact here because the oracle is exact.
+    */
+  def tfidfPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val nDocs = df.count().toDouble // driver scalar: one count job
+    val tf = df
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(nDocs) / col("df")) + 1)
+    val w = tf.join(broadcast(idf), "term")
+      .select(col("doc"), col("term"), (col("tf") * col("idf")).as("w"))
+    val nrm = w.groupBy(col("doc")).agg(sqrt(sum(col("w") * col("w"))).as("nn"))
+    w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(nrm.select(col("doc").as("d1"), col("nn").as("n1")), "d1")
+      .join(nrm.select(col("doc").as("d2"), col("nn").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("dot") / (col("n1") * col("n2")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("d1"), col("d2"))
+      .limit(k)
+  }
+
   /** Exact top-k most frequent tokens (corpus vocabulary head).
     * Explode → count → global top-k: the count shuffle is on the token
     * key (high cardinality, naturally spread) and the top-k is a

@@ -64,4 +64,24 @@ class AnalyticsSpec extends SparkSpec {
       .select("user_id", "lts", "rts").collect().toSet
     assert(banded == naive)
   }
+
+  test("robustOutliers: median/MAD/count match driver-side computation") {
+    // group a: values 1..9 plus one wild outlier; group b: symmetric, no outliers
+    val a = Seq(1.0, 2, 3, 4, 5, 6, 7, 8, 9, 1000)
+    val b = Seq(10.0, 20, 30)
+    val df = (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "v")
+    def medianOf(xs: Seq[Double]) = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val out = Analytics.robustOutliers(df, Seq("g"), "v").orderBy(col("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    for (((g, xs), i) <- Seq(("a", a), ("b", b)).zipWithIndex) {
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      val nOut = xs.count(x => math.abs(x - med) > 3 * mad)
+      assert(out(i) == ((g, med, mad, nOut.toLong, xs.size.toLong)))
+    }
+    assert(out(0)._4 == 1L && out(1)._4 == 0L)
+  }
 }
