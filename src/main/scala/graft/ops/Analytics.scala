@@ -96,6 +96,38 @@ object Analytics {
         count(lit(1)).as("n"))
   }
 
+  /** Rolling active-user counts (DAU/WAU/MAU-style): for each calendar
+    * day present in the data, the exact distinct-user count over the
+    * trailing `w` days, for every `w` in `windows`.
+    *
+    * Shape: ONE distinct pass builds the (day, user) grain; each grain
+    * row then contributes to its next `w` target days via a bounded
+    * `sequence` explode (fan-out = w, ≤30 here — never a day×day
+    * self-join), and a per-day distinct count finishes. All shuffles
+    * are on day/user keys; the explode multiplies the GRAIN (days ×
+    * users), not the raw events. Inner-joining back to the observed
+    * days drops phantom trailing days. For extreme user cardinality
+    * swap the final exact distinct for HLL sketches — the contribution
+    * explode is unchanged.
+    */
+  def rollingActiveUsers(
+      df: DataFrame, userCol: String, tsCol: String,
+      windows: Seq[Int] = Seq(7, 30)): DataFrame = {
+    require(windows.nonEmpty && windows.forall(w => w >= 1 && w <= 366),
+      s"windows must be in 1..366: $windows")
+    val grain = df.select(
+        to_date(date_trunc("day", col(tsCol))).as("d"),
+        col(userCol).as("u"))
+      .distinct()
+    val dau = grain.groupBy(col("d")).agg(countDistinct(col("u")).as("dau"))
+    windows.foldLeft(dau) { (acc, w) =>
+      val rolled = grain
+        .select(explode(sequence(col("d"), date_add(col("d"), w - 1))).as("d"), col("u"))
+        .groupBy(col("d")).agg(countDistinct(col("u")).as(s"au_$w"))
+      acc.join(rolled, "d")
+    }
+  }
+
   /** General theta join: arbitrary boolean condition. Executes as a
     * broadcast nested loop — correct but O(|l|·|r|); the perf guard is
     * that NO inventory query plans through this (PlanSpec asserts Q03/Q18

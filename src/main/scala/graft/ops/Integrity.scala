@@ -88,6 +88,33 @@ object Integrity {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Snapshot reconciliation: classify every entity key as added /
+    * removed / changed / unchanged between two table versions. One
+    * full-outer join on the key (single keyed shuffle; pre-aggregate
+    * the sides to key grain first). `valueCols` defines "changed";
+    * null-safe compare, so null→value and value→null are changes.
+    */
+  def diffSnapshots(
+      oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "no key columns given")
+    require(valueCols.nonEmpty, "no value columns given")
+    val o = oldDf.select((keys ++ valueCols).map(col): _*)
+      .withColumnsRenamed(valueCols.map(c => c -> s"__old_$c").toMap)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select((keys ++ valueCols).map(col): _*)
+      .withColumnsRenamed(valueCols.map(c => c -> s"__new_$c").toMap)
+      .withColumn("__in_new", lit(true))
+    val same = valueCols.map(c => col(s"__old_$c") <=> col(s"__new_$c")).reduce(_ && _)
+    o.join(n, keys, "full_outer")
+      .withColumn("status",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(same, lit("unchanged"))
+          .otherwise(lit("changed")))
+      .drop("__in_old", "__in_new")
+  }
+
   // ---------------------------------------------------------------- q84
 
   /** q84 — portable replication checksum of lineitem in 16 key-range
@@ -183,12 +210,40 @@ object Integrity {
       .orderBy(col("w1"), col("w2"))
   }
 
+  // ---------------------------------------------------------------- q93
+
+  /** q93 — snapshot reconciliation drill (oracle-checked): split the
+    * event stream at its midpoint instant, reduce each half to the
+    * latest event_type per sparse entity key (user × props.k — sparse
+    * enough that every status occurs), and [[diffSnapshots]] the two.
+    * The midpoint is integer-µs arithmetic (`(lo+hi) div 2`) so both
+    * engines cut at the identical microsecond.
+    */
+  def snapshotDiffStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val base = ev.select(
+      col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val mid = base.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid")).head().getLong(0) // one-row driver scalar
+    def latest(half: DataFrame) = half.groupBy(col("user_id"), col("k"))
+      .agg(max_by(col("event_type"), col("us")).as("v")) // (user,k,ts) unique — no tie
+    diffSnapshots(
+        latest(base.filter(col("us") < mid)),
+        latest(base.filter(col("us") >= mid)),
+        keys = Seq("user_id", "k"), valueCols = Seq("v"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("status"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
     "q86_corr_regr" -> (corrRegr _),
     "q87_unpivot" -> (unpivotPricing _),
-    "q88_fuzzy_vocab" -> (fuzzyVocab _))
+    "q88_fuzzy_vocab" -> (fuzzyVocab _),
+    "q93_snapshot_diff" -> (snapshotDiffStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -259,5 +314,24 @@ object IntegrityOracle {
         |t AS (SELECT w FROM tok WHERE length(w) > 0)
         |SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w) AS dist
         |FROM t a JOIN t b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
-        |ORDER BY w1, w2""".stripMargin)
+        |ORDER BY w1, w2""".stripMargin,
+
+    // snapshot-diff twin: identical integer-µs midpoint cut, arg_max
+    // latest per sparse key, full-outer classify
+    "q93_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) k,
+        |         event_type, epoch_us(ts) us
+        |  FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 m FROM base),
+        |old AS (SELECT user_id, k, arg_max(event_type, us) v FROM base
+        |        WHERE us < (SELECT m FROM mid) GROUP BY 1, 2),
+        |new AS (SELECT user_id, k, arg_max(event_type, us) v FROM base
+        |        WHERE us >= (SELECT m FROM mid) GROUP BY 1, 2),
+        |diff AS (
+        |  SELECT CASE WHEN o.user_id IS NULL THEN 'added'
+        |              WHEN n.user_id IS NULL THEN 'removed'
+        |              WHEN o.v <> n.v THEN 'changed' ELSE 'unchanged' END status
+        |  FROM old o FULL JOIN new n ON o.user_id = n.user_id AND o.k = n.k)
+        |SELECT status, count(*) AS n FROM diff GROUP BY status ORDER BY status""".stripMargin)
 }

@@ -358,5 +358,20 @@ object OracleSql {
         |    ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en)
         |SELECT u1, u2, count(*) AS n_overlaps
         |FROM pairs GROUP BY 1, 2
-        |ORDER BY n_overlaps DESC, u1, u2 LIMIT 20""".stripMargin)
+        |ORDER BY n_overlaps DESC, u1, u2 LIMIT 20""".stripMargin,
+
+    // rolling-engagement twin: trailing windows as day-range joins over
+    // the distinct (day, user) grain
+    "q92_active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) d, user_id FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |dau AS (SELECT d, count(*) dau FROM du GROUP BY d),
+        |wau AS (SELECT days.d, count(DISTINCT du.user_id) wau
+        |        FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d GROUP BY days.d),
+        |mau AS (SELECT days.d, count(DISTINCT du.user_id) mau
+        |        FROM days JOIN du ON du.d BETWEEN days.d - 29 AND days.d GROUP BY days.d)
+        |SELECT dau.d, dau.dau, wau.wau, mau.mau
+        |FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+        |ORDER BY dau.d""".stripMargin)
 }

@@ -760,6 +760,18 @@ object Relational {
       .limit(20)
   }
 
+  /** q92 — rolling engagement (DAU/WAU/MAU): exact trailing-window
+    * distinct users per day via [[Analytics.rollingActiveUsers]]'
+    * bounded contribution-explode (each day-user grain row fans out to
+    * its ≤30 target days — never a day×day self-join). The oracle
+    * replays the windows as day-range joins.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame =
+    Analytics.rollingActiveUsers(
+        Tables.load(spark, dir, "events"), "user_id", "ts", Seq(7, 30))
+      .select(col("d"), col("dau"), col("au_7").as("wau"), col("au_30").as("mau"))
+      .orderBy(col("d"))
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -804,7 +816,8 @@ object Relational {
     "q71_decimal_pricing" -> (q71 _),
     "q72_map_entries" -> (q72 _),
     "q82_asof_ties" -> (q82 _),
-    "q91_concurrent_sessions" -> (q91 _))
+    "q91_concurrent_sessions" -> (q91 _),
+    "q92_active_users" -> (q92 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

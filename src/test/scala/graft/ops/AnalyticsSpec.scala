@@ -84,4 +84,20 @@ class AnalyticsSpec extends SparkSpec {
     }
     assert(out(0)._4 == 1L && out(1)._4 == 0L)
   }
+
+  test("rollingActiveUsers: trailing windows match hand computation") {
+    // day 1: u1,u2; day 2: u2; day 4: u3. 2-day window:
+    //   d1: {u1,u2}=2, d2: {u1,u2}=2, d4: {u3}=1 (d3 not observed -> absent)
+    val df = Seq(
+      ("2024-01-01 10:00:00", 1L), ("2024-01-01 11:00:00", 2L),
+      ("2024-01-02 09:00:00", 2L), ("2024-01-04 08:00:00", 3L)
+    ).toDF("ts_s", "u").select(col("ts_s").cast("timestamp").as("ts"), col("u"))
+    val got = Analytics.rollingActiveUsers(df, "u", "ts", Seq(2))
+      .orderBy(col("d"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-02", 1L, 2L),
+      ("2024-01-04", 1L, 1L)))
+  }
 }

@@ -65,6 +65,20 @@ class IntegritySpec extends SparkSpec {
       ("v", 4L, 1L, 2L, "1", "3")))
   }
 
+  test("diffSnapshots: classifies added/removed/changed/unchanged; null-safe compare") {
+    val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]), (4L, Some("d")))
+      .toDF("k", "v")
+    val newDf = Seq((1L, Some("a")), (2L, Some("B")), (3L, Some("c")), (5L, Some("e")))
+      .toDF("k", "v")
+    val got = Integrity.diffSnapshots(oldDf, newDf, Seq("k"), Seq("v"))
+      .select(col("k"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "unchanged"), (2L, "changed"),
+      (3L, "changed"), // null -> value IS a change (null-safe compare)
+      (4L, "removed"), (5L, "added")))
+  }
+
   test("profile: approxDistinct mode stays within HLL error on the corpus") {
     val docs = graft.Tables.load(spark, sf, "documents")
     val exact = Integrity.profile(docs, Seq("source")).head().getLong(3)
