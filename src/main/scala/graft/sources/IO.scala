@@ -32,6 +32,48 @@ object IO {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** JSONL ingestion with a dead-letter split: PERMISSIVE parse against
+    * the pinned schema, unparseable lines captured whole in
+    * `_corrupt_record`. Returns (clean, dead); dead carries the raw
+    * line for quarantine/replay, so rows are never silently dropped —
+    * `clean.count + dead.count` = input lines. The parsed frame is
+    * cached first: Spark refuses queries that reference ONLY the
+    * internal corrupt-record column on a raw file scan (the parser
+    * prunes the data columns away and nothing is left to parse).
+    */
+  def jsonWithDeadLetter(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "_corrupt_record is reserved for the dead-letter channel")
+    val df = spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw")))
+  }
+
+  /** CSV twin of [[jsonWithDeadLetter]] — malformed lines (wrong arity,
+    * uncastable cells) land in the dead-letter side with the raw line. */
+  def csvWithDeadLetter(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "_corrupt_record is reserved for the dead-letter channel")
+    val df = spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", header.toString).option("delimiter", delimiter)
+      .csv(path)
+      .cache()
+    (df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      df.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw")))
+  }
+
   /** ORC round-trip — the other columnar format large estates carry
     * (Hive-era tables); same pushdown/pruning behavior as parquet. */
   def orc(spark: SparkSession, path: String): DataFrame =

@@ -277,6 +277,33 @@ object TextAnalysis {
     candidates.map(t => t -> cms.estimateCount(t)).toMap
   }
 
+  /** Edit-distance pair histogram WITHOUT materializing id-level pairs:
+    * counts, per distance ≤ `maxDist`, the unordered row pairs whose
+    * texts are that far apart. Dedup-first: collapse to text grain with
+    * multiplicities (duplicate texts are the common case in real
+    * corpora — part names here are 64 distinct over 20 k rows), pair
+    * the DISTINCT texts via lossless symmetric-delete blocking
+    * ([[FuzzyJoin.symDeleteJoin]]), and weight each text pair by
+    * m_a·m_b (plus the within-text C(m,2) pairs at distance 0). Work is
+    * quadratic in DISTINCT texts, linear in rows — the id-level
+    * formulation ([[fuzzyPairs]]) is quadratic in rows for exactly
+    * this histogram and melts down on duplicate-heavy corpora.
+    */
+  def fuzzyHistogram(df: DataFrame, textCol: String, maxDist: Int): DataFrame = {
+    val grp = df.groupBy(col(textCol).as("__t"))
+      .agg(count(lit(1)).as("__m"))
+    val within = grp
+      .select(lit(0).as("dist"), expr("(__m * (__m - 1)) div 2").as("c"))
+      .groupBy(col("dist")).agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0)
+    val cross = FuzzyJoin.symDeleteJoin(grp.select(col("__t")), "__t", maxDist)
+      .join(grp.select(col("__t").as("s1"), col("__m").as("m1")), "s1")
+      .join(grp.select(col("__t").as("s2"), col("__m").as("m2")), "s2")
+      .groupBy(col("dist")).agg(sum(col("m1") * col("m2")).as("c"))
+    within.unionByName(cross)
+      .groupBy(col("dist")).agg(sum(col("c")).as("c"))
+  }
+
   /** Fuzzy near-match pairs: all (id_a < id_b) with
     * `levenshtein(text_a, text_b) ≤ maxDist`, WITHOUT a cross join.
     * Blocking: edit distance ≤ k implies |len(a) − len(b)| ≤ k, so rows

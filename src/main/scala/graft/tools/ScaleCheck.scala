@@ -55,7 +55,12 @@ object ScaleCheck {
     val round56 = Seq("q75_boilerplate", "q76_heavy_hitters",
       "q77_weighted_sample", "q78_quantile_sketch", "q79_scd2",
       "q80_funnel", "q81_cohort_retention", "q82_asof_ties",
-      "q83_pit_enrichment")
+      "q83_pit_enrichment",
+      // round-6 integrity/analytics family
+      "q84_table_checksum", "q85_profile", "q86_corr_regr",
+      "q87_unpivot", "q88_fuzzy_vocab", "q89_robust_outliers",
+      "q90_tfidf_pairs", "q91_concurrent_sessions", "q92_active_users",
+      "q93_snapshot_diff")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted

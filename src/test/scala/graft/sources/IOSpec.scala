@@ -317,4 +317,39 @@ class IOSpec extends SparkSpec {
     }
     assert(spark.read.parquet(dir).count() == li.count())
   }
+
+  test("jsonWithDeadLetter: corrupt lines quarantined whole, none dropped") {
+    val dir = tmp("jsonl_dl")
+    val lines = Seq(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": "NOT_A_NUMBER", "name": "bad-type"}""",
+      """not json at all""",
+      """{"id": 4, "name": "also ok"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      lines.mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (clean, dead) = IO.jsonWithDeadLetter(spark, dir, schema)
+    assert(clean.count() == 2 && dead.count() == 2)
+    assert(clean.columns.toSeq == Seq("id", "name"))
+    assert(clean.select(sum(col("id"))).head.getLong(0) == 5)
+    val raws = dead.collect().map(_.getString(0)).toSet
+    assert(raws == Set(lines(1), lines(2)), "dead letters must carry the raw line")
+  }
+
+  test("csvWithDeadLetter: wrong arity and uncastable cells quarantined") {
+    val dir = tmp("csv_dl")
+    val lines = Seq(
+      "id,n",
+      "1,10",
+      "2,notanumber",
+      "3,30")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.csv"),
+      lines.mkString("\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("n", LongType)))
+    val (clean, dead) = IO.csvWithDeadLetter(spark, dir, schema)
+    assert(clean.count() == 2 && dead.count() == 1)
+    assert(dead.head.getString(0).contains("notanumber"))
+  }
 }

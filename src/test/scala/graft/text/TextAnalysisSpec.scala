@@ -186,4 +186,18 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].head()
     assert(both == "ping email", s"got '$both'")
   }
+
+  test("fuzzyHistogram (dedup-first) equals the id-level fuzzyPairs histogram") {
+    // duplicate-heavy fixture: multiplicities 3/2/1 over near-by texts
+    val rows = Seq("cat", "cat", "cat", "bat", "bat", "hat", "cart", "dog")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "t")
+    val fast = TextAnalysis.fuzzyHistogram(df, "t", 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val slow = TextAnalysis.fuzzyPairs(df, "id", "t", 2)
+      .groupBy(col("dist")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(fast == slow, s"fast=$fast slow=$slow")
+    assert(fast(0) == 3 + 1) // C(3,2) cats + C(2,2) bats
+  }
 }
