@@ -88,6 +88,29 @@ object Integrity {
     one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Portable AND algebraic per-bucket checksum — the unbounded-scale
+    * variant of [[bucketChecksum]]: instead of sorting and digesting a
+    * bucket's rows (whose per-bucket state grows with the bucket), sum
+    * a per-ROW 64-bit digest commutatively. The digest is the
+    * little-endian lower half of md5(rowStr) — chosen because an
+    * external engine can recompute it (DuckDB: `md5_number_lower`;
+    * here: eight codegen'd conv/shiftleft terms over the hex — no UDF),
+    * interpreted as a SIGNED 64-bit value and summed in decimal(38,0)
+    * so the total never overflows. Map-side partial aggregation, O(1)
+    * state per bucket, order/layout independent.
+    */
+  def algebraicChecksum(df: DataFrame, bucket: Column, rowStr: Column): DataFrame = {
+    val hex = md5(rowStr.cast("binary"))
+    // bytes 9..16 of the digest, least-significant first
+    val lower = (0 to 7)
+      .map(i => shiftleft(conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i))
+      .reduce(_ + _)
+    df.select(bucket.as("bucket"), lower.as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__h").cast("decimal(38,0)")).as("hash_sum"))
+  }
+
   /** Snapshot reconciliation: classify every entity key as added /
     * removed / changed / unchanged between two table versions. One
     * full-outer join on the key (single keyed shuffle; pre-aggregate
@@ -237,13 +260,36 @@ object Integrity {
       .orderBy(col("status"))
   }
 
+  // ---------------------------------------------------------------- q94
+
+  /** q94 — the algebraic portable checksum over the same 16 key-range
+    * buckets and row rendering as q84. Where q84's sorted-digest holds
+    * a bucket's rows in memory (its sizing rule: buckets must stay
+    * row-group-sized), this one is a pure streaming aggregate — the
+    * variant that runs at ANY bucket size; the oracle recomputes the
+    * per-row digests via `md5_number_lower` and sums identically.
+    */
+  def rollingChecksum(spark: SparkSession, dir: String): DataFrame =
+    algebraicChecksum(
+        Tables.load(spark, dir, "lineitem"),
+        bucket = col("l_orderkey") % 16,
+        rowStr = concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long"), col("l_returnflag")))
+      // digits-as-text: the driver's pandas comparator coerces 128-bit
+      // oracle integers to float64, which loses the low digits — a
+      // checksum compared lossily is no checksum at all
+      .withColumn("hash_sum", col("hash_sum").cast("string"))
+      .orderBy(col("bucket"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
     "q86_corr_regr" -> (corrRegr _),
     "q87_unpivot" -> (unpivotPricing _),
     "q88_fuzzy_vocab" -> (fuzzyVocab _),
-    "q93_snapshot_diff" -> (snapshotDiffStats _))
+    "q93_snapshot_diff" -> (snapshotDiffStats _),
+    "q94_rolling_checksum" -> (rollingChecksum _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -333,5 +379,20 @@ object IntegrityOracle {
         |              WHEN n.user_id IS NULL THEN 'removed'
         |              WHEN o.v <> n.v THEN 'changed' ELSE 'unchanged' END status
         |  FROM old o FULL JOIN new n ON o.user_id = n.user_id AND o.k = n.k)
-        |SELECT status, count(*) AS n FROM diff GROUP BY status ORDER BY status""".stripMargin)
+        |SELECT status, count(*) AS n FROM diff GROUP BY status ORDER BY status""".stripMargin,
+
+    // algebraic checksum twin: md5_number_lower IS the little-endian
+    // lower half the engine assembles from the hex; reinterpret the
+    // UBIGINT as signed and sum in HUGEINT (engine sums decimal(38,0))
+    "q94_rolling_checksum" ->
+      """WITH r AS (
+        |  SELECT l_orderkey % 16 AS bucket,
+        |         md5_number_lower(concat_ws('|', l_orderkey, l_linenumber,
+        |           CAST(round(l_extendedprice*100) AS BIGINT), l_returnflag)) AS u
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |                THEN CAST(u AS HUGEINT) - 18446744073709551616::HUGEINT
+        |                ELSE CAST(u AS HUGEINT) END) AS VARCHAR) AS hash_sum
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)
 }

@@ -23,6 +23,12 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val outJson = if (args.length > 1) args(1) else "/tmp/scalecheck.json"
+    // Optional comma-separated skip list (3rd arg) for queries whose
+    // SEMANTICS are quadratic in the corpus (e.g. q90's all-pairs
+    // cosine within one source — its scale path is the LSH/ANN family,
+    // not a bigger exact run). Skips are recorded in the JSON, never
+    // silent.
+    val skip = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = graft.ScaleConfig.cluster(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -60,10 +66,12 @@ object ScaleCheck {
       "q84_table_checksum", "q85_profile", "q86_corr_regr",
       "q87_unpivot", "q88_fuzzy_vocab", "q89_robust_outliers",
       "q90_tfidf_pairs", "q91_concurrent_sessions", "q92_active_users",
-      "q93_snapshot_diff")
+      "q93_snapshot_diff", "q94_rolling_checksum")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
-        .distinct.sorted
+        .distinct.sorted.filterNot(skip)
+    val skipped = skip.toSeq.sorted
+      .map(n => s""""$n": {"skipped": true}""")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, dir).collect() // warm: codegen + cache
@@ -90,8 +98,9 @@ object ScaleCheck {
       s""""$name": {$facts}"""
     }
     Files.writeString(Paths.get(outJson),
-      results.mkString("{\n ", ",\n ", "\n}"))
-    println(s"wrote $outJson — ${names.size} queries, zero loop joins")
+      (results ++ skipped).mkString("{\n ", ",\n ", "\n}"))
+    println(s"wrote $outJson — ${names.size} queries, zero loop joins" +
+      (if (skipped.nonEmpty) s"; skipped (quadratic semantics): ${skip.mkString(",")}" else ""))
     spark.stop()
   }
 }

@@ -65,6 +65,25 @@ class IntegritySpec extends SparkSpec {
       ("v", 4L, 1L, 2L, "1", "3")))
   }
 
+  test("algebraicChecksum: layout-invariant, sensitive, equals bucketChecksum's row set semantics") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Integrity.algebraicChecksum(df, col("l_orderkey") % 4,
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))
+        .orderBy(col("bucket")).collect().toSeq
+    val base = run(li)
+    assert(base.size == 4 && base.map(_.getLong(1)).sum == li.count())
+    assert(run(li.repartition(11).orderBy(col("l_discount"))) == base,
+      "algebraic digest must not depend on layout/order")
+    val oneRow = li.select(col("l_orderkey"), col("l_linenumber")).head()
+    val mut = run(li.withColumn("l_returnflag",
+      when(col("l_orderkey") === oneRow.getLong(0) &&
+        col("l_linenumber") === oneRow.getInt(1), lit("Z"))
+        .otherwise(col("l_returnflag"))))
+    assert(mut.map(_.getLong(1)) == base.map(_.getLong(1)), "row counts moved")
+    assert(base.zip(mut).count { case (a, b) => a.getDecimal(2) != b.getDecimal(2) } == 1,
+      "exactly one bucket sum must change")
+  }
+
   test("diffSnapshots: classifies added/removed/changed/unchanged; null-safe compare") {
     val oldDf = Seq((1L, Some("a")), (2L, Some("b")), (3L, None: Option[String]), (4L, Some("d")))
       .toDF("k", "v")
