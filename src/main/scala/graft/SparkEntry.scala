@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Curation, CurationOracle, Integrity, IntegrityOracle, OracleSql, Relational}
+import graft.ops.{Behavior, BehaviorOracle, Curation, CurationOracle, Integrity, IntegrityOracle, OracleSql, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,10 +18,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (Relational.all ++ Curation.all ++ Integrity.all).toMap
+    (Relational.all ++ Curation.all ++ Integrity.all ++ Behavior.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    (OracleSql.all ++ CurationOracle.all ++ IntegrityOracle.all).toMap
+    (OracleSql.all ++ CurationOracle.all ++ IntegrityOracle.all ++ BehaviorOracle.all).toMap
 }

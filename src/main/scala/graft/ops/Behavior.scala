@@ -1,0 +1,272 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / statistical analytics over event and document streams —
+  * sequence mining, value segmentation, seasonal anomaly screening and
+  * distribution diagnostics (SURVEY.md §2.3.1 extensions, q95–q98).
+  *
+  * Scale shapes:
+  *  - [[eventTransitions]]: ONE user-key shuffle for the per-user lag;
+  *    the transition matrix is |event types|² rows — driver-small.
+  *  - [[rfmSegments]]: one customer-key aggregate; the quartile cutoffs
+  *    are a 9-value scalar attach (broadcast), never a global sort.
+  *  - [[seasonalAnomalies]]: hourly pre-aggregation shrinks the stream
+  *    to (type × hours) before any window math; variance comes from
+  *    exact integer power sums, so both comparator engines compute the
+  *    identical IEEE doubles.
+  *  - [[distributionEntropy]]: two keyed aggregates over (group, label)
+  *    counts — all algebraic, map-side partials throughout.
+  */
+object Behavior {
+
+  /** Markov transition counts and probabilities between consecutive
+    * per-key events: for each (prev, next) label pair, the number of
+    * observed transitions and P(next | prev). The per-key ordering is
+    * (tsCol, tieCol) — the tiebreaker keeps lag deterministic under
+    * duplicate timestamps. One key shuffle; the output is bounded by
+    * |labels|², so the probability window runs over a tiny aggregate.
+    */
+  def eventTransitions(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      labelCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val counts = df
+      .select(col(keyCol), col(labelCol).as("next"), col(tsCol), col(tieCol))
+      .withColumn("prev", lag(col("next"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      round(col("n") / sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
+  }
+
+  /** RFM (recency / frequency / monetary) quartile segmentation. Each
+    * customer's R/F/M value is bucketed 1..4 by the EXACT interpolated
+    * quartiles of the per-customer distribution (bucket = 1 + number of
+    * cutoffs strictly below the value — ties fall into the lower
+    * bucket, deterministically). The cutoffs are one 9-value scalar row
+    * attached by broadcast — no global ntile sort, which is the usual
+    * scale-killer in RFM jobs. Monetary sums are rounded to cents
+    * before the cutoff comparison so cross-engine accumulation noise
+    * (≤1e-9) can never flip a bucket.
+    */
+  def rfmSegments(
+      orders: DataFrame, custCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    val cust = orders.groupBy(col(custCol))
+      .agg(max(col(dateCol)).as("__last"),
+        count(lit(1)).as("f"),
+        round(sum(col(amountCol)), 2).as("m"))
+    val gmax = orders.agg(max(col(dateCol)).as("__gmax"))
+    val rfm = cust.crossJoin(broadcast(gmax))
+      .withColumn("r", datediff(col("__gmax"), col("__last")))
+      .drop("__last", "__gmax")
+    val cuts = rfm.agg(
+      expr("percentile(r, array(0.25, 0.5, 0.75))").as("__rc"),
+      expr("percentile(f, array(0.25, 0.5, 0.75))").as("__fc"),
+      expr("percentile(m, array(0.25, 0.5, 0.75))").as("__mc"))
+    def bucket(v: Column, c: Column): Column =
+      lit(1) + (v > c.getItem(0)).cast("int") + (v > c.getItem(1)).cast("int") +
+        (v > c.getItem(2)).cast("int")
+    rfm.crossJoin(broadcast(cuts))
+      .select(col(custCol), col("r"), col("f"), col("m"),
+        bucket(col("r"), col("__rc")).as("r_b"),
+        bucket(col("f"), col("__fc")).as("f_b"),
+        bucket(col("m"), col("__mc")).as("m_b"))
+  }
+
+  /** Seasonal (hour-of-day) anomaly screen: per label, hourly event
+    * counts are compared against that label's same-hour-of-day
+    * baseline; an hour is anomalous when |count − μ| > z·σ. μ and the
+    * SAMPLE σ are derived from exact integer power sums (Σc, Σc² are
+    * exact longs; the divisions and sqrt are then the same IEEE ops in
+    * any engine), so the z comparison is bit-deterministic — the usual
+    * streaming-variance accumulation-order noise never enters. Only
+    * observed hours participate (no zero-fill): the baseline describes
+    * traffic when there IS traffic.
+    */
+  def seasonalAnomalies(
+      df: DataFrame, labelCol: String, tsCol: String, z: Double = 2.0): DataFrame = {
+    val hourly = df
+      .groupBy(col(labelCol).as("label"), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("hod", hour(col("h")))
+    val base = hourly.groupBy(col("label"), col("hod"))
+      .agg(sum(col("c")).as("__s"), sum(col("c") * col("c")).as("__s2"),
+        count(lit(1)).as("__n"))
+      .withColumn("__mu", col("__s").cast("double") / col("__n"))
+      .withColumn("__var",
+        when(col("__n") > 1,
+          (col("__s2").cast("double") - col("__s").cast("double") * col("__mu")) /
+            (col("__n") - 1))
+          .otherwise(lit(0.0)))
+      .withColumn("__sd", sqrt(greatest(col("__var"), lit(0.0))))
+    hourly.join(base, Seq("label", "hod"))
+      .withColumn("__dev", abs(col("c").cast("double") - col("__mu")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_hours"),
+        count(when(col("__sd") > 0 && col("__dev") > lit(z) * col("__sd"), 1))
+          .as("n_anomalous"),
+        round(max(when(col("__sd") > 0, col("__dev") / col("__sd"))
+          .otherwise(lit(0.0))), 3).as("max_z"))
+  }
+
+  /** Shannon entropy of a label distribution per group — the standard
+    * diversity diagnostic for curation mixes (a source whose language
+    * entropy collapses is a source whose scraper broke). Emits per
+    * group: row count, distinct labels, entropy in nats and the
+    * perplexity exp(H) ("effective number of labels"). Two keyed
+    * aggregates; p·ln p terms are summed as doubles (≤1e-12 relative
+    * accumulation noise, absorbed by round 6).
+    */
+  def distributionEntropy(
+      df: DataFrame, groupCol: String, labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(labelCol))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_rows"), count(lit(1)).as("n_labels"),
+        sum(col("__c") * log(col("__c"))).as("__clnc"))
+      .withColumn("entropy",
+        round(log(col("n_rows")) - col("__clnc") / col("n_rows"), 6))
+      .withColumn("perplexity", round(exp(col("entropy")), 4))
+      .drop("__clnc")
+  }
+
+  // ---------------------------------------------------------------- q95
+
+  /** q95 — event-type Markov transition matrix over the event stream:
+    * per-user consecutive (prev → next) pairs, ordered by (ts,
+    * event_id) so duplicate timestamps cannot reorder the chain, with
+    * conditional transition probabilities. The |types|²-row result is
+    * the input to any session-simulation or next-action model.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitions(Tables.load(spark, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id", labelCol = "event_type")
+      .coalesce(1).orderBy(col("prev"), col("next"))
+
+  // ---------------------------------------------------------------- q96
+
+  /** q96 — RFM quartile segments of the order file: per-customer
+    * recency/frequency/monetary, quartile-bucketed, then segment-level
+    * population and value stats. 4³ = 64 possible segments.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.load(spark, dir, "orders"),
+        custCol = "o_custkey", dateCol = "o_orderdate", amountCol = "o_totalprice")
+      .groupBy(col("r_b"), col("f_b"), col("m_b"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("m")), 2).as("sum_m"))
+      .coalesce(1).orderBy(col("r_b"), col("f_b"), col("m_b"))
+
+  // ---------------------------------------------------------------- q97
+
+  /** q97 — hour-of-day seasonal anomaly screen over the event stream:
+    * per event type, how many observed hours deviate from their
+    * same-hour baseline by more than 2σ, and the worst z observed.
+    */
+  def anomalies(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalies(Tables.load(spark, dir, "events"),
+        labelCol = "event_type", tsCol = "ts", z = 2.0)
+      .coalesce(1).orderBy(col("label"))
+
+  // ---------------------------------------------------------------- q98
+
+  /** q98 — language-mix entropy per document source: the diversity
+    * collapse detector for the curation mix.
+    */
+  def entropy(spark: SparkSession, dir: String): DataFrame =
+    distributionEntropy(Tables.load(spark, dir, "documents"),
+        groupCol = "source", labelCol = "lang")
+      .coalesce(1).orderBy(col("source"))
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q95_transitions" -> (transitions _),
+    "q96_rfm_segments" -> (rfm _),
+    "q97_seasonal_anomaly" -> (anomalies _),
+    "q98_source_entropy" -> (entropy _))
+
+  val allNames: Seq[String] = all.map(_._1)
+}
+
+/** DuckDB twins for [[Behavior]] (driver correctness gate). */
+object BehaviorOracle {
+
+  val all: Seq[(String, String)] = Seq(
+    // per-user lag chain with the same (ts, event_id) tiebreak
+    "q95_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS next,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, next, count(*) AS n,
+        |       round(count(*) / sum(count(*)) OVER (PARTITION BY prev), 6) AS p
+        |FROM s WHERE prev IS NOT NULL
+        |GROUP BY prev, next ORDER BY prev, next""".stripMargin,
+
+    // identical strict-> bucket rule against interpolated quartiles;
+    // monetary rounded to cents BEFORE cutoffs on both sides
+    "q96_rfm_segments" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |           (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS r,
+        |         count(*) AS f,
+        |         round(sum(o_totalprice), 2) AS m
+        |  FROM orders GROUP BY o_custkey),
+        |cuts AS (
+        |  SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rc,
+        |         quantile_cont(f, [0.25, 0.5, 0.75]) AS fc,
+        |         quantile_cont(m, [0.25, 0.5, 0.75]) AS mc
+        |  FROM cust),
+        |seg AS (
+        |  SELECT m,
+        |    1 + CAST(r > rc[1] AS INT) + CAST(r > rc[2] AS INT) + CAST(r > rc[3] AS INT) AS r_b,
+        |    1 + CAST(f > fc[1] AS INT) + CAST(f > fc[2] AS INT) + CAST(f > fc[3] AS INT) AS f_b,
+        |    1 + CAST(m > mc[1] AS INT) + CAST(m > mc[2] AS INT) + CAST(m > mc[3] AS INT) AS m_b
+        |  FROM cust, cuts)
+        |SELECT r_b, f_b, m_b, count(*) AS n_cust, round(sum(m), 2) AS sum_m
+        |FROM seg GROUP BY r_b, f_b, m_b ORDER BY r_b, f_b, m_b""".stripMargin,
+
+    // exact integer power sums -> identical IEEE mu/sd on both engines
+    "q97_seasonal_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type AS label, date_trunc('hour', ts) AS h, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |hh AS (SELECT label, h, c, CAST(extract(hour FROM h) AS INT) AS hod FROM hourly),
+        |base AS (
+        |  SELECT label, hod, sum(c) AS s, sum(c * c) AS s2, count(*) AS n
+        |  FROM hh GROUP BY label, hod),
+        |bb AS (
+        |  SELECT label, hod,
+        |         CAST(s AS DOUBLE) / n AS mu,
+        |         sqrt(greatest(CASE WHEN n > 1
+        |           THEN (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * (CAST(s AS DOUBLE) / n)) / (n - 1)
+        |           ELSE 0.0 END, 0.0)) AS sd
+        |  FROM base),
+        |j AS (
+        |  SELECT hh.label, abs(CAST(c AS DOUBLE) - mu) AS dev, sd
+        |  FROM hh JOIN bb ON hh.label = bb.label AND hh.hod = bb.hod)
+        |SELECT label, count(*) AS n_hours,
+        |       count(CASE WHEN sd > 0 AND dev > 2.0 * sd THEN 1 END) AS n_anomalous,
+        |       round(max(CASE WHEN sd > 0 THEN dev / sd ELSE 0.0 END), 3) AS max_z
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
+
+    // H = ln(n) - (sum c*ln c)/n — same algebraic form both engines
+    "q98_source_entropy" ->
+      """WITH counts AS (
+        |  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+        |g AS (
+        |  -- BIGINT, not DuckDB's HUGEINT sum: pandas renders HUGEINT as
+        |  -- float64 ("25.0"), which hash-mismatches Spark's long
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_labels,
+        |         sum(c * ln(c)) AS clnc
+        |  FROM counts GROUP BY source)
+        |SELECT source, n_rows, n_labels,
+        |       round(ln(n_rows) - clnc / n_rows, 6) AS entropy,
+        |       round(exp(round(ln(n_rows) - clnc / n_rows, 6)), 4) AS perplexity
+        |FROM g ORDER BY source""".stripMargin)
+}

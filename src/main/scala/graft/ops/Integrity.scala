@@ -282,6 +282,38 @@ object Integrity {
       .withColumn("hash_sum", col("hash_sum").cast("string"))
       .orderBy(col("bucket"))
 
+  // ---------------------------------------------------------------- q99
+
+  /** First-significant-digit (Benford) screen of a positive numeric
+    * column: per digit 1–9, the observed share vs Benford's
+    * log10(1 + 1/d) expectation and the absolute deviation. Fabricated
+    * or truncated financial data shows up as a digit histogram far from
+    * the law; a re-scaled copy does not (the law is scale-invariant).
+    * One narrow aggregate + a single-row total attach. The digit is
+    * extracted NUMERICALLY (x / 10^floor(log10 x)) — never via string
+    * rendering, which differs across engines for doubles.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val x = col(valueCol)
+    val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("long")
+    val counts = df.filter(x > 0).groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("obs_frac", round(col("n") / col("__t"), 6))
+      .withColumn("exp_frac", round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("abs_dev", round(abs(col("obs_frac") - col("exp_frac")), 6))
+      .drop("__t")
+  }
+
+  /** q99 — Benford screen over order totals: the digit histogram the
+    * integrity suite would alarm on after a bad backfill multiplies or
+    * truncates a money column.
+    */
+  def benfordOrders(spark: SparkSession, dir: String): DataFrame =
+    benford(Tables.load(spark, dir, "orders"), "o_totalprice")
+      .coalesce(1).orderBy(col("digit"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -289,7 +321,8 @@ object Integrity {
     "q87_unpivot" -> (unpivotPricing _),
     "q88_fuzzy_vocab" -> (fuzzyVocab _),
     "q93_snapshot_diff" -> (snapshotDiffStats _),
-    "q94_rolling_checksum" -> (rollingChecksum _))
+    "q94_rolling_checksum" -> (rollingChecksum _),
+    "q99_benford" -> (benfordOrders _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -394,5 +427,19 @@ object IntegrityOracle {
         |       CAST(sum(CASE WHEN u >= 9223372036854775808::HUGEINT
         |                THEN CAST(u AS HUGEINT) - 18446744073709551616::HUGEINT
         |                ELSE CAST(u AS HUGEINT) END) AS VARCHAR) AS hash_sum
-        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin)
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // numeric first-digit extraction (identical IEEE ops), shares over
+    // the filtered total, Benford expectation log10(1 + 1/d)
+    "q99_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice)))) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT sum(n) AS tt FROM c)
+        |SELECT digit, n,
+        |       round(CAST(n AS DOUBLE) / tt, 6) AS obs_frac,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS exp_frac,
+        |       round(abs(round(CAST(n AS DOUBLE) / tt, 6) - round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
+        |FROM c, t ORDER BY digit""".stripMargin)
 }

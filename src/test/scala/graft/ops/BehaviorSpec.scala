@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Unit pins for the behavioral-analytics family (q95–q98) and the
+  * Benford screen (q99) — semantics on synthetic fixtures where the
+  * expected answer is computable by hand, plus invariants on the live
+  * corpus.
+  */
+class BehaviorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("eventTransitions: chain counts and conditional probabilities") {
+    initQuiet()
+    // user 1: a -> b -> a; user 2: a -> b. Transitions: (a,b)x2, (b,a)x1.
+    val df = Seq(
+      (1L, 1L, 1L, "a"), (1L, 2L, 2L, "b"), (1L, 3L, 3L, "a"),
+      (2L, 1L, 4L, "a"), (2L, 2L, 5L, "b"))
+      .toDF("u", "t", "id", "lbl")
+      .select(col("u"), col("t").cast("timestamp").as("t"), col("id"), col("lbl"))
+    val out = Behavior.eventTransitions(df, "u", "t", "id", "lbl")
+      .orderBy("prev", "next").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("a", "b", 2L), ("b", "a", 1L)))
+    // P(b|a) = 1.0, P(a|b) = 1.0 (each prev has a single successor label)
+    assert(out.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("eventTransitions: duplicate timestamps break ties on the tie column") {
+    initQuiet()
+    val df = Seq((1L, 5L, 1L, "x"), (1L, 5L, 2L, "y"), (1L, 5L, 3L, "z"))
+      .toDF("u", "t", "id", "lbl")
+      .select(col("u"), col("t").cast("timestamp").as("t"), col("id"), col("lbl"))
+    val out = Behavior.eventTransitions(df, "u", "t", "id", "lbl")
+      .orderBy("prev").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", "y"), ("y", "z")))
+  }
+
+  test("rfmSegments: buckets span 1..4, population preserved, monotone in value") {
+    initQuiet()
+    val orders = graft.Tables.load(spark, sf, "orders")
+    val seg = Behavior.rfmSegments(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(seg.count() == nCust) // one row per customer, none dropped
+    val bounds = seg.agg(
+      min("r_b"), max("r_b"), min("f_b"), max("f_b"), min("m_b"), max("m_b")).head()
+    (0 until 6).foreach(i => assert(bounds.getInt(i) >= 1 && bounds.getInt(i) <= 4))
+    // buckets are monotone: the max monetary in bucket k <= min in bucket k+1
+    val byB = seg.groupBy("m_b").agg(min("m").as("lo"), max("m").as("hi"))
+      .orderBy("m_b").collect()
+    byB.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(2) <= b.getDouble(1))
+      case _ =>
+    }
+  }
+
+  test("seasonalAnomalies: an injected hourly spike is flagged, flat series is not") {
+    initQuiet()
+    // label "flat": 5 occurrences of hour-of-day 3 across 5 days, 1 event each.
+    // label "spiky": same, but one day carries 50 events in that hour.
+    def hours(label: String, perDay: Seq[Int]) = perDay.zipWithIndex.flatMap {
+      case (n, day) => Seq.fill(n)((label, s"2024-01-0${day + 1} 03:00:00"))
+    }
+    val df = (hours("flat", Seq(1, 1, 1, 1, 1)) ++ hours("spiky", Seq(1, 1, 1, 1, 50)))
+      .toDF("lbl", "t").select(col("lbl"), col("t").cast("timestamp").as("t"))
+    val out = Behavior.seasonalAnomalies(df, "lbl", "t", z = 1.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getLong(2) == 0L)  // zero variance -> no anomalies
+    assert(out("spiky").getLong(2) == 1L) // the 50-event hour
+  }
+
+  test("distributionEntropy: uniform maximizes, constant collapses to zero") {
+    initQuiet()
+    val df = (Seq.tabulate(40)(i => ("uniform", s"l${i % 4}")) ++
+      Seq.fill(40)(("constant", "only")))
+      .toDF("g", "lbl")
+    val out = Behavior.distributionEntropy(df, "g", "lbl")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("constant").getDouble(3) == 0.0)
+    assert(out("constant").getDouble(4) == 1.0)
+    // uniform over 4 labels: H = ln 4, perplexity = 4
+    assert(math.abs(out("uniform").getDouble(3) - math.log(4)) < 1e-6)
+    assert(math.abs(out("uniform").getDouble(4) - 4.0) < 1e-3)
+  }
+
+  test("benford: digits 1..9 only, shares sum to 1, expectation matches the law") {
+    initQuiet()
+    val out = Integrity.benford(
+      graft.Tables.load(spark, sf, "orders"), "o_totalprice").collect()
+    val digits = out.map(_.getLong(0)).toSet
+    assert(digits.subsetOf((1L to 9L).toSet) && digits.nonEmpty)
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    out.foreach { r =>
+      val d = r.getLong(0).toDouble
+      assert(math.abs(r.getDouble(3) - math.log10(1 + 1 / d)) < 1e-5)
+    }
+  }
+
+  test("benford: a log-uniform sample matches the law and is scale-invariant") {
+    initQuiet()
+    // x = 10^(i/N) over a uniform grid of mantissa exponents IS
+    // Benford-distributed; the law's signature scale invariance holds
+    // for it (and does NOT for, e.g., uniformly priced orders — which
+    // is exactly what makes the screen a useful detector).
+    val base = spark.range(10000)
+      .select(pow(lit(10.0), col("id").cast("double") / 10000.0).as("v"))
+    def hist(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Integrity.benford(df, "v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a = hist(base)
+    (1L to 9L).foreach { d =>
+      assert(math.abs(a.getOrElse(d, 0.0) - math.log10(1 + 1.0 / d)) < 0.001)
+    }
+    val b = hist(base.select((col("v") * 7.0).as("v")))
+    val l1 = (1L to 9L).map(d => math.abs(a.getOrElse(d, 0.0) - b.getOrElse(d, 0.0))).sum
+    assert(l1 < 0.01, s"scale shift moved a Benford histogram: $l1")
+  }
+}
