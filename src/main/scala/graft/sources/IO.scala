@@ -216,6 +216,63 @@ object IO {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Morton (z-order) interleave of up to 4 numeric columns into one
+    * long: each value is normalized to a `bits`-bit rank against its
+    * observed [min, max] (attached as ONE broadcast scalar row — no
+    * collect), then the rank bits are interleaved so nearby points in
+    * the k-dim space get nearby z values. Pure codegen'd expression
+    * arithmetic (bits·k shift/mask terms), no UDF.
+    */
+  def zorderColumn(df: DataFrame, cols: Seq[String], bits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, greatest, least, max, min, shiftleft, shiftright}
+    require(cols.nonEmpty && cols.size <= 4, s"zorder needs 1..4 columns, got ${cols.size}")
+    require(bits >= 1 && bits * cols.size <= 62, s"bits*k must fit a long: $bits x ${cols.size}")
+    val k = cols.size
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__lo_$c"),
+      max(col(c)).cast("double").as(s"__hi_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val maxRank = (1L << bits) - 1
+    def rank(c: String) = {
+      val lo = col(s"__lo_$c"); val hi = col(s"__hi_$c")
+      val span = hi - lo
+      val scaled = org.apache.spark.sql.functions.when(span > 0,
+        (col(c).cast("double") - lo) / span * maxRank).otherwise(lit(0.0))
+      // clamp: float edges could land one past maxRank
+      least(greatest(scaled.cast("long"), lit(0L)), lit(maxRank))
+    }
+    val z = (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(rank(c), i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ + _)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", z)
+      .drop(cols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
+  }
+
+  /** Z-order clustered layout — multi-dimensional data skipping, the
+    * k-dim generalization of [[writeSorted]]: rows range-partition and
+    * sort on the interleaved Morton key, so every output file covers a
+    * small HYPER-RECTANGLE of the key space and parquet footer min/max
+    * stats stay tight on EVERY clustered column at once. A single-key
+    * sort gives perfect pruning on that key and none on the others; at
+    * 100 TB, z-order is how a table serves range scans on two or three
+    * predicate columns without duplicate layouts. Pruning here rides
+    * standard per-column footer stats — no reader-side knowledge of
+    * the z curve is needed.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String, numFiles: Int,
+      cols: Seq[String], bits: Int = 16): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    zorderColumn(df, cols, bits)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** MERGE-INTO for a plain parquet table: rows of `updates` REPLACE
     * same-key rows of the table at `path` (latest generation wins —
     * [[graft.ops.Relational.latestByKey]] with an internal generation

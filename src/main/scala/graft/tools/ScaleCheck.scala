@@ -51,8 +51,11 @@ object ScaleCheck {
     // candidates the same way (IdentityBroadcastMode of one aggregate
     // row); q82 cross-combines THREE single-row aggregates into its
     // 1-row result — all non-scaling sides by construction.
+    // q96 attaches the global max-date row and the 9-value quartile-
+    // cutoff row; q99 attaches the single-row digit total — same
+    // IdentityBroadcastMode single-row pattern.
     val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters",
-      "q82_asof_ties")
+      "q82_asof_ties", "q96_rfm_segments", "q99_benford")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -66,7 +69,10 @@ object ScaleCheck {
       "q84_table_checksum", "q85_profile", "q86_corr_regr",
       "q87_unpivot", "q88_fuzzy_vocab", "q89_robust_outliers",
       "q90_tfidf_pairs", "q91_concurrent_sessions", "q92_active_users",
-      "q93_snapshot_diff", "q94_rolling_checksum")
+      "q93_snapshot_diff", "q94_rolling_checksum",
+      // round-6 behavioral/statistical family
+      "q95_transitions", "q96_rfm_segments", "q97_seasonal_anomaly",
+      "q98_source_entropy", "q99_benford")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)
