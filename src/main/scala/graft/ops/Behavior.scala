@@ -136,6 +136,34 @@ object Behavior {
       .drop("__clnc")
   }
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * most recent touch event of the same key within `lookbackSeconds`
+    * (inclusive on both the conversion instant and the window edge);
+    * conversions with no touch in window credit to `"none"`. Touches
+    * are pre-collapsed to one row per (key, instant) — max label wins,
+    * deterministically — because "the" last touch is ambiguous under
+    * same-instant duplicates in any engine. The lookup is ONE as-of
+    * join (single key shuffle via [[AsOfJoin]]), never a conversion ×
+    * touch range join.
+    */
+  def lastTouchAttribution(
+      events: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+      conversionType: String, touchTypes: Seq[String], valueCol: String,
+      lookbackSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "no touch types given")
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(keyCol), col(tsCol))
+      .agg(max(col(typeCol)).as("__ch"))
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(keyCol), col(tsCol), col(valueCol))
+    AsOfJoin(conv, touches, Seq(keyCol), tsCol, tsCol, Seq("__ch" -> "__ch"),
+        direction = "backward", toleranceSeconds = Some(lookbackSeconds))
+      .withColumn("channel", coalesce(col("__ch"), lit("none")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col(valueCol)), 2).as("attributed_value"))
+  }
+
   // ---------------------------------------------------------------- q95
 
   /** q95 — event-type Markov transition matrix over the event stream:
@@ -183,11 +211,36 @@ object Behavior {
         groupCol = "source", labelCol = "lang")
       .coalesce(1).orderBy(col("source"))
 
+  // --------------------------------------------------------------- q100
+
+  /** q100 — last-touch purchase attribution: every purchase credited
+    * to the user's most recent click or view within the prior 24 h
+    * (or "none"), channel-level conversion counts and value.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(Tables.load(spark, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", typeCol = "event_type",
+        conversionType = "purchase", touchTypes = Seq("click", "view"),
+        valueCol = "value", lookbackSeconds = 24 * 3600L)
+      .coalesce(1).orderBy(col("channel"))
+
+  // --------------------------------------------------------------- q101
+
+  /** q101 — top-3 TF-IDF keywords for every document: the per-doc
+    * summarization surface over the corpus vocabulary.
+    */
+  def keywords(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis.keywordExtract(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc"), col("rk"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
     "q97_seasonal_anomaly" -> (anomalies _),
-    "q98_source_entropy" -> (entropy _))
+    "q98_source_entropy" -> (entropy _),
+    "q100_attribution" -> (attribution _),
+    "q101_keywords" -> (keywords _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -268,5 +321,46 @@ object BehaviorOracle {
         |SELECT source, n_rows, n_labels,
         |       round(ln(n_rows) - clnc / n_rows, 6) AS entropy,
         |       round(exp(round(ln(n_rows) - clnc / n_rows, 6)), 4) AS perplexity
-        |FROM g ORDER BY source""".stripMargin)
+        |FROM g ORDER BY source""".stripMargin,
+
+    // min-chain replay of the as-of-with-tolerance lookup, pandas
+    // merge_asof semantics exactly as AsOfJoin implements them: the
+    // match is THE latest touch at or before the purchase (arg_max
+    // over the unbounded past — an in-window earlier touch does NOT
+    // substitute when the latest one is stale), and the 24h tolerance
+    // is evaluated on SECONDS-truncated instants (AsOfJoin casts
+    // timestamps to long seconds before differencing)
+    "q100_attribution" ->
+      """WITH touches AS (
+        |  SELECT user_id, ts, max(event_type) AS ch
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id, ts),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT p.event_id, any_value(p.value) AS value, any_value(p.ts) AS pts,
+        |         arg_max(t.ch, t.ts) AS ch, max(t.ts) AS mts
+        |  FROM p LEFT JOIN touches t ON t.user_id = p.user_id AND t.ts <= p.ts
+        |  GROUP BY p.event_id)
+        |SELECT CASE WHEN mts IS NOT NULL
+        |            AND (epoch_us(pts) // 1000000) - (epoch_us(mts) // 1000000) <= 86400
+        |            THEN ch ELSE 'none' END AS channel,
+        |       count(*) AS n_conversions,
+        |       round(sum(value), 2) AS attributed_value
+        |FROM m GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // same ln(N/df)+1 idf as the engine; ties break on the term string
+    "q101_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT doc, term, count(*) AS tf FROM tok WHERE length(term) > 0 GROUP BY doc, term),
+        |idf AS (
+        |  SELECT term, ln((SELECT count(*) FROM documents) * 1.0 / count(*)) + 1 AS idf
+        |  FROM tf GROUP BY term),
+        |s AS (
+        |  SELECT doc, term, tf.tf * idf.idf AS score,
+        |         row_number() OVER (PARTITION BY doc ORDER BY tf.tf * idf.idf DESC, term) AS rk
+        |  FROM tf JOIN idf USING (term))
+        |SELECT doc, rk, term, round(score, 6) AS score
+        |FROM s WHERE rk <= 3 ORDER BY doc, rk""".stripMargin)
 }

@@ -115,6 +115,31 @@ object TextAnalysis {
       .withColumn("idf", log(lit(nDocs + 1) / (col("df") + 1)) + 1)
   }
 
+  /** Top-k TF-IDF keywords per document — the per-doc summarization
+    * twin of [[tfidfPairs]] (same ln(N/df)+1 idf, same postings
+    * build). One (doc, term) aggregate, a broadcast vocab join, and a
+    * per-DOC window rank — the partition key is the document id, so
+    * the window never concentrates; ties break on the term string
+    * (deterministic across engines: the score inputs are integers, so
+    * equal scores are bit-equal, never approximately equal).
+    */
+  def keywordExtract(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count().toDouble // driver scalar: one count job
+    val tf = df
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(nDocs) / col("df")) + 1)
+    val w = Window.partitionBy(col("doc")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(idf), "term")
+      .select(col("doc"), col("term"), (col("tf") * col("idf")).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc"), col("rk"), col("term"), round(col("score"), 6).as("score"))
+  }
+
   /** Top-k most similar document pairs by TF-IDF cosine, via a
     * term-partitioned sparse dot product: weight vectors never
     * materialize — the pair dot product is assembled by equi-joining

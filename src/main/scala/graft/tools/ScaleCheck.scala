@@ -72,7 +72,8 @@ object ScaleCheck {
       "q93_snapshot_diff", "q94_rolling_checksum",
       // round-6 behavioral/statistical family
       "q95_transitions", "q96_rfm_segments", "q97_seasonal_anomaly",
-      "q98_source_entropy", "q99_benford")
+      "q98_source_entropy", "q99_benford", "q100_attribution",
+      "q101_keywords")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

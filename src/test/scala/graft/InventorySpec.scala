@@ -15,7 +15,7 @@ class InventorySpec extends SparkSpec {
     // ...and the direction the "N of N oracle-checked" claim rests on: a
     // query registered without an oracle silently drops out of the gate.
     assert((qk -- ok).isEmpty, s"queries without oracles: ${qk -- ok}")
-    assert(qk.forall(_.matches("q\\d{2}_[a-z0-9_]+")), "malformed query key")
+    assert(qk.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), "malformed query key")
     // SparkEntry merges the source Seqs with `.toMap`, which keeps the
     // LAST entry on a duplicate key — a query or oracle defined in two
     // inventories would silently shadow its twin and drop out of the

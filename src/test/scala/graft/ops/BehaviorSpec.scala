@@ -100,6 +100,56 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("lastTouchAttribution: latest-match-then-tolerance, not latest-in-window") {
+    initQuiet()
+    def ev(u: Long, t: String, ty: String, v: Double) = (u, t, ty, v)
+    val df = Seq(
+      // u1: click 2h before purchase -> attributed to click
+      ev(1, "2024-01-02 10:00:00", "click", 0), ev(1, "2024-01-02 12:00:00", "purchase", 10),
+      // u2: view 30h before, click 25h before -> latest (click) is stale -> none
+      // (a window-restricted rule would wrongly say nothing matched anyway here;
+      //  the distinguishing case is u3)
+      ev(2, "2024-01-01 06:00:00", "view", 0), ev(2, "2024-01-01 11:00:00", "click", 0),
+      ev(2, "2024-01-02 12:00:00", "purchase", 20),
+      // u3: view IN window (12h before), click OUT of window (25h before):
+      // latest touch is the view -> attributed to view
+      ev(3, "2024-01-01 11:00:00", "click", 0), ev(3, "2024-01-02 00:00:00", "view", 0),
+      ev(3, "2024-01-02 12:00:00", "purchase", 30),
+      // u4: no touches at all -> none
+      ev(4, "2024-01-02 12:00:00", "purchase", 40),
+      // u5: touch exactly at the purchase instant (inclusive) -> click
+      ev(5, "2024-01-02 12:00:00", "click", 0), ev(5, "2024-01-02 12:00:00", "purchase", 50))
+      .toDF("user_id", "ts", "event_type", "value")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val out = Behavior.lastTouchAttribution(df, "user_id", "ts", "event_type",
+        "purchase", Seq("click", "view"), "value", 24 * 3600L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("click") == ((2L, 60.0))) // u1 + u5
+    assert(out("view") == ((1L, 30.0)))  // u3
+    assert(out("none") == ((2L, 60.0)))  // u2 (stale latest) + u4 (no touch)
+  }
+
+  test("keywordExtract: rare terms outrank common ones; k bounds per-doc output") {
+    initQuiet()
+    val docs = Seq(
+      (1L, "common common common rare1 rare1 rare1 rare1"),
+      (2L, "common unique2 filler filler"),
+      (3L, "common filler other other"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.keywordExtract(docs, "doc_id", "text", 2)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 2))
+    // doc 1's top keyword is rare1 (tf 4, df 1), not common (tf 3, df 3)
+    val d1 = byDoc(1L).sortBy(_.getInt(1))
+    assert(d1.head.getString(2) == "rare1")
+    // doc 2: unique2 (tf 1, df 1) beats filler (tf 2, df 2)? — check the
+    // actual scores rather than assuming: idf(unique2)=ln(3)+1=2.0986,
+    // w=2.0986; filler tf2·(ln(1.5)+1)=2.8109 -> filler first, unique2 second
+    val d2 = byDoc(2L).sortBy(_.getInt(1))
+    assert(d2.map(_.getString(2)).toSeq == Seq("filler", "unique2"))
+  }
+
   test("benford: a log-uniform sample matches the law and is scale-invariant") {
     initQuiet()
     // x = 10^(i/N) over a uniform grid of mantissa exponents IS
