@@ -282,6 +282,93 @@ object StreamingOps {
         timeMode, OutputMode.Update())
   }
 
+  /** Typed-state layer for [[trendingTopK]]. */
+  final case class WindowItem(wstart_us: Long, item: String, ts: java.sql.Timestamp)
+  final case class SSCell(count: Long, err: Long)
+  final case class SSState(cells: Map[String, SSCell], n: Long)
+  final case class TrendingItem(
+      window_start_us: Long, item: String, est_count: Long, max_err: Long,
+      window_n: Long)
+
+  /** Streaming trending top-k per tumbling window via the SPACE-SAVING
+    * sketch (Metwally et al.): per window, at most `capacity` counters
+    * regardless of item cardinality — when a new item arrives at a full
+    * summary, it REPLACES the minimum counter, inheriting its count as
+    * the error bound. Guarantees (test-pinned): `est ≥ true ≥ est−err`
+    * for every tracked item, and any item with true frequency
+    * > n/capacity is guaranteed present — the heavy hitters cannot be
+    * evicted.
+    *
+    * State per window is `capacity` cells (the scale knob: memory is
+    * capacity × active windows, NEVER item cardinality — the reason a
+    * 100 TB stream with a billion-item key space still fits executor
+    * state). Keyed by window start, so the sketch merge is local to
+    * each window's partition: one keyed shuffle. Windows emit their
+    * top `k` ONCE, when the event-time watermark passes the window end
+    * (late events inside the watermark still count; later ones are
+    * dropped by the watermark, observable via [[DropMetricsListener]]).
+    */
+  def trendingTopK(
+      events: DataFrame,
+      itemCol: String = "event_type",
+      tsCol: String = "ts",
+      windowMinutes: Long = 60,
+      capacity: Int = 64,
+      k: Int = 10,
+      watermark: String = "1 hour"): Dataset[TrendingItem] = {
+    require(capacity >= 1 && k >= 1, "capacity and k must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val winUs = windowMinutes * 60L * 1000000L
+    // integer µs bucket arithmetic (div, not double /): epoch-µs values
+    // are beyond double's exact-integer range at the last digits
+    val ds = events
+      .select(
+        expr(s"(unix_micros($tsCol) div ${winUs}L) * ${winUs}L").as("wstart_us"),
+        col(itemCol).cast("string").as("item"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[WindowItem]
+    ds.groupByKey(_.wstart_us)
+      .flatMapGroupsWithState[SSState, TrendingItem](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, it: Iterator[WindowItem], state: GroupState[SSState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the window end: the sketch is final
+            val out = state.getOption.toSeq.flatMap { s =>
+              s.cells.toSeq
+                .sortBy { case (item, c) => (-c.count, item) }
+                .take(k)
+                .map { case (item, c) =>
+                  TrendingItem(wstart, item, c.count, c.err, s.n) }
+            }
+            state.remove()
+            out.iterator
+          } else {
+            var cells = state.getOption.map(_.cells).getOrElse(Map.empty[String, SSCell])
+            var n = state.getOption.map(_.n).getOrElse(0L)
+            // deterministic fold order: micro-batch iterator order is
+            // partition-merge order, not stable across runs
+            it.toSeq.sortBy(e => (e.ts.getTime, e.item)).foreach { e =>
+              n += 1
+              cells.get(e.item) match {
+                case Some(c) => cells += e.item -> c.copy(count = c.count + 1)
+                case None if cells.size < capacity => cells += e.item -> SSCell(1, 0)
+                case None =>
+                  val (minItem, minCell) =
+                    cells.minBy { case (item, c) => (c.count, item) }
+                  cells = cells - minItem +
+                    (e.item -> SSCell(minCell.count + 1, minCell.count))
+              }
+            }
+            state.update(SSState(cells, n))
+            // fire once the event-time watermark passes the window end
+            state.setTimeoutTimestamp((wstart + winUs) / 1000L + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Watermark-drop observability (A9): accumulates
     * `numRowsDroppedByWatermark` across progress events so a pipeline
     * can alert when late data is being discarded. Attach with
