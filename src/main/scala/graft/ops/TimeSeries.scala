@@ -1,0 +1,249 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series analytics: time-weighted averages, exponential
+  * smoothing, and interpolated gap fill (SURVEY.md §2.3.1 extensions,
+  * q102–q104).
+  *
+  * Scale shapes: every operator partitions by a series key (entity,
+  * day, or metric id) — windows never concentrate on a single
+  * partition; [[ewma]] is the bounded-contribution-explode pattern
+  * (fan-out = lookback, never a day×day self-join), the same shape
+  * that keeps q92's rolling distincts linear.
+  */
+object TimeSeries {
+
+  /** Time-weighted average of a step series: within each (key, day),
+    * each observation's value holds until the NEXT observation, and
+    * the average weights each value by its holding duration in µs —
+    * the standard TWAP over the observed span. Series with fewer than
+    * two observations in a window have no held interval and are
+    * dropped (n_obs counts the full series, intervals = n_obs − 1).
+    * Durations are exact integer µs; only the final weighted mean is
+    * floating-point. One series-key shuffle.
+    */
+  def twap(
+      df: DataFrame, keyCols: Seq[String], tsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val stepped = df
+      .select(keyCols.map(col) :+ col(tsCol) :+ col(tieCol) :+ col(valueCol): _*)
+      .withColumn("__next_us", lead(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn("__dur", col("__next_us") - unix_micros(col(tsCol)))
+    stepped.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("__dur")).as("span_us"),
+        round(
+          sum(col(valueCol) * col("__dur")) / sum(col("__dur")), 6).as("twap"))
+      .filter(col("span_us").isNotNull && col("span_us") > 0)
+  }
+
+  /** Exponentially weighted moving average of a per-(key, day) series
+    * with the given half-life, over a bounded trailing `lookback`
+    * days: EWMA(d) = Σ_k w(k)·x(d−k) / Σ_k w(k) with w(k) =
+    * 0.5^(k/halflife), summed over the OBSERVED days in the window
+    * (missing days contribute neither weight nor value — the
+    * irregular-series EWMA convention). Shape: each observation
+    * contributes to its next `lookback` target days via one bounded
+    * `sequence` explode (fan-out = lookback) — never a day×day
+    * self-join; one (key, day) shuffle either side.
+    */
+  def ewma(
+      df: DataFrame, keyCols: Seq[String], dayCol: String, valueCol: String,
+      halflifeDays: Double = 7.0, lookback: Int = 30): DataFrame = {
+    require(lookback >= 1 && lookback <= 366, s"lookback must be in 1..366: $lookback")
+    require(halflifeDays > 0, "halflife must be positive")
+    val ks = keyCols.map(col)
+    val days = df.select((ks :+ col(dayCol).as("d")): _*).distinct()
+    val contrib = df
+      .select((ks :+ col(dayCol).as("__src") :+ col(valueCol).as("__x")): _*)
+      .withColumn("d", explode(sequence(col("__src"), date_add(col("__src"), lookback - 1))))
+      .withColumn("__w",
+        pow(lit(0.5), datediff(col("d"), col("__src")).cast("double") / halflifeDays))
+    contrib
+      .groupBy((ks :+ col("d")): _*)
+      .agg(round(sum(col("__w") * col("__x")) / sum(col("__w")), 6).as("ewma"),
+        count(lit(1)).as("n_in_window"))
+      .join(days, keyCols :+ "d") // only days that exist in the series
+  }
+
+  /** Linear interpolation of missing points in a regular per-key grid:
+    * rows where `valueCol` is null get
+    * prev + (next − prev) · (t − t_prev)/(t_next − t_prev), using the
+    * nearest non-null neighbors in each direction (IGNORE NULLS window
+    * scans); leading/trailing gaps (no neighbor on one side) stay
+    * null. Position arithmetic is exact integer µs; one series-key
+    * shuffle, two ordered window passes.
+    */
+  def interpolate(
+      df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val back = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsUs = when(col(valueCol).isNotNull, us)
+    val withNbrs = df
+      .withColumn("__pv", last(col(valueCol), ignoreNulls = true).over(back))
+      .withColumn("__pt", last(obsUs, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(valueCol), ignoreNulls = true).over(fwd))
+      .withColumn("__nt", first(obsUs, ignoreNulls = true).over(fwd))
+    withNbrs
+      .withColumn("__filled",
+        when(col(valueCol).isNotNull, col(valueCol))
+          .otherwise(
+            col("__pv") + (col("__nv") - col("__pv")) *
+              ((us - col("__pt")) / (col("__nt") - col("__pt")))))
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
+
+  // --------------------------------------------------------------- q102
+
+  /** q102 — per-(user, day) time-weighted average event value: the
+    * step-function TWAP over each user-day's observed span, tie-broken
+    * on event_id. Bounded output: user × active-day grain.
+    */
+  def twapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+    twap(ev, Seq("user_id", "day"), "ts", "event_id", "value")
+      .orderBy(col("user_id"), col("day")).limit(500)
+  }
+
+  // --------------------------------------------------------------- q103
+
+  /** q103 — 7-day-half-life EWMA of daily event counts per event type
+    * over a 30-day trailing window: the smoothed trend line an
+    * alerting pipeline thresholds against.
+    */
+  def ewmaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    ewma(daily, Seq("event_type"), "day", "c", halflifeDays = 7.0, lookback = 30)
+      .select(col("event_type"), col("d"), col("ewma"), col("n_in_window"))
+      .coalesce(1).orderBy(col("event_type"), col("d"))
+  }
+
+  // --------------------------------------------------------------- q104
+
+  /** q104 — interpolated hourly gap fill: the q70 spine (every hour in
+    * the observed range) with missing error-hour sums LINEARLY
+    * interpolated between the neighboring observed hours instead of
+    * zero-filled — per event type, so the interpolation window
+    * partitions by the series key. Rendered: value rounded, flag
+    * telling observed from interpolated.
+    */
+  def interpolateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val hourly = ev.filter(col("event_type").isin("error", "purchase"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(sum(col("value")), 4).as("v"))
+    val spine = ev
+      .agg(min(date_trunc("hour", col("ts"))).as("lo"),
+        max(date_trunc("hour", col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(Seq("error", "purchase").toDF("event_type"))
+    val grid = spine.join(hourly, Seq("event_type", "h"), "left")
+    interpolate(grid, Seq("event_type"), "h", "v")
+      .select(col("event_type"), col("h"),
+        round(col("__filled"), 4).as("v_filled"),
+        col("v").isNotNull.as("observed"))
+      .orderBy(col("event_type"), col("h")).limit(800)
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q102_twap" -> (twapQuery _),
+    "q103_ewma" -> (ewmaQuery _),
+    "q104_interpolate" -> (interpolateQuery _))
+
+  val allNames: Seq[String] = all.map(_._1)
+}
+
+/** DuckDB twins for [[TimeSeries]] (driver correctness gate). */
+object TimeSeriesOracle {
+
+  val all: Seq[(String, String)] = Seq(
+    // lead-window replay: exact integer µs durations, weighted mean
+    "q102_twap" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value, epoch_us(ts) AS us,
+        |         lead(epoch_us(ts)) OVER (
+        |           PARTITION BY user_id, CAST(ts AS DATE)
+        |           ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day, count(*) AS n_obs,
+        |         CAST(sum(next_us - us) AS BIGINT) AS span_us,
+        |         round(sum(value * (next_us - us)) / sum(next_us - us), 6) AS twap
+        |  FROM s GROUP BY user_id, day)
+        |SELECT user_id, day, n_obs, span_us, twap
+        |FROM g WHERE span_us IS NOT NULL AND span_us > 0
+        |ORDER BY user_id, day LIMIT 500""".stripMargin,
+
+    // bounded day-range join with the identical 0.5^(lag/7) weight
+    "q103_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS DOUBLE) AS c
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |e AS (
+        |  SELECT t.event_type, t.day AS d,
+        |         round(sum(power(0.5, date_diff('day', s.day, t.day) / 7.0) * s.c)
+        |               / sum(power(0.5, date_diff('day', s.day, t.day) / 7.0)), 6) AS ewma,
+        |         count(*) AS n_in_window
+        |  FROM daily t JOIN daily s
+        |    ON s.event_type = t.event_type
+        |   AND s.day BETWEEN t.day - 29 AND t.day
+        |  GROUP BY t.event_type, t.day)
+        |SELECT event_type, d, ewma, n_in_window
+        |FROM e ORDER BY event_type, d""".stripMargin,
+
+    // same spine, same IGNORE NULLS neighbor scans, same exact-µs ratio
+    "q104_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, round(sum(value), 4) AS v
+        |  FROM events WHERE event_type IN ('error', 'purchase')
+        |  GROUP BY event_type, date_trunc('hour', ts)),
+        |bounds AS (
+        |  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT unnest(['error', 'purchase']) AS event_type) t,
+        |       (SELECT unnest(generate_series(
+        |          (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+        |          INTERVAL 1 HOUR)) AS h) g),
+        |grid AS (
+        |  SELECT s.event_type, s.h, hourly.v FROM spine s
+        |  LEFT JOIN hourly ON hourly.event_type = s.event_type AND hourly.h = s.h),
+        |nb AS (
+        |  SELECT event_type, h, v,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(h) END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    first_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(h) END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM grid)
+        |SELECT event_type, h,
+        |       round(CASE WHEN v IS NOT NULL THEN v
+        |                  ELSE pv + (nv - pv) * ((epoch_us(h) - pt) / (nt - pt))
+        |             END, 4) AS v_filled,
+        |       v IS NOT NULL AS observed
+        |FROM nb ORDER BY event_type, h LIMIT 800""".stripMargin)
+}

@@ -53,9 +53,11 @@ object ScaleCheck {
     // 1-row result — all non-scaling sides by construction.
     // q96 attaches the global max-date row and the 9-value quartile-
     // cutoff row; q99 attaches the single-row digit total — same
-    // IdentityBroadcastMode single-row pattern.
+    // IdentityBroadcastMode single-row pattern. q104 crosses the hour
+    // spine with a 2-row literal series list (bounded by construction).
     val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters",
-      "q82_asof_ties", "q96_rfm_segments", "q99_benford")
+      "q82_asof_ties", "q96_rfm_segments", "q99_benford",
+      "q104_interpolate")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -73,7 +75,9 @@ object ScaleCheck {
       // round-6 behavioral/statistical family
       "q95_transitions", "q96_rfm_segments", "q97_seasonal_anomaly",
       "q98_source_entropy", "q99_benford", "q100_attribution",
-      "q101_keywords")
+      "q101_keywords",
+      // round-6 time-series family
+      "q102_twap", "q103_ewma", "q104_interpolate")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -20,11 +20,11 @@ class InventorySpec extends SparkSpec {
     // LAST entry on a duplicate key — a query or oracle defined in two
     // inventories would silently shadow its twin and drop out of the
     // gate. Compare the raw Seq sizes against the merged maps.
-    import graft.ops.{Behavior, BehaviorOracle, Curation, CurationOracle, Integrity, IntegrityOracle, OracleSql, Relational}
-    assert(Relational.all.size + Curation.all.size + Integrity.all.size + Behavior.all.size == SparkEntry.queries.size,
-      "duplicate query key across Relational.all, Curation.all, Integrity.all and Behavior.all")
-    assert(OracleSql.all.size + CurationOracle.all.size + IntegrityOracle.all.size + BehaviorOracle.all.size == SparkEntry.oracleSql.size,
-      "duplicate oracle key across OracleSql.all, CurationOracle.all, IntegrityOracle.all and BehaviorOracle.all")
+    import graft.ops.{Behavior, BehaviorOracle, Curation, CurationOracle, Integrity, IntegrityOracle, OracleSql, Relational, TimeSeries, TimeSeriesOracle}
+    assert(Relational.all.size + Curation.all.size + Integrity.all.size + Behavior.all.size + TimeSeries.all.size == SparkEntry.queries.size,
+      "duplicate query key across the query inventories")
+    assert(OracleSql.all.size + CurationOracle.all.size + IntegrityOracle.all.size + BehaviorOracle.all.size + TimeSeriesOracle.all.size == SparkEntry.oracleSql.size,
+      "duplicate oracle key across the oracle inventories")
     assert(Relational.all.map(_._1).distinct.size == Relational.all.size)
     assert(Curation.all.map(_._1).distinct.size == Curation.all.size)
     assert(Integrity.all.map(_._1).distinct.size == Integrity.all.size)
@@ -33,6 +33,8 @@ class InventorySpec extends SparkSpec {
     assert(CurationOracle.all.map(_._1).distinct.size == CurationOracle.all.size)
     assert(IntegrityOracle.all.map(_._1).distinct.size == IntegrityOracle.all.size)
     assert(BehaviorOracle.all.map(_._1).distinct.size == BehaviorOracle.all.size)
+    assert(TimeSeries.all.map(_._1).distinct.size == TimeSeries.all.size)
+    assert(TimeSeriesOracle.all.map(_._1).distinct.size == TimeSeriesOracle.all.size)
   }
 
   test("every registered query executes at sf0.001 and returns rows") {
