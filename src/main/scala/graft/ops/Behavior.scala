@@ -211,6 +211,41 @@ object Behavior {
         groupCol = "source", labelCol = "lang")
       .coalesce(1).orderBy(col("source"))
 
+  /** Two-sample proportion z-test per stratum — the A/B-test readout:
+    * for each group, trials and successes per variant, the two
+    * conversion rates, and the pooled-SE z statistic with a
+    * significance flag at the given critical value. All counts are
+    * exact integers, so the rate/SE/z arithmetic is the same IEEE
+    * sequence in any engine; a zero pooled SE (all-success or
+    * all-failure strata) yields a null z and `significant = false`,
+    * deterministically. One (group, variant) aggregate — map-side
+    * partials, no shuffle beyond it.
+    */
+  def abTest(
+      df: DataFrame, groupCol: String, variantCol: String, successCol: String,
+      zCrit: Double = 1.96): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(variantCol).as("__v"))
+      .agg(count(lit(1)).as("__n"),
+        count(when(col(successCol), 1)).as("__c"))
+    val wide = per.groupBy(col(groupCol))
+      .agg(
+        sum(when(col("__v") === 0, col("__n"))).as("n_a"),
+        sum(when(col("__v") === 0, col("__c"))).as("c_a"),
+        sum(when(col("__v") === 1, col("__n"))).as("n_b"),
+        sum(when(col("__v") === 1, col("__c"))).as("c_b"))
+    val pa = col("c_a").cast("double") / col("n_a")
+    val pb = col("c_b").cast("double") / col("n_b")
+    val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(se > 0, (pa - pb) / se)
+    wide
+      .withColumn("rate_a", round(pa, 6))
+      .withColumn("rate_b", round(pb, 6))
+      .withColumn("z_stat", round(z, 4))
+      .withColumn("significant", coalesce(abs(z) > zCrit, lit(false)))
+  }
+
   // --------------------------------------------------------------- q100
 
   /** q100 — last-touch purchase attribution: every purchase credited
@@ -234,13 +269,60 @@ object Behavior {
         Tables.load(spark, dir, "documents"), "doc_id", "text", k = 3)
       .orderBy(col("doc"), col("rk"))
 
+  // --------------------------------------------------------------- q105
+
+  /** q105 — A/B readout over purchase events: variant = event_id
+    * parity (the deterministic stand-in for an assignment column),
+    * success = value above 50, stratified by priority-less event
+    * "surface" (the props.k parity as a 2-stratum drill). The nontrivial
+    * strata make the z pipeline exercise both significant and
+    * not-significant rows at test scale.
+    */
+  def abTestQuery(spark: SparkSession, dir: String): DataFrame =
+    abTest(
+        Tables.load(spark, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(
+            (get_json_object(col("props"), "$.k").cast("long") % 2).as("stratum"),
+            (col("event_id") % 2).as("variant"),
+            (col("value") > 50.0).as("success")),
+        groupCol = "stratum", variantCol = "variant", successCol = "success")
+      .coalesce(1).orderBy(col("stratum"))
+
+  // --------------------------------------------------------------- q106
+
+  /** q106 — conversion-latency distribution: per user, hours from
+    * first signup to the first purchase AT OR AFTER it; exact
+    * interpolated percentiles of that latency plus the converted-user
+    * count. The per-user reduce is one key shuffle; the percentile is
+    * over the user-cardinality latency vector.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("s_us"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val lat = su.join(pu, "user_id")
+      .filter(col("p_us") >= col("s_us"))
+      .groupBy(col("user_id"), col("s_us")).agg(min(col("p_us")).as("first_p"))
+      .select(((col("first_p") - col("s_us")) / lit(3600000000.0)).as("h"))
+    lat.agg(
+      count(lit(1)).as("n_converted"),
+      round(expr("percentile(h, 0.5)"), 4).as("p50_hours"),
+      round(expr("percentile(h, 0.9)"), 4).as("p90_hours"),
+      round(max(col("h")), 4).as("max_hours"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
     "q97_seasonal_anomaly" -> (anomalies _),
     "q98_source_entropy" -> (entropy _),
     "q100_attribution" -> (attribution _),
-    "q101_keywords" -> (keywords _))
+    "q101_keywords" -> (keywords _),
+    "q105_ab_test" -> (abTestQuery _),
+    "q106_conversion_latency" -> (conversionLatency _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -362,5 +444,52 @@ object BehaviorOracle {
         |         row_number() OVER (PARTITION BY doc ORDER BY tf.tf * idf.idf DESC, term) AS rk
         |  FROM tf JOIN idf USING (term))
         |SELECT doc, rk, term, round(score, 6) AS score
-        |FROM s WHERE rk <= 3 ORDER BY doc, rk""".stripMargin)
+        |FROM s WHERE rk <= 3 ORDER BY doc, rk""".stripMargin,
+
+    // identical pooled-SE z arithmetic from exact integer counts; the
+    // significance test uses the UNROUNDED z on both sides
+    "q105_ab_test" ->
+      """WITH t AS (
+        |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS stratum,
+        |         event_id % 2 AS v, (value > 50.0) AS succ
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT stratum,
+        |         count(CASE WHEN v = 0 THEN 1 END) AS n_a,
+        |         count(CASE WHEN v = 0 AND succ THEN 1 END) AS c_a,
+        |         count(CASE WHEN v = 1 THEN 1 END) AS n_b,
+        |         count(CASE WHEN v = 1 AND succ THEN 1 END) AS c_b
+        |  FROM t GROUP BY stratum),
+        |s AS (
+        |  SELECT *,
+        |         CAST(c_a AS DOUBLE) / n_a AS pa,
+        |         CAST(c_b AS DOUBLE) / n_b AS pb,
+        |         CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS pp
+        |  FROM w),
+        |z AS (
+        |  SELECT *, sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b)) AS se FROM s)
+        |SELECT stratum, n_a, c_a, n_b, c_b,
+        |       round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |       CASE WHEN se > 0 THEN round((pa - pb) / se, 4) END AS z_stat,
+        |       coalesce(CASE WHEN se > 0 THEN abs((pa - pb) / se) > 1.96 END, false)
+        |         AS significant
+        |FROM z ORDER BY stratum""".stripMargin,
+
+    // first-signup → first-subsequent-purchase latency distribution
+    "q106_conversion_latency" ->
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS s_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (
+        |  SELECT su.user_id, su.s_us, min(epoch_us(e.ts)) AS first_p
+        |  FROM su JOIN events e
+        |    ON e.user_id = su.user_id AND e.event_type = 'purchase'
+        |   AND epoch_us(e.ts) >= su.s_us
+        |  GROUP BY su.user_id, su.s_us),
+        |lat AS (SELECT (first_p - s_us) / 3600000000.0 AS h FROM fp)
+        |SELECT count(*) AS n_converted,
+        |       round(quantile_cont(h, 0.5), 4) AS p50_hours,
+        |       round(quantile_cont(h, 0.9), 4) AS p90_hours,
+        |       round(max(h), 4) AS max_hours
+        |FROM lat""".stripMargin)
 }

@@ -150,6 +150,51 @@ class BehaviorSpec extends SparkSpec {
     assert(d2.map(_.getString(2)).toSeq == Seq("filler", "unique2"))
   }
 
+  test("abTest: textbook z for a 12/16-vs-4/16 split; zero-SE stratum degrades to null/false") {
+    initQuiet()
+    // stratum 0: pa=12/16, pb=4/16 -> pp=.5, se=sqrt(.5*.5*(2/16))=0.1767767,
+    // z=(0.75-0.25)/se=2.8284 -> significant. stratum 1: all successes -> se=0.
+    val rows =
+      (0 until 16).map(i => (0L, 0L, i < 12)) ++
+      (0 until 16).map(i => (0L, 1L, i < 4)) ++
+      (0 until 8).map(_ => (1L, 0L, true)) ++
+      (0 until 8).map(_ => (1L, 1L, true))
+    val df = rows.toDF("stratum", "variant", "success")
+    val out = Behavior.abTest(df, "stratum", "variant", "success")
+      .orderBy("stratum").collect()
+    val s0 = out(0)
+    assert((s0.getLong(1), s0.getLong(2), s0.getLong(3), s0.getLong(4)) == ((16L, 12L, 16L, 4L)))
+    assert(s0.getDouble(5) == 0.75 && s0.getDouble(6) == 0.25)
+    assert(s0.getDouble(7) == 2.8284)
+    assert(s0.getBoolean(8))
+    val s1 = out(1)
+    assert(s1.isNullAt(7) && !s1.getBoolean(8))
+  }
+
+  test("conversionLatency: first purchase at-or-after first signup, in hours") {
+    initQuiet()
+    // u1: signup t=0h, purchases at -5h (ignored) and 10h -> latency 10
+    // u2: signup t=0h, purchase 2h -> latency 2; u3: no purchase -> excluded
+    def e(u: Long, hr: Double, ty: String) =
+      (u, new java.sql.Timestamp((hr * 3600000L).toLong + 1700000000000L), ty, 1.0)
+    val df = Seq(
+      e(1, 0, "signup"), e(1, -5, "purchase"), e(1, 10, "purchase"),
+      e(2, 0, "signup"), e(2, 2, "purchase"), e(2, 6, "purchase"),
+      e(3, 0, "signup"))
+      .toDF("user_id", "ts", "event_type", "value")
+    // route through the same shape as the query but on the fixture:
+    import org.apache.spark.sql.functions.{col => c}
+    val su = df.filter(c("event_type") === "signup")
+      .groupBy(c("user_id")).agg(min(unix_micros(c("ts"))).as("s_us"))
+    val pu = df.filter(c("event_type") === "purchase")
+      .select(c("user_id"), unix_micros(c("ts")).as("p_us"))
+    val lat = su.join(pu, "user_id").filter(c("p_us") >= c("s_us"))
+      .groupBy(c("user_id"), c("s_us")).agg(min(c("p_us")).as("first_p"))
+      .select(c("user_id"), ((c("first_p") - c("s_us")) / lit(3600000000.0)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lat == Map(1L -> 10.0, 2L -> 2.0))
+  }
+
   test("benford: a log-uniform sample matches the law and is scale-invariant") {
     initQuiet()
     // x = 10^(i/N) over a uniform grid of mantissa exponents IS
