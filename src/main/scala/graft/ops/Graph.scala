@@ -1,0 +1,537 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph and statistical-dependence analytics (SURVEY.md §2.3.1
+  * extensions, q107–q112): market-basket association rules, triangle
+  * counting, bounded-hop BFS, mutual information / chi-squared,
+  * winnowing document fingerprints, and iterative PageRank.
+  *
+  * Scale shapes:
+  *  - [[assocRules]]: per-basket pair fan-out is bounded by basket
+  *    size² (never corpus²); one basket-key shuffle builds all pairs.
+  *  - [[triangles]]: edges oriented src < dst so each triangle is
+  *    enumerated exactly once; the two equi-joins shuffle on edge
+  *    endpoints. At web scale the orientation key becomes (degree, id)
+  *    so the join fan-out concentrates on LOW-degree vertices — noted
+  *    where it applies.
+  *  - [[kHopDistances]]: frontier-style iterative expansion with a
+  *    min-distance reduce per hop — state is (node, dist), never paths.
+  *  - [[mutualInfo]]: one contingency aggregate (map-side partials);
+  *    margins are attached to the |X|·|Y|-row joint by broadcast.
+  *  - [[winnowFingerprints]]: the MOSS winnowing scheme — position
+  *    explode is linear in corpus characters, fingerprint density is
+  *    ~2/(w+1), and candidate pairs come from an inverted-index
+  *    equi-join on fingerprint hash with a document-frequency cap on
+  *    the hot head (the same lever as q90's idf head).
+  *  - [[pageRank]]: rank state is one row per node; each iteration is
+  *    one edges⋈ranks shuffle + one target-key aggregate. Iterations
+  *    are a driver loop over DataFrames (lineage truncated per step at
+  *    real scale via checkpointing; bounded here by the fixed
+  *    iteration count).
+  */
+object Graph {
+
+  // ------------------------------------------------------------ rules
+
+  /** Directed association rules over (basket, item) pairs: for every
+    * co-occurring item pair, support count, confidence
+    * P(consequent | antecedent) and lift. Items are deduplicated
+    * within a basket first; pair enumeration joins the basket table
+    * to itself on the basket key with `item_a < item_b`, so the
+    * fan-out per basket is C(|basket|, 2) — bounded by basket size,
+    * never by corpus size. Counts are exact integers; conf/lift are
+    * single IEEE divisions of those integers, identical in any
+    * engine.
+    */
+  def assocRules(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minCo: Long = 1L): DataFrame = {
+    val baskets = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val nBaskets = baskets.agg(countDistinct(col("__b")).as("__n"))
+    val supp = baskets.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    val co = baskets.as("l")
+      .join(baskets.as("r"), col("l.__b") === col("r.__b") &&
+        col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("__a"), col("r.__i").as("__c"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val directed = co.union(co.select(col("__c"), col("__a"), col("co")))
+    directed
+      .join(broadcast(supp).withColumnRenamed("__i", "__a")
+        .withColumnRenamed("__s", "__sa"), "__a")
+      .join(broadcast(supp).withColumnRenamed("__i", "__c")
+        .withColumnRenamed("__s", "__sc"), "__c")
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("__a").as("antecedent"), col("__c").as("consequent"), col("co"),
+        round(col("co").cast("double") / col("__sa"), 6).as("conf"),
+        round(col("co").cast("double") * col("__n") /
+          (col("__sa") * col("__sc")), 6).as("lift"))
+  }
+
+  // -------------------------------------------------------- triangles
+
+  /** Per-node triangle participation counts. `edges` must be
+    * undirected-unique: one row per edge with srcCol < dstCol (the
+    * orientation that makes each triangle's enumeration unique —
+    * e(a,b)⋈e(b,c)⋈e(a,c) with a<b<c). Two equi-joins on endpoints;
+    * at web scale orient by (degree, id) instead of raw id so the
+    * wedge fan-out concentrates on low-degree vertices.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_count"))
+  }
+
+  // -------------------------------------------------------------- bfs
+
+  /** Minimum hop distance from `source` to every node reachable in at
+    * most `maxHops` hops over a DIRECTED edge list (symmetrize first
+    * for undirected semantics). Frontier expansion joins the current
+    * distance set to the edges and keeps the per-node min — state is
+    * one row per reached node, never a path set, so memory is bounded
+    * by |V| regardless of path multiplicity.
+    */
+  def kHopDistances(
+      edges: DataFrame, srcCol: String, dstCol: String, source: Column,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 12, s"maxHops must be in 1..12: $maxHops")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    var dist = e.sparkSession.range(1)
+      .select(source.as("node"), lit(0).as("dist"))
+    for (hop <- 1 to maxHops) {
+      val next = dist.filter(col("dist") === hop - 1)
+        .join(e, col("node") === col("__s"))
+        .select(col("__d").as("node"), lit(hop).as("dist"))
+      dist = dist.union(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  // ------------------------------------------------- mutual information
+
+  /** Dependence diagnostics between two categorical columns from one
+    * contingency pass: mutual information (nats), Pearson chi-squared
+    * and Cramér's V, plus the row count. The joint table is
+    * |X|·|Y| rows; margins attach to it by broadcast. All counts are
+    * exact longs, so every downstream double is the same IEEE
+    * computation in any engine (final rounding absorbs summation-order
+    * noise across the tiny cell set).
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val mx = joint.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+    val my = joint.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+    val tot = joint.agg(sum(col("__c")).as("__n"),
+      countDistinct(col("__x")).as("__rx"), countDistinct(col("__y")).as("__ry"))
+    val cells = joint.join(broadcast(mx), "__x").join(broadcast(my), "__y")
+      .crossJoin(broadcast(tot))
+    val n = col("__n").cast("double")
+    val p = col("__c") / n
+    val e = col("__cx").cast("double") * col("__cy") / n
+    // the joint table holds only OBSERVED cells; zero cells contribute
+    // e each to Σ(c−e)²/e, so use the identity chi² = Σc²/e − n
+    // (zero cells contribute 0 to Σc²/e)
+    val chi2 = sum(col("__c") * col("__c") / e) - max(col("__n"))
+    cells.agg(
+      max(col("__n")).as("n"),
+      round(sum(p * log(p / ((col("__cx") / n) * (col("__cy") / n)))), 6)
+        .as("mi_nats"),
+      round(chi2, 6).as("chi2"),
+      round(sqrt(greatest(chi2, lit(0.0)) /
+        (max(col("__n")) * least(max(col("__rx")) - 1, max(col("__ry")) - 1))), 6)
+        .as("cramers_v"))
+  }
+
+  // -------------------------------------------------------- winnowing
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every k-character
+    * gram, slide a w-hash window, keep each window's minimum (ties →
+    * rightmost), emit the distinct selected hashes per document.
+    * Guarantees any shared substring of length ≥ w+k−1 yields a shared
+    * fingerprint. The k-gram hash is exact integer polynomial
+    * arithmetic over code points (portable across engines); the
+    * rightmost-min tie rule is encoded arithmetically as
+    * min(h·2²⁰ + (2²⁰−1−pos)). Documents shorter than w+k−1
+    * characters (no full window) and positions ≥ 2²⁰ (cap, documented)
+    * are excluded. Cost: linear in corpus characters; density of
+    * selected hashes ≈ 2/(w+1).
+    */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8): DataFrame = {
+    require(k >= 2 && k <= 16 && w >= 2, s"bad k=$k w=$w")
+    val p = col(idCol).as("__doc")
+    val grams = docs
+      .select(p, col(textCol).as("__t"),
+        (length(col(textCol)) - (k - 1)).as("__np"))
+      .filter(col("__np") >= w)
+      .select(col("__doc"), col("__t"), col("__np"),
+        explode(sequence(lit(1), col("__np"))).as("pos"))
+      .filter(col("pos") < lit(1 << 20))
+    val h = (0 until k).map(i =>
+        ascii(col("__t").substr(col("pos") + lit(i), lit(1))).cast("long"))
+      .reduceLeft((acc, a) => acc * 31L + a)
+    val keyed = grams.withColumn("__key",
+      h * lit(1L << 20) + (lit((1 << 20) - 1) - col("pos")))
+    val win = Window.partitionBy(col("__doc")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    keyed
+      .withColumn("__sel", min(col("__key")).over(win))
+      .filter(col("pos") <= col("__np") - (w - 1))
+      .select(col("__doc").as("doc"),
+        // integer DIV: long `/` is double division and the key can
+        // exceed 2^53 on high-codepoint grams
+        expr("__sel DIV 1048576").as("fp"))
+      .distinct()
+  }
+
+  /** Document pairs ranked by shared winnowing fingerprints — the
+    * candidate set of a plagiarism/near-dup detector. Fingerprints
+    * whose document frequency exceeds `maxDfFrac` of the corpus are
+    * dropped before pairing (boilerplate grams pair everything with
+    * everything — the inverted-index hot head), then candidates come
+    * from ONE equi-join on fingerprint hash. Never all-pairs.
+    */
+  def sharedFingerprints(
+      fps: DataFrame, minShared: Long = 2L,
+      maxDfFrac: Double = 0.1): DataFrame = {
+    val nDocs = fps.agg(countDistinct(col("doc")).as("__nd"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("__df") <= col("__nd") * maxDfFrac)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    kept.as("l")
+      .join(kept.as("r"), col("l.fp") === col("r.fp") &&
+        col("l.doc") < col("r.doc"))
+      .groupBy(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  // --------------------------------------------------------- pagerank
+
+  /** PageRank over a weighted directed edge list (`wCol` = transition
+    * probability out of src; out-weights should sum to 1 per src).
+    * Fixed `iters` power iterations at damping d:
+    * r' = (1−d)/N + d·Σ_in w·r. Nodes without in-edges settle at
+    * (1−d)/N; rank leaked by dangling nodes is NOT redistributed
+    * (documented convention — both engines in the oracle pair compute
+    * the same fixpoint). Rank state is |V| rows; each iteration is one
+    * edges⋈ranks shuffle + one aggregate.
+    */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      nodes: DataFrame, nodeCol: String, iters: Int = 5,
+      d: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in 1..50: $iters")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+      col(wCol).as("__w"))
+    val v = nodes.select(col(nodeCol).as("node")).distinct()
+    val nN = v.count()
+    var ranks = v.withColumn("rank", lit(1.0 / nN))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(e, col("node") === col("__s"))
+        .groupBy(col("__d").as("node"))
+        .agg(sum(col("rank") * col("__w")).as("__m"))
+      ranks = v.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - d) / nN) + lit(d) * coalesce(col("__m"), lit(0.0)))
+            .as("rank"))
+    }
+    ranks
+  }
+
+  // ---------------------------------------------------- shared inputs
+
+  /** Distinct (order, brand) baskets — the q107/q108/q109 input. */
+  private def brandBaskets(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("bid"), col("p_brand").as("item"))
+
+  /** Undirected-unique co-occurrence edges: brand pairs whose co-order
+    * count is at least the mean pair co-count (a scale-free edge rule
+    * — both engines compute the identical double mean from exact
+    * integer counts). */
+  private def brandEdges(spark: SparkSession, dir: String): DataFrame = {
+    val b = brandBaskets(spark, dir).distinct()
+    val co = b.as("l")
+      .join(b.as("r"), col("l.bid") === col("r.bid") &&
+        col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("a"), col("r.item").as("b"))
+      .agg(count(lit(1)).as("co"))
+    val cut = co.agg(avg(col("co")).as("__cut"))
+    co.crossJoin(broadcast(cut)).filter(col("co") >= col("__cut"))
+      .select(col("a"), col("b"))
+  }
+
+  // --------------------------------------------------------------- q107
+
+  /** q107 — brand association rules over order baskets: which brands
+    * pull which others into the same order. Directed rules with
+    * support ≥ 20, ranked by lift. */
+  def assocQuery(spark: SparkSession, dir: String): DataFrame =
+    assocRules(brandBaskets(spark, dir), "bid", "item", minCo = 20L)
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(200)
+
+  // --------------------------------------------------------------- q108
+
+  /** q108 — triangle participation per brand in the co-occurrence
+    * graph (edges = pair co-count ≥ mean). */
+  def triangleQuery(spark: SparkSession, dir: String): DataFrame =
+    triangles(brandEdges(spark, dir), "a", "b")
+      .orderBy(col("tri_count").desc, col("node"))
+
+  // --------------------------------------------------------------- q109
+
+  /** q109 — BFS hop distance from Brand#1 over the symmetrized
+    * co-occurrence graph, bounded at 3 hops. */
+  def bfsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = brandEdges(spark, dir)
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    kHopDistances(sym, "a", "b", lit("Brand#1"), maxHops = 3)
+      .orderBy(col("dist"), col("node"))
+  }
+
+  // --------------------------------------------------------------- q110
+
+  /** q110 — is return behavior independent of supplier nation?
+    * MI / chi² / Cramér's V over the (nation, returnflag) contingency
+    * from lineitem⋈supplier⋈nation (dims broadcast). */
+  def miQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_returnflag"))
+    mutualInfo(li, "n_name", "l_returnflag")
+  }
+
+  // --------------------------------------------------------------- q111
+
+  /** q111 — winnowed near-dup candidates: document pairs sharing ≥ 3
+    * rare winnowing fingerprints (k=4, w=8, df cap 10%). */
+  def winnowQuery(spark: SparkSession, dir: String): DataFrame =
+    sharedFingerprints(
+        winnowFingerprints(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", k = 4, w = 8),
+        minShared = 3L, maxDfFrac = 0.1)
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(100)
+
+  // --------------------------------------------------------------- q112
+
+  /** q112 — PageRank over the event-type transition graph: edge weight
+    * = P(next | prev) from per-user consecutive events (ts, event_id
+    * ordered); 5 iterations at d=0.85. The "attention sink" readout of
+    * the q95 Markov matrix. */
+  def pageRankQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .select(col("user_id"), col("event_type").as("next"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", lag(col("next"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+    val edges = trans.withColumn("w",
+      col("n") / sum(col("n")).over(Window.partitionBy(col("prev"))))
+    val nodes = ev.select(col("event_type")).distinct()
+    pageRank(edges, "prev", "next", "w", nodes, "event_type",
+        iters = 5, d = 0.85)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("node"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q107_assoc_rules" -> (assocQuery _),
+    "q108_triangles" -> (triangleQuery _),
+    "q109_bfs" -> (bfsQuery _),
+    "q110_mutual_info" -> (miQuery _),
+    "q111_winnowing" -> (winnowQuery _),
+    "q112_pagerank" -> (pageRankQuery _))
+
+  val allNames: Seq[String] = all.map(_._1)
+}
+
+/** DuckDB twins for [[Graph]] (driver correctness gate). */
+object GraphOracle {
+
+  private val baskets =
+    """baskets AS (
+      |  SELECT DISTINCT l.l_orderkey AS bid, p.p_brand AS item
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)""".stripMargin
+
+  private val edges =
+    s"""$baskets,
+      |co AS (
+      |  SELECT l.item AS a, r.item AS b, count(*) AS co
+      |  FROM baskets l JOIN baskets r
+      |    ON l.bid = r.bid AND l.item < r.item
+      |  GROUP BY l.item, r.item),
+      |edges AS (
+      |  SELECT a, b FROM co WHERE co >= (SELECT avg(co) FROM co))""".stripMargin
+
+  /** Unrolled PageRank iterations (recursive CTEs cannot aggregate in
+    * the recursive term, so the fixed iteration count is expanded). */
+  private def prIters(n: Int): String =
+    (1 to n).map { i =>
+      s"""r$i AS (
+        |  SELECT v.node,
+        |         (1.0 - 0.85) / (SELECT c FROM nn) +
+        |         0.85 * coalesce(m.s, 0.0) AS rank
+        |  FROM v LEFT JOIN (
+        |    SELECT e.next AS node, sum(r.rank * e.w) AS s
+        |    FROM r${i - 1} r JOIN edges e ON e.prev = r.node
+        |    GROUP BY e.next) m ON m.node = v.node)""".stripMargin
+    }.mkString(",\n")
+
+  val all: Seq[(String, String)] = Seq(
+    // identical exact-count pair join; conf/lift are single divisions
+    "q107_assoc_rules" ->
+      s"""WITH $baskets,
+        |n AS (SELECT count(DISTINCT bid) AS n FROM baskets),
+        |supp AS (SELECT item, count(*) AS s FROM baskets GROUP BY item),
+        |co AS (
+        |  SELECT l.item AS a, r.item AS b, count(*) AS co
+        |  FROM baskets l JOIN baskets r
+        |    ON l.bid = r.bid AND l.item < r.item
+        |  GROUP BY l.item, r.item HAVING count(*) >= 20),
+        |dir AS (
+        |  SELECT a, b, co FROM co
+        |  UNION ALL SELECT b, a, co FROM co)
+        |SELECT d.a AS antecedent, d.b AS consequent, d.co,
+        |       round(CAST(d.co AS DOUBLE) / sa.s, 6) AS conf,
+        |       round(CAST(d.co AS DOUBLE) * (SELECT n FROM n) /
+        |             (sa.s * sc.s), 6) AS lift
+        |FROM dir d JOIN supp sa ON sa.item = d.a
+        |           JOIN supp sc ON sc.item = d.b
+        |ORDER BY lift DESC, antecedent, consequent LIMIT 200""".stripMargin,
+
+    // a<b<c orientation makes each triangle's enumeration unique
+    "q108_triangles" ->
+      s"""WITH $edges,
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.a = e1.b
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (
+        |  SELECT unnest([a, b, c]) AS node FROM tri)
+        |SELECT node, count(*) AS tri_count
+        |FROM nodes GROUP BY node
+        |ORDER BY tri_count DESC, node""".stripMargin,
+
+    // (node, hop) state recursion bounded by maxHops; min per node
+    "q109_bfs" ->
+      s"""WITH RECURSIVE $edges,
+        |sym AS (
+        |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |reach(node, hop) AS (
+        |  SELECT 'Brand#1' AS node, 0 AS hop
+        |  UNION
+        |  SELECT s.b, r.hop + 1
+        |  FROM reach r JOIN sym s ON s.a = r.node
+        |  WHERE r.hop < 3)
+        |SELECT node, min(hop) AS dist
+        |FROM reach GROUP BY node ORDER BY dist, node""".stripMargin,
+
+    // same contingency integers; doubles are the same IEEE divisions
+    "q110_mutual_info" ->
+      """WITH base AS (
+        |  SELECT n.n_name AS x, l.l_returnflag AS y
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |joint AS (SELECT x, y, count(*) AS c FROM base GROUP BY x, y),
+        |mx AS (SELECT x, sum(c) AS cx FROM joint GROUP BY x),
+        |my AS (SELECT y, sum(c) AS cy FROM joint GROUP BY y),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |               count(DISTINCT x) AS rx, count(DISTINCT y) AS ry
+        |        FROM joint)
+        |SELECT tot.n,
+        |       round(sum((c / CAST(tot.n AS DOUBLE)) *
+        |             ln((c / CAST(tot.n AS DOUBLE)) /
+        |                ((cx / CAST(tot.n AS DOUBLE)) *
+        |                 (cy / CAST(tot.n AS DOUBLE))))), 6) AS mi_nats,
+        |       round(sum(c * c / (cx * CAST(cy AS DOUBLE) / tot.n)) - tot.n,
+        |             6) AS chi2,
+        |       round(sqrt(greatest(sum(c * c / (cx * CAST(cy AS DOUBLE) / tot.n)) - tot.n, 0.0) /
+        |             (tot.n * least(tot.rx - 1, tot.ry - 1))), 6) AS cramers_v
+        |FROM joint JOIN mx USING (x) JOIN my USING (y), tot
+        |GROUP BY tot.n, tot.rx, tot.ry""".stripMargin,
+
+    // identical polynomial k-gram hash, rightmost-min window encoding,
+    // df cap, and inverted-index pair join
+    "q111_winnowing" ->
+      """WITH pos AS (
+        |  SELECT doc_id AS doc, text AS t, length(text) - 3 AS np,
+        |         unnest(generate_series(1, length(text) - 3)) AS pos
+        |  FROM documents WHERE length(text) - 3 >= 8),
+        |hashed AS (
+        |  SELECT doc, np, pos,
+        |         ((CAST(ascii(substr(t, pos, 1)) AS BIGINT) * 31 +
+        |           ascii(substr(t, pos + 1, 1))) * 31 +
+        |           ascii(substr(t, pos + 2, 1))) * 31 +
+        |           ascii(substr(t, pos + 3, 1)) AS h
+        |  FROM pos WHERE pos < 1048576),
+        |keyed AS (
+        |  SELECT doc, np, pos, h * 1048576 + (1048575 - pos) AS key
+        |  FROM hashed),
+        |sel AS (
+        |  SELECT doc, np, pos,
+        |         min(key) OVER (PARTITION BY doc ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS selkey
+        |  FROM keyed),
+        |fps AS (
+        |  SELECT DISTINCT doc, selkey // 1048576 AS fp
+        |  FROM sel WHERE pos <= np - 7),
+        |nd AS (SELECT count(DISTINCT doc) AS nd FROM fps),
+        |rare AS (
+        |  SELECT fp FROM fps GROUP BY fp
+        |  HAVING count(*) <= (SELECT nd FROM nd) * 0.1),
+        |kept AS (SELECT f.doc, f.fp FROM fps f JOIN rare USING (fp))
+        |SELECT l.doc AS doc_a, r.doc AS doc_b, count(*) AS shared
+        |FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc < r.doc
+        |GROUP BY l.doc, r.doc HAVING count(*) >= 3
+        |ORDER BY shared DESC, doc_a, doc_b LIMIT 100""".stripMargin,
+
+    // same transition weights; 5 unrolled power iterations
+    "q112_pagerank" ->
+      s"""WITH seq AS (
+        |  SELECT user_id, event_type AS next, ts, event_id,
+        |         lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |trans AS (
+        |  SELECT prev, next, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, next),
+        |edges AS (
+        |  SELECT prev, next,
+        |         n / CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE) AS w
+        |  FROM trans),
+        |v AS (SELECT DISTINCT event_type AS node FROM events),
+        |nn AS (SELECT count(*) AS c FROM v),
+        |r0 AS (
+        |  SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM v),
+        |${prIters(5)}
+        |SELECT node, round(rank, 6) AS rank
+        |FROM r5 ORDER BY rank DESC, node""".stripMargin)
+}

@@ -144,18 +144,26 @@ object TimeSeries {
   def interpolateQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.load(spark, dir, "events")
+    // exact integer-cents sum: double accumulation order differs
+    // across engines and an interpolant on a .00005 boundary flips the
+    // final rounding (seen at sf0.001) — fixed-point keeps v exact
     val hourly = ev.filter(col("event_type").isin("error", "purchase"))
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(round(sum(col("value")), 4).as("v"))
+      .agg((sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("v"))
     val spine = ev
       .agg(min(date_trunc("hour", col("ts"))).as("lo"),
         max(date_trunc("hour", col("ts"))).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
       .crossJoin(Seq("error", "purchase").toDF("event_type"))
     val grid = spine.join(hourly, Seq("event_type", "h"), "left")
+    // NO final rounding: with exact-cents inputs both engines compute
+    // bit-identical doubles, while round()'s decimal-tie handling is
+    // engine-specific (27.88875 → 27.8888 in DuckDB, 27.8887 via
+    // BigDecimal HALF_UP on the binary value) — rounding here would
+    // ADD divergence, not remove it
     interpolate(grid, Seq("event_type"), "h", "v")
       .select(col("event_type"), col("h"),
-        round(col("__filled"), 4).as("v_filled"),
+        col("__filled").as("v_filled"),
         col("v").isNotNull.as("observed"))
       .orderBy(col("event_type"), col("h")).limit(800)
   }
@@ -210,7 +218,8 @@ object TimeSeriesOracle {
     // same spine, same IGNORE NULLS neighbor scans, same exact-µs ratio
     "q104_interpolate" ->
       """WITH hourly AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS h, round(sum(value), 4) AS v
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS v
         |  FROM events WHERE event_type IN ('error', 'purchase')
         |  GROUP BY event_type, date_trunc('hour', ts)),
         |bounds AS (
@@ -241,9 +250,9 @@ object TimeSeriesOracle {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
         |  FROM grid)
         |SELECT event_type, h,
-        |       round(CASE WHEN v IS NOT NULL THEN v
-        |                  ELSE pv + (nv - pv) * ((epoch_us(h) - pt) / (nt - pt))
-        |             END, 4) AS v_filled,
+        |       CASE WHEN v IS NOT NULL THEN v
+        |            ELSE pv + (nv - pv) * ((epoch_us(h) - pt) / (nt - pt))
+        |       END AS v_filled,
         |       v IS NOT NULL AS observed
         |FROM nb ORDER BY event_type, h LIMIT 800""".stripMargin)
 }

@@ -20,10 +20,10 @@ class InventorySpec extends SparkSpec {
     // LAST entry on a duplicate key — a query or oracle defined in two
     // inventories would silently shadow its twin and drop out of the
     // gate. Compare the raw Seq sizes against the merged maps.
-    import graft.ops.{Behavior, BehaviorOracle, Curation, CurationOracle, Integrity, IntegrityOracle, OracleSql, Relational, TimeSeries, TimeSeriesOracle}
-    assert(Relational.all.size + Curation.all.size + Integrity.all.size + Behavior.all.size + TimeSeries.all.size == SparkEntry.queries.size,
+    import graft.ops.{Behavior, BehaviorOracle, Curation, CurationOracle, Graph, GraphOracle, Integrity, IntegrityOracle, OracleSql, Relational, TimeSeries, TimeSeriesOracle}
+    assert(Relational.all.size + Curation.all.size + Integrity.all.size + Behavior.all.size + TimeSeries.all.size + Graph.all.size == SparkEntry.queries.size,
       "duplicate query key across the query inventories")
-    assert(OracleSql.all.size + CurationOracle.all.size + IntegrityOracle.all.size + BehaviorOracle.all.size + TimeSeriesOracle.all.size == SparkEntry.oracleSql.size,
+    assert(OracleSql.all.size + CurationOracle.all.size + IntegrityOracle.all.size + BehaviorOracle.all.size + TimeSeriesOracle.all.size + GraphOracle.all.size == SparkEntry.oracleSql.size,
       "duplicate oracle key across the oracle inventories")
     assert(Relational.all.map(_._1).distinct.size == Relational.all.size)
     assert(Curation.all.map(_._1).distinct.size == Curation.all.size)
@@ -35,6 +35,8 @@ class InventorySpec extends SparkSpec {
     assert(BehaviorOracle.all.map(_._1).distinct.size == BehaviorOracle.all.size)
     assert(TimeSeries.all.map(_._1).distinct.size == TimeSeries.all.size)
     assert(TimeSeriesOracle.all.map(_._1).distinct.size == TimeSeriesOracle.all.size)
+    assert(Graph.all.map(_._1).distinct.size == Graph.all.size)
+    assert(GraphOracle.all.map(_._1).distinct.size == GraphOracle.all.size)
   }
 
   test("every registered query executes at sf0.001 and returns rows") {

@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assocRules: hand-computed support/conf/lift on a 4-basket fixture") {
+    initQuiet()
+    // baskets: {x,y}, {x,y}, {x,z}, {y} → N=4, s(x)=3, s(y)=3, s(z)=1
+    // co(x,y)=2: conf x→y = 2/3, lift = 2*4/(3*3) = 0.888889
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "y"), // in-basket dup
+      (3L, "x"), (3L, "z"), (4L, "y"))
+      .toDF("b", "i")
+    val out = Graph.assocRules(df, "b", "i").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(("x", "y")) == ((2L, 0.666667, 0.888889)))
+    assert(out(("y", "x")) == ((2L, 0.666667, 0.888889)))
+    assert(out(("x", "z")) == ((1L, 0.333333, 1.333333)))
+    assert(out(("z", "x")) == ((1L, 1.0, 1.333333)))
+    assert(!out.contains(("y", "z"))) // never co-occur
+  }
+
+  test("triangles: 4-clique has 4 triangles, 3 per node; a path has none") {
+    initQuiet()
+    val clique = (for {
+      a <- 1 to 4; b <- (a + 1) to 4
+    } yield (a, b)).toDF("s", "d")
+    val tri = Graph.triangles(clique, "s", "d").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    val path = Seq((1, 2), (2, 3), (3, 4)).toDF("s", "d")
+    assert(Graph.triangles(path, "s", "d").count() == 0)
+  }
+
+  test("kHopDistances: min hop on a directed path with a shortcut, bounded") {
+    initQuiet()
+    // 1→2→3→4→5 plus shortcut 1→3: dist(3)=1, dist(4)=2, dist(5)=3
+    val e = Seq((1, 2), (2, 3), (3, 4), (4, 5), (1, 3)).toDF("s", "d")
+    val d3 = Graph.kHopDistances(e, "s", "d", lit(1), maxHops = 3).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(d3 == Map(1 -> 0, 2 -> 1, 3 -> 1, 4 -> 2, 5 -> 3))
+    val d2 = Graph.kHopDistances(e, "s", "d", lit(1), maxHops = 2).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(!d2.contains(5) && d2(4) == 2)
+  }
+
+  test("mutualInfo: independent columns → 0; identical columns → ln(k)") {
+    initQuiet()
+    // independent 2×2 uniform
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val ri = Graph.mutualInfo(ind, "x", "y").collect()(0)
+    assert(ri.getLong(0) == 20L)
+    assert(ri.getDouble(1) == 0.0 && ri.getDouble(2) == 0.0 && ri.getDouble(3) == 0.0)
+    // perfectly dependent: y = x over 2 symbols → MI = ln 2, V = 1
+    val dep = (for { x <- Seq("a", "b"); _ <- 1 to 7 } yield (x, x)).toDF("x", "y")
+    val rd = Graph.mutualInfo(dep, "x", "y").collect()(0)
+    assert(math.abs(rd.getDouble(1) - math.log(2)) < 1e-6)
+    assert(rd.getDouble(3) == 1.0)
+  }
+
+  test("winnowing guarantee: docs sharing a substring of length >= w+k-1 share a fingerprint") {
+    initQuiet()
+    val rnd = new scala.util.Random(7)
+    def s(n: Int) = rnd.alphanumeric.take(n).mkString
+    val common = s(11) // w+k-1 = 8+4-1
+    val docs = Seq(
+      (1L, s(40) + common + s(40)),
+      (2L, common + s(60)),
+      (3L, s(80))) // no shared block
+      .toDF("id", "txt")
+    val fps = Graph.winnowFingerprints(docs, "id", "txt", k = 4, w = 8)
+    val byDoc = fps.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty) // the winnowing guarantee
+    // density sanity: selected ≈ 2/(w+1) of positions, not all of them
+    assert(byDoc(1L).size < 40 && byDoc(1L).size > 5)
+    val pairs = Graph.sharedFingerprints(fps, minShared = 1L, maxDfFrac = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("winnowing: rightmost-min tie rule selects one fingerprint for a constant doc") {
+    initQuiet()
+    // all k-grams hash identically; each window's rightmost min is its
+    // last position → selected set = {h} (one distinct hash)
+    val docs = Seq((1L, "aaaaaaaaaaaaaaaa")).toDF("id", "txt")
+    val fps = Graph.winnowFingerprints(docs, "id", "txt", k = 4, w = 8).collect()
+    assert(fps.length == 1)
+    val a = 'a'.toInt.toLong
+    assert(fps(0).getLong(1) == ((a * 31 + a) * 31 + a) * 31 + a)
+  }
+
+  test("pageRank: 2-cycle is uniform; star center accumulates; ranks bounded") {
+    initQuiet()
+    val cyc = Seq(("a", "b", 1.0), ("b", "a", 1.0)).toDF("s", "d", "w")
+    val nodes = Seq("a", "b").toDF("n")
+    val rc = Graph.pageRank(cyc, "s", "d", "w", nodes, "n").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rc("a") - 0.5) < 1e-12 && math.abs(rc("b") - 0.5) < 1e-12)
+    // star: 3 leaves all point at hub; hub dangles (leaks, documented)
+    val star = Seq(("l1", "hub", 1.0), ("l2", "hub", 1.0), ("l3", "hub", 1.0))
+      .toDF("s", "d", "w")
+    val vs = Seq("hub", "l1", "l2", "l3").toDF("n")
+    val rs = Graph.pageRank(star, "s", "d", "w", vs, "n", iters = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val base = 0.15 / 4 // (1-d)/N: leaves get exactly the teleport mass
+    assert(math.abs(rs("l1") - (1.0 - 0.85) / 4) < 1e-12)
+    assert(rs("hub") > 3 * base) // hub collects the leaves' rank
+    assert(rs.values.forall(r => r > 0 && r < 1))
+  }
+
+  test("corpus queries return sane shapes at sf0.001") {
+    initQuiet()
+    val tri = Graph.triangleQuery(spark, sf).collect()
+    assert(tri.nonEmpty && tri.forall(_.getLong(1) > 0))
+    val bfs = Graph.bfsQuery(spark, sf).collect()
+    assert(bfs.exists(r => r.getString(0) == "Brand#1" && r.getInt(1) == 0))
+    assert(bfs.forall(_.getInt(1) <= 3))
+    val pr = Graph.pageRankQuery(spark, sf).collect()
+    assert(pr.length == 5) // five event types
+    val total = pr.map(_.getDouble(1)).sum
+    assert(total > 0.8 && total <= 1.000001) // dangling leak ≤ teleport bound
+  }
+}
