@@ -106,7 +106,13 @@ object Graph {
       edges: DataFrame, srcCol: String, dstCol: String, source: Column,
       maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 12, s"maxHops must be in 1..12: $maxHops")
+    // materialize the edge relation once and truncate lineage per
+    // iteration — without this every hop's plan re-derives the edges
+    // and the final plan is O(maxHops × |edge plan|). localCheckpoint
+    // trades fault tolerance for speed; a cluster job pointing at
+    // 100 TB should setCheckpointDir and use reliable checkpoint()
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .localCheckpoint()
     var dist = e.sparkSession.range(1)
       .select(source.as("node"), lit(0).as("dist"))
     for (hop <- 1 to maxHops) {
@@ -115,6 +121,7 @@ object Graph {
         .select(col("__d").as("node"), lit(hop).as("dist"))
       dist = dist.union(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
     }
     dist
   }
@@ -238,9 +245,12 @@ object Graph {
       nodes: DataFrame, nodeCol: String, iters: Int = 5,
       d: Double = 0.85): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in 1..50: $iters")
+    // edges and the vertex set are reused every iteration and the rank
+    // state is checkpointed per step — otherwise the final lineage is
+    // O(iters × |edge plan|) (see kHopDistances for the cluster note)
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
-      col(wCol).as("__w"))
-    val v = nodes.select(col(nodeCol).as("node")).distinct()
+      col(wCol).as("__w")).localCheckpoint()
+    val v = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
     val nN = v.count()
     var ranks = v.withColumn("rank", lit(1.0 / nN))
     for (_ <- 1 to iters) {
@@ -251,6 +261,7 @@ object Graph {
         .select(col("node"),
           (lit((1.0 - d) / nN) + lit(d) * coalesce(col("__m"), lit(0.0)))
             .as("rank"))
+        .localCheckpoint()
     }
     ranks
   }
