@@ -1,0 +1,330 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequential-statistics and distribution-integrity operators
+  * (SURVEY.md §2.3.1 extensions, q113–q116): CUSUM change-point
+  * estimation, lagged autocorrelation, event path mining, and
+  * winsorized robust means.
+  *
+  * Cross-engine determinism: every statistic is derived from EXACT
+  * integer sums (counts, cents, integer products) so both engines
+  * compute the same IEEE doubles from the same closed-form expression —
+  * never from order-dependent floating accumulation (the q97 lesson).
+  *
+  * Scale shapes:
+  *  - [[cusumChangepoints]] / [[acf]]: one (series, day) aggregate
+  *    shuffle; windows partition by the series key so no single
+  *    partition concentrates; per-series readouts are series-count
+  *    rows, not data-sized.
+  *  - [[acf]] joins the daily grid to itself through a bounded
+  *    lag explode (fan-out = |lags|, never day×day).
+  *  - [[pathTrigrams]]: one user-key shuffle for the ordered lag scan,
+  *    then a |types|³-bounded aggregate.
+  *  - [[winsorizedMeans]]: exact per-group percentiles are holistic —
+  *    fine at bounded group counts; the 100 TB path swaps in
+  *    `approx_percentile` (mergeable sketch, same API) as q32 does.
+  */
+object Drift {
+
+  private def orderedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).orderBy(cols: _*)
+
+  /** CUSUM change-point estimate per series: with C_t = Σ_{i≤t}(x_i − μ)
+    * (the cumulative sum of deviations from the series mean), the
+    * classic estimator places the change at argmax_t |C_t|; the
+    * normalized statistic max|C|/(σ·√n) is the threshold a monitor
+    * alerts on. The running sum of the integer-valued series is exact;
+    * μ and σ come from exact power sums, so C_t is the same double in
+    * any engine. Ties on max|C_t| break to the earliest period.
+    *
+    * Input: one row per (series key, period) with an integer value
+    * column. One series-key shuffle; output is one row per series.
+    */
+  def cusumChangepoints(
+      df: DataFrame, keyCol: String, periodCol: String,
+      valueCol: String): DataFrame = {
+    val k = col(keyCol)
+    val stats = df.groupBy(k).agg(
+      count(lit(1)).as("__n"),
+      sum(col(valueCol)).as("__s"),
+      sum(col(valueCol) * col(valueCol)).as("__s2"))
+    val w = Window.partitionBy(k).orderBy(col(periodCol))
+    val cus = df
+      .join(broadcast(stats), keyCol)
+      .withColumn("__mu", col("__s") / col("__n"))
+      .withColumn("__cusum",
+        abs(sum(col(valueCol)).over(w) - row_number().over(w) * col("__mu")))
+    val top = cus.groupBy(k).agg(max(col("__cusum")).as("__m"))
+    cus.join(broadcast(top), keyCol)
+      .filter(col("__cusum") === col("__m"))
+      .groupBy(k, col("__n"), col("__s"), col("__s2"), col("__m"))
+      .agg(min(col(periodCol)).as("cp_period"))
+      .select(k, col("cp_period"), col("__n").as("n_periods"),
+        round(col("__m"), 4).as("max_abs_cusum"),
+        round(col("__m") /
+          nullif(sqrt(col("__s2") / col("__n") -
+            (col("__s") / col("__n")) * (col("__s") / col("__n"))) *
+            sqrt(col("__n")), lit(0.0)), 4).as("cusum_stat"))
+  }
+
+  /** Lag-k autocorrelation of an integer-valued regular series, for
+    * each lag in 1..`maxLag`:
+    * r_k = Σ(x_t−μ)(x_{t+k}−μ) / Σ(x_t−μ)², expanded so every sum is
+    * an exact integer (Σx_t·x_{t+k}, Σx over matched pairs, pair
+    * count) and the division is one closed-form double expression.
+    * Pairs are built by a bounded lag explode joined back to the grid
+    * on (key, period+lag) — fan-out = maxLag, never a grid self-cross.
+    * Constant series (zero variance) yield null.
+    */
+  def acf(
+      df: DataFrame, keyCol: String, periodCol: String, valueCol: String,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag must be in 1..60: $maxLag")
+    val k = col(keyCol)
+    val stats = df.groupBy(k).agg(
+      count(lit(1)).as("__n"),
+      sum(col(valueCol)).as("__s"),
+      sum(col(valueCol) * col(valueCol)).as("__s2"))
+    val base = df.select(k, col(periodCol).as("__p"), col(valueCol).as("__x"))
+    val probes = base
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("__tp", date_add(col("__p"), col("lag")))
+    val pairs = probes.alias("l")
+      .join(base.alias("r"),
+        col(s"l.$keyCol") === col(s"r.$keyCol") &&
+          col("l.__tp") === col("r.__p"))
+      .select(col(s"l.$keyCol").as(keyCol), col("l.lag"),
+        col("l.__x").as("__xa"), col("r.__x").as("__xb"))
+    pairs.groupBy(k, col("lag"))
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__xa") * col("__xb")).as("__sxy"),
+        sum(col("__xa")).as("__sx"),
+        sum(col("__xb")).as("__sy"))
+      .join(broadcast(stats), keyCol)
+      .withColumn("__mu", col("__s") / col("__n"))
+      .select(k, col("lag"), col("__m").as("n_pairs"),
+        round(
+          (col("__sxy") - col("__mu") * col("__sx") - col("__mu") * col("__sy")
+            + col("__m") * col("__mu") * col("__mu")) /
+            nullif(col("__s2") - col("__s") * (col("__s") / col("__n")),
+              lit(0.0)),
+          6).as("acf"))
+  }
+
+  /** Consecutive event trigrams per entity: each entity's stream is
+    * ordered by (ts, tiebreak) and every window of three consecutive
+    * events becomes one (e1, e2, e3) observation; counts and global
+    * share per trigram. One entity-key shuffle for the lag scan, then
+    * a |types|³-bounded aggregate — output never scales with rows.
+    */
+  def pathTrigrams(
+      df: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+      typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val tri = df
+      .select(col(entityCol), col(tsCol), col(tieCol), col(typeCol).as("e3"))
+      .withColumn("e2", lag(col("e3"), 1).over(w))
+      .withColumn("e1", lag(col("e3"), 2).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tri.agg(sum(col("n")).as("__t"))
+    tri.crossJoin(broadcast(tot))
+      .select(col("e1"), col("e2"), col("e3"), col("n"),
+        round(col("n") / col("__t"), 6).as("share"))
+  }
+
+  /** Winsorized per-group means: values are clamped to the exact
+    * [pLo, pHi] interpolated percentiles of their group before
+    * averaging — the standard outlier treatment that keeps a corrupted
+    * tail from dragging a training-mix statistic. Arithmetic is exact
+    * integer cents end-to-end: percentile boundaries (identical IEEE
+    * doubles in both engines) are rounded to integer cents, the clamp
+    * runs on BIGINTs, and each mean is one division of an exact sum.
+    * Two passes over the group: a holistic percentile aggregate
+    * (swap in approx_percentile at unbounded scale) broadcast back,
+    * then one algebraic aggregate.
+    */
+  def winsorizedMeans(
+      df: DataFrame, keyCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0<=pLo<pHi<=1: $pLo, $pHi")
+    val k = col(keyCol)
+    val cents = df.select(k, round(col(valueCol) * 100).cast("long").as("__c"))
+    val cuts = cents.groupBy(k).agg(
+      round(expr(s"percentile(__c, $pLo)")).cast("long").as("__lo"),
+      round(expr(s"percentile(__c, $pHi)")).cast("long").as("__hi"))
+    cents.join(broadcast(cuts), keyCol)
+      .withColumn("__w", least(greatest(col("__c"), col("__lo")), col("__hi")))
+      .groupBy(k)
+      .agg(count(lit(1)).as("n"),
+        first(col("__lo")).as("__l"), first(col("__hi")).as("__h"),
+        sum(col("__c")).as("__sr"), sum(col("__w")).as("__sw"),
+        sum(when(col("__c") < col("__lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("__c") > col("__hi"), 1L).otherwise(0L)).as("n_clip_hi"))
+      .select(k, col("n"),
+        round(col("__l") / lit(100.0), 2).as("lo_cut"),
+        round(col("__h") / lit(100.0), 2).as("hi_cut"),
+        round(col("__sr") / col("n") / lit(100.0), 4).as("mean_raw"),
+        round(col("__sw") / col("n") / lit(100.0), 4).as("mean_winsor"),
+        col("n_clip_lo"), col("n_clip_hi"))
+  }
+
+  // ------------------------------------------------------ shared input
+
+  /** Daily event counts per type — the q113/q114 series (exact ints). */
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+
+  // --------------------------------------------------------------- q113
+
+  /** q113 — CUSUM change-point screen over daily event volumes: for
+    * each event type, where does the cumulative deviation from the
+    * mean peak, and how large is it in σ·√n units. */
+  def cusumQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      cusumChangepoints(dailyCounts(spark, dir), "event_type", "day", "c")
+        .withColumnRenamed("cp_period", "cp_day"),
+      col("event_type"))
+
+  // --------------------------------------------------------------- q114
+
+  /** q114 — autocorrelation of daily event counts at lags 1..7 per
+    * event type: the weekly-seasonality detector. */
+  def acfQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      acf(dailyCounts(spark, dir), "event_type", "day", "c", maxLag = 7),
+      col("event_type"), col("lag"))
+
+  // --------------------------------------------------------------- q115
+
+  /** q115 — top consecutive event trigrams across user streams
+    * (ts, event_id ordered): the path-mining readout one step deeper
+    * than q95's Markov pairs. */
+  def trigramQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      pathTrigrams(Tables.load(spark, dir, "events"),
+        "user_id", "ts", "event_id", "event_type"),
+      col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(50)
+
+  // --------------------------------------------------------------- q116
+
+  /** q116 — winsorized order-value means per order priority: the
+    * [p05, p95]-clamped average next to the raw one, with clip
+    * counts — mean drift under tail clamping. */
+  def winsorQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      winsorizedMeans(Tables.load(spark, dir, "orders"),
+        "o_orderpriority", "o_totalprice", 0.05, 0.95),
+      col("o_orderpriority"))
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q113_cusum" -> (cusumQuery _),
+    "q114_acf" -> (acfQuery _),
+    "q115_trigrams" -> (trigramQuery _),
+    "q116_winsorize" -> (winsorQuery _))
+
+  val allNames: Seq[String] = all.map(_._1)
+}
+
+/** DuckDB twins for [[Drift]] (driver correctness gate). */
+object DriftOracle {
+
+  private val daily =
+    """daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE))""".stripMargin
+
+  val all: Seq[(String, String)] = Seq(
+    // same exact running sums; μ/σ from the same integer power sums
+    "q113_cusum" ->
+      s"""WITH $daily,
+        |stats AS (
+        |  SELECT event_type, count(*) AS n, sum(c) AS s,
+        |         sum(c * c) AS s2
+        |  FROM daily GROUP BY event_type),
+        |cus AS (
+        |  SELECT d.event_type, d.day, st.n, st.s, st.s2,
+        |         abs(sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.day)
+        |             - row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+        |               * (st.s / st.n)) AS cusum
+        |  FROM daily d JOIN stats st USING (event_type)),
+        |top AS (
+        |  SELECT event_type, max(cusum) AS m FROM cus GROUP BY event_type)
+        |SELECT c.event_type, min(c.day) AS cp_day, c.n AS n_periods,
+        |       round(c.m, 4) AS max_abs_cusum,
+        |       round(c.m / nullif(
+        |         sqrt(c.s2 / c.n - (c.s / c.n) * (c.s / c.n)) * sqrt(c.n),
+        |         0.0), 4) AS cusum_stat
+        |FROM (SELECT cus.*, top.m FROM cus JOIN top USING (event_type)
+        |      WHERE cus.cusum = top.m) c
+        |GROUP BY c.event_type, c.n, c.s, c.s2, c.m
+        |ORDER BY c.event_type""".stripMargin,
+
+    // identical integer pair sums and the identical closed-form ratio
+    "q114_acf" ->
+      s"""WITH $daily,
+        |stats AS (
+        |  SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS s2
+        |  FROM daily GROUP BY event_type),
+        |pairs AS (
+        |  SELECT l.event_type, k.lag, count(*) AS m,
+        |         sum(l.c * r.c) AS sxy, sum(l.c) AS sx, sum(r.c) AS sy
+        |  FROM daily l
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) k
+        |  JOIN daily r ON r.event_type = l.event_type
+        |              AND r.day = l.day + CAST(k.lag AS INTEGER)
+        |  GROUP BY l.event_type, k.lag)
+        |SELECT p.event_type, p.lag, p.m AS n_pairs,
+        |       round((p.sxy - (st.s / st.n) * p.sx - (st.s / st.n) * p.sy
+        |              + p.m * (st.s / st.n) * (st.s / st.n)) /
+        |             nullif(st.s2 - st.s * (st.s / st.n), 0.0), 6) AS acf
+        |FROM pairs p JOIN stats st USING (event_type)
+        |ORDER BY p.event_type, p.lag""".stripMargin,
+
+    // same (ts, event_id) order, same trigram counts, one division
+    "q115_trigrams" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e3,
+        |         lag(event_type, 1) OVER w AS e2,
+        |         lag(event_type, 2) OVER w AS e1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (
+        |  SELECT e1, e2, e3, count(*) AS n
+        |  FROM seq WHERE e1 IS NOT NULL GROUP BY e1, e2, e3)
+        |SELECT e1, e2, e3, n,
+        |       round(n / (SELECT CAST(sum(n) AS DOUBLE) FROM tri), 6) AS share
+        |FROM tri
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 50""".stripMargin,
+
+    // identical cents clamp: interpolated percentile → rounded BIGINT
+    // boundary → integer clamp and sums; means are single divisions
+    "q116_winsorize" ->
+      """WITH cents AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |cuts AS (
+        |  SELECT k, CAST(round(quantile_cont(c, 0.05)) AS BIGINT) AS lo,
+        |            CAST(round(quantile_cont(c, 0.95)) AS BIGINT) AS hi
+        |  FROM cents GROUP BY k)
+        |SELECT cents.k AS o_orderpriority, count(*) AS n,
+        |       round(cuts.lo / 100.0, 2) AS lo_cut,
+        |       round(cuts.hi / 100.0, 2) AS hi_cut,
+        |       round(sum(cents.c) / count(*) / 100.0, 4) AS mean_raw,
+        |       round(sum(least(greatest(cents.c, cuts.lo), cuts.hi))
+        |             / count(*) / 100.0, 4) AS mean_winsor,
+        |       CAST(sum(CASE WHEN cents.c < cuts.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |       CAST(sum(CASE WHEN cents.c > cuts.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
+        |FROM cents JOIN cuts ON cuts.k = cents.k
+        |GROUP BY cents.k, cuts.lo, cuts.hi
+        |ORDER BY o_orderpriority""".stripMargin)
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computable pins for the sequential-statistics family
+  * (q113–q116): CUSUM change-points, autocorrelation, path trigrams,
+  * winsorized means. */
+class DriftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def d(i: Int) =
+    java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+
+  test("cusum: a level shift peaks the cusum at the shift boundary") {
+    initQuiet()
+    // 5 days at 10 then 5 days at 20: mean 15, deviations -5×5 then +5×5;
+    // C_t bottoms at -25 exactly on the last low day (day 4)
+    val df = ((0 until 5).map(i => ("a", d(i), 10L)) ++
+      (5 until 10).map(i => ("a", d(i), 20L))).toDF("k", "day", "c")
+    val out = Drift.cusumChangepoints(df, "k", "day", "c").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getDate(1).toString == d(4).toString) // cp at the boundary
+    assert(r.getLong(2) == 10L)                    // n_periods
+    assert(r.getDouble(3) == 25.0)                 // max |cusum|
+    // σ = 5, n = 10 → stat = 25 / (5·√10) = √10/2
+    assert(math.abs(r.getDouble(4) - math.sqrt(10.0) / 2) < 1e-4)
+  }
+
+  test("cusum: constant series has zero cusum and null stat (σ = 0)") {
+    initQuiet()
+    val df = (0 until 6).map(i => ("c", d(i), 7L)).toDF("k", "day", "c")
+    val r = Drift.cusumChangepoints(df, "k", "day", "c").collect().head
+    assert(r.getDouble(3) == 0.0)
+    assert(r.isNullAt(4))
+  }
+
+  test("acf: perfect alternation gives r1 = -1, r2 = +1 as pairs allow") {
+    initQuiet()
+    // 0,2,0,2,... over 8 days: lag-1 pairs anti-correlate exactly on
+    // this balanced series? r1 = Σ(x-μ)(y-μ)/den with edge effects —
+    // pin the exact closed form instead of the asymptotic -1:
+    // n=8, μ=1, den=8; lag1: 7 pairs each (x-1)(y-1) = -1 → r1 = -7/8
+    // lag2: 6 pairs each +1 → r2 = 6/8
+    val df = (0 until 8).map(i => ("a", d(i), (i % 2 * 2).toLong)).toDF("k", "day", "c")
+    val out = Drift.acf(df, "k", "day", "c", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1) == ((7L, -0.875)))
+    assert(out(2) == ((6L, 0.75)))
+  }
+
+  test("acf: gaps in the grid only pair existing periods") {
+    initQuiet()
+    // days 0,1,3: lag-1 pairs only (0,1); lag-2 pairs only (1,3)
+    val df = Seq(("a", d(0), 1L), ("a", d(1), 2L), ("a", d(3), 4L))
+      .toDF("k", "day", "c")
+    val out = Drift.acf(df, "k", "day", "c", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out == Map(1 -> 1L, 2 -> 1L))
+  }
+
+  test("trigrams: ordered windows per entity, counts and shares") {
+    initQuiet()
+    // user 1: A B C D → ABC, BCD ; user 2: A B C → ABC
+    val df = Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "C"),
+      (1L, 4L, 4L, "D"), (2L, 1L, 5L, "A"), (2L, 2L, 6L, "B"), (2L, 3L, 7L, "C"))
+      .toDF("u", "sec", "id", "t")
+      .select(col("u"), timestamp_seconds(col("sec")).as("ts"), col("id"), col("t"))
+    val out = Drift.pathTrigrams(df, "u", "ts", "id", "t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("A", "B", "C")) == ((2L, 0.666667)))
+    assert(out(("B", "C", "D")) == ((1L, 0.333333)))
+    assert(out.size == 2)
+  }
+
+  test("trigrams: ties on ts break on the tie column, never nondeterministic") {
+    initQuiet()
+    val df = Seq((1L, 1L, 2L, "B"), (1L, 1L, 1L, "A"), (1L, 1L, 3L, "C"))
+      .toDF("u", "sec", "id", "t")
+      .select(col("u"), timestamp_seconds(col("sec")).as("ts"), col("id"), col("t"))
+    val out = Drift.pathTrigrams(df, "u", "ts", "id", "t").collect()
+    assert(out.length == 1)
+    assert((out.head.getString(0), out.head.getString(1), out.head.getString(2))
+      == (("A", "B", "C")))
+  }
+
+  test("winsorize: tails clamp to the percentile cuts, interior unchanged") {
+    initQuiet()
+    // 1..9 and one 1000.00 outlier: p05 of [100..900,100000] cents
+    // (n=10, type-7: h=0.45) = 145 → 1.45 ; p95 (h=8.55) =
+    // 900 + 0.55·99100 = 55405 → 554.05
+    val df = ((1 to 9).map(i => ("g", i * 1.0)) :+ (("g", 1000.0)))
+      .toDF("k", "v")
+    val r = Drift.winsorizedMeans(df, "k", "v", 0.05, 0.95).collect().head
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 1.45)   // lo_cut
+    assert(r.getDouble(3) == 554.05) // hi_cut
+    assert(r.getLong(6) == 1L)       // n_clip_lo (the 1.00)
+    assert(r.getLong(7) == 1L)       // n_clip_hi (the 1000.00)
+    // winsorized sum: 145 + (200..900) + 55405 = 145+4400+55405 = 59950
+    assert(r.getDouble(5) == 59.95)
+    // raw mean: (4500 + 100000) / 10 / 100
+    assert(r.getDouble(4) == 104.5)
+  }
+
+  test("q113-q116 run end-to-end on the corpus and stay bounded") {
+    initQuiet()
+    assert(Drift.cusumQuery(spark, sf).count() == 5)       // one per type
+    assert(Drift.acfQuery(spark, sf).count() == 35)        // 5 types × 7 lags
+    val tri = Drift.trigramQuery(spark, sf)
+    assert(tri.count() <= 50 && tri.count() > 0)
+    assert(Drift.winsorQuery(spark, sf).count() == 5)      // priorities
+  }
+}
