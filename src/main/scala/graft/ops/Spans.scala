@@ -1,0 +1,246 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-span analytics and referential conformance (SURVEY.md
+  * §2.3.1 extensions, q117–q120): gap-and-islands streaks, sweep-line
+  * peak concurrency, orphan-key audits, and distribution-position
+  * scoring (percent_rank / cume_dist).
+  *
+  * Scale shapes:
+  *  - [[streaks]]: the gap-and-islands rewrite — island id =
+  *    period − row_number() — needs ONE entity-key shuffle; no
+  *    self-join, no iteration.
+  *  - [[peakConcurrency]]: the sweep-line is ±1 deltas under a running
+  *    sum PARTITIONED by the bucket key (day), so no global ordered
+  *    scan exists anywhere; per-bucket max is algebraic.
+  *  - [[conformance]]: each direction is one left-anti join; fact-side
+  *    joins shuffle on the key, dim-side probes broadcast when small.
+  *  - [[positionScores]]: rank windows partition by the grouping key
+  *    with a unique tiebreak, so ties cannot make ranks
+  *    nondeterministic across engines or partitionings.
+  */
+object Spans {
+
+  private def orderedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).orderBy(cols: _*)
+
+  /** Gap-and-islands: maximal runs of CONSECUTIVE periods per entity.
+    * With rows unique on (entity, period), `period − row_number()` is
+    * constant exactly within a consecutive run — one window pass, one
+    * groupBy; never a self-join. Returns one row per run with its
+    * bounds and length.
+    */
+  def streaks(df: DataFrame, entityCol: String, periodCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(periodCol))
+    df.select(col(entityCol), col(periodCol))
+      .withColumn("__island", date_sub(col(periodCol), row_number().over(w)))
+      .groupBy(col(entityCol), col("__island"))
+      .agg(min(col(periodCol)).as("start_day"),
+        max(col(periodCol)).as("end_day"),
+        count(lit(1)).as("len"))
+      .drop("__island")
+  }
+
+  /** Sweep-line peak concurrency per bucket: each interval contributes
+    * a +1 at its start and a −1 just after its end — the half-open
+    * [s, e+1) encoding of closed-interval semantics, so intervals
+    * sharing a boundary instant both count ([0,10] and [10,20] overlap
+    * at 10) while back-to-back intervals ([0,5] then [6,9]) do not: at
+    * an equal instant the release (−1 at e+1) sorts BEFORE the start.
+    * The running sum partitions by `bucketCol`, so the sweep is
+    * per-bucket, never a global ordered scan; ties in (instant, delta)
+    * permute only equal increments, so the max is order-independent.
+    *
+    * Input: one row per interval with inclusive µs bounds.
+    */
+  def peakConcurrency(
+      intervals: DataFrame, bucketCol: String, startUsCol: String,
+      endUsCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(bucketCol), col(startUsCol).as("__t"), lit(1).as("__d"))
+      .unionAll(intervals.select(col(bucketCol),
+        (col(endUsCol) + 1).as("__t"), lit(-1).as("__d")))
+    // explicit ROWS frame: the default RANGE frame aggregates tie
+    // peers together; max() is the same either way, but the oracle
+    // replays ROWS, so pin the identical running values
+    val w = Window.partitionBy(col(bucketCol))
+      .orderBy(col("__t"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("__run", sum(col("__d")).over(w))
+      .groupBy(col(bucketCol))
+      .agg(max(col("__run")).as("peak_concurrent"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+  }
+
+  /** Referential conformance audit between a fact and a dim: rows on
+    * either side whose join key has no partner. Two left-anti joins —
+    * the dim side of the fact probe broadcasts when bounded; the
+    * fact-side anti join shuffles on the key at scale.
+    */
+  def orphanCounts(
+      fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String): (Long, Long) = {
+    val factOrphans = fact.join(dim,
+      fact(factKey) === dim(dimKey), "left_anti").count()
+    val dimOrphans = dim.join(fact,
+      dim(dimKey) === fact(factKey), "left_anti").count()
+    (factOrphans, dimOrphans)
+  }
+
+  /** Distribution-position scores within a group: percent_rank and
+    * cume_dist over (value, tiebreak) — the unique tiebreak makes both
+    * scores engine-deterministic under ties. One group-key shuffle.
+    */
+  def positionScores(
+      df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+    df.withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+  }
+
+  // --------------------------------------------------------------- q117
+
+  /** q117 — longest consecutive-active-day streaks per user: the
+    * engagement-streak readout, top 100 runs. */
+  def streakQuery(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    orderedSmall(streaks(active, "user_id", "day"),
+      col("len").desc, col("user_id"), col("start_day"))
+      .limit(100)
+  }
+
+  // --------------------------------------------------------------- q118
+
+  /** q118 — peak concurrent active users per day: each user's daily
+    * activity span [first event, last event] swept per day. */
+  def concurrencyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("s"),
+        max(unix_micros(col("ts"))).as("e"))
+    orderedSmall(peakConcurrency(spans, "day", "s", "e"), col("day"))
+  }
+
+  // --------------------------------------------------------------- q119
+
+  /** q119 — referential conformance across the star schema: orphan
+    * counts in both directions for orders↔lineitem, customer↔orders,
+    * part↔lineitem — the single-row integrity scorecard a 100 TB
+    * ingest gate reads. */
+  def conformanceQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val part = Tables.load(spark, dir, "part")
+    val (liNoOrd, ordNoLi) = orphanCounts(li, "l_orderkey", ord, "o_orderkey")
+    val (ordNoCust, custNoOrd) = orphanCounts(ord, "o_custkey", cust, "c_custkey")
+    val (liNoPart, partNoLi) = orphanCounts(li, "l_partkey", part, "p_partkey")
+    Seq((liNoOrd, ordNoLi, ordNoCust, custNoOrd, liNoPart, partNoLi))
+      .toDF("li_no_order", "order_no_li", "order_no_cust",
+        "cust_no_order", "li_no_part", "part_no_li")
+  }
+
+  // --------------------------------------------------------------- q120
+
+  /** q120 — distribution position of the longest documents: per
+    * language, docs in the top percent_rank 1% by n_chars (doc_id
+    * tiebreak), with both position scores. */
+  def positionQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      positionScores(Tables.load(spark, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars")),
+        "lang", "n_chars", "doc_id")
+        .filter(col("pr") >= 0.99),
+      col("lang"), col("pr"), col("doc_id"))
+      .limit(200)
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q117_streaks" -> (streakQuery _),
+    "q118_concurrency" -> (concurrencyQuery _),
+    "q119_conformance" -> (conformanceQuery _),
+    "q120_position" -> (positionQuery _))
+
+  val allNames: Seq[String] = all.map(_._1)
+}
+
+/** DuckDB twins for [[Spans]] (driver correctness gate). */
+object SpansOracle {
+
+  val all: Seq[(String, String)] = Seq(
+    // identical island arithmetic: day − row_number() per user
+    "q117_streaks" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id, day,
+        |         day - CAST(row_number() OVER (
+        |           PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+        |  FROM active),
+        |runs AS (
+        |  SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+        |         count(*) AS len
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, start_day, end_day, len
+        |FROM runs ORDER BY len DESC, user_id, start_day LIMIT 100""".stripMargin,
+
+    // same ±1 deltas, same (t, release-first) sweep order, same per-day max
+    "q118_concurrency" ->
+      """WITH spans AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+        |  FROM events GROUP BY CAST(ts AS DATE), user_id),
+        |deltas AS (
+        |  SELECT day, s AS t, 1 AS d FROM spans
+        |  UNION ALL SELECT day, e + 1 AS t, -1 AS d FROM spans),
+        |sweep AS (
+        |  SELECT day, sum(d) OVER (
+        |    PARTITION BY day ORDER BY t, d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM deltas)
+        |SELECT day, CAST(max(run) AS BIGINT) AS peak_concurrent,
+        |       CAST(count(*) / 2 AS BIGINT) AS n_intervals
+        |FROM sweep GROUP BY day ORDER BY day""".stripMargin,
+
+    // six anti-join counts, one audit row
+    "q119_conformance" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey)) AS li_no_order,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                     WHERE l.l_orderkey = o.o_orderkey)) AS order_no_li,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey)) AS order_no_cust,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_custkey = c.c_custkey)) AS cust_no_order,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                     WHERE p.p_partkey = l.l_partkey)) AS li_no_part,
+        |  (SELECT count(*) FROM part p
+        |   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                     WHERE l.l_partkey = p.p_partkey)) AS part_no_li""".stripMargin,
+
+    // unique (n_chars, doc_id) ordering makes both scores deterministic
+    "q120_position" ->
+      """WITH scored AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         round(percent_rank() OVER (
+        |           PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS pr,
+        |         round(cume_dist() OVER (
+        |           PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS cd
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, pr, cd
+        |FROM scored WHERE pr >= 0.99
+        |ORDER BY lang, pr, doc_id LIMIT 200""".stripMargin)
+}
