@@ -1,0 +1,281 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concentration / inequality analytics and corpus coverage
+  * (SURVEY.md §2.3.1 extensions, q121–q124): Gini coefficients,
+  * Pareto thresholds, top-k concentration ratios, and vocabulary
+  * out-of-vocabulary rates — the "is this distribution dangerously
+  * skewed" readouts a data-mix owner monitors.
+  *
+  * Determinism: every statistic reduces to exact integer sums (cents,
+  * ranks, token counts) carried in DECIMAL(38,0)/HUGEINT so they stay
+  * exact at any scale, then ONE closed-form double expression both
+  * engines evaluate identically. Ranks always carry a unique tiebreak.
+  *
+  * Scale shapes: one group-key shuffle per operator (entity rollup +
+  * ranked window over the same key); [[oovRates]] broadcasts the
+  * bounded vocabulary, the corpus is never shuffled by token.
+  */
+object Concentration {
+
+  private def orderedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).orderBy(cols: _*)
+
+  /** Gini coefficient per group over integer-valued entity totals:
+    * with x ranked ascending (unique tiebreak), G =
+    * (2·Σr·x − (n+1)·Σx) / (n·Σx). Rank-weighted sums are carried in
+    * DECIMAL(38,0) — exact far past BIGINT at fact scale — and the
+    * final expression is evaluated on doubles identically in both
+    * engines. One group-key shuffle (rollup + ranked window). */
+  def gini(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+    df.withColumn("__r", row_number().over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__s"),
+        sum((col("__r") * col(valueCol)).cast("decimal(38,0)")).as("__src"))
+      .select(col(keyCol), col("n"),
+        round(
+          (lit(2.0) * col("__src").cast("double") -
+            (col("n") + lit(1.0)) * col("__s").cast("double")) /
+            (col("n").cast("double") * col("__s").cast("double")),
+          6).as("gini"))
+  }
+
+  /** Pareto threshold per group: the smallest top-k of entities (by
+    * descending value, unique tiebreak) whose cumulative share reaches
+    * `num/den` of the group total. The crossing test is pure integer
+    * arithmetic (cum·den ≥ total·num) — no floating-point compare can
+    * disagree between engines. Returns k, k/n and the share actually
+    * covered at k. */
+  def paretoThreshold(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"need 0<num<=den: $num/$den")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(valueCol).desc, col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df
+      .withColumn("__cum", sum(col(valueCol).cast("decimal(38,0)")).over(w))
+      .withColumn("__k",
+        row_number().over(Window.partitionBy(col(keyCol))
+          .orderBy(col(valueCol).desc, col(tieCol))))
+    val stats = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("decimal(38,0)")).as("__t"))
+    cum.join(broadcast(stats), keyCol)
+      .filter(col("__cum") * den >= col("__t") * num)
+      .groupBy(col(keyCol), col("n"), col("__t"))
+      .agg(min(col("__k")).as("k"),
+        min_by(col("__cum"), col("__k")).as("__ck"))
+      .select(col(keyCol), col("n"), col("k"),
+        round(col("k") / col("n").cast("double"), 6).as("frac_entities"),
+        round(col("__ck").cast("double") / col("__t").cast("double"), 6)
+          .as("share_at_k"))
+  }
+
+  /** Top-k concentration ratio (CRk) per group: share of the group
+    * total held by its k largest entities (descending, unique
+    * tiebreak). Exact integer sums; one double division. */
+  def concentrationRatio(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(valueCol).desc, col(tieCol))
+    df.withColumn("__r", row_number().over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__t"),
+        sum(when(col("__r") <= k, col(valueCol)).otherwise(0L)
+          .cast("decimal(38,0)")).as("__top"))
+      .select(col(keyCol), col("n"),
+        round(col("__top").cast("double") / col("__t").cast("double"), 6)
+          .as(s"cr$k"))
+  }
+
+  /** Out-of-vocabulary rate per group against the corpus-global top-N
+    * token vocabulary (count desc, token asc tiebreak — deterministic).
+    * The vocabulary is bounded (N rows) and broadcast; the corpus
+    * explode aggregates per (group, token) map-side before the probe,
+    * so no token-key shuffle of raw positions. */
+  def oovRates(df: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val toks = df.select(col(groupCol).as("__g"),
+        explode(split(lower(col(textCol)), " ")).as("__tok"))
+      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__c"))
+    val vocab = toks.groupBy(col("__tok")).agg(sum(col("__c")).as("__tc"))
+      .orderBy(col("__tc").desc, col("__tok")).limit(vocabSize)
+      .select(col("__tok").as("__v"))
+    toks.join(broadcast(vocab), col("__tok") === col("__v"), "left")
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("total_tokens"),
+        sum(when(col("__v").isNull, col("__c")).otherwise(0L))
+          .as("oov_tokens"))
+      .select(col("__g").as(groupCol), col("total_tokens"), col("oov_tokens"),
+        round(col("oov_tokens") / col("total_tokens").cast("double"), 6)
+          .as("oov_rate"))
+  }
+
+  // ------------------------------------------------------ shared input
+
+  /** Customer order totals in exact cents per market segment. */
+  private def custTotals(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+
+  // --------------------------------------------------------------- q121
+
+  /** q121 — revenue Gini per market segment: how unequally customer
+    * lifetime order value is distributed inside each segment. */
+  def giniQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      gini(custTotals(spark, dir), "c_mktsegment", "cents", "c_custkey"),
+      col("c_mktsegment"))
+
+  // --------------------------------------------------------------- q122
+
+  /** q122 — Pareto 80% threshold per segment: the smallest top-k of
+    * customers covering ≥ 4/5 of segment revenue (exact integer
+    * crossing test). */
+  def paretoQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      paretoThreshold(custTotals(spark, dir), "c_mktsegment", "cents",
+        "c_custkey", num = 4, den = 5),
+      col("c_mktsegment"))
+
+  // --------------------------------------------------------------- q123
+
+  /** q123 — supplier CR4 per nation: revenue share of each nation's
+    * four largest suppliers (net line revenue, exact cents). */
+  def cr4Query(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("cents"))
+    orderedSmall(
+      concentrationRatio(rev, "n_name", "cents", "s_suppkey", k = 4),
+      col("n_name"))
+  }
+
+  // --------------------------------------------------------------- q124
+
+  /** q124 — out-of-vocabulary rate per source against the corpus
+    * top-1000 token vocabulary: the coverage readout that tells a
+    * tokenizer owner which source drifts from the training vocab. */
+  def oovQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      oovRates(Tables.load(spark, dir, "documents"), "source", "text",
+        vocabSize = 1000),
+      col("source"))
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q121_gini" -> (giniQuery _),
+    "q122_pareto" -> (paretoQuery _),
+    "q123_cr4" -> (cr4Query _),
+    "q124_oov" -> (oovQuery _))
+
+  val allNames: Seq[String] = all.map(_._1)
+}
+
+/** DuckDB twins for [[Concentration]] (driver correctness gate). */
+object ConcentrationOracle {
+
+  private val custTotals =
+    """t AS (
+      |  SELECT c.c_mktsegment, c.c_custkey,
+      |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_mktsegment, c.c_custkey)""".stripMargin
+
+  val all: Seq[(String, String)] = Seq(
+    // identical rank-weighted exact sums, one closed-form double
+    "q121_gini" ->
+      s"""WITH $custTotals,
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY cents, c_custkey) AS rk
+        |  FROM t)
+        |SELECT c_mktsegment, count(*) AS n,
+        |       round((2.0 * CAST(sum(rk * cents) AS DOUBLE) -
+        |              (count(*) + 1.0) * CAST(sum(cents) AS DOUBLE)) /
+        |             (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)),
+        |             6) AS gini
+        |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // integer crossing test: cum·5 ≥ total·4 — no float compare
+    "q122_pareto" ->
+      s"""WITH $custTotals,
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |         row_number() OVER w AS k,
+        |         sum(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND CURRENT ROW) AS cum
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY c_mktsegment
+        |    ORDER BY cents DESC, c_custkey)),
+        |s AS (
+        |  SELECT c_mktsegment, count(*) AS n, sum(cents) AS tot
+        |  FROM t GROUP BY c_mktsegment),
+        |x AS (
+        |  SELECT r.c_mktsegment, s.n, s.tot, r.k, r.cum
+        |  FROM r JOIN s USING (c_mktsegment)
+        |  WHERE r.cum * 5 >= s.tot * 4)
+        |SELECT c_mktsegment, n, min(k) AS k,
+        |       round(min(k) / CAST(n AS DOUBLE), 6) AS frac_entities,
+        |       round(CAST(arg_min(cum, k) AS DOUBLE) / CAST(tot AS DOUBLE),
+        |             6) AS share_at_k
+        |FROM x GROUP BY c_mktsegment, n, tot
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // same exact top-4 and total sums, one division
+    "q123_cr4" ->
+      """WITH rev AS (
+        |  SELECT n.n_name, s.s_suppkey,
+        |         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |             AS BIGINT)) AS cents
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, s.s_suppkey),
+        |r AS (
+        |  SELECT n_name, cents,
+        |         row_number() OVER (PARTITION BY n_name
+        |           ORDER BY cents DESC, s_suppkey) AS rk
+        |  FROM rev)
+        |SELECT n_name, count(*) AS n,
+        |       round(CAST(sum(CASE WHEN rk <= 4 THEN cents ELSE 0 END)
+        |               AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) AS cr4
+        |FROM r GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // same whitespace tokens, same (count desc, token asc) top-1000
+    // vocabulary, same per-source exact counts
+    "q124_oov" ->
+      """WITH toks AS (
+        |  SELECT source AS g, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |gt AS (SELECT g, tok, count(*) AS c FROM toks GROUP BY g, tok),
+        |vocab AS (
+        |  SELECT tok FROM gt GROUP BY tok
+        |  ORDER BY sum(c) DESC, tok LIMIT 1000)
+        |SELECT gt.g AS source,
+        |       CAST(sum(gt.c) AS BIGINT) AS total_tokens,
+        |       CAST(sum(CASE WHEN v.tok IS NULL THEN gt.c ELSE 0 END)
+        |            AS BIGINT) AS oov_tokens,
+        |       round(sum(CASE WHEN v.tok IS NULL THEN gt.c ELSE 0 END) /
+        |             CAST(sum(gt.c) AS DOUBLE), 6) AS oov_rate
+        |FROM gt LEFT JOIN vocab v ON v.tok = gt.tok
+        |GROUP BY gt.g ORDER BY source""".stripMargin)
+}

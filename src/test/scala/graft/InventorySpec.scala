@@ -20,10 +20,10 @@ class InventorySpec extends SparkSpec {
     // LAST entry on a duplicate key — a query or oracle defined in two
     // inventories would silently shadow its twin and drop out of the
     // gate. Compare the raw Seq sizes against the merged maps.
-    import graft.ops.{Behavior, BehaviorOracle, Curation, CurationOracle, Graph, GraphOracle, Integrity, IntegrityOracle, OracleSql, Relational, TimeSeries, TimeSeriesOracle}
-    assert(Relational.all.size + Curation.all.size + Integrity.all.size + Behavior.all.size + TimeSeries.all.size + Graph.all.size == SparkEntry.queries.size,
+    import graft.ops.{Behavior, BehaviorOracle, Concentration, ConcentrationOracle, Curation, CurationOracle, Drift, DriftOracle, Graph, GraphOracle, Integrity, IntegrityOracle, OracleSql, Relational, Spans, SpansOracle, TimeSeries, TimeSeriesOracle}
+    assert(Relational.all.size + Curation.all.size + Integrity.all.size + Behavior.all.size + TimeSeries.all.size + Graph.all.size + Drift.all.size + Spans.all.size + Concentration.all.size == SparkEntry.queries.size,
       "duplicate query key across the query inventories")
-    assert(OracleSql.all.size + CurationOracle.all.size + IntegrityOracle.all.size + BehaviorOracle.all.size + TimeSeriesOracle.all.size + GraphOracle.all.size == SparkEntry.oracleSql.size,
+    assert(OracleSql.all.size + CurationOracle.all.size + IntegrityOracle.all.size + BehaviorOracle.all.size + TimeSeriesOracle.all.size + GraphOracle.all.size + DriftOracle.all.size + SpansOracle.all.size + ConcentrationOracle.all.size == SparkEntry.oracleSql.size,
       "duplicate oracle key across the oracle inventories")
     assert(Relational.all.map(_._1).distinct.size == Relational.all.size)
     assert(Curation.all.map(_._1).distinct.size == Curation.all.size)
@@ -37,6 +37,12 @@ class InventorySpec extends SparkSpec {
     assert(TimeSeriesOracle.all.map(_._1).distinct.size == TimeSeriesOracle.all.size)
     assert(Graph.all.map(_._1).distinct.size == Graph.all.size)
     assert(GraphOracle.all.map(_._1).distinct.size == GraphOracle.all.size)
+    assert(Drift.all.map(_._1).distinct.size == Drift.all.size)
+    assert(DriftOracle.all.map(_._1).distinct.size == DriftOracle.all.size)
+    assert(Spans.all.map(_._1).distinct.size == Spans.all.size)
+    assert(SpansOracle.all.map(_._1).distinct.size == SpansOracle.all.size)
+    assert(Concentration.all.map(_._1).distinct.size == Concentration.all.size)
+    assert(ConcentrationOracle.all.map(_._1).distinct.size == ConcentrationOracle.all.size)
   }
 
   test("every registered query executes at sf0.001 and returns rows") {
