@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, JaccardSimilarity, MinHashSignature, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, JaccardSimilarity, JaroWinkler, MinHashSignature, SimHash64}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.jaccardSimDescriptor)
     e.injectFunction(GraftFunctions.minhashSigDescriptor)
     e.injectFunction(GraftFunctions.simhash64Descriptor)
+    e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
   }
 }
 
@@ -58,6 +59,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
     (exprs: Seq[Expression]) => SimHash64(exprs(0)))
 
+  private[graft] val jaroWinklerDescriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+    (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1)))
+
   /** Register on a live session (temp function, session-scoped). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -70,6 +77,8 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column-API faces of the native expressions (require registration). */
@@ -78,4 +87,6 @@ object GraftFunctions {
   def minhashSig(arr: Column, k: Int): Column =
     call_function("minhash_sig", arr, org.apache.spark.sql.functions.lit(k))
   def simhash64(toks: Column): Column = call_function("simhash64", toks)
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function("jaro_winkler", a, b)
 }

@@ -314,6 +314,32 @@ object Integrity {
     benford(Tables.load(spark, dir, "orders"), "o_totalprice")
       .coalesce(1).orderBy(col("digit"))
 
+  // ---------------------------------------------------------------- q125
+
+  /** q125 — Jaro-Winkler scored fuzzy token pairs: the q88 sym-delete
+    * candidate set (lossless for levenshtein ≤ 2) re-scored with the
+    * native [[graft.functions.expressions.JaroWinkler]] expression and
+    * thresholded at ≥ 0.7 — the name-matching readout where edit
+    * distance alone over-merges short tokens. The DuckDB oracle
+    * recomputes `jaro_winkler_similarity` over the brute-force pair
+    * set, so the expression's conventions (byte-wise match window,
+    * strict >0.7 boost threshold, ℓ≤4 prefix) are themselves under the
+    * driver's gate, pair by pair.
+    */
+  def jaroPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(spark)
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    FuzzyJoin.symDeleteJoin(vocab, "w", maxDist = 2)
+      .withColumn("jw",
+        round(graft.GraftFunctions.jaroWinkler(col("s1"), col("s2")), 6))
+      .filter(col("jw") >= 0.7)
+      .select(col("s1").as("w1"), col("s2").as("w2"), col("dist"), col("jw"))
+      .coalesce(1).orderBy(col("w1"), col("w2"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -322,7 +348,8 @@ object Integrity {
     "q88_fuzzy_vocab" -> (fuzzyVocab _),
     "q93_snapshot_diff" -> (snapshotDiffStats _),
     "q94_rolling_checksum" -> (rollingChecksum _),
-    "q99_benford" -> (benfordOrders _))
+    "q99_benford" -> (benfordOrders _),
+    "q125_jaro_pairs" -> (jaroPairs _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -385,6 +412,18 @@ object IntegrityOracle {
         |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
         |  UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM wide)
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // brute-force all-pairs twin with DuckDB's own jaro_winkler — the
+    // native expression's conventions are under the gate pair by pair
+    "q125_jaro_pairs" ->
+      """WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT w FROM tok WHERE length(w) > 0)
+        |SELECT w1, w2, dist, jw FROM (
+        |  SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w) AS dist,
+        |         round(jaro_winkler_similarity(a.w, b.w), 6) AS jw
+        |  FROM t a JOIN t b ON a.w < b.w AND levenshtein(a.w, b.w) <= 2)
+        |WHERE jw >= 0.7
+        |ORDER BY w1, w2""".stripMargin,
 
     // brute-force all-pairs twin — the engine's sym-delete blocking must
     // reproduce it exactly (losslessness under the gate)
