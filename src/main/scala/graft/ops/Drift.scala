@@ -225,11 +225,41 @@ object Drift {
         "o_orderpriority", "o_totalprice", 0.05, 0.95),
       col("o_orderpriority"))
 
+  // --------------------------------------------------------------- q127
+
+  /** q127 — freshness / staleness audit per event type: hours since
+    * the type's last event (relative to the corpus max instant, exact
+    * integer µs), plus the rate-decay ratio of the trailing 7 days vs
+    * the prior 28 (exact counts, one closed-form double) — the feed
+    * monitor that catches a source going quiet before a mix drifts.
+    * The corpus max instant/day is a single-row broadcast attach.
+    */
+  def freshnessQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val gmax = ev.agg(max(col("ts")).as("__gm"),
+      max(to_date(col("ts"))).as("__gd"))
+    val perType = ev.crossJoin(broadcast(gmax))
+      .withColumn("__back", datediff(col("__gd"), to_date(col("ts"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_seen"),
+        first(col("__gm")).as("__m"),
+        sum(when(col("__back").between(0, 6), 1L).otherwise(0L)).as("n_last7"),
+        sum(when(col("__back").between(7, 34), 1L).otherwise(0L)).as("n_prior28"))
+      .select(col("event_type"), col("last_seen"),
+        round((unix_micros(col("__m")) - unix_micros(col("last_seen"))) /
+          lit(3600.0e6), 4).as("hours_stale"),
+        col("n_last7"), col("n_prior28"),
+        round((col("n_last7") / lit(7.0)) /
+          nullif(col("n_prior28") / lit(28.0), lit(0.0)), 6).as("rate_ratio"))
+    orderedSmall(perType, col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
     "q115_trigrams" -> (trigramQuery _),
-    "q116_winsorize" -> (winsorQuery _))
+    "q116_winsorize" -> (winsorQuery _),
+    "q127_freshness" -> (freshnessQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -326,5 +356,26 @@ object DriftOracle {
         |       CAST(sum(CASE WHEN cents.c > cuts.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi
         |FROM cents JOIN cuts ON cuts.k = cents.k
         |GROUP BY cents.k, cuts.lo, cuts.hi
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // same exact-µs staleness and integer 7d/28d window counts
+    "q127_freshness" ->
+      """WITH g AS (
+        |  SELECT max(ts) AS gm, max(CAST(ts AS DATE)) AS gd FROM events),
+        |t AS (
+        |  SELECT event_type, max(ts) AS last_seen,
+        |         CAST(sum(CASE WHEN date_diff('day', CAST(ts AS DATE),
+        |                (SELECT gd FROM g)) BETWEEN 0 AND 6
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS n_last7,
+        |         CAST(sum(CASE WHEN date_diff('day', CAST(ts AS DATE),
+        |                (SELECT gd FROM g)) BETWEEN 7 AND 34
+        |              THEN 1 ELSE 0 END) AS BIGINT) AS n_prior28
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, last_seen,
+        |       round((epoch_us((SELECT gm FROM g)) - epoch_us(last_seen)) /
+        |             3600.0e6, 4) AS hours_stale,
+        |       n_last7, n_prior28,
+        |       round((n_last7 / 7.0) /
+        |             nullif(n_prior28 / 28.0, 0.0), 6) AS rate_ratio
+        |FROM t ORDER BY event_type""".stripMargin)
 }

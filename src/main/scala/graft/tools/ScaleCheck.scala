@@ -55,9 +55,16 @@ object ScaleCheck {
     // cutoff row; q99 attaches the single-row digit total — same
     // IdentityBroadcastMode single-row pattern. q104 crosses the hour
     // spine with a 2-row literal series list (bounded by construction).
+    // Round-6 continuation additions, same single-row/bounded pattern:
+    // q107/q108/q109 attach the basket count / the mean-co-count edge
+    // cutoff (one aggregate row); q110 the contingency total row; q111
+    // the distinct-doc count row; q115 the trigram total row; q127 the
+    // corpus max-instant row.
     val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters",
       "q82_asof_ties", "q96_rfm_segments", "q99_benford",
-      "q104_interpolate")
+      "q104_interpolate", "q107_assoc_rules", "q108_triangles",
+      "q109_bfs", "q110_mutual_info", "q111_winnowing", "q115_trigrams",
+      "q127_freshness")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -77,7 +84,16 @@ object ScaleCheck {
       "q98_source_entropy", "q99_benford", "q100_attribution",
       "q101_keywords",
       // round-6 time-series family
-      "q102_twap", "q103_ewma", "q104_interpolate")
+      "q102_twap", "q103_ewma", "q104_interpolate",
+      // round-6 continuation: experimentation, graph, sequential-stats,
+      // spans, concentration, similarity and recommendation families
+      "q105_ab_test", "q106_conversion_latency", "q107_assoc_rules",
+      "q108_triangles", "q109_bfs", "q110_mutual_info", "q111_winnowing",
+      "q112_pagerank", "q113_cusum", "q114_acf", "q115_trigrams",
+      "q116_winsorize", "q117_streaks", "q118_concurrency",
+      "q119_conformance", "q120_position", "q121_gini", "q122_pareto",
+      "q123_cr4", "q124_oov", "q125_jaro_pairs", "q126_item_cf",
+      "q127_freshness")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

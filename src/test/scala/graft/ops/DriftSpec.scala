@@ -106,6 +106,39 @@ class DriftSpec extends SparkSpec {
     assert(r.getDouble(4) == 104.5)
   }
 
+  test("freshness: staleness in exact hours, 7d/28d rate-decay ratio") {
+    initQuiet()
+    // type 'a': events today and 30h ago; type 'b': last seen 10 days
+    // back, active in the prior-28 window only
+    def t(daysBack: Int, hour: Int) =
+      java.time.LocalDate.of(2024, 3, 1).minusDays(daysBack)
+        .atTime(hour, 0).toInstant(java.time.ZoneOffset.UTC)
+    val rows = Seq(
+      ("a", t(0, 12)), ("a", t(1, 6)),              // stale 0h; n7 = 2
+      ("b", t(10, 12)), ("b", t(20, 12)), ("b", t(30, 12))) // n7=0, n28=3
+    val df = rows.map { case (k, i) => (k, java.sql.Timestamp.from(i)) }
+      .toDF("event_type", "ts")
+    // route through a temp parquet so Tables.load sees it — instead,
+    // call the aggregate logic directly via a local copy of the query
+    // shape: reuse freshnessQuery is corpus-bound, so pin the math here
+    val gmax = df.agg(max(col("ts")).as("__gm"),
+      max(to_date(col("ts"))).as("__gd"))
+    val out = df.crossJoin(broadcast(gmax))
+      .withColumn("__back", datediff(col("__gd"), to_date(col("ts"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_seen"), first(col("__gm")).as("__m"),
+        sum(when(col("__back").between(0, 6), 1L).otherwise(0L)).as("n7"),
+        sum(when(col("__back").between(7, 34), 1L).otherwise(0L)).as("n28"))
+      .select(col("event_type"),
+        round((unix_micros(col("__m")) - unix_micros(col("last_seen"))) /
+          lit(3600.0e6), 4).as("stale_h"),
+        col("n7"), col("n28"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((0.0, 2L, 0L)))
+    assert(out("b") == ((240.0, 0L, 3L))) // 10 days = 240 h
+  }
+
   test("q113-q116 run end-to-end on the corpus and stay bounded") {
     initQuiet()
     assert(Drift.cusumQuery(spark, sf).count() == 5)       // one per type
@@ -113,5 +146,6 @@ class DriftSpec extends SparkSpec {
     val tri = Drift.trigramQuery(spark, sf)
     assert(tri.count() <= 50 && tri.count() > 0)
     assert(Drift.winsorQuery(spark, sf).count() == 5)      // priorities
+    assert(Drift.freshnessQuery(spark, sf).count() == 5)   // one per type
   }
 }

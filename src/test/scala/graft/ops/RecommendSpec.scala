@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-computable pins for item-item collaborative filtering (q126). */
+class RecommendSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("itemCosine: exact integer dot/norms, closed-form cosine") {
+    initQuiet()
+    // entity 1: A=2, B=1 ; entity 2: A=1, B=3 ; entity 3: A=4 only
+    // dot(A,B) = 2·1 + 1·3 = 5 ; |A|² = 4+1+16 = 21 ; |B|² = 1+9 = 10
+    // cos = 5/√210 = 0.345033
+    val df = Seq((1L, "A", 2L), (1L, "B", 1L), (2L, "A", 1L), (2L, "B", 3L),
+      (3L, "A", 4L)).toDF("e", "i", "n")
+    val out = Recommend.itemCosine(df, "e", "i", "n").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("A", "B")))
+    assert(r.getLong(2) == 2L) // n_common
+    assert(r.getLong(3) == 5L) // dot
+    assert(r.getDouble(4) == math.rint(5.0 / math.sqrt(21.0 * 10.0) * 1e6) / 1e6)
+  }
+
+  test("itemCosine: support floor drops thin pairs") {
+    initQuiet()
+    val df = Seq((1L, "A", 1L), (1L, "B", 1L), (2L, "A", 1L), (2L, "C", 1L),
+      (3L, "A", 1L), (3L, "C", 1L)).toDF("e", "i", "n")
+    val out = Recommend.itemCosine(df, "e", "i", "n", minEntities = 2L)
+      .collect()
+    assert(out.length == 1) // only (A,C) has 2 common entities
+    assert((out.head.getString(0), out.head.getString(1)) == (("A", "C")))
+  }
+
+  test("q126 runs end-to-end on the corpus with bounded output") {
+    initQuiet()
+    val out = Recommend.itemCfQuery(spark, sf).collect()
+    assert(out.length <= 50 && out.nonEmpty)
+    assert(out.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+}
