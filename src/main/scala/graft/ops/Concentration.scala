@@ -180,11 +180,46 @@ object Concentration {
         vocabSize = 1000),
       col("source"))
 
+  // --------------------------------------------------------------- q130
+
+  /** q130 — quality-retention curve: for each stopword-ratio threshold
+    * t ∈ {0.0, 0.1, …, 0.9}, how many documents and characters survive
+    * a "ratio ≥ t" quality bar (the q22 stopword convention) — the
+    * curve a mix owner reads to price a quality cutoff in tokens. The
+    * per-doc ratio is ONE division of exact integer counts; the
+    * 10-threshold explode is bounded; every retained count is an exact
+    * integer sum.
+    */
+  def qualityCurveQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stops = Seq("the", "of", "and", "a", "to", "in", "is", "it",
+      "that", "for")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("n_chars"),
+        (size(filter(split(lower(col("text")), " "),
+          x => x.isin(stops.map(lit(_)): _*))).cast("double") /
+          greatest(size(split(col("text"), " ")), lit(1))).as("__ratio"))
+    val totals = docs.agg(count(lit(1)).as("__td"), sum(col("n_chars")).as("__tc"))
+    val curve = docs
+      .crossJoin(broadcast(spark.range(0, 10).select((col("id") / 10.0).as("t"))))
+      .filter(col("__ratio") >= col("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_kept"))
+    orderedSmall(
+      curve.crossJoin(broadcast(totals))
+        .select(col("t"), col("n_docs"), col("n_chars_kept"),
+          round(col("n_docs") / col("__td").cast("double"), 6).as("frac_docs"),
+          round(col("n_chars_kept") / col("__tc").cast("double"), 6)
+            .as("frac_chars")),
+      col("t"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
     "q123_cr4" -> (cr4Query _),
-    "q124_oov" -> (oovQuery _))
+    "q124_oov" -> (oovQuery _),
+    "q130_quality_curve" -> (qualityCurveQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -277,5 +312,26 @@ object ConcentrationOracle {
         |       round(sum(CASE WHEN v.tok IS NULL THEN gt.c ELSE 0 END) /
         |             CAST(sum(gt.c) AS DOUBLE), 6) AS oov_rate
         |FROM gt LEFT JOIN vocab v ON v.tok = gt.tok
-        |GROUP BY gt.g ORDER BY source""".stripMargin)
+        |GROUP BY gt.g ORDER BY source""".stripMargin,
+
+    // q22's stopword-ratio convention; exact counts per threshold
+    "q130_quality_curve" ->
+      """WITH docs AS (
+        |  SELECT n_chars,
+        |         CAST(len(list_filter(string_split(lower(text), ' '),
+        |                x -> x IN ('the','of','and','a','to','in','is',
+        |                           'it','that','for'))) AS DOUBLE) /
+        |         greatest(len(string_split(text, ' ')), 1) AS ratio
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS td, sum(n_chars) AS tc FROM docs),
+        |th AS (SELECT unnest(generate_series(0, 9)) / 10.0 AS t),
+        |curve AS (
+        |  SELECT th.t, count(*) AS n_docs,
+        |         CAST(sum(d.n_chars) AS BIGINT) AS n_chars_kept
+        |  FROM docs d JOIN th ON d.ratio >= th.t
+        |  GROUP BY th.t)
+        |SELECT c.t, c.n_docs, c.n_chars_kept,
+        |       round(c.n_docs / CAST(tot.td AS DOUBLE), 6) AS frac_docs,
+        |       round(c.n_chars_kept / CAST(tot.tc AS DOUBLE), 6) AS frac_chars
+        |FROM curve c, tot ORDER BY c.t""".stripMargin)
 }

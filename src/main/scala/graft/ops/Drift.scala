@@ -254,12 +254,70 @@ object Drift {
     orderedSmall(perType, col("event_type"))
   }
 
+  // --------------------------------------------------------------- q128
+
+  /** q128 — inter-event gap histogram on a log2 scale: per-user
+    * consecutive gaps in exact integer µs, bucketed by ⌊log2(gap)⌋
+    * computed as `length(bin(gap)) − 1` — pure integer/string
+    * arithmetic, so the bucket of every gap is identical in any engine
+    * (no floating log at a power-of-two boundary). Simultaneous events
+    * (gap 0) land in bucket −1. One user-key shuffle, ≤64-bucket
+    * output with exact bounds per bucket — the burstiness profile that
+    * sizes session-gap and watermark thresholds.
+    */
+  def gapHistogramQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("__gap", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .withColumn("bucket",
+        when(col("__gap") === 0, lit(-1))
+          .otherwise(length(bin(col("__gap"))) - 1))
+    val hist = gaps.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__gap")).as("min_gap_us"),
+        max(col("__gap")).as("max_gap_us"))
+    val tot = hist.agg(sum(col("n")).as("__t"))
+    orderedSmall(
+      hist.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"), col("min_gap_us"), col("max_gap_us"),
+          round(col("n") / col("__t").cast("double"), 6).as("share")),
+      col("bucket"))
+  }
+
+  // --------------------------------------------------------------- q129
+
+  /** q129 — day-of-week activity profile per event type: events per
+    * weekday NAME (identical strings in both engines — integer
+    * weekday codes differ between them), normalized by the number of
+    * distinct calendar days of that weekday in the corpus, plus the
+    * share of the type's volume. All exact integer counts; two
+    * divisions. The weekly-rhythm twin of q97's hour-of-day screen.
+    */
+  def dowProfileQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("__d"))
+      .withColumn("dow", date_format(col("__d"), "EEEE"))
+    val counts = ev.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("__d")).as("n_days"))
+    val typeTot = ev.groupBy(col("event_type")).agg(count(lit(1)).as("__t"))
+    orderedSmall(
+      counts.join(broadcast(typeTot), "event_type")
+        .select(col("event_type"), col("dow"), col("n"), col("n_days"),
+          round(col("n") / col("n_days").cast("double"), 4).as("per_day"),
+          round(col("n") / col("__t").cast("double"), 6).as("share")),
+      col("event_type"), col("dow"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
     "q115_trigrams" -> (trigramQuery _),
     "q116_winsorize" -> (winsorQuery _),
-    "q127_freshness" -> (freshnessQuery _))
+    "q127_freshness" -> (freshnessQuery _),
+    "q128_gap_histogram" -> (gapHistogramQuery _),
+    "q129_dow_profile" -> (dowProfileQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -377,5 +435,39 @@ object DriftOracle {
         |       n_last7, n_prior28,
         |       round((n_last7 / 7.0) /
         |             nullif(n_prior28 / 28.0, 0.0), 6) AS rate_ratio
-        |FROM t ORDER BY event_type""".stripMargin)
+        |FROM t ORDER BY event_type""".stripMargin,
+
+    // identical integer gaps, identical length(bin(gap))−1 buckets
+    "q128_gap_histogram" ->
+      """WITH g AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |b AS (
+        |  SELECT CASE WHEN gap = 0 THEN -1
+        |              ELSE length(bin(gap)) - 1 END AS bucket, gap
+        |  FROM g WHERE gap IS NOT NULL),
+        |h AS (
+        |  SELECT bucket, count(*) AS n,
+        |         min(gap) AS min_gap_us, max(gap) AS max_gap_us
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n, min_gap_us, max_gap_us,
+        |       round(n / (SELECT CAST(sum(n) AS DOUBLE) FROM h), 6) AS share
+        |FROM h ORDER BY bucket""".stripMargin,
+
+    // weekday NAMES as the key (integer dow codes differ per engine)
+    "q129_dow_profile" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, dayname(ts) AS dow
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, dow, count(*) AS n,
+        |         count(DISTINCT d) AS n_days
+        |  FROM ev GROUP BY event_type, dow),
+        |t AS (SELECT event_type, count(*) AS tt FROM ev GROUP BY event_type)
+        |SELECT c.event_type, c.dow, c.n, c.n_days,
+        |       round(c.n / CAST(c.n_days AS DOUBLE), 4) AS per_day,
+        |       round(c.n / CAST(t.tt AS DOUBLE), 6) AS share
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin)
 }

@@ -133,19 +133,25 @@ object Spans {
   /** q119 — referential conformance across the star schema: orphan
     * counts in both directions for orders↔lineitem, customer↔orders,
     * part↔lineitem — the single-row integrity scorecard a 100 TB
-    * ingest gate reads. */
+    * ingest gate reads. Each count is an anti-join reduced to one row
+    * and the six single-row results combine by broadcast — ONE
+    * declarative plan, no driver-side collect between stages.
+    */
   def conformanceQuery(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val li = Tables.load(spark, dir, "lineitem")
     val ord = Tables.load(spark, dir, "orders")
     val cust = Tables.load(spark, dir, "customer")
     val part = Tables.load(spark, dir, "part")
-    val (liNoOrd, ordNoLi) = orphanCounts(li, "l_orderkey", ord, "o_orderkey")
-    val (ordNoCust, custNoOrd) = orphanCounts(ord, "o_custkey", cust, "c_custkey")
-    val (liNoPart, partNoLi) = orphanCounts(li, "l_partkey", part, "p_partkey")
-    Seq((liNoOrd, ordNoLi, ordNoCust, custNoOrd, liNoPart, partNoLi))
-      .toDF("li_no_order", "order_no_li", "order_no_cust",
-        "cust_no_order", "li_no_part", "part_no_li")
+    def orphanCount(fact: DataFrame, fk: String, dim: DataFrame,
+        dk: String, as: String): DataFrame =
+      fact.join(dim, fact(fk) === dim(dk), "left_anti")
+        .agg(count(lit(1)).as(as))
+    orphanCount(li, "l_orderkey", ord, "o_orderkey", "li_no_order")
+      .crossJoin(broadcast(orphanCount(ord, "o_orderkey", li, "l_orderkey", "order_no_li")))
+      .crossJoin(broadcast(orphanCount(ord, "o_custkey", cust, "c_custkey", "order_no_cust")))
+      .crossJoin(broadcast(orphanCount(cust, "c_custkey", ord, "o_custkey", "cust_no_order")))
+      .crossJoin(broadcast(orphanCount(li, "l_partkey", part, "p_partkey", "li_no_part")))
+      .crossJoin(broadcast(orphanCount(part, "p_partkey", li, "l_partkey", "part_no_li")))
   }
 
   // --------------------------------------------------------------- q120
@@ -162,11 +168,47 @@ object Spans {
       col("lang"), col("pr"), col("doc_id"))
       .limit(200)
 
+  // --------------------------------------------------------------- q131
+
+  /** q131 — session bounce rate by entry event: sessions built with
+    * the q11 rule (30-minute inactivity gap, (ts, event_id) ordered),
+    * each keyed by its FIRST event's type; a bounce is a single-event
+    * session. Session ids are the running sum of new-session flags —
+    * exact integers, one user-key shuffle; the readout is
+    * |types|-bounded. The landing-page quality signal of web
+    * analytics, expressed on the events stream.
+    */
+  def bounceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sess = Tables.load(spark, dir, "events")
+      .withColumn("__prev", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col("ts")) - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("__sid",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      // the session's entry event IS its new-session row (exactly one
+      // per (user, sid) by construction) — no arg_min needed
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(max(when(col("__new") === 1, col("event_type"))).as("entry_type"),
+        count(lit(1)).as("__n"))
+    orderedSmall(
+      sess.groupBy(col("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .withColumn("bounce_rate",
+          round(col("n_bounce") / col("n_sessions").cast("double"), 6)),
+      col("entry_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q117_streaks" -> (streakQuery _),
     "q118_concurrency" -> (concurrencyQuery _),
     "q119_conformance" -> (conformanceQuery _),
-    "q120_position" -> (positionQuery _))
+    "q120_position" -> (positionQuery _),
+    "q131_bounce_rate" -> (bounceQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -242,5 +284,34 @@ object SpansOracle {
         |  FROM documents)
         |SELECT lang, doc_id, n_chars, pr, cd
         |FROM scored WHERE pr >= 0.99
-        |ORDER BY lang, pr, doc_id LIMIT 200""".stripMargin)
+        |ORDER BY lang, pr, doc_id LIMIT 200""".stripMargin,
+
+    // same gap rule, same running-sum session ids; the entry event IS
+    // the session's new-session row (exactly one per sid)
+    "q131_bounce_rate" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                   > 30 * 60 * 1000000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type, new_s,
+        |         sum(new_s) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked),
+        |per AS (
+        |  SELECT user_id, sid,
+        |         max(CASE WHEN new_s = 1 THEN event_type END) AS entry_type,
+        |         count(*) AS n
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT entry_type, count(*) AS n_sessions,
+        |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_bounce,
+        |       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) /
+        |             CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+        |FROM per GROUP BY entry_type ORDER BY entry_type""".stripMargin)
 }

@@ -58,13 +58,14 @@ object ScaleCheck {
     // Round-6 continuation additions, same single-row/bounded pattern:
     // q107/q108/q109 attach the basket count / the mean-co-count edge
     // cutoff (one aggregate row); q110 the contingency total row; q111
-    // the distinct-doc count row; q115 the trigram total row; q127 the
-    // corpus max-instant row.
+    // the distinct-doc count row; q115 the trigram total row; q119
+    // combines SIX single-row anti-join counts; q127 the corpus
+    // max-instant row; q128 the gap-histogram total row.
     val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters",
       "q82_asof_ties", "q96_rfm_segments", "q99_benford",
       "q104_interpolate", "q107_assoc_rules", "q108_triangles",
       "q109_bfs", "q110_mutual_info", "q111_winnowing", "q115_trigrams",
-      "q127_freshness")
+      "q119_conformance", "q127_freshness", "q128_gap_histogram")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -93,7 +94,7 @@ object ScaleCheck {
       "q116_winsorize", "q117_streaks", "q118_concurrency",
       "q119_conformance", "q120_position", "q121_gini", "q122_pareto",
       "q123_cr4", "q124_oov", "q125_jaro_pairs", "q126_item_cf",
-      "q127_freshness")
+      "q127_freshness", "q128_gap_histogram", "q129_dow_profile")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -72,6 +72,18 @@ class ConcentrationSpec extends SparkSpec {
     assert(out.getLong(2) == 2L) // both 'y' occurrences are OOV
   }
 
+  test("quality curve: monotone non-increasing retention, t=0 keeps all") {
+    initQuiet()
+    val out = Concentration.qualityCurveQuery(spark, sf)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.head._1 == 0.0 && out.head._2._2 == 1.0) // t=0 keeps everything
+    // retention can only fall as the bar rises
+    out.map(_._2._1).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => ()
+    }
+  }
+
   test("q121-q124 run end-to-end on the corpus") {
     initQuiet()
     assert(Concentration.giniQuery(spark, sf).count() == 5)

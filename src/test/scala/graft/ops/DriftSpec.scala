@@ -139,6 +139,15 @@ class DriftSpec extends SparkSpec {
     assert(out("b") == ((240.0, 0L, 3L))) // 10 days = 240 h
   }
 
+  test("gap buckets: length(bin(g))-1 is exactly floor(log2) on longs") {
+    initQuiet()
+    val df = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1048575L, 1048576L).toDF("g")
+    val out = df.select(col("g"), (length(bin(col("g"))) - 1).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 7L -> 2, 8L -> 3,
+      1048575L -> 19, 1048576L -> 20))
+  }
+
   test("q113-q116 run end-to-end on the corpus and stay bounded") {
     initQuiet()
     assert(Drift.cusumQuery(spark, sf).count() == 5)       // one per type
@@ -147,5 +156,14 @@ class DriftSpec extends SparkSpec {
     assert(tri.count() <= 50 && tri.count() > 0)
     assert(Drift.winsorQuery(spark, sf).count() == 5)      // priorities
     assert(Drift.freshnessQuery(spark, sf).count() == 5)   // one per type
+    val hist = Drift.gapHistogramQuery(spark, sf).collect()
+    assert(hist.nonEmpty && hist.length <= 65)
+    // buckets tile: every gap's min/max within [2^b, 2^(b+1))
+    hist.filter(_.getInt(0) >= 0).foreach { r =>
+      val b = r.getInt(0)
+      assert(r.getLong(2) >= (1L << b) && r.getLong(3) < (1L << (b + 1)))
+    }
+    val dow = Drift.dowProfileQuery(spark, sf)
+    assert(dow.count() > 0 && dow.count() <= 35) // ≤ 5 types × 7 days
   }
 }

@@ -75,4 +75,18 @@ class SpansSpec extends SparkSpec {
     assert(Spans.conformanceQuery(spark, sf).count() == 1)
     assert(Spans.positionQuery(spark, sf).count() > 0)
   }
+
+  test("bounce rate: entry typing and single-event session counting") {
+    initQuiet()
+    val out = Spans.bounceQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // bounces ≤ sessions
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // entry types are real event types, never null (every session has
+    // exactly one new-session row)
+    assert(out.forall(!_.isNullAt(0)))
+  }
 }
