@@ -310,6 +310,48 @@ object Drift {
       col("event_type"), col("dow"))
   }
 
+  // --------------------------------------------------------------- q132
+
+  /** q132 — rolling 7-day correlation of each event type's daily
+    * volume against the purchase series: corr over a trailing 7-ROW
+    * window from exact integer co-moment sums (Σx, Σy, Σxy, Σx², Σy²,
+    * n — all BIGINT window sums), combined in ONE closed-form double —
+    * no streaming-variance accumulation, so both engines emit the same
+    * IEEE value. Windows partition by the series key; the daily grain
+    * bounds rows to types × calendar days. Zero-variance windows yield
+    * null. The co-movement monitor that catches a funnel decoupling
+    * from its traffic.
+    */
+  def rollingCorrQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCounts(spark, dir)
+    val purchases = daily.filter(col("event_type") === "purchase")
+      .select(col("day"), col("c").as("y"))
+    val joined = daily.filter(col("event_type") =!= "purchase")
+      .join(purchases, "day")
+      .select(col("event_type"), col("day"), col("c").as("x"), col("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    val sums = joined
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("x")).over(w))
+      .withColumn("__sy", sum(col("y")).over(w))
+      .withColumn("__sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("__sx2", sum(col("x") * col("x")).over(w))
+      .withColumn("__sy2", sum(col("y") * col("y")).over(w))
+      .filter(col("__n") === 7)
+    orderedSmall(
+      sums.select(col("event_type"), col("day"), col("__n").as("n"),
+        round(
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            nullif(sqrt((col("__n") * col("__sx2") - col("__sx") * col("__sx"))
+              .cast("double") *
+              (col("__n") * col("__sy2") - col("__sy") * col("__sy"))
+                .cast("double")), lit(0.0)),
+          6).as("corr7")),
+      col("event_type"), col("day"))
+      .limit(600)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -317,7 +359,8 @@ object Drift {
     "q116_winsorize" -> (winsorQuery _),
     "q127_freshness" -> (freshnessQuery _),
     "q128_gap_histogram" -> (gapHistogramQuery _),
-    "q129_dow_profile" -> (dowProfileQuery _))
+    "q129_dow_profile" -> (dowProfileQuery _),
+    "q132_rolling_corr" -> (rollingCorrQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -469,5 +512,32 @@ object DriftOracle {
         |       round(c.n / CAST(c.n_days AS DOUBLE), 4) AS per_day,
         |       round(c.n / CAST(t.tt AS DOUBLE), 6) AS share
         |FROM c JOIN t USING (event_type)
-        |ORDER BY event_type, dow""".stripMargin)
+        |ORDER BY event_type, dow""".stripMargin,
+
+    // same exact integer co-moment window sums, one closed-form double
+    "q132_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |p AS (SELECT day, c AS y FROM daily WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT d.event_type, d.day, d.c AS x, p.y
+        |  FROM daily d JOIN p USING (day)
+        |  WHERE d.event_type <> 'purchase'),
+        |s AS (
+        |  SELECT event_type, day,
+        |         count(*) OVER w AS n,
+        |         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |         sum(x * y) OVER w AS sxy,
+        |         sum(x * x) OVER w AS sx2, sum(y * y) OVER w AS sy2
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n,
+        |       round((n * sxy - sx * sy) /
+        |             nullif(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) *
+        |                         CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0),
+        |             6) AS corr7
+        |FROM s WHERE n = 7
+        |ORDER BY event_type, day LIMIT 600""".stripMargin)
 }

@@ -65,7 +65,8 @@ object ScaleCheck {
       "q82_asof_ties", "q96_rfm_segments", "q99_benford",
       "q104_interpolate", "q107_assoc_rules", "q108_triangles",
       "q109_bfs", "q110_mutual_info", "q111_winnowing", "q115_trigrams",
-      "q119_conformance", "q127_freshness", "q128_gap_histogram")
+      "q119_conformance", "q127_freshness", "q128_gap_histogram",
+      "q130_quality_curve")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -94,7 +95,8 @@ object ScaleCheck {
       "q116_winsorize", "q117_streaks", "q118_concurrency",
       "q119_conformance", "q120_position", "q121_gini", "q122_pareto",
       "q123_cr4", "q124_oov", "q125_jaro_pairs", "q126_item_cf",
-      "q127_freshness", "q128_gap_histogram", "q129_dow_profile")
+      "q127_freshness", "q128_gap_histogram", "q129_dow_profile",
+      "q130_quality_curve", "q131_bounce_rate", "q132_rolling_corr")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -148,6 +148,31 @@ class DriftSpec extends SparkSpec {
       1048575L -> 19, 1048576L -> 20))
   }
 
+  test("rolling corr: the closed co-moment form on a hand fixture") {
+    initQuiet()
+    // x = 1..7, y = 2x: perfect linear dependence → corr7 = 1.0
+    // (window of exactly 7 rows; zero-variance guard not triggered)
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 7).map(i => ("a", d(i), (i + 1).toLong, (2 * i + 2).toLong))
+      .toDF("k", "day", "x", "y")
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    val out = df
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sx2", sum(col("x") * col("x")).over(w))
+      .withColumn("sy2", sum(col("y") * col("y")).over(w))
+      .filter(col("n") === 7)
+      .select(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        nullif(sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")),
+          lit(0.0)), 6))
+      .collect()
+    assert(out.length == 1 && out.head.getDouble(0) == 1.0)
+  }
+
   test("q113-q116 run end-to-end on the corpus and stay bounded") {
     initQuiet()
     assert(Drift.cusumQuery(spark, sf).count() == 5)       // one per type
@@ -165,5 +190,9 @@ class DriftSpec extends SparkSpec {
     }
     val dow = Drift.dowProfileQuery(spark, sf)
     assert(dow.count() > 0 && dow.count() <= 35) // ≤ 5 types × 7 days
+    val corr = Drift.rollingCorrQuery(spark, sf).collect()
+    assert(corr.nonEmpty && corr.forall { r =>
+      r.isNullAt(3) || (r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
+    })
   }
 }
