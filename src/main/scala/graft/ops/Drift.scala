@@ -360,7 +360,37 @@ object Drift {
     "q127_freshness" -> (freshnessQuery _),
     "q128_gap_histogram" -> (gapHistogramQuery _),
     "q129_dow_profile" -> (dowProfileQuery _),
-    "q132_rolling_corr" -> (rollingCorrQuery _))
+    "q132_rolling_corr" -> (rollingCorrQuery _),
+    "q133_weighted_median" -> (weightedMedianQuery _))
+
+  // --------------------------------------------------------------- q133
+
+  /** q133 — weighted price percentiles per return flag: Spark's
+    * frequency-weighted exact `percentile` (each row counted
+    * `l_quantity` times — the "per unit sold" price distribution, not
+    * "per line item"). The DuckDB twin materializes the weight as row
+    * replication (`generate_series(1, qty)`), which is the DEFINITION
+    * of integer-frequency weighting, so the two engines interpolate
+    * over the identical multiset. Weights are integral by corpus
+    * construction; the cast is exact.
+    */
+  def weightedMedianQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      Tables.load(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("total_weight"),
+          round(expr(
+            "percentile(l_extendedprice, 0.25, CAST(l_quantity AS BIGINT))"), 4)
+            .as("wq25"),
+          round(expr(
+            "percentile(l_extendedprice, 0.5, CAST(l_quantity AS BIGINT))"), 4)
+            .as("wmedian"),
+          round(expr(
+            "percentile(l_extendedprice, 0.75, CAST(l_quantity AS BIGINT))"), 4)
+            .as("wq75")),
+      col("l_returnflag"))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -539,5 +569,26 @@ object DriftOracle {
         |                         CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0),
         |             6) AS corr7
         |FROM s WHERE n = 7
-        |ORDER BY event_type, day LIMIT 600""".stripMargin)
+        |ORDER BY event_type, day LIMIT 600""".stripMargin,
+
+    // frequency weighting BY DEFINITION: replicate each row qty times,
+    // interpolate over the identical multiset
+    "q133_weighted_median" ->
+      """WITH rep AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         unnest(generate_series(1, CAST(l_quantity AS BIGINT))) AS i
+        |  FROM lineitem),
+        |base AS (
+        |  SELECT l_returnflag, count(*) AS n_rows,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight
+        |  FROM lineitem GROUP BY l_returnflag),
+        |w AS (
+        |  SELECT l_returnflag,
+        |         round(quantile_cont(l_extendedprice, 0.25), 4) AS wq25,
+        |         round(quantile_cont(l_extendedprice, 0.5), 4) AS wmedian,
+        |         round(quantile_cont(l_extendedprice, 0.75), 4) AS wq75
+        |  FROM rep GROUP BY l_returnflag)
+        |SELECT b.l_returnflag, b.n_rows, b.total_weight, w.wq25, w.wmedian, w.wq75
+        |FROM base b JOIN w USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin)
 }

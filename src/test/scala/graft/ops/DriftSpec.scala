@@ -173,6 +173,18 @@ class DriftSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(0) == 1.0)
   }
 
+  test("weighted percentile: frequency IS row replication") {
+    initQuiet()
+    // values 1,2,3 with weights 1,1,8 ≡ multiset [1,2,3,3,3,3,3,3,3,3]:
+    // median = 3.0 ; unweighted median would be 2.0
+    val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 8L)).toDF("v", "w")
+    val r = df.agg(
+      expr("percentile(v, 0.5, w)").as("wm"),
+      expr("percentile(v, 0.5)").as("m")).collect().head
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getDouble(1) == 2.0)
+  }
+
   test("q113-q116 run end-to-end on the corpus and stay bounded") {
     initQuiet()
     assert(Drift.cusumQuery(spark, sf).count() == 5)       // one per type
@@ -194,5 +206,6 @@ class DriftSpec extends SparkSpec {
     assert(corr.nonEmpty && corr.forall { r =>
       r.isNullAt(3) || (r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
     })
+    assert(Drift.weightedMedianQuery(spark, sf).count() == 3) // A/N/R
   }
 }
