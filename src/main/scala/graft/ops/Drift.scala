@@ -361,7 +361,10 @@ object Drift {
     "q128_gap_histogram" -> (gapHistogramQuery _),
     "q129_dow_profile" -> (dowProfileQuery _),
     "q132_rolling_corr" -> (rollingCorrQuery _),
-    "q133_weighted_median" -> (weightedMedianQuery _))
+    "q133_weighted_median" -> (weightedMedianQuery _),
+    "q134_ks_drift" -> (ksQuery _),
+    "q135_psi" -> (psiQuery _),
+    "q136_jsd" -> (jsdQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -391,6 +394,193 @@ object Drift {
             "percentile(l_extendedprice, 0.75, CAST(l_quantity AS BIGINT))"), 4)
             .as("wq75")),
       col("l_returnflag"))
+
+  // -------------------------------------------- two-sample KS (q134)
+
+  /** Leave-one-out two-sample Kolmogorov–Smirnov statistic per group:
+    * for each group g, D_g = max_v |F_g(v) − F_rest(v)| between the
+    * group's empirical CDF and the rest of the table's, plus the
+    * √(n₁n₂/(n₁+n₂))-normalized statistic a monitor thresholds on.
+    *
+    * EXACT except the single final division: the max runs over the
+    * integer numerator |ca·n_rest − (ct−ca)·n_g| (cross-multiplied
+    * CDFs), so no float compare ever picks the argmax. Between two of
+    * a group's observed values |F_g−F_rest| is monotone (only F_rest
+    * moves), so the max over the FULL merged grid is attained either
+    * AT one of the group's values (inclusive cums) or JUST BEFORE one
+    * (lagged own cum, global cum minus that value's total) — 2·|values
+    * in g| candidates, both emitted per point below; no group×grid
+    * fill, no cartesian.
+    *
+    * Scale: one (group,value) aggregate shuffle; the global value grid
+    * is |distinct values| rows (its one-partition cumulative window is
+    * bounded by metric cardinality — pre-bucket an unbounded metric);
+    * grid and totals attach by broadcast; per-group windows partition
+    * by group. Cross-products stay in BIGINT up to n_g·n ≲ 9e18 —
+    * beyond that, swap the numerator arithmetic to DECIMAL(38,0) as
+    * q121's Gini does.
+    */
+  def ksLeaveOneOut(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    val gv = df.groupBy(g, col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__a"))
+    val grid = gv.groupBy(col("__v")).agg(sum(col("__a")).as("__t"))
+      .withColumn("__ct", sum(col("__t")).over(Window.orderBy(col("__v"))))
+    val tot = grid.agg(max(col("__ct")).as("__n"))
+    val wg = Window.partitionBy(g).orderBy(col("__v"))
+    val pts = gv.join(broadcast(grid), "__v")
+      .withColumn("__ca", sum(col("__a")).over(wg))
+      .withColumn("__cp", coalesce(lag(col("__ca"), 1).over(wg), lit(0L)))
+    val ns = gv.groupBy(g).agg(sum(col("__a")).as("__ns"))
+    val cand = pts.join(broadcast(ns), groupCol).crossJoin(broadcast(tot))
+      .withColumn("__nr", col("__n") - col("__ns"))
+      .withColumn("__dAt",
+        abs(col("__ca") * col("__nr") - (col("__ct") - col("__ca")) * col("__ns")))
+      .withColumn("__dBefore",
+        abs(col("__cp") * col("__nr") -
+          (col("__ct") - col("__t") - col("__cp")) * col("__ns")))
+    cand.groupBy(g, col("__ns"), col("__nr"))
+      .agg(greatest(max(col("__dAt")), max(col("__dBefore"))).as("__dn"))
+      .select(g,
+        col("__ns").as("n_group"), col("__nr").as("n_rest"),
+        round(col("__dn") / (col("__ns") * col("__nr")).cast("double"), 6)
+          .as("ks_d"),
+        round(sqrt((col("__ns") * col("__nr")).cast("double") /
+            (col("__ns") + col("__nr"))) *
+          (col("__dn") / (col("__ns") * col("__nr")).cast("double")), 4)
+          .as("ks_stat"))
+  }
+
+  /** q134 — length-distribution drift screen: each document source's
+    * n_chars CDF against the rest of the corpus, exact leave-one-out
+    * KS. The outlier-source detector a curation mix runs before
+    * reweighting. */
+  def ksQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      ksLeaveOneOut(Tables.load(spark, dir, "documents"), "source", "n_chars"),
+      col("source"))
+
+  // --------------------------------------------------------------- q135
+
+  /** q135 — population stability index per event type between the
+    * first and second half of the corpus timeline (integer-µs midpoint
+    * split, the q93 drill): event values in exact cents, bucketed by
+    * ⌊log2(cents)⌋ via the q128 `length(bin(x))−1` integer identity,
+    * PSI = Σ (p₂−p₁)·ln(p₂/p₁) over buckets populated on BOTH sides
+    * (every term ≥ 0). One-sided buckets are counted and reported,
+    * never silently dropped. Counts/totals are exact longs; each
+    * term is one closed-form double; the ≤64-term sum's order noise is
+    * absorbed by the final round (the q110 convention). The
+    * feature-drift gate a model-serving pipeline runs per release.
+    */
+  /** PSI core over tagged rows: input carries a group key, a bucket
+    * id, and a 0/1 half tag (0 = baseline, 1 = current); output is one
+    * row per group with the both-sided/one-sided bucket counts and
+    * PSI = Σ (p₂−p₁)·ln(p₂/p₁) over both-sided buckets (every term
+    * ≥ 0; one-sided buckets are counted, never silently dropped).
+    * One (group,bucket) aggregate shuffle; totals attach by broadcast.
+    */
+  def psiFromTagged(
+      df: DataFrame, groupCol: String, bucketCol: String,
+      halfCol: String): DataFrame = {
+    val g = col(groupCol)
+    val cells = df.groupBy(g, col(bucketCol))
+      .agg(sum(when(col(halfCol) === 0, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col(halfCol) === 1, 1L).otherwise(0L)).as("__c2"))
+    val totals = cells.groupBy(g)
+      .agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    cells.join(broadcast(totals), groupCol)
+      .groupBy(g, col("__n1"), col("__n2"))
+      .agg(
+        sum(when(col("__c1") > 0 && col("__c2") > 0, 1).otherwise(0))
+          .as("n_buckets"),
+        sum(when(col("__c1") === 0 || col("__c2") === 0, 1).otherwise(0))
+          .as("n_onesided"),
+        round(sum(when(col("__c1") > 0 && col("__c2") > 0,
+          (col("__c2") / col("__n2").cast("double") -
+            col("__c1") / col("__n1").cast("double")) *
+            log((col("__c2") * col("__n1")) /
+              (col("__c1") * col("__n2")).cast("double")))
+          .otherwise(0.0)), 6).as("psi"))
+      .select(g, col("__n1").as("n_base"),
+        col("__n2").as("n_current"), col("n_buckets"), col("n_onesided"),
+        col("psi"))
+  }
+
+  def psiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("__us"), col("value"))
+    val mid = ev.agg(((min(col("__us")) + max(col("__us"))) / 2).as("__mid"))
+    val bucketed = ev.crossJoin(broadcast(mid))
+      .withColumn("__half", when(col("__us") <= col("__mid"), 0).otherwise(1))
+      .withColumn("__cents", round(col("value") * 100).cast("long"))
+      .withColumn("__b",
+        when(col("__cents") <= 0, lit(-1))
+          .otherwise(length(bin(col("__cents"))) - 1))
+    orderedSmall(
+      psiFromTagged(bucketed, "event_type", "__b", "__half"),
+      col("event_type"))
+  }
+
+  // --------------------------------------------------------------- q136
+
+  /** Jensen–Shannon divergence of each group's label mix from the
+    * whole table's mix: JSD(P‖Q) = H(M) − (H(P)+H(Q))/2 with
+    * M = (P+Q)/2 — the symmetric, √-metrizable drift score bounded by
+    * ln 2. The H(M) sum over labels the group LACKS (p=0, m=q/2) is
+    * folded algebraically into one global scalar A = Σ(q/2)ln(q/2):
+    * H(M) = −Σ_{p>0}(m·ln m − (q/2)·ln(q/2)) − A, so the plan touches
+    * only OBSERVED (group,label) cells plus two single-row broadcasts —
+    * no group×label grid fill, no cartesian. All inputs are exact
+    * longs; floors at 0 guard the mathematically-nonnegative results
+    * from −0.0 ulp noise (a "-0.0" would string-mismatch "0.0").
+    * Output: (group, n_docs, n_langs, jsd_nats, jsd_norm).
+    */
+  def jsDivergence(df: DataFrame, groupCol: String, labelCol: String): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("source"), col(labelCol).as("lang"))
+      .agg(count(lit(1)).as("__c"))
+    val bySrc = cells.groupBy(col("source")).agg(sum(col("__c")).as("__ns"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("__c")).as("__cl"))
+    // A = Σ_l (q_l/2)·ln(q_l/2) and H(Q) both need the total inside
+    // each per-lang term, so the bounded lang table gets the total as
+    // a single-row broadcast and is re-aggregated
+    val n0 = byLang.agg(sum(col("__cl")).as("__n0"))
+    val scalars = byLang.crossJoin(broadcast(n0))
+      .groupBy(col("__n0"))
+      .agg(
+        sum(col("__cl") / (lit(2.0) * col("__n0")) *
+          log(col("__cl") / (lit(2.0) * col("__n0")))).as("__a"),
+        (log(col("__n0")) -
+          sum(col("__cl") * log(col("__cl"))) / col("__n0").cast("double"))
+          .as("__hquf"))
+    val perSrc = cells
+      .join(broadcast(bySrc), "source")
+      .join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(scalars))
+      .withColumn("__p", col("__c") / col("__ns").cast("double"))
+      .withColumn("__q", col("__cl") / col("__n0").cast("double"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      .groupBy(col("source"), col("__ns"), col("__a"), col("__hquf"))
+      .agg(
+        count(lit(1)).as("n_langs"),
+        sum(col("__m") * log(col("__m")) -
+          (col("__q") / 2) * log(col("__q") / 2)).as("__s1"),
+        (-sum(col("__p") * log(col("__p")))).as("__hp"))
+      .withColumn("__jsd",
+        greatest((-col("__s1") - col("__a")) -
+          (col("__hp") + col("__hquf")) / 2, lit(0.0)))
+    perSrc.select(col("source").as(groupCol), col("__ns").as("n_docs"),
+      col("n_langs"), round(col("__jsd"), 6).as("jsd_nats"),
+      round(col("__jsd") / log(lit(2.0)), 6).as("jsd_norm"))
+  }
+
+  /** q136 — JSD of each document source's language mix from the
+    * corpus-wide mix: the per-source diversity-drift score next to
+    * q98's absolute entropy. */
+  def jsdQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      jsDivergence(Tables.load(spark, dir, "documents"), "source", "lang"),
+      col("source"))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -590,5 +780,116 @@ object DriftOracle {
         |  FROM rep GROUP BY l_returnflag)
         |SELECT b.l_returnflag, b.n_rows, b.total_weight, w.wq25, w.wmedian, w.wq75
         |FROM base b JOIN w USING (l_returnflag)
-        |ORDER BY l_returnflag""".stripMargin)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // same exact-integer candidate set: the max of |F_g − F_rest| over
+    // the merged grid is attained AT or JUST BEFORE a group value
+    "q134_ks_drift" ->
+      """WITH gv AS (
+        |  SELECT source AS g, n_chars AS v, count(*) AS a
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT v, CAST(sum(a) AS BIGINT) AS t,
+        |         CAST(sum(sum(a)) OVER (ORDER BY v) AS BIGINT) AS ct
+        |  FROM gv GROUP BY v),
+        |tot AS (SELECT max(ct) AS n FROM grid),
+        |pts AS (
+        |  SELECT gv.g, gv.v, gv.a, grid.t, grid.ct,
+        |         CAST(sum(gv.a) OVER (PARTITION BY gv.g ORDER BY gv.v)
+        |              AS BIGINT) AS ca
+        |  FROM gv JOIN grid USING (v)),
+        |pts2 AS (
+        |  SELECT *, coalesce(lag(ca) OVER (PARTITION BY g ORDER BY v), 0)
+        |            AS cp
+        |  FROM pts),
+        |ns AS (SELECT g, CAST(sum(a) AS BIGINT) AS ns FROM gv GROUP BY g),
+        |cand AS (
+        |  SELECT p.g, ns.ns, tot.n - ns.ns AS nr,
+        |         abs(p.ca * (tot.n - ns.ns) - (p.ct - p.ca) * ns.ns) AS d_at,
+        |         abs(p.cp * (tot.n - ns.ns) -
+        |             (p.ct - p.t - p.cp) * ns.ns) AS d_before
+        |  FROM pts2 p JOIN ns USING (g) CROSS JOIN tot),
+        |m AS (
+        |  SELECT g, ns, nr,
+        |         greatest(max(d_at), max(d_before)) AS dn
+        |  FROM cand GROUP BY g, ns, nr)
+        |SELECT g AS source, ns AS n_group, nr AS n_rest,
+        |       round(dn / CAST(ns * nr AS DOUBLE), 6) AS ks_d,
+        |       round(sqrt(CAST(ns * nr AS DOUBLE) / (ns + nr)) *
+        |             (dn / CAST(ns * nr AS DOUBLE)), 4) AS ks_stat
+        |FROM m ORDER BY source""".stripMargin,
+
+    // the q93 integer-µs midpoint split + the q128 bin-length bucket;
+    // PSI over both-sided buckets, one-sided counted not dropped
+    "q135_psi" ->
+      """WITH base AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |         CAST(round("value" * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM base),
+        |b AS (
+        |  SELECT event_type,
+        |         CASE WHEN us <= (SELECT m FROM mid) THEN 0 ELSE 1 END AS half,
+        |         CASE WHEN cents <= 0 THEN -1
+        |              ELSE length(bin(cents)) - 1 END AS bucket
+        |  FROM base),
+        |cells AS (
+        |  SELECT event_type, bucket,
+        |         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM b GROUP BY event_type, bucket),
+        |totals AS (
+        |  SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM cells GROUP BY event_type)
+        |SELECT c.event_type, t.n1 AS n_base, t.n2 AS n_current,
+        |       CAST(sum(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_buckets,
+        |       CAST(sum(CASE WHEN c1 = 0 OR c2 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_onesided,
+        |       round(sum(CASE WHEN c1 > 0 AND c2 > 0 THEN
+        |             (c2 / CAST(t.n2 AS DOUBLE) - c1 / CAST(t.n1 AS DOUBLE)) *
+        |             ln((c2 * t.n1) / CAST(c1 * t.n2 AS DOUBLE))
+        |             ELSE 0.0 END), 6) AS psi
+        |FROM cells c JOIN totals t USING (event_type)
+        |GROUP BY c.event_type, t.n1, t.n2
+        |ORDER BY c.event_type""".stripMargin,
+
+    // JSD = H(M) − (H(P)+H(Q))/2; the p=0 part of H(M) folds into the
+    // global scalar A = Σ(q/2)ln(q/2) — observed cells only, like Spark
+    "q136_jsd" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY source, lang),
+        |by_src AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cells GROUP BY source),
+        |by_lang AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cells GROUP BY lang),
+        |n0 AS (SELECT CAST(sum(cl) AS BIGINT) AS n FROM by_lang),
+        |scalars AS (
+        |  SELECT sum(cl / (2.0 * n0.n) * ln(cl / (2.0 * n0.n))) AS a,
+        |         ln(n0.n) - sum(cl * ln(cl)) / CAST(n0.n AS DOUBLE) AS hq,
+        |         n0.n AS n
+        |  FROM by_lang CROSS JOIN n0 GROUP BY n0.n),
+        |per AS (
+        |  SELECT c.source, s.ns, count(*) AS n_langs,
+        |         sum(((c.c / CAST(s.ns AS DOUBLE) +
+        |               l.cl / CAST(g.n AS DOUBLE)) / 2) *
+        |             ln((c.c / CAST(s.ns AS DOUBLE) +
+        |                 l.cl / CAST(g.n AS DOUBLE)) / 2) -
+        |             (l.cl / CAST(g.n AS DOUBLE) / 2) *
+        |             ln(l.cl / CAST(g.n AS DOUBLE) / 2)) AS s1,
+        |         -sum((c.c / CAST(s.ns AS DOUBLE)) *
+        |              ln(c.c / CAST(s.ns AS DOUBLE))) AS hp,
+        |         max(g.a) AS a, max(g.hq) AS hq
+        |  FROM cells c
+        |  JOIN by_src s USING (source)
+        |  JOIN by_lang l USING (lang)
+        |  CROSS JOIN scalars g
+        |  GROUP BY c.source, s.ns)
+        |SELECT source, ns AS n_docs, n_langs,
+        |       round(greatest((-s1 - a) - (hp + hq) / 2, 0.0), 6) AS jsd_nats,
+        |       round(greatest((-s1 - a) - (hp + hq) / 2, 0.0) / ln(2.0), 6)
+        |         AS jsd_norm
+        |FROM per ORDER BY source""".stripMargin)
 }

@@ -185,6 +185,75 @@ class DriftSpec extends SparkSpec {
     assert(r.getDouble(1) == 2.0)
   }
 
+  test("ks: disjoint samples separate completely (D = 1)") {
+    initQuiet()
+    val df = (Seq(("a", 1L), ("a", 2L)) ++ Seq(("b", 3L), ("b", 4L)))
+      .toDF("g", "v")
+    val out = Drift.ksLeaveOneOut(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("a") == 1.0 && out("b") == 1.0)
+  }
+
+  test("ks: the max BETWEEN group values is caught (just-before candidate)") {
+    initQuiet()
+    // group a = {1, 10}, rest = {2, 3}: F_a jumps to .5 at 1 then waits;
+    // F_rest reaches 1 at 3 while F_a is still .5 → D = .5 attained
+    // strictly between a's observed values — only the lagged candidate
+    // sees it
+    val df = (Seq(("a", 1L), ("a", 10L)) ++ Seq(("b", 2L), ("b", 3L)))
+      .toDF("g", "v")
+    val out = Drift.ksLeaveOneOut(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("a") == 0.5)
+  }
+
+  test("ks: identical distributions give D = 0") {
+    initQuiet()
+    val df = (Seq(("a", 1L), ("a", 2L)) ++ Seq(("b", 1L), ("b", 2L)))
+      .toDF("g", "v")
+    val out = Drift.ksLeaveOneOut(df, "g", "v").collect()
+    assert(out.forall(_.getDouble(3) == 0.0))
+  }
+
+  test("psi: identical halves score 0; a swapped mix scores the closed form") {
+    initQuiet()
+    // identical: both halves have buckets {1:2, 2:2}
+    val same = Seq(("g", 1, 0), ("g", 1, 0), ("g", 2, 0), ("g", 2, 0),
+      ("g", 1, 1), ("g", 1, 1), ("g", 2, 1), ("g", 2, 1))
+      .toDF("k", "b", "h")
+    val r0 = Drift.psiFromTagged(same, "k", "b", "h").collect().head
+    assert(r0.getDouble(5) == 0.0 && r0.getLong(3) == 2 && r0.getLong(4) == 0)
+    // shifted: base {1:3, 2:1}, current {1:1, 2:3} →
+    // psi = (.25-.75)ln(.25/.75) + (.75-.25)ln(.75/.25) = ln 3 ≈ 1.098612
+    val shift = Seq(("g", 1, 0), ("g", 1, 0), ("g", 1, 0), ("g", 2, 0),
+      ("g", 1, 1), ("g", 2, 1), ("g", 2, 1), ("g", 2, 1))
+      .toDF("k", "b", "h")
+    val r1 = Drift.psiFromTagged(shift, "k", "b", "h").collect().head
+    assert(r1.getDouble(5) == 1.098612)
+    // one-sided bucket: counted, excluded from the sum
+    val oneside = Seq(("g", 1, 0), ("g", 1, 1), ("g", 9, 1))
+      .toDF("k", "b", "h")
+    val r2 = Drift.psiFromTagged(oneside, "k", "b", "h").collect().head
+    assert(r2.getLong(3) == 1 && r2.getLong(4) == 1)
+  }
+
+  test("jsd: identical mixes score 0; a fully disjoint label scores the closed form") {
+    initQuiet()
+    // two groups with the same 50/50 mix: corpus mix equals each → 0
+    val same = Seq(("a", "en"), ("a", "fr"), ("b", "en"), ("b", "fr"))
+      .toDF("g", "l")
+    assert(Drift.jsDivergence(same, "g", "l").collect()
+      .forall(r => r.getDouble(3) == 0.0))
+    // a = all-en, b = all-fr, equal sizes: corpus (.5,.5), each P = (1,0)
+    // → JSD = H(M) − (H(P)+H(Q))/2 with M = (.75,.25):
+    //   (−.75ln.75 − .25ln.25) − (0 + ln2)/2 = 0.2157616 → 0.215762
+    val disj = Seq(("a", "en"), ("a", "en"), ("b", "fr"), ("b", "fr"))
+      .toDF("g", "l")
+    val out = Drift.jsDivergence(disj, "g", "l")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("a") == 0.215762 && out("b") == 0.215762)
+  }
+
   test("q113-q116 run end-to-end on the corpus and stay bounded") {
     initQuiet()
     assert(Drift.cusumQuery(spark, sf).count() == 5)       // one per type
@@ -207,5 +276,15 @@ class DriftSpec extends SparkSpec {
       r.isNullAt(3) || (r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0)
     })
     assert(Drift.weightedMedianQuery(spark, sf).count() == 3) // A/N/R
+    val ks = Drift.ksQuery(spark, sf).collect()
+    assert(ks.nonEmpty && ks.forall { r =>
+      r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0
+    })
+    val psi = Drift.psiQuery(spark, sf).collect()
+    assert(psi.length == 5 && psi.forall(_.getDouble(5) >= 0.0))
+    val jsd = Drift.jsdQuery(spark, sf).collect()
+    assert(jsd.nonEmpty && jsd.forall { r =>
+      r.getDouble(3) >= 0.0 && r.getDouble(4) <= 1.0
+    })
   }
 }
