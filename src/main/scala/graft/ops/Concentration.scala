@@ -214,12 +214,85 @@ object Concentration {
       col("t"))
   }
 
+  // --------------------------------------------------------------- q137
+
+  /** Aggregate readability profile per group, sentence := document
+    * (this corpus carries no sentence punctuation — the convention is
+    * explicit, and with punctuated text the sentence count would swap
+    * in for n_docs). Words are maximal non-space runs; the syllable
+    * proxy is vowel-group count ([aeiouy]+ runs, the standard cheap
+    * estimator). ALL aggregates are exact integer sums — the Flesch
+    * expression is ONE closed-form double per group, no float
+    * accumulation anywhere. One narrow scan + one group aggregate.
+    */
+  def readability(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val perDoc = df.select(col(groupCol).as("__g"),
+      regexp_count(col(textCol), lit("\\S+")).as("__w"),
+      regexp_count(lower(col(textCol)), lit("[aeiouy]+")).as("__syl"))
+    perDoc.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__syl")).as("n_syllables"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_words"),
+        col("n_syllables"),
+        round(col("n_words") / col("n_docs").cast("double"), 4)
+          .as("words_per_doc"),
+        round(col("n_syllables") / col("n_words").cast("double"), 6)
+          .as("syl_per_word"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words") / col("n_docs").cast("double")) -
+          lit(84.6) * (col("n_syllables") / col("n_words").cast("double")), 4)
+          .as("flesch"))
+  }
+
+  /** q137 — readability profile per document source: the
+    * complexity-drift screen a curation mix runs next to q22's quality
+    * ratios. */
+  def readabilityQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      readability(Tables.load(spark, dir, "documents"), "source", "text"),
+      col("source"))
+
+  // --------------------------------------------------------------- q139
+
+  /** Lexical diversity per group from one (group, token) aggregate:
+    * total/distinct token counts, the type-token ratio, hapax
+    * legomena (tokens seen once IN THE GROUP) and their share of the
+    * group's vocabulary — the low-diversity / TEMPLATE-text detector.
+    * Tokens are the q124 convention (lower + space split). All exact
+    * integers; two final divisions.
+    */
+  def lexicalDiversity(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("__g"),
+        explode(split(lower(col(textCol)), " ")).as("__tok"))
+      .groupBy(col("__g"), col("__tok")).agg(count(lit(1)).as("__c"))
+    toks.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("total_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax_tokens"))
+      .select(col("__g").as(groupCol), col("total_tokens"),
+        col("distinct_tokens"), col("hapax_tokens"),
+        round(col("distinct_tokens") / col("total_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("hapax_tokens") / col("distinct_tokens").cast("double"), 6)
+          .as("hapax_share"))
+  }
+
+  /** q139 — lexical diversity per document source. */
+  def lexicalDiversityQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      lexicalDiversity(Tables.load(spark, dir, "documents"), "source", "text"),
+      col("source"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
     "q123_cr4" -> (cr4Query _),
     "q124_oov" -> (oovQuery _),
-    "q130_quality_curve" -> (qualityCurveQuery _))
+    "q130_quality_curve" -> (qualityCurveQuery _),
+    "q137_readability" -> (readabilityQuery _),
+    "q139_lexical_diversity" -> (lexicalDiversityQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -333,5 +406,46 @@ object ConcentrationOracle {
         |SELECT c.t, c.n_docs, c.n_chars_kept,
         |       round(c.n_docs / CAST(tot.td AS DOUBLE), 6) AS frac_docs,
         |       round(c.n_chars_kept / CAST(tot.tc AS DOUBLE), 6) AS frac_chars
-        |FROM curve c, tot ORDER BY c.t""".stripMargin)
+        |FROM curve c, tot ORDER BY c.t""".stripMargin,
+
+    // sentence := document (corpus has no sentence punctuation); all
+    // integer sums, Flesch as ONE closed-form double
+    "q137_readability" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(text, '\S+')) AS w,
+        |         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(w) AS BIGINT) AS n_words,
+        |         CAST(sum(syl) AS BIGINT) AS n_syllables
+        |  FROM per GROUP BY source)
+        |SELECT source, n_docs, n_words, n_syllables,
+        |       round(n_words / CAST(n_docs AS DOUBLE), 4) AS words_per_doc,
+        |       round(n_syllables / CAST(n_words AS DOUBLE), 6) AS syl_per_word,
+        |       round(206.835 - 1.015 * (n_words / CAST(n_docs AS DOUBLE)) -
+        |             84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+        |         AS flesch
+        |FROM g ORDER BY source""".stripMargin,
+
+    // the q124 token convention (lower + space split); hapax = count 1
+    // within the group
+    "q139_lexical_diversity" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tc AS (
+        |  SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+        |g AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS total_tokens,
+        |         CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS hapax_tokens
+        |  FROM tc GROUP BY source)
+        |SELECT source, total_tokens, distinct_tokens, hapax_tokens,
+        |       round(distinct_tokens / CAST(total_tokens AS DOUBLE), 6) AS ttr,
+        |       round(hapax_tokens / CAST(distinct_tokens AS DOUBLE), 6)
+        |         AS hapax_share
+        |FROM g ORDER BY source""".stripMargin)
 }

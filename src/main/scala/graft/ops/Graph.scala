@@ -371,13 +371,65 @@ object Graph {
       .orderBy(col("rank").desc, col("node"))
   }
 
+  // --------------------------------------------------------------- q138
+
+  /** Pointwise mutual information over unordered co-occurring item
+    * pairs: pmi = ln(n·c_ab/(c_a·c_b)) and the [−1,1]-normalized
+    * npmi = pmi/−ln(c_ab/n) (null when the pair co-occurs in EVERY
+    * basket — the normalizer is 0). Same bounded C(|basket|,2)
+    * fan-out as [[assocRules]]; every ln argument is a ratio of exact
+    * integer products, so both engines evaluate the identical double.
+    */
+  def pmiPairs(
+      df: DataFrame, basketCol: String, itemCol: String,
+      minCo: Long = 1L): DataFrame = {
+    val baskets = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val nBaskets = baskets.agg(countDistinct(col("__b")).as("__n"))
+    val supp = baskets.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    val co = baskets.as("l")
+      .join(baskets.as("r"), col("l.__b") === col("r.__b") &&
+        col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").as("__a"), col("r.__i").as("__c2"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    co
+      .join(broadcast(supp).withColumnRenamed("__i", "__a")
+        .withColumnRenamed("__s", "__sa"), "__a")
+      .join(broadcast(supp).withColumnRenamed("__i", "__c2")
+        .withColumnRenamed("__s", "__sc"), "__c2")
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("__a").as("item_a"), col("__c2").as("item_b"), col("co"),
+        col("__sa").as("n_a"), col("__sc").as("n_b"),
+        round(log((col("co") * col("__n")) /
+          (col("__sa") * col("__sc")).cast("double")), 6).as("pmi"),
+        round(log((col("co") * col("__n")) /
+          (col("__sa") * col("__sc")).cast("double")) /
+          nullif(-log(col("co") / col("__n").cast("double")), lit(0.0)), 6)
+          .as("npmi"))
+  }
+
+  /** q138 — PMI between event types over (user, day) activity baskets:
+    * which behaviors genuinely co-occur beyond what their base rates
+    * predict — the signal q107's confidence/lift read on orders,
+    * normalized to [−1,1] for cross-pair comparison. */
+  def pmiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(concat_ws("#", col("user_id"), to_date(col("ts")).cast("string"))
+        .as("bid"), col("event_type").as("item"))
+    pmiPairs(ev, "bid", "item")
+      .coalesce(1).orderBy(col("item_a"), col("item_b"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q107_assoc_rules" -> (assocQuery _),
     "q108_triangles" -> (triangleQuery _),
     "q109_bfs" -> (bfsQuery _),
     "q110_mutual_info" -> (miQuery _),
     "q111_winnowing" -> (winnowQuery _),
-    "q112_pagerank" -> (pageRankQuery _))
+    "q112_pagerank" -> (pageRankQuery _),
+    "q138_pmi" -> (pmiQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -544,5 +596,31 @@ object GraphOracle {
         |  SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM v),
         |${prIters(5)}
         |SELECT node, round(rank, 6) AS rank
-        |FROM r5 ORDER BY rank DESC, node""".stripMargin)
+        |FROM r5 ORDER BY rank DESC, node""".stripMargin,
+
+    // same (user,day) baskets, same exact-integer ln arguments
+    "q138_pmi" ->
+      """WITH b AS (
+        |  SELECT DISTINCT
+        |         user_id || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS bid,
+        |         event_type AS item
+        |  FROM events),
+        |n AS (SELECT CAST(count(DISTINCT bid) AS BIGINT) AS n FROM b),
+        |supp AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY item),
+        |co AS (
+        |  SELECT l.item AS item_a, r.item AS item_b,
+        |         CAST(count(*) AS BIGINT) AS co
+        |  FROM b l JOIN b r ON l.bid = r.bid AND l.item < r.item
+        |  GROUP BY l.item, r.item)
+        |SELECT co.item_a, co.item_b, co.co, sa.s AS n_a, sc.s AS n_b,
+        |       round(ln((co.co * n.n) / CAST(sa.s * sc.s AS DOUBLE)), 6)
+        |         AS pmi,
+        |       round(ln((co.co * n.n) / CAST(sa.s * sc.s AS DOUBLE)) /
+        |             nullif(-ln(co.co / CAST(n.n AS DOUBLE)), 0.0), 6)
+        |         AS npmi
+        |FROM co JOIN supp sa ON sa.item = co.item_a
+        |        JOIN supp sc ON sc.item = co.item_b
+        |        CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin)
 }

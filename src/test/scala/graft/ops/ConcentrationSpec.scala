@@ -84,6 +84,25 @@ class ConcentrationSpec extends SparkSpec {
     }
   }
 
+  test("readability: integer word/vowel-group counts, closed-form Flesch") {
+    initQuiet()
+    // "data data": 2 words, 4 vowel groups (d-a-t-a twice) →
+    // flesch = 206.835 − 1.015·2 − 84.6·2 = 35.605
+    val df = Seq(("s", "data data")).toDF("g", "t")
+    val r = Concentration.readability(df, "g", "t").collect().head
+    assert(r.getLong(1) == 1 && r.getLong(2) == 2 && r.getLong(3) == 4)
+    assert(r.getDouble(6) == 35.605)
+  }
+
+  test("lexical diversity: ttr and within-group hapax share") {
+    initQuiet()
+    // tokens a,b,a: total 3, distinct 2, hapax {b} → ttr 2/3, share 1/2
+    val df = Seq(("s", "a b a")).toDF("g", "t")
+    val r = Concentration.lexicalDiversity(df, "g", "t").collect().head
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getLong(3) == 1)
+    assert(r.getDouble(4) == 0.666667 && r.getDouble(5) == 0.5)
+  }
+
   test("q121-q124 run end-to-end on the corpus") {
     initQuiet()
     assert(Concentration.giniQuery(spark, sf).count() == 5)

@@ -114,6 +114,23 @@ class GraphSpec extends SparkSpec {
     assert(rs.values.forall(r => r > 0 && r < 1))
   }
 
+  test("pmi: closed form on a hand basket set; npmi null when co = n") {
+    initQuiet()
+    // baskets 1:(a,b) 2:(a,b) 3:(a) 4:(c): n=4, c_a=3, c_b=2, co=2
+    // pmi = ln(2·4/(3·2)) = ln(4/3); npmi = ln(4/3)/−ln(2/4)
+    val df = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (4, "c"))
+      .toDF("bid", "item")
+    val r = Graph.pmiPairs(df, "bid", "item").collect().head
+    assert(r.getString(0) == "a" && r.getString(1) == "b" && r.getLong(2) == 2)
+    assert(math.abs(r.getDouble(5) - math.log(4.0 / 3)) < 1e-6)
+    assert(math.abs(r.getDouble(6) -
+      math.log(4.0 / 3) / -math.log(0.5)) < 2e-6)
+    // a pair present in EVERY basket: normalizer −ln(1) = 0 → npmi null
+    val full = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b")).toDF("bid", "item")
+    val f = Graph.pmiPairs(full, "bid", "item").collect().head
+    assert(f.getDouble(5) == 0.0 && f.isNullAt(6))
+  }
+
   test("corpus queries return sane shapes at sf0.001") {
     initQuiet()
     val tri = Graph.triangleQuery(spark, sf).collect()
