@@ -314,6 +314,32 @@ object Behavior {
       round(max(col("h")), 4).as("max_hours"))
   }
 
+  // --------------------------------------------------------------- q141
+
+  /** q141 — user-lifetime survival curve: for each horizon t ∈ 0..30
+    * days, how many users' observed lifetimes (last day − first day)
+    * reach at least t, and their share of all users — the retention
+    * complement-CDF read at exact integer day grain (no censoring
+    * model: the corpus window is fixed, and the curve is a statement
+    * about OBSERVED lifetimes, stated as such). One user-key
+    * aggregate, then a ≤31-row bounded explode — never a user×horizon
+    * join. All counts exact; one final division.
+    */
+  def survivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val life = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .as("__lt"))
+    val tot = life.agg(count(lit(1)).as("__t"))
+    life
+      .withColumn("t", explode(sequence(lit(0), least(col("__lt"), lit(30)))))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("n_users"),
+        round(col("n_users") / col("__t").cast("double"), 6).as("share"))
+      .coalesce(1).orderBy(col("t"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -322,7 +348,8 @@ object Behavior {
     "q100_attribution" -> (attribution _),
     "q101_keywords" -> (keywords _),
     "q105_ab_test" -> (abTestQuery _),
-    "q106_conversion_latency" -> (conversionLatency _))
+    "q106_conversion_latency" -> (conversionLatency _),
+    "q141_survival_curve" -> (survivalCurve _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -491,5 +518,21 @@ object BehaviorOracle {
         |       round(quantile_cont(h, 0.5), 4) AS p50_hours,
         |       round(quantile_cont(h, 0.9), 4) AS p90_hours,
         |       round(max(h), 4) AS max_hours
-        |FROM lat""".stripMargin)
+        |FROM lat""".stripMargin,
+
+    // observed lifetime per user in whole days; curve = complement CDF
+    // via the same ≤31-step bounded expansion
+    "q141_survival_curve" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |         date_diff('day', min(CAST(ts AS DATE)),
+        |                   max(CAST(ts AS DATE))) AS lt
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT count(*) AS t FROM life),
+        |s AS (
+        |  SELECT unnest(generate_series(0, least(lt, 30))) AS t FROM life)
+        |SELECT s.t, CAST(count(*) AS BIGINT) AS n_users,
+        |       round(count(*) / CAST(tot.t AS DOUBLE), 6) AS share
+        |FROM s CROSS JOIN tot GROUP BY s.t, tot.t
+        |ORDER BY s.t""".stripMargin)
 }

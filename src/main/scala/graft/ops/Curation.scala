@@ -1084,6 +1084,44 @@ object Curation {
       Tables.load(spark, dir, "documents").filter(col("source") === "src0"),
       "doc_id", "text", 10)
 
+  /** q140 — cross-source duplication matrix (oracle-checked): q25's
+    * exact 3-gram Jaccard near-dup pairs (threshold 0.5) rolled up to
+    * unordered (source, source) cells with the duplication RATE —
+    * pairs over possible pairs (n_a·n_b cross, C(n_a,2) diagonal; the
+    * consecutive-integer product is exactly even, so the integer
+    * division is exact). The inter-source contamination readout a mix
+    * owner checks before attributing quality differences to a source.
+    * Same inverted-index candidate shape as q25 — never all-pairs —
+    * plus two broadcast source-size attaches.
+    */
+  def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    val nsrc = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+    val tagged = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+        "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+        "id_b")
+      .select(least(col("__sa"), col("__sb")).as("src_a"),
+        greatest(col("__sa"), col("__sb")).as("src_b"))
+    tagged.groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(nsrc.select(col("source").as("src_a"),
+        col("__n").as("__na"))), "src_a")
+      .join(broadcast(nsrc.select(col("source").as("src_b"),
+        col("__n").as("__nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_pairs"),
+        col("__na").as("n_docs_a"), col("__nb").as("n_docs_b"),
+        round(col("n_pairs") /
+          when(col("src_a") === col("src_b"),
+            col("__na") * (col("__na") - 1) / 2)
+            .otherwise(col("__na") * col("__nb")).cast("double"), 6)
+          .as("dup_rate"))
+      .coalesce(1).orderBy(col("src_a"), col("src_b"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -1127,7 +1165,8 @@ object Curation {
     "q81_cohort_retention" -> (cohortStats _),
     "q83_pit_enrichment" -> (pitStats _),
     "q89_robust_outliers" -> (robustOutlierStats _),
-    "q90_tfidf_pairs" -> (tfidfPairStats _))
+    "q90_tfidf_pairs" -> (tfidfPairStats _),
+    "q140_source_overlap" -> (crossSourceOverlap _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

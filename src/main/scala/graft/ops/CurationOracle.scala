@@ -669,5 +669,42 @@ object CurationOracle {
         |      GROUP BY 1, 2)
         |SELECT d1, d2, round(dot/(x.nn*y.nn), 6) AS cosine
         |FROM p JOIN nrm x ON p.d1 = x.doc_id JOIN nrm y ON p.d2 = y.doc_id
-        |ORDER BY cosine DESC, d1, d2 LIMIT 10""".stripMargin)
+        |ORDER BY cosine DESC, d1, d2 LIMIT 10""".stripMargin,
+
+    // q25's exact 3-gram Jaccard pairs rolled up to unordered source
+    // cells; possible-pair denominators are exact integers
+    "q140_source_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5),
+        |nsrc AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |tagged AS (
+        |  SELECT least(da.source, db.source) AS src_a,
+        |         greatest(da.source, db.source) AS src_b
+        |  FROM pairs
+        |  JOIN documents da ON da.doc_id = pairs.id_a
+        |  JOIN documents db ON db.doc_id = pairs.id_b),
+        |m AS (
+        |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM tagged GROUP BY src_a, src_b)
+        |SELECT m.src_a, m.src_b, m.n_pairs,
+        |       a.n AS n_docs_a, b.n AS n_docs_b,
+        |       round(m.n_pairs / CAST(
+        |         CASE WHEN m.src_a = m.src_b THEN a.n * (a.n - 1) // 2
+        |              ELSE a.n * b.n END AS DOUBLE), 6) AS dup_rate
+        |FROM m JOIN nsrc a ON a.source = m.src_a
+        |       JOIN nsrc b ON b.source = m.src_b
+        |ORDER BY m.src_a, m.src_b""".stripMargin)
 }

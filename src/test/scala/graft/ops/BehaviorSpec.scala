@@ -214,4 +214,14 @@ class BehaviorSpec extends SparkSpec {
     val l1 = (1L to 9L).map(d => math.abs(a.getOrElse(d, 0.0) - b.getOrElse(d, 0.0))).sum
     assert(l1 < 0.01, s"scale shift moved a Benford histogram: $l1")
   }
+
+  test("survival curve: starts at share 1.0 and never rises") {
+    initQuiet()
+    val out = Behavior.survivalCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.head._1 == 0 && out.head._3 == 1.0) // every user survives t=0
+    out.map(_._2).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => ()
+    }
+  }
 }

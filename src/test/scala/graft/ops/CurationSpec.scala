@@ -330,4 +330,14 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.prioritySample(df, "id", "w", 0))
   }
+
+  test("cross-source overlap matrix: canonical pair order, rate in (0,1]") {
+    initQuiet()
+    val out = Curation.crossSourceOverlap(spark, sf).collect()
+    assert(out.nonEmpty) // the corpus carries near-dup pairs by design
+    out.foreach { r =>
+      assert(r.getString(0) <= r.getString(1)) // unordered cell canon
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }
