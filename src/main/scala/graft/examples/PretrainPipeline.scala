@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.Tables
-import graft.ops.{Curation, Validate}
+import graft.ops.{Curation, Drift, Validate}
 import graft.text.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -112,6 +112,23 @@ object PretrainPipeline {
     val u = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
     val mixed = Curation.sourceMix(capped, "source", "n_tok", weights, u)
     stats += "mixed" -> mixed.count()
+
+    // 5b. mix audit: before committing the blend, score each surviving
+    //     source's length distribution against the rest (exact
+    //     two-sample KS) and its language mix against the corpus
+    //     (Jensen–Shannon, ln2-normalized) — the drift gates a mix
+    //     owner reads BEFORE spending GPU-hours on a skewed blend.
+    //     The KS gate reads the NORMALIZED statistic √(n₁n₂/n)·D at
+    //     the α≈0.001 Kolmogorov critical value (1.95): raw D runs
+    //     large on small per-source samples by pure noise, which is
+    //     exactly what the normalization prices in. Flag counts land
+    //     in the stats; the per-source tables are a .show() away.
+    stats += "audit_ks_flagged" ->
+      Drift.ksLeaveOneOut(mixed, "source", "n_chars")
+        .filter(col("ks_stat") > 1.95).count()
+    stats += "audit_jsd_flagged" ->
+      Drift.jsDivergence(mixed, "source", "lang")
+        .filter(col("jsd_norm") > 0.5).count()
 
     // 6. deterministic 90/5/5 split; train continues down the pipe
     val Seq(train, valF, testF) =

@@ -61,12 +61,17 @@ object ScaleCheck {
     // the distinct-doc count row; q115 the trigram total row; q119
     // combines SIX single-row anti-join counts; q127 the corpus
     // max-instant row; q128 the gap-histogram total row.
+    // q134 attaches the total-rows row; q135 the timeline midpoint row;
+    // q136 the corpus-total and (A, H(Q)) scalar rows; q138 the basket
+    // count row; q141 the user total row — all single-row
+    // IdentityBroadcastMode attaches, non-scaling by construction.
     val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters",
       "q82_asof_ties", "q96_rfm_segments", "q99_benford",
       "q104_interpolate", "q107_assoc_rules", "q108_triangles",
       "q109_bfs", "q110_mutual_info", "q111_winnowing", "q115_trigrams",
       "q119_conformance", "q127_freshness", "q128_gap_histogram",
-      "q130_quality_curve")
+      "q130_quality_curve", "q134_ks_drift", "q135_psi", "q136_jsd",
+      "q138_pmi", "q141_survival_curve")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -96,7 +101,12 @@ object ScaleCheck {
       "q119_conformance", "q120_position", "q121_gini", "q122_pareto",
       "q123_cr4", "q124_oov", "q125_jaro_pairs", "q126_item_cf",
       "q127_freshness", "q128_gap_histogram", "q129_dow_profile",
-      "q130_quality_curve", "q131_bounce_rate", "q132_rolling_corr")
+      "q130_quality_curve", "q131_bounce_rate", "q132_rolling_corr",
+      // round-6 continuation: weighted percentiles, distribution-drift
+      // trio, text statistics, PMI, contamination matrix, survival
+      "q133_weighted_median", "q134_ks_drift", "q135_psi", "q136_jsd",
+      "q137_readability", "q138_pmi", "q139_lexical_diversity",
+      "q140_source_overlap", "q141_survival_curve")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

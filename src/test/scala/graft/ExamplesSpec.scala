@@ -7,11 +7,17 @@ class ExamplesSpec extends SparkSpec {
 
   test("PretrainPipeline: monotone filtering, disjoint folds, sane packing") {
     val stats = PretrainPipeline.run(spark, sf).toMap
-    // every stage produced rows (the quarantine is rightly empty on a
-    // clean corpus — the poison test below drives it)
-    assert(stats.filter(_._1 != "quarantined").values.forall(_ > 0),
+    // every stage produced rows (the quarantine and the drift-audit
+    // flag counts are rightly zero on a clean uniform corpus — the
+    // poison test below drives the former; the audit keys are asserted
+    // present explicitly)
+    val zeroOk = Set("quarantined", "audit_ks_flagged", "audit_jsd_flagged")
+    assert(stats.filter(kv => !zeroOk(kv._1)).values.forall(_ > 0),
       s"empty stage in $stats")
     assert(stats("quarantined") == 0, s"clean corpus quarantined rows: $stats")
+    // uniform synthetic sources: no source should trip the drift gates
+    assert(stats("audit_ks_flagged") == 0 && stats("audit_jsd_flagged") == 0,
+      s"drift audit flagged a uniform corpus: $stats")
     assert(stats("validated") == stats("raw"))
     // filters only remove
     assert(stats("quality") <= stats("raw"))
