@@ -364,7 +364,8 @@ object Drift {
     "q133_weighted_median" -> (weightedMedianQuery _),
     "q134_ks_drift" -> (ksQuery _),
     "q135_psi" -> (psiQuery _),
-    "q136_jsd" -> (jsdQuery _))
+    "q136_jsd" -> (jsdQuery _),
+    "q142_rank_bias" -> (rankBiasQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -458,6 +459,64 @@ object Drift {
   def ksQuery(spark: SparkSession, dir: String): DataFrame =
     orderedSmall(
       ksLeaveOneOut(Tables.load(spark, dir, "documents"), "source", "n_chars"),
+      col("source"))
+
+  // ------------------------------------------ Mann–Whitney (q142)
+
+  /** Leave-one-out Mann–Whitney rank bias per group: the probability
+    * AUC = P(group value > rest value) + ½·P(tie) — 0.5 means no
+    * location bias — plus the tie-corrected z statistic. The LOCATION
+    * complement to [[ksLeaveOneOut]]'s shape test.
+    *
+    * EXACT until the final two divisions, via the doubled-midrank
+    * trick: 2·midrank(v) = 2·|{< v}| + t_v + 1 is an integer, so the
+    * group's doubled rank sum S2 = Σ a_v·(2c_lt + t_v + 1), the
+    * doubled U statistic U2 = S2 − n_g(n_g+1), and the tie-correction
+    * mass Σ(t³−t) are all BIGINT; AUC = U2/(2·n_g·n_r) and
+    * z = (U2/2 − n_g·n_r/2)/σ_tie are each ONE closed-form double.
+    * Same plan shape as KS: one (group,value) aggregate, a bounded
+    * value-grid cumulative, broadcast attaches; t³ stays in BIGINT to
+    * t ≈ 2×10⁶ rows per value — beyond that swap the sums to
+    * DECIMAL(38,0) as q121 does.
+    */
+  def rankBiasLeaveOneOut(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    val gv = df.groupBy(g, col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__a"))
+    val grid = gv.groupBy(col("__v")).agg(sum(col("__a")).as("__t"))
+      .withColumn("__ct", sum(col("__t")).over(Window.orderBy(col("__v"))))
+      .withColumn("__clt", col("__ct") - col("__t"))
+    val tot = grid.agg(max(col("__ct")).as("__n"),
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__t3"))
+    val perG = gv.join(broadcast(grid), "__v")
+      .groupBy(g)
+      .agg(sum(col("__a")).as("__ns"),
+        sum(col("__a") * (lit(2) * col("__clt") + col("__t") + 1))
+          .as("__s2"))
+    perG.crossJoin(broadcast(tot))
+      .withColumn("__nr", col("__n") - col("__ns"))
+      .withColumn("__u2", col("__s2") - col("__ns") * (col("__ns") + 1))
+      .select(g, col("__ns").as("n_group"), col("__nr").as("n_rest"),
+        round(col("__u2") /
+          (lit(2.0) * col("__ns") * col("__nr")), 6).as("auc"),
+        round((col("__u2") / lit(2.0) -
+          col("__ns") * col("__nr") / lit(2.0)) /
+          nullif(sqrt(col("__ns").cast("double") * col("__nr") / 12.0 *
+            ((col("__n") + 1) - col("__t3") /
+              (col("__n").cast("double") * (col("__n") - 1)))), lit(0.0)),
+          4).as("z"))
+  }
+
+  /** q142 — length-location bias per document source: Mann–Whitney
+    * AUC of each source's n_chars against the rest (0.5 = unbiased)
+    * with the tie-corrected z — catches a source running
+    * systematically long/short even when q134's KS shape test stays
+    * quiet. */
+  def rankBiasQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      rankBiasLeaveOneOut(Tables.load(spark, dir, "documents"),
+        "source", "n_chars"),
       col("source"))
 
   // --------------------------------------------------------------- q135
@@ -854,6 +913,34 @@ object DriftOracle {
         |FROM cells c JOIN totals t USING (event_type)
         |GROUP BY c.event_type, t.n1, t.n2
         |ORDER BY c.event_type""".stripMargin,
+
+    // the doubled-midrank trick: every sum BIGINT, two final divisions
+    "q142_rank_bias" ->
+      """WITH gv AS (
+        |  SELECT source AS g, n_chars AS v, count(*) AS a
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT v, CAST(sum(a) AS BIGINT) AS t,
+        |         CAST(sum(sum(a)) OVER (ORDER BY v) AS BIGINT) AS ct
+        |  FROM gv GROUP BY v),
+        |grid2 AS (SELECT v, t, ct, ct - t AS clt FROM grid),
+        |tot AS (
+        |  SELECT max(ct) AS n, CAST(sum(t*t*t - t) AS BIGINT) AS t3
+        |  FROM grid2),
+        |per AS (
+        |  SELECT gv.g, CAST(sum(gv.a) AS BIGINT) AS ns,
+        |         CAST(sum(gv.a * (2*g2.clt + g2.t + 1)) AS BIGINT) AS s2
+        |  FROM gv JOIN grid2 g2 USING (v) GROUP BY gv.g)
+        |SELECT p.g AS source, p.ns AS n_group, tot.n - p.ns AS n_rest,
+        |       round((p.s2 - p.ns*(p.ns+1)) /
+        |             (2.0 * p.ns * (tot.n - p.ns)), 6) AS auc,
+        |       round(((p.s2 - p.ns*(p.ns+1)) / 2.0 -
+        |              p.ns * (tot.n - p.ns) / 2.0) /
+        |             nullif(sqrt(CAST(p.ns AS DOUBLE) * (tot.n - p.ns) /
+        |               12.0 * ((tot.n + 1) - tot.t3 /
+        |                 (CAST(tot.n AS DOUBLE) * (tot.n - 1)))), 0.0), 4)
+        |         AS z
+        |FROM per p CROSS JOIN tot ORDER BY source""".stripMargin,
 
     // JSD = H(M) − (H(P)+H(Q))/2; the p=0 part of H(M) folds into the
     // global scalar A = Σ(q/2)ln(q/2) — observed cells only, like Spark

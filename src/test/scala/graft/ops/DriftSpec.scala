@@ -215,6 +215,22 @@ class DriftSpec extends SparkSpec {
     assert(out.forall(_.getDouble(3) == 0.0))
   }
 
+  test("rank bias: separated samples pin AUC 0/1; full ties give 0.5, null z") {
+    initQuiet()
+    // a = {1,2} all below rest {3,4}: P(a > rest) = 0 → auc 0; b's view
+    // is the mirror → auc 1
+    val df = (Seq(("a", 1L), ("a", 2L)) ++ Seq(("b", 3L), ("b", 4L)))
+      .toDF("g", "v")
+    val out = Drift.rankBiasLeaveOneOut(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("a") == 0.0 && out("b") == 1.0)
+    // every value tied: auc is exactly 1/2 and the tie-corrected
+    // variance collapses to 0 → z null, never NaN
+    val tied = Seq(("a", 5L), ("b", 5L)).toDF("g", "v")
+    val t = Drift.rankBiasLeaveOneOut(tied, "g", "v").collect()
+    assert(t.forall(r => r.getDouble(3) == 0.5 && r.isNullAt(4)))
+  }
+
   test("psi: identical halves score 0; a swapped mix scores the closed form") {
     initQuiet()
     // identical: both halves have buckets {1:2, 2:2}
@@ -285,6 +301,10 @@ class DriftSpec extends SparkSpec {
     val jsd = Drift.jsdQuery(spark, sf).collect()
     assert(jsd.nonEmpty && jsd.forall { r =>
       r.getDouble(3) >= 0.0 && r.getDouble(4) <= 1.0
+    })
+    val rb = Drift.rankBiasQuery(spark, sf).collect()
+    assert(rb.nonEmpty && rb.forall { r =>
+      r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0
     })
   }
 }

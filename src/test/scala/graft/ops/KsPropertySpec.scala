@@ -59,4 +59,25 @@ class KsPropertySpec extends SparkSpec {
       assert(got == want, s"fixture $i: got=$got want=$want rows=$rows")
     }
   }
+
+  private def bruteForceAuc(rows: Seq[(String, Long)]): Map[String, Double] =
+    rows.groupBy(_._1).map { case (g, own) =>
+      val rest = rows.filterNot(_._1 == g)
+      // AUC = (wins + half the ties) over all cross pairs
+      val num2 = (for { (_, x) <- own; (_, y) <- rest } yield
+        if (x > y) 2L else if (x == y) 1L else 0L).sum
+      g -> BigDecimal(num2.toDouble / (2.0 * own.size * rest.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+  test("doubled-midrank AUC equals the all-pairs win/tie count") {
+    initQuiet()
+    samples(fixtures, 60).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("g", "v")
+      val got = Drift.rankBiasLeaveOneOut(df, "g", "v").collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val want = bruteForceAuc(rows)
+      assert(got == want, s"fixture $i: got=$got want=$want rows=$rows")
+    }
+  }
 }
