@@ -1122,6 +1122,41 @@ object Curation {
       .coalesce(1).orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q143 — split-leakage audit (oracle-checked): q25's exact 3-gram
+    * near-dup pairs tagged with each endpoint's deterministic 90/5/5
+    * fold (the [[mixedKey]] mixer, salt 42 — engine-independent, the
+    * q58/q66 convention) and rolled up per unordered fold cell. A pair
+    * STRADDLING folds is evaluation leakage: the model sees a
+    * near-copy of a held-out doc in training — exactly what q51's
+    * benchmark decontamination exists to prevent, now audited for the
+    * in-corpus split itself. Same inverted-index pair shape as q25;
+    * fold tagging is two broadcast-joins; output ≤ C(3,2)+3 rows.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.5)
+    val u = pmod(mixedKey(col("doc_id").cast("long"), 42L), lit(1000000L))
+    val folds = docs.select(col("doc_id"),
+      when(u < 900000L, "train").when(u < 950000L, "val")
+        .otherwise("test").as("fold"))
+    val tagged = pairs
+      .join(folds.select(col("doc_id").as("id_a"), col("fold").as("__fa")),
+        "id_a")
+      .join(folds.select(col("doc_id").as("id_b"), col("fold").as("__fb")),
+        "id_b")
+      .select(least(col("__fa"), col("__fb")).as("fold_a"),
+        greatest(col("__fa"), col("__fb")).as("fold_b"))
+    val cells = tagged.groupBy(col("fold_a"), col("fold_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = cells.agg(sum(col("n_pairs")).as("__t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("fold_a"), col("fold_b"), col("n_pairs"),
+        (col("fold_a") =!= col("fold_b")).as("is_leak"),
+        round(col("n_pairs") / col("__t").cast("double"), 6).as("share"))
+      .coalesce(1).orderBy(col("fold_a"), col("fold_b"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -1166,7 +1201,8 @@ object Curation {
     "q83_pit_enrichment" -> (pitStats _),
     "q89_robust_outliers" -> (robustOutlierStats _),
     "q90_tfidf_pairs" -> (tfidfPairStats _),
-    "q140_source_overlap" -> (crossSourceOverlap _))
+    "q140_source_overlap" -> (crossSourceOverlap _),
+    "q143_split_leakage" -> (splitLeakage _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

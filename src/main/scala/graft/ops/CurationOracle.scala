@@ -706,5 +706,47 @@ object CurationOracle {
         |              ELSE a.n * b.n END AS DOUBLE), 6) AS dup_rate
         |FROM m JOIN nsrc a ON a.source = m.src_a
         |       JOIN nsrc b ON b.source = m.src_b
-        |ORDER BY m.src_a, m.src_b""".stripMargin)
+        |ORDER BY m.src_a, m.src_b""".stripMargin,
+
+    // q25's pairs + the q58/q66 mixer (salt 42) folded 90/5/5; a pair
+    // straddling folds is evaluation leakage
+    "q143_split_leakage" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM p
+        |  WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5),
+        |folds AS (
+        |  SELECT doc_id,
+        |         CASE WHEN u < 900000 THEN 'train'
+        |              WHEN u < 950000 THEN 'val'
+        |              ELSE 'test' END AS fold
+        |  FROM (SELECT doc_id,
+        |          ((doc_id % 1000003) * 2654435761 + (doc_id >> 16) * 7919
+        |           + 42 * 10007)
+        |          % 1000000007 * 2654435761 % 1000000007 % 1000000 AS u
+        |        FROM documents)),
+        |tagged AS (
+        |  SELECT least(fa.fold, fb.fold) AS fold_a,
+        |         greatest(fa.fold, fb.fold) AS fold_b
+        |  FROM pairs
+        |  JOIN folds fa ON fa.doc_id = pairs.id_a
+        |  JOIN folds fb ON fb.doc_id = pairs.id_b),
+        |cells AS (
+        |  SELECT fold_a, fold_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM tagged GROUP BY fold_a, fold_b),
+        |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM cells)
+        |SELECT fold_a, fold_b, n_pairs,
+        |       fold_a <> fold_b AS is_leak,
+        |       round(n_pairs / CAST(tot.t AS DOUBLE), 6) AS share
+        |FROM cells CROSS JOIN tot
+        |ORDER BY fold_a, fold_b""".stripMargin)
 }

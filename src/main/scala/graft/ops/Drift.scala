@@ -365,7 +365,8 @@ object Drift {
     "q134_ks_drift" -> (ksQuery _),
     "q135_psi" -> (psiQuery _),
     "q136_jsd" -> (jsdQuery _),
-    "q142_rank_bias" -> (rankBiasQuery _))
+    "q142_rank_bias" -> (rankBiasQuery _),
+    "q144_spearman" -> (spearmanQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -377,6 +378,13 @@ object Drift {
     * of integer-frequency weighting, so the two engines interpolate
     * over the identical multiset. Weights are integral by corpus
     * construction; the cast is exact.
+    *
+    * Scale: `percentile` is holistic — per-group state is the distinct
+    * (value, total-weight) map, fine while value cardinality is
+    * bounded (prices on a cents grid) but the 26 s/100× heavy end of
+    * the suite; the unbounded-scale swap is the 3-arg
+    * `approx_percentile` (mergeable sketch, same call shape), the q116
+    * convention.
     */
   def weightedMedianQuery(spark: SparkSession, dir: String): DataFrame =
     orderedSmall(
@@ -506,6 +514,59 @@ object Drift {
             ((col("__n") + 1) - col("__t3") /
               (col("__n").cast("double") * (col("__n") - 1)))), lit(0.0)),
           4).as("z"))
+  }
+
+  // --------------------------------------------------------------- q144
+
+  /** q144 — Spearman rank correlation per nation between customer
+    * account balance and realized order spend (both in exact cents):
+    * does stated balance predict actual spend, monotonic version.
+    * Doubled midranks (2·mr = 2·rank + t − 1, both from integer
+    * windows partitioned by nation) make every co-moment sum a
+    * BIGINT; ρ is q132's closed Pearson form over those integers —
+    * ONE double expression, zero-variance groups null. Customers with
+    * no orders rank at spend 0 (a real zero, not a dropped row).
+    * Per-nation windows — no global sort; co-moment products stay in
+    * BIGINT to ~10⁶ rows per group, beyond that swap the sums to
+    * DECIMAL(38,0) as q121 does.
+    */
+  def spearmanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__sp"))
+    val rows = Tables.load(spark, dir, "customer")
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        round(col("c_acctbal") * 100).cast("long").as("__x"),
+        coalesce(col("__sp"), lit(0L)).as("__y"))
+    val wx = Window.partitionBy(col("n_name")).orderBy(col("__x"))
+    val wxt = Window.partitionBy(col("n_name"), col("__x"))
+    val wy = Window.partitionBy(col("n_name")).orderBy(col("__y"))
+    val wyt = Window.partitionBy(col("n_name"), col("__y"))
+    val ranked = rows
+      .withColumn("__mx",
+        lit(2) * rank().over(wx) + count(lit(1)).over(wxt) - 1)
+      .withColumn("__my",
+        lit(2) * rank().over(wy) + count(lit(1)).over(wyt) - 1)
+    orderedSmall(
+      ranked.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("__mx")).as("__sx"), sum(col("__my")).as("__sy"),
+          sum(col("__mx") * col("__my")).as("__sxy"),
+          sum(col("__mx") * col("__mx")).as("__sx2"),
+          sum(col("__my") * col("__my")).as("__sy2"))
+        .select(col("n_name"), col("n_customers"),
+          round((col("n_customers") * col("__sxy") -
+            col("__sx") * col("__sy")) /
+            nullif(sqrt(
+              (col("n_customers") * col("__sx2") -
+                col("__sx") * col("__sx")).cast("double") *
+              (col("n_customers") * col("__sy2") -
+                col("__sy") * col("__sy")).cast("double")), lit(0.0)),
+            6).as("spearman")),
+      col("n_name"))
   }
 
   /** q142 — length-location bias per document source: Mann–Whitney
@@ -913,6 +974,42 @@ object DriftOracle {
         |FROM cells c JOIN totals t USING (event_type)
         |GROUP BY c.event_type, t.n1, t.n2
         |ORDER BY c.event_type""".stripMargin,
+
+    // doubled midranks from the same rank()/tie-count windows; ρ is the
+    // q132 closed Pearson form over BIGINT co-moments
+    "q144_spearman" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |              AS BIGINT) AS sp
+        |  FROM orders GROUP BY o_custkey),
+        |rows0 AS (
+        |  SELECT n.n_name, CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+        |         coalesce(s.sp, 0) AS y
+        |  FROM customer c
+        |  LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |r AS (
+        |  SELECT n_name,
+        |         2 * rank() OVER (PARTITION BY n_name ORDER BY x) +
+        |           count(*) OVER (PARTITION BY n_name, x) - 1 AS mx,
+        |         2 * rank() OVER (PARTITION BY n_name ORDER BY y) +
+        |           count(*) OVER (PARTITION BY n_name, y) - 1 AS my
+        |  FROM rows0),
+        |g AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(mx) AS BIGINT) AS sx,
+        |         CAST(sum(my) AS BIGINT) AS sy,
+        |         CAST(sum(mx*my) AS BIGINT) AS sxy,
+        |         CAST(sum(mx*mx) AS BIGINT) AS sx2,
+        |         CAST(sum(my*my) AS BIGINT) AS sy2
+        |  FROM r GROUP BY n_name)
+        |SELECT n_name, n AS n_customers,
+        |       round((n * sxy - sx * sy) /
+        |             nullif(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) *
+        |                         CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0),
+        |             6) AS spearman
+        |FROM g ORDER BY n_name""".stripMargin,
 
     // the doubled-midrank trick: every sum BIGINT, two final divisions
     "q142_rank_bias" ->

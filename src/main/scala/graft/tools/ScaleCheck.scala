@@ -71,7 +71,8 @@ object ScaleCheck {
       "q109_bfs", "q110_mutual_info", "q111_winnowing", "q115_trigrams",
       "q119_conformance", "q127_freshness", "q128_gap_histogram",
       "q130_quality_curve", "q134_ks_drift", "q135_psi", "q136_jsd",
-      "q138_pmi", "q141_survival_curve", "q142_rank_bias")
+      "q138_pmi", "q141_survival_curve", "q142_rank_bias",
+      "q143_split_leakage")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -106,7 +107,8 @@ object ScaleCheck {
       // trio, text statistics, PMI, contamination matrix, survival
       "q133_weighted_median", "q134_ks_drift", "q135_psi", "q136_jsd",
       "q137_readability", "q138_pmi", "q139_lexical_diversity",
-      "q140_source_overlap", "q141_survival_curve", "q142_rank_bias")
+      "q140_source_overlap", "q141_survival_curve", "q142_rank_bias",
+      "q143_split_leakage", "q144_spearman")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -331,6 +331,20 @@ class CurationSpec extends SparkSpec {
       Curation.prioritySample(df, "id", "w", 0))
   }
 
+  test("split leakage: fold cells conserve the near-dup pair total") {
+    initQuiet()
+    val cells = Curation.splitLeakage(spark, sf).collect()
+    assert(cells.nonEmpty)
+    val total = cells.map(_.getLong(2)).sum
+    val pairs = graft.text.Dedup.ngramJaccard(
+      graft.Tables.load(spark, sf, "documents"), "doc_id", "text", 3, 0.5)
+      .count()
+    assert(total == pairs, s"cells sum $total != pair count $pairs")
+    cells.foreach { r =>
+      assert(r.getBoolean(3) == (r.getString(0) != r.getString(1)))
+    }
+  }
+
   test("cross-source overlap matrix: canonical pair order, rate in (0,1]") {
     initQuiet()
     val out = Curation.crossSourceOverlap(spark, sf).collect()

@@ -231,6 +231,41 @@ class DriftSpec extends SparkSpec {
     assert(t.forall(r => r.getDouble(3) == 0.5 && r.isNullAt(4)))
   }
 
+  test("spearman midranks: monotone ±1, ties averaged, constant null") {
+    initQuiet()
+    // reuse the query's ranking algebra directly on a hand frame via
+    // the same doubled-midrank construction
+    val df = Seq(("n", 1L, 10L), ("n", 2L, 20L), ("n", 3L, 30L),
+      ("m", 1L, 30L), ("m", 2L, 20L), ("m", 3L, 10L),
+      ("c", 1L, 5L), ("c", 2L, 5L), ("c", 3L, 5L))
+      .toDF("n_name", "__x", "__y")
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name")).orderBy(col("__x"))
+    val wxt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name"), col("__x"))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name")).orderBy(col("__y"))
+    val wyt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_name"), col("__y"))
+    val r = df
+      .withColumn("__mx", lit(2) * rank().over(wx) + count(lit(1)).over(wxt) - 1)
+      .withColumn("__my", lit(2) * rank().over(wy) + count(lit(1)).over(wyt) - 1)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), sum(col("__mx")).as("sx"),
+        sum(col("__my")).as("sy"), sum(col("__mx") * col("__my")).as("sxy"),
+        sum(col("__mx") * col("__mx")).as("sx2"),
+        sum(col("__my") * col("__my")).as("sy2"))
+      .select(col("n_name"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(sqrt((col("n") * col("sx2") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")),
+            lit(0.0)), 6).as("rho"))
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(r("n") == Some(1.0) && r("m") == Some(-1.0) && r("c") == None)
+  }
+
   test("psi: identical halves score 0; a swapped mix scores the closed form") {
     initQuiet()
     // identical: both halves have buckets {1:2, 2:2}
