@@ -285,6 +285,85 @@ object Concentration {
       lexicalDiversity(Tables.load(spark, dir, "documents"), "source", "text"),
       col("source"))
 
+  // --------------------------------------------------------------- q146
+
+  /** Equi-depth (equal-count) histogram per group: `buckets` ntile
+    * buckets over a TOTAL order (value, then unique tiebreak — both
+    * engines assign identical bucket ids, standard ntile remainder
+    * rule), with per-bucket count and exact integer lo/hi boundaries.
+    * The window partitions by the group key, so groups sort in
+    * parallel and no single partition concentrates; the 100 TB swap
+    * for a single giant group is `approx_percentile` boundaries (q32's
+    * mergeable-sketch path) at the cost of exactness. */
+  def equiDepthHistogram(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need >=2 buckets: $buckets")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+    df.withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+  }
+
+  /** q146 — order-value equi-depth deciles per market segment: ten
+    * equal-count buckets of `o_totalprice` (exact cents, o_orderkey
+    * tiebreak) with dollar boundaries — the "what does a p40–p50 order
+    * look like" profile at histogram cost, not holistic-percentile
+    * cost. */
+  def equiDepthQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        round(col("o_totalprice") * 100).cast("long").as("__cents"),
+        col("o_orderkey"))
+    orderedSmall(
+      equiDepthHistogram(rows, "c_mktsegment", "__cents", "o_orderkey", 10)
+        .select(col("c_mktsegment"), col("bucket"), col("n"),
+          round(col("__lo") / lit(100.0), 2).as("lo"),
+          round(col("__hi") / lit(100.0), 2).as("hi")),
+      col("c_mktsegment"), col("bucket"))
+  }
+
+  // --------------------------------------------------------------- q147
+
+  /** Lorenz curve at decile grain per group: entities ranked ascending
+    * by value (unique tiebreak), ntile-bucketed into ten equal-count
+    * bins; per bin the exact decimal(38,0) value sum, its share of the
+    * group total and the cumulative share — the curve whose area gap
+    * is q121's Gini, readable bin by bin ("the bottom half of
+    * customers carries x% of revenue"). Group-parallel sort like
+    * [[gini]]; the decile rollup and the two share divisions are
+    * 10-rows-per-group cheap. */
+  def lorenzDeciles(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
+    val bins = df.withColumn("decile", ntile(10).over(w))
+      .groupBy(col(keyCol), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__s"))
+    val wt = Window.partitionBy(col(keyCol))
+    val wc = Window.partitionBy(col(keyCol)).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins
+      .withColumn("__t", sum(col("__s")).over(wt))
+      .withColumn("__c", sum(col("__s")).over(wc))
+      .select(col(keyCol), col("decile"), col("n"),
+        round(col("__s").cast("double") / col("__t").cast("double"), 6)
+          .as("share"),
+        round(col("__c").cast("double") / col("__t").cast("double"), 6)
+          .as("cum_share"))
+  }
+
+  /** q147 — revenue Lorenz deciles per market segment over the q121
+    * customer-total population (customers with ≥1 order, exact
+    * cents). */
+  def lorenzQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      lorenzDeciles(custTotals(spark, dir), "c_mktsegment", "cents",
+        "c_custkey"),
+      col("c_mktsegment"), col("decile"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -292,7 +371,9 @@ object Concentration {
     "q124_oov" -> (oovQuery _),
     "q130_quality_curve" -> (qualityCurveQuery _),
     "q137_readability" -> (readabilityQuery _),
-    "q139_lexical_diversity" -> (lexicalDiversityQuery _))
+    "q139_lexical_diversity" -> (lexicalDiversityQuery _),
+    "q146_equidepth" -> (equiDepthQuery _),
+    "q147_lorenz" -> (lorenzQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -447,5 +528,51 @@ object ConcentrationOracle {
         |       round(distinct_tokens / CAST(total_tokens AS DOUBLE), 6) AS ttr,
         |       round(hapax_tokens / CAST(distinct_tokens AS DOUBLE), 6)
         |         AS hapax_share
-        |FROM g ORDER BY source""".stripMargin)
+        |FROM g ORDER BY source""".stripMargin,
+
+    // identical total order (cents, o_orderkey) -> identical standard
+    // ntile assignment; exact integer boundaries, dollars at render
+    "q146_equidepth" ->
+      """WITH rows0 AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+        |         o.o_orderkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |b AS (
+        |  SELECT c_mktsegment,
+        |         ntile(10) OVER (PARTITION BY c_mktsegment
+        |                         ORDER BY cents, o_orderkey) AS bucket,
+        |         cents
+        |  FROM rows0)
+        |SELECT c_mktsegment, bucket, CAST(count(*) AS BIGINT) AS n,
+        |       round(min(cents) / 100.0, 2) AS lo,
+        |       round(max(cents) / 100.0, 2) AS hi
+        |FROM b GROUP BY c_mktsegment, bucket
+        |ORDER BY c_mktsegment, bucket""".stripMargin,
+
+    // q121's customer-total population; HUGEINT sums = the
+    // decimal(38,0) twin; two double divisions per decile row
+    "q147_lorenz" ->
+      s"""WITH $custTotals,
+        |b AS (
+        |  SELECT c_mktsegment,
+        |         ntile(10) OVER (PARTITION BY c_mktsegment
+        |                         ORDER BY cents, c_custkey) AS decile,
+        |         CAST(cents AS HUGEINT) AS cents
+        |  FROM t),
+        |bins AS (
+        |  SELECT c_mktsegment, decile, CAST(count(*) AS BIGINT) AS n,
+        |         sum(cents) AS s
+        |  FROM b GROUP BY c_mktsegment, decile),
+        |cum AS (
+        |  SELECT c_mktsegment, decile, n, s,
+        |         sum(s) OVER (PARTITION BY c_mktsegment) AS t,
+        |         sum(s) OVER (PARTITION BY c_mktsegment ORDER BY decile
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND CURRENT ROW) AS c
+        |  FROM bins)
+        |SELECT c_mktsegment, decile, n,
+        |       round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+        |       round(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
+        |FROM cum ORDER BY c_mktsegment, decile""".stripMargin)
 }

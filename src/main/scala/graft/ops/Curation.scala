@@ -1032,6 +1032,18 @@ object Curation {
       "user_id", "ts", "event_type",
       Seq("signup", "view", "click", "purchase"))
 
+  /** q148 — windowed funnel (oracle-checked): the q80 chain under a
+    * 24-hour first-touch conversion window via
+    * [[Temporal.windowedFunnelSteps]] — each step must land strictly
+    * after the previous match AND within 24 h of the user's first
+    * signup. The oracle replays the anchored min-chain with the same
+    * interval bound carried from t1.
+    */
+  def windowFunnelStats(spark: SparkSession, dir: String): DataFrame =
+    Temporal.windowedFunnelSteps(Tables.load(spark, dir, "events"),
+      "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase"), 24L * 3600)
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1202,7 +1214,8 @@ object Curation {
     "q89_robust_outliers" -> (robustOutlierStats _),
     "q90_tfidf_pairs" -> (tfidfPairStats _),
     "q140_source_overlap" -> (crossSourceOverlap _),
-    "q143_split_leakage" -> (splitLeakage _))
+    "q143_split_leakage" -> (splitLeakage _),
+    "q148_window_funnel" -> (windowFunnelStats _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -748,5 +748,36 @@ object CurationOracle {
         |       fold_a <> fold_b AS is_leak,
         |       round(n_pairs / CAST(tot.t AS DOUBLE), 6) AS share
         |FROM cells CROSS JOIN tot
-        |ORDER BY fold_a, fold_b""".stripMargin)
+        |ORDER BY fold_a, fold_b""".stripMargin,
+
+    // windowed-funnel twin: the q80 min-chain anchored at t1 with the
+    // 24 h bound carried from the anchor (interval add ≡ integer-µs
+    // add under the pinned UTC session)
+    "q148_window_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) ts FROM events
+        |            WHERE event_type = 'signup' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) ts, t1.ts ats FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'view' AND e.ts > t1.ts
+        |         AND e.ts <= t1.ts + INTERVAL 24 HOUR
+        |       GROUP BY e.user_id, t1.ts),
+        |t3 AS (SELECT e.user_id, min(e.ts) ts, t2.ats FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > t2.ts
+        |         AND e.ts <= t2.ats + INTERVAL 24 HOUR
+        |       GROUP BY e.user_id, t2.ats),
+        |t4 AS (SELECT e.user_id, min(e.ts) ts FROM events e
+        |       JOIN t3 ON e.user_id = t3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > t3.ts
+        |         AND e.ts <= t3.ats + INTERVAL 24 HOUR
+        |       GROUP BY e.user_id),
+        |counts AS (
+        |  SELECT 1 step_idx, 'signup' step, count(*) n_users FROM t1
+        |  UNION ALL SELECT 2, 'view', count(*) FROM t2
+        |  UNION ALL SELECT 3, 'click', count(*) FROM t3
+        |  UNION ALL SELECT 4, 'purchase', count(*) FROM t4)
+        |SELECT step_idx, step, n_users,
+        |       round(CAST(n_users AS DOUBLE) /
+        |         NULLIF((SELECT n_users FROM counts WHERE step_idx = 1), 0), 6) conv
+        |FROM counts ORDER BY step_idx""".stripMargin)
 }

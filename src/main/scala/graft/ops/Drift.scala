@@ -366,7 +366,8 @@ object Drift {
     "q135_psi" -> (psiQuery _),
     "q136_jsd" -> (jsdQuery _),
     "q142_rank_bias" -> (rankBiasQuery _),
-    "q144_spearman" -> (spearmanQuery _))
+    "q144_spearman" -> (spearmanQuery _),
+    "q145_moments" -> (momentsQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -701,6 +702,61 @@ object Drift {
     orderedSmall(
       jsDivergence(Tables.load(spark, dir, "documents"), "source", "lang"),
       col("source"))
+
+  // --------------------------------------------------------------- q145
+
+  /** Univariate shape moments per group from EXACT power sums: the
+    * integer-valued column is carried as decimal(38,0) through the 4th
+    * power (a 1e7-cent price gives x⁴ ≈ 1e28 — comfortably inside 38
+    * digits even under a further 1000× row scale-up of the sums), so
+    * both engines derive mean/σ/skewness/kurtosis from the SAME
+    * closed-form IEEE expression over the same exact integers. One
+    * algebraic aggregate pass (map-side partial combine), |groups| rows
+    * out — the identical shape at 100 TB. `scale` divides the mean and
+    * stddev readouts back to display units (e.g. 100 for cents→dollars).
+    * Zero-variance groups yield null skewness/kurtosis, never NaN. */
+  def moments(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      scale: Double): DataFrame = {
+    val g = df
+      .withColumn("__x", col(valueCol).cast("decimal(38,0)"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__s1"),
+        sum(col("__x") * col("__x")).as("__s2"),
+        sum(col("__x") * col("__x") * col("__x")).as("__s3"),
+        sum(col("__x") * col("__x") * col("__x") * col("__x")).as("__s4"))
+    val n = col("n").cast("double")
+    val s1 = col("__s1").cast("double"); val s2 = col("__s2").cast("double")
+    val s3 = col("__s3").cast("double"); val s4 = col("__s4").cast("double")
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+      lit(6.0) * mean * mean * (s2 / n) -
+      lit(3.0) * mean * mean * mean * mean
+    g.select(groupCols.map(col) ++ Seq(col("n"),
+      round(mean / lit(scale), 4).as("mean_value"),
+      round(sqrt(m2) / lit(scale), 4).as("stddev_value"),
+      round(m3 / nullif(m2 * sqrt(m2), lit(0.0)), 6).as("skewness"),
+      round(m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0), 6)
+        .as("kurtosis_excess")): _*)
+  }
+
+  /** q145 — higher-moment price profile per (l_returnflag,
+    * l_linestatus): population stddev, skewness (g1) and excess
+    * kurtosis (g2) of the extended price in exact cents — the
+    * univariate shape complement to q86's bivariate co-moment battery,
+    * and the summary a drift monitor thresholds between corpus
+    * releases. */
+  def momentsQuery(spark: SparkSession, dir: String): DataFrame =
+    orderedSmall(
+      moments(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        Seq("l_returnflag", "l_linestatus"), "cents", 100.0),
+      col("l_returnflag"), col("l_linestatus"))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1075,5 +1131,39 @@ object DriftOracle {
         |       round(greatest((-s1 - a) - (hp + hq) / 2, 0.0), 6) AS jsd_nats,
         |       round(greatest((-s1 - a) - (hp + hq) / 2, 0.0) / ln(2.0), 6)
         |         AS jsd_norm
-        |FROM per ORDER BY source""".stripMargin)
+        |FROM per ORDER BY source""".stripMargin,
+
+    // identical exact power sums (HUGEINT = the decimal(38,0) twin);
+    // the m2/m3/m4 closed forms are textually parallel ASTs so both
+    // engines produce the same IEEE doubles before the final round
+    "q145_moments" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |              AS HUGEINT) AS x
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         count(*) AS nn, CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(x) AS DOUBLE) AS s1,
+        |         CAST(sum(x * x) AS DOUBLE) AS s2,
+        |         CAST(sum(x * x * x) AS DOUBLE) AS s3,
+        |         CAST(sum(x * x * x * x) AS DOUBLE) AS s4
+        |  FROM c GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, l_linestatus, nn,
+        |         s1 / n AS mean,
+        |         s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |         s3 / n - 3.0 * (s1 / n) * (s2 / n) +
+        |           2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |         s4 / n - 4.0 * (s1 / n) * (s3 / n) +
+        |           6.0 * (s1 / n) * (s1 / n) * (s2 / n) -
+        |           3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM g)
+        |SELECT l_returnflag, l_linestatus, nn AS n,
+        |       round(mean / 100.0, 4) AS mean_value,
+        |       round(sqrt(m2) / 100.0, 4) AS stddev_value,
+        |       round(m3 / nullif(m2 * sqrt(m2), 0.0), 6) AS skewness,
+        |       round(m4 / nullif(m2 * m2, 0.0) - 3.0, 6) AS kurtosis_excess
+        |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin)
 }

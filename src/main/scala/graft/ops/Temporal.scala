@@ -102,8 +102,60 @@ object Temporal {
     * aggregate — single-partition by construction, not a scale term.
     */
   def funnelSteps(df: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String]): DataFrame = {
-    val counted = funnelDepth(df, userCol, tsCol, typeCol, steps)
+      typeCol: String, steps: Seq[String]): DataFrame =
+    stepCounts(funnelDepth(df, userCol, tsCol, typeCol, steps), steps)
+
+  /** Windowed funnel depth: like [[funnelDepth]], but the whole chain
+    * must complete within `windowSec` seconds of the user's FIRST
+    * step-1 event — the "first-touch conversion window" a growth team
+    * reports on ("converted within 24 h of signup"). The scan state
+    * carries (depth, last-match ts, anchor ts); a step extends only if
+    * it is strictly after the previous match AND at most `windowSec`
+    * after the anchor (pure integer-µs compare, engine-identical under
+    * the pinned UTC session). Anchoring at the first step-1 match
+    * keeps the min-chain relational form exactly oracle-expressible;
+    * it deliberately does NOT search later step-1 restarts (that
+    * sliding variant has no per-user-scalar SQL twin). Same one
+    * user-key shuffle as [[funnelDepth]]. */
+  def windowedFunnelDepth(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"funnel steps must be non-empty and distinct: $steps")
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val stepsLit = typedLit(steps)
+    val n = steps.size
+    val winMicros = windowSec * 1000000L
+    df.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col(typeCol).as("et")))).as("_seq"))
+      .withColumn("depth", aggregate(
+        col("_seq"),
+        struct(lit(0).as("d"), lit(null).cast("timestamp").as("mts"),
+          lit(null).cast("timestamp").as("ats")),
+        (s, x) => when(
+          s.getField("d") < n &&
+            x.getField("et") === element_at(stepsLit, s.getField("d") + 1) &&
+            (s.getField("mts").isNull || x.getField("ts") > s.getField("mts")) &&
+            (s.getField("ats").isNull ||
+              unix_micros(x.getField("ts")) <=
+                unix_micros(s.getField("ats")) + lit(winMicros)),
+          struct((s.getField("d") + 1).as("d"), x.getField("ts").as("mts"),
+            coalesce(s.getField("ats"), x.getField("ts")).as("ats")))
+          .otherwise(s)).getField("d"))
+      .drop("_seq")
+  }
+
+  /** Windowed funnel step counts — [[windowedFunnelDepth]] rolled up
+    * to the per-step readout of [[funnelSteps]]. */
+  def windowedFunnelSteps(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSec: Long): DataFrame =
+    stepCounts(
+      windowedFunnelDepth(df, userCol, tsCol, typeCol, steps, windowSec),
+      steps)
+
+  private def stepCounts(depths: DataFrame, steps: Seq[String]): DataFrame = {
+    val counted = depths
       .filter(col("depth") >= 1)
       .select(explode(expr("sequence(1, depth)")).as("step_idx"))
       .groupBy(col("step_idx"))
@@ -111,7 +163,7 @@ object Temporal {
     // Every step gets a row even when zero users reach it — the oracle's
     // counts CTE always emits |steps| rows (count(*) over an empty CTE is
     // 0), so the shapes must match. |steps| rows: broadcast by size.
-    val allSteps = df.sparkSession.range(1, steps.size + 1)
+    val allSteps = depths.sparkSession.range(1, steps.size + 1)
       .select(col("id").cast("int").as("step_idx"))
     val reached = allSteps.join(counted, Seq("step_idx"), "left")
       .withColumn("n_users", coalesce(col("n_users"), lit(0L)))

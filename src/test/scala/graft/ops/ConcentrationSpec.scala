@@ -111,4 +111,47 @@ class ConcentrationSpec extends SparkSpec {
     val oov = Concentration.oovQuery(spark, sf).collect()
     assert(oov.nonEmpty && oov.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1))
   }
+
+  test("equiDepthHistogram: standard ntile remainder rule; exact bounds") {
+    initQuiet()
+    // 5 rows into 2 buckets: bucket 1 gets 3 (remainder first), with
+    // contiguous non-overlapping [lo, hi] under the total order
+    val df = Seq(10L, 20L, 30L, 40L, 50L).zipWithIndex
+      .map { case (v, i) => ("g", v, i.toLong) }.toDF("k", "v", "id")
+    val out = Concentration.equiDepthHistogram(df, "k", "v", "id", 2)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 2L))
+    assert(out.map(r => (r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((10L, 30L), (40L, 50L)))
+  }
+
+  test("lorenzDeciles: shares sum to 1; cum_share monotone; uniform flat") {
+    initQuiet()
+    // 10 equal-value entities: every decile carries share 0.1
+    val flat = (1 to 10).map(i => ("g", 100L, i.toLong)).toDF("k", "v", "id")
+    val fr = Concentration.lorenzDeciles(flat, "k", "v", "id")
+      .orderBy("decile").collect()
+    assert(fr.length == 10 && fr.forall(_.getDouble(3) == 0.1))
+    assert(fr.last.getDouble(4) == 1.0)
+    // skewed: one whale holds 91/100 of value -> top decile share 0.91,
+    // cum_share strictly ascending to exactly 1.0
+    val skew = ((1 to 9).map(i => ("g", 1L, i.toLong)) :+ ("g", 91L, 10L))
+      .toDF("k", "v", "id")
+    val sr = Concentration.lorenzDeciles(skew, "k", "v", "id")
+      .orderBy("decile").collect()
+    assert(sr.last.getDouble(3) == 0.91)
+    assert(sr.map(_.getDouble(4)).toSeq == sr.map(_.getDouble(4)).toSeq.sorted)
+    assert(sr.last.getDouble(4) == 1.0)
+  }
+
+  test("q146/q147: segment-decile grids on the corpus") {
+    initQuiet()
+    val ed = Concentration.equiDepthQuery(spark, sf).collect()
+    assert(ed.length == 50) // 5 segments x 10 buckets
+    assert(ed.forall(r => r.getDouble(3) <= r.getDouble(4)))
+    val lz = Concentration.lorenzQuery(spark, sf).collect()
+    assert(lz.length == 50)
+    assert(lz.filter(_.getInt(1) == 10).forall(_.getDouble(4) == 1.0))
+  }
 }

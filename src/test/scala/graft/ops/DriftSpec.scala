@@ -342,4 +342,34 @@ class DriftSpec extends SparkSpec {
       r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0
     })
   }
+
+  test("moments: hand-computed skewness/kurtosis; constant group null") {
+    initQuiet()
+    // group a = {1..5}: mean 3, m2 = 2, symmetric -> skew 0; m4 = 34/5
+    // -> excess kurtosis 34/5/4 - 3 = -1.3
+    // group b = {0,0,0,1} (Bernoulli p=1/4): skew = (1-2p)/sqrt(p(1-p))
+    // = 2/sqrt(3); excess kurt = (1-6p(1-p))/(p(1-p)) = -2/3
+    // group c constant -> stddev 0, null skew/kurt
+    val df = (Seq(1L, 2L, 3L, 4L, 5L).map(("a", _)) ++
+      Seq(0L, 0L, 0L, 1L).map(("b", _)) ++
+      Seq(7L, 7L, 7L).map(("c", _))).toDF("g", "v")
+    val out = Drift.moments(df, Seq("g"), "v", 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 5L)
+    assert(out("a").getDouble(2) == 3.0)                   // mean
+    assert(math.abs(out("a").getDouble(3) - math.sqrt(2.0)) < 1e-4)
+    assert(out("a").getDouble(4) == 0.0)                   // skewness
+    assert(out("a").getDouble(5) == -1.3)                  // excess kurt
+    assert(math.abs(out("b").getDouble(4) - 2.0 / math.sqrt(3.0)) < 1e-6)
+    assert(math.abs(out("b").getDouble(5) - (-2.0 / 3.0)) < 1e-6)
+    assert(out("c").getDouble(3) == 0.0)
+    assert(out("c").isNullAt(4) && out("c").isNullAt(5))
+  }
+
+  test("momentsQuery: per-flag/status rows with finite shape stats") {
+    initQuiet()
+    val rows = Drift.momentsQuery(spark, sf).collect()
+    assert(rows.length == 6) // {A,N,R} x {F,O} in the synthetic corpus
+    assert(rows.forall(r => r.getLong(2) > 0 && !r.isNullAt(4)))
+  }
 }

@@ -104,4 +104,30 @@ class TemporalSpec extends SparkSpec {
       Seq(None, Some("bronze"), Some("silver"), Some("gold"), None))
     assert(Option(out(2).getAs[Integer]("ver")) == Some(2))
   }
+
+  test("windowedFunnelDepth: window bound from first-touch anchor") {
+    val ev = Seq(
+      // user 1: all steps inside the 10 s window -> depth 3
+      (1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "c"),
+      // user 2: c lands 11 s after the anchor -> window cuts depth at 2
+      (2L, t(1), "a"), (2L, t(2), "b"), (2L, t(12), "c"),
+      // user 3: a SECOND signup inside the window does NOT re-anchor —
+      // b at t(15) is within 10 s of the second a (t(8)) but not the
+      // first (t(1)) -> depth stays 1
+      (3L, t(1), "a"), (3L, t(8), "a"), (3L, t(15), "b"),
+      // user 4: boundary: b exactly AT anchor+10 s is inclusive
+      (4L, t(1), "a"), (4L, t(11), "b"))
+      .toDF("u", "ts", "et")
+    val depths = Temporal
+      .windowedFunnelDepth(ev, "u", "ts", "et", Seq("a", "b", "c"), 10L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(depths == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 2))
+    // a window wide enough to admit everything reduces to funnelDepth
+    val wide = Temporal
+      .windowedFunnelDepth(ev, "u", "ts", "et", Seq("a", "b", "c"), 3600L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val plain = Temporal.funnelDepth(ev, "u", "ts", "et", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(wide == plain)
+  }
 }
