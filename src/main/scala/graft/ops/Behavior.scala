@@ -340,6 +340,41 @@ object Behavior {
       .coalesce(1).orderBy(col("t"))
   }
 
+  // --------------------------------------------------------------- q151
+
+  /** q151 — audience overlap matrix: for each unordered pair of event
+    * types, the distinct-user audience sizes, the exact intersection
+    * and the Jaccard overlap — "do purchasers also open errors"
+    * audience algebra, exact by inclusion over the deduped
+    * (user, type) incidence table. One distinct pass, then a per-user
+    * self-pairing whose fan-out is bounded by C(|types|, 2) per user
+    * (≤ 15 at 6 types — NEVER user×user), and a broadcast attach of
+    * the |types|-row size table. Pairs with empty intersection are
+    * absent by construction in both engines. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__sz"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("__sz", "n_a")), Seq("type_a"))
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("__sz", "n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+      .coalesce(1).orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -349,7 +384,8 @@ object Behavior {
     "q101_keywords" -> (keywords _),
     "q105_ab_test" -> (abTestQuery _),
     "q106_conversion_latency" -> (conversionLatency _),
-    "q141_survival_curve" -> (survivalCurve _))
+    "q141_survival_curve" -> (survivalCurve _),
+    "q151_audience_overlap" -> (audienceOverlap _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -534,5 +570,27 @@ object BehaviorOracle {
         |SELECT s.t, CAST(count(*) AS BIGINT) AS n_users,
         |       round(count(*) / CAST(tot.t AS DOUBLE), 6) AS share
         |FROM s CROSS JOIN tot GROUP BY s.t, tot.t
-        |ORDER BY s.t""".stripMargin)
+        |ORDER BY s.t""".stripMargin,
+
+    // same deduped incidence table, per-user self-pairing, exact
+    // inclusion counts; one double division per pair row
+    "q151_audience_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM ut GROUP BY event_type),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+        |       round(p.n_both /
+        |             CAST(sa.n + sb.n - p.n_both AS DOUBLE), 6) AS jaccard
+        |FROM pairs p
+        |JOIN sz sa ON sa.event_type = p.type_a
+        |JOIN sz sb ON sb.event_type = p.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin)
 }

@@ -1044,6 +1044,94 @@ object Curation {
       "user_id", "ts", "event_type",
       Seq("signup", "view", "click", "purchase"), 24L * 3600)
 
+  /** q149 — duplicate-cluster size spectrum: documents grouped into
+    * exact-content clusters (keyed by md5(text) — identical hex in
+    * both engines, and a narrow 32-char shuffle key instead of the
+    * full text at 100 TB), then the histogram of cluster sizes:
+    * how many clusters have exactly k members and what share of the
+    * corpus sits in them. The one-table readout that says "38% of the
+    * corpus is exact-duplicate mass in clusters of 100+" before any
+    * dedup policy is chosen. Two aggregate passes + one ≤|sizes|-row
+    * total attach; no joins. */
+  def dupSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val spectrum = Tables.load(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("__h"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+    val tot = spectrum.agg(sum(col("n_docs")).as("__t"))
+    spectrum.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs") / col("__t").cast("double"), 6).as("doc_share"))
+      .coalesce(1).orderBy(col("cluster_size"))
+  }
+
+  /** q152 — nearest-centroid label audit over the embeddings table:
+    * quantize each vector to an exact integer grid (round(x·10⁶) —
+    * float32→double is exact, so both engines derive identical
+    * integers), build per-label centroid SUMS on that grid (order-free
+    * integer aggregation — never a float accumulation, whose ordering
+    * differs across engines), then classify every vector to its
+    * nearest centroid by cosine and report per label: n, how many
+    * vectors have their OWN label nearest (accuracy), and the min/max
+    * cosine to the own centroid. Cosines are single closed-form
+    * doubles from integer sums (dot ≤ 64·3.2e5·|S| stays in long
+    * through a 1000× scale-up; centroid norms are decimal(38,0));
+    * argmax ties break on label asc — deterministic engine-to-engine.
+    *
+    * Scale shape: one posexplode shuffle for centroids (|labels|·dim
+    * rows out), then a broadcast of the |labels|-row centroid table
+    * against the vectors — per-vector work O(|labels|·dim), NEVER
+    * vector×vector. The labeled-corpus sanity gate run before
+    * training a classifier head. */
+  def centroidAudit(spark: SparkSession, dir: String): DataFrame =
+    centroidAuditOf(Tables.load(spark, dir, "embeddings"))
+
+  /** [[centroidAudit]] core over any (vec_id, label, embedding) frame
+    * — embedding an array of float/double. */
+  def centroidAuditOf(embeddings: DataFrame): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("__q"))
+    val vecs = emb.withColumn("__n2v",
+      aggregate(col("__q"), lit(0L), (a, x) => a + x * x))
+    val cent = emb
+      .select(col("label").as("__cl"), posexplode(col("__q")))
+      .groupBy(col("__cl"), col("pos"))
+      .agg(sum(col("col")).as("__s"))
+      .groupBy(col("__cl"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("__s")))),
+        st => st.getField("__s")).as("__c"))
+      .withColumn("__n2c",
+        aggregate(col("__c"), lit(0L).cast("decimal(38,0)"),
+          (a, x) => a + x.cast("decimal(38,0)") * x.cast("decimal(38,0)")))
+    val scored = vecs.crossJoin(broadcast(cent))
+      .withColumn("__dot",
+        aggregate(zip_with(col("__q"), col("__c"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x))
+      .withColumn("__cos",
+        col("__dot").cast("double") /
+          nullif(sqrt(col("__n2v").cast("double")) *
+            sqrt(col("__n2c").cast("double")), lit(0.0)))
+    val per = scored.groupBy(col("vec_id"), col("label"))
+      .agg(max_by(col("__cl"), struct(col("__cos"), -col("__cl")))
+          .as("__pred"),
+        max(when(col("__cl") === col("label"), col("__cos"))).as("__own"))
+    per.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        min(col("__own")).as("__mn"), max(col("__own")).as("__mx"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(col("n_correct") / col("n").cast("double"), 6).as("accuracy"),
+        round(col("__mn"), 6).as("min_own_cos"),
+        round(col("__mx"), 6).as("max_own_cos"))
+      .coalesce(1).orderBy(col("label"))
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1215,7 +1303,9 @@ object Curation {
     "q90_tfidf_pairs" -> (tfidfPairStats _),
     "q140_source_overlap" -> (crossSourceOverlap _),
     "q143_split_leakage" -> (splitLeakage _),
-    "q148_window_funnel" -> (windowFunnelStats _))
+    "q148_window_funnel" -> (windowFunnelStats _),
+    "q149_dup_spectrum" -> (dupSpectrum _),
+    "q152_centroid_audit" -> (centroidAudit _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

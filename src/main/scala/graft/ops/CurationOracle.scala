@@ -779,5 +779,70 @@ object CurationOracle {
         |SELECT step_idx, step, n_users,
         |       round(CAST(n_users AS DOUBLE) /
         |         NULLIF((SELECT n_users FROM counts WHERE step_idx = 1), 0), 6) conv
-        |FROM counts ORDER BY step_idx""".stripMargin)
+        |FROM counts ORDER BY step_idx""".stripMargin,
+
+    // md5 hex agrees byte-for-byte across engines; spectrum = histogram
+    // of exact-content cluster sizes
+    "q149_dup_spectrum" ->
+      """WITH cl AS (
+        |  SELECT md5(text) AS h, count(*) AS k
+        |  FROM documents GROUP BY md5(text)),
+        |sp AS (
+        |  SELECT k AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |         CAST(sum(k) AS BIGINT) AS n_docs
+        |  FROM cl GROUP BY k),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM sp)
+        |SELECT cluster_size, n_clusters, n_docs,
+        |       round(n_docs / CAST(tot.t AS DOUBLE), 6) AS doc_share
+        |FROM sp CROSS JOIN tot ORDER BY cluster_size""".stripMargin,
+
+    // same 1e6 integer grid (float32→double exact), order-free integer
+    // centroid sums, one closed-form double cosine; argmax tie-breaks
+    // label asc in both engines
+    "q152_centroid_audit" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+        |           AS qv
+        |  FROM embeddings),
+        |v AS (
+        |  SELECT vec_id, label, qv,
+        |         list_sum(list_transform(qv, x -> x * x)) AS n2v
+        |  FROM q),
+        |cpos0 AS (
+        |  SELECT label, unnest(list_transform(qv, (x, i) -> {'pos': i, 'v': x}),
+        |                       recursive := true)
+        |  FROM q),
+        |cpos AS (
+        |  SELECT label AS cl, pos, CAST(sum(v) AS BIGINT) AS s
+        |  FROM cpos0 GROUP BY label, pos),
+        |cent AS (
+        |  SELECT cl, list(s ORDER BY pos) AS c
+        |  FROM cpos GROUP BY cl),
+        |cent2 AS (
+        |  SELECT cl, c,
+        |         list_sum(list_transform(c,
+        |           x -> CAST(x AS HUGEINT) * CAST(x AS HUGEINT))) AS n2c
+        |  FROM cent),
+        |scored AS (
+        |  SELECT v.vec_id, v.label, cent2.cl,
+        |         CAST(list_sum(list_transform(v.qv, (x, i) -> x * cent2.c[i]))
+        |              AS DOUBLE) /
+        |           nullif(sqrt(CAST(v.n2v AS DOUBLE)) *
+        |                  sqrt(CAST(cent2.n2c AS DOUBLE)), 0.0) AS cos
+        |  FROM v CROSS JOIN cent2),
+        |per AS (
+        |  SELECT vec_id, label,
+        |         first(cl ORDER BY cos DESC, cl) AS pred,
+        |         max(CASE WHEN cl = label THEN cos END) AS own
+        |  FROM scored GROUP BY vec_id, label)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_correct,
+        |       round(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) /
+        |             CAST(count(*) AS DOUBLE), 6) AS accuracy,
+        |       round(min(own), 6) AS min_own_cos,
+        |       round(max(own), 6) AS max_own_cos
+        |FROM per GROUP BY label ORDER BY label""".stripMargin)
 }

@@ -168,10 +168,37 @@ object TimeSeries {
       .orderBy(col("event_type"), col("h")).limit(800)
   }
 
+  // --------------------------------------------------------------- q150
+
+  /** q150 — order-fulfillment lag percentiles per order priority:
+    * exact integer day lags (l_shipdate − o_orderdate) through the
+    * lineitem⋈orders key join (big-big equi-join — shuffle on
+    * orderkey, never broadcast), then n / mean / p50 / p90 / max per
+    * priority. Exact `percentile` over a handful of priority groups is
+    * the q89 convention (both engines interpolate identically on
+    * integer inputs); the 100 TB swap for unbounded group counts is
+    * `approx_percentile`. Mean is an exact integer-sum division. The
+    * SLA table an ops team reads per release. */
+  def shipLagQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("__lag"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__lag")) / count(lit(1)).cast("double"), 4)
+          .as("mean_days"),
+        round(expr("percentile(__lag, 0.5)"), 4).as("p50_days"),
+        round(expr("percentile(__lag, 0.9)"), 4).as("p90_days"),
+        max(col("__lag")).as("max_days"))
+      .coalesce(1).orderBy(col("o_orderpriority"))
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q102_twap" -> (twapQuery _),
     "q103_ewma" -> (ewmaQuery _),
-    "q104_interpolate" -> (interpolateQuery _))
+    "q104_interpolate" -> (interpolateQuery _),
+    "q150_ship_lag" -> (shipLagQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -254,5 +281,21 @@ object TimeSeriesOracle {
         |            ELSE pv + (nv - pv) * ((epoch_us(h) - pt) / (nt - pt))
         |       END AS v_filled,
         |       v IS NOT NULL AS observed
-        |FROM nb ORDER BY event_type, h LIMIT 800""".stripMargin)
+        |FROM nb ORDER BY event_type, h LIMIT 800""".stripMargin,
+
+    // exact integer day lags; quantile_cont ≡ Spark's interpolating
+    // percentile on integer inputs (the q89 convention); mean is an
+    // exact integer-sum division
+    "q150_ship_lag" ->
+      """WITH lag AS (
+        |  SELECT o.o_orderpriority,
+        |         date_diff('day', o.o_orderdate, l.l_shipdate) AS d
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(d) / CAST(count(*) AS DOUBLE), 4) AS mean_days,
+        |       round(quantile_cont(d, 0.5), 4) AS p50_days,
+        |       round(quantile_cont(d, 0.9), 4) AS p90_days,
+        |       max(d) AS max_days
+        |FROM lag GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
 }

@@ -224,4 +224,16 @@ class BehaviorSpec extends SparkSpec {
       case Seq(a, b) => assert(a >= b); case _ => ()
     }
   }
+
+  test("audienceOverlap: intersection bounded by sizes; canonical pairs") {
+    initQuiet()
+    val out = Behavior.audienceOverlap(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val (na, nb, both) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(both >= 1 && both <= math.min(na, nb))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

@@ -354,4 +354,29 @@ class CurationSpec extends SparkSpec {
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("dupSpectrum: doc mass conserved; k*n_clusters = n_docs per row") {
+    initQuiet()
+    val out = Curation.dupSpectrum(spark, sf).collect()
+    val totalDocs = Tables.load(spark, sf, "documents").count()
+    assert(out.map(_.getLong(2)).sum == totalDocs)
+    out.foreach(r => assert(r.getLong(0) * r.getLong(1) == r.getLong(2)))
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
+  test("centroidAuditOf: perfectly separated clusters classify at 1.0") {
+    initQuiet()
+    // two orthogonal tight clusters -> nearest centroid is always own
+    val rows = (0 until 4).map(i =>
+      (i.toLong, 0, Array(1.0f, 0.02f * i, 0f))) ++
+      (4 until 8).map(i => (i.toLong, 1, Array(0.02f * i, 0f, -1.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Curation.centroidAuditOf(df).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getLong(1) == 4L && r.getLong(2) == 4L)
+      assert(r.getDouble(3) == 1.0)
+      assert(r.getDouble(4) > 0.9 && r.getDouble(5) <= 1.0)
+    }
+  }
 }

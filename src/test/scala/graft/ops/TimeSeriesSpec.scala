@@ -56,4 +56,15 @@ class TimeSeriesSpec extends SparkSpec {
         if (r.isNullAt(0)) None else Some(r.getDouble(0)))
     assert(out.toSeq == Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0), None))
   }
+
+  test("shipLagQuery: one row per priority, ordered percentiles") {
+    initQuiet()
+    val out = TimeSeries.shipLagQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) <= r.getDouble(4))       // p50 <= p90
+      assert(r.getDouble(4) <= r.getInt(5).toDouble) // p90 <= max
+    }
+  }
 }
