@@ -80,6 +80,15 @@ object Curation {
         shingleLen = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q154 — weighted (multiset) 3-gram Jaccard near-dup pairs
+    * (oracle-checked): [[Dedup.weightedNgramJaccard]] — q25's
+    * inverted-index candidates with multiplicities carried, so
+    * repetition-heavy boilerplate twins score on their full mass. */
+  def weightedNgramPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.weightedNgramJaccard(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", shingleLen = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** q26 — embedding cosine near-dup pairs above 0.35 (oracle-checked). */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.nearDupCosine(Tables.load(spark, dir, "embeddings"),
@@ -1132,6 +1141,56 @@ object Curation {
       .coalesce(1).orderBy(col("label"))
   }
 
+  /** q153 — BM25 retrieval scoring (Lucene form): top-20 documents for
+    * a fixed conjunctive query over the corpus, scored
+    * Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b+b·len/avglen)) with k1 = 1.2,
+    * b = 0.75, idf = ln((N−df+0.5)/(df+0.5)+1) — the saturation
+    * upgrade over q101's raw TF-IDF that stops a 50-mention doc from
+    * drowning length-normalized relevance. All inputs (tf, df, len,
+    * N, Σlen) are exact integers; each per-term score is one
+    * closed-form double, and the per-doc total adds the ≤|Q| term
+    * scores in a FIXED literal order (conditional-aggregation pivot,
+    * never an arbitrary-order float sum), so both engines rank
+    * identically. Ranking sorts the ROUNDED score with doc_id
+    * tiebreak.
+    *
+    * Scale shape: one filtered explode→(doc,term) aggregate (map-side
+    * combine), a |Q|-row df broadcast, a single-row corpus-stats
+    * broadcast, and a global top-k (TakeOrdered — per-partition heaps,
+    * never a full sort). */
+  def bm25Query(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("hash", "join", "filter", "scan")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("__toks"))
+      .withColumn("__len", size(col("__toks")))
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      sum(col("__len")).cast("long").as("__sl"))
+    val tf = docs
+      .select(col("doc_id"), col("__len"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("__len"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfs = tf.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val avg = col("__sl").cast("double") / col("__n").cast("double")
+    val idf = log((col("__n") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5)) + lit(1.0))
+    val sco = idf * (col("__tf") * lit(2.2)) /
+      (col("__tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("__len") / avg)))
+    val scored = tf.join(broadcast(dfs), "__t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", sco)
+    val termCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("__t") === t, col("__s"))).as(s"__c$i")
+    }
+    val per = scored.groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val total = terms.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    per.select(col("doc_id"), round(total, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1305,7 +1364,9 @@ object Curation {
     "q143_split_leakage" -> (splitLeakage _),
     "q148_window_funnel" -> (windowFunnelStats _),
     "q149_dup_spectrum" -> (dupSpectrum _),
-    "q152_centroid_audit" -> (centroidAudit _))
+    "q152_centroid_audit" -> (centroidAudit _),
+    "q153_bm25" -> (bm25Query _),
+    "q154_weighted_jaccard" -> (weightedNgramPairs _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

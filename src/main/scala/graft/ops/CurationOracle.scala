@@ -844,5 +844,67 @@ object CurationOracle {
         |             CAST(count(*) AS DOUBLE), 6) AS accuracy,
         |       round(min(own), 6) AS min_own_cos,
         |       round(max(own), 6) AS max_own_cos
-        |FROM per GROUP BY label ORDER BY label""".stripMargin)
+        |FROM per GROUP BY label ORDER BY label""".stripMargin,
+
+    // same exact integer tf/df/len/N/Σlen; per-term closed-form double
+    // score; per-doc total added in the SAME fixed literal order via
+    // the conditional-aggregation pivot; rank on the rounded score
+    "q153_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(len(toks)) AS BIGINT) AS sl FROM d),
+        |l AS (
+        |  SELECT doc_id, len(toks) AS ln, unnest(toks) AS tok FROM d),
+        |tf AS (
+        |  SELECT doc_id, ln, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM l WHERE tok IN ('hash', 'join', 'filter', 'scan')
+        |  GROUP BY doc_id, ln, tok),
+        |dft AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |sc AS (
+        |  SELECT t.doc_id, t.tok,
+        |         ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+        |           (t.tf * 2.2) /
+        |           (t.tf + 1.2 * (0.25 + 0.75 *
+        |             (t.ln / (CAST(s.sl AS DOUBLE) / CAST(s.n AS DOUBLE)))))
+        |           AS sco
+        |  FROM tf t JOIN dft f USING (tok) CROSS JOIN stats s),
+        |per AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN tok = 'hash' THEN sco END) AS c0,
+        |         max(CASE WHEN tok = 'join' THEN sco END) AS c1,
+        |         max(CASE WHEN tok = 'filter' THEN sco END) AS c2,
+        |         max(CASE WHEN tok = 'scan' THEN sco END) AS c3
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id,
+        |       round(coalesce(c0, 0.0) + coalesce(c1, 0.0) +
+        |             coalesce(c2, 0.0) + coalesce(c3, 0.0), 6) AS bm25
+        |FROM per
+        |ORDER BY round(coalesce(c0, 0.0) + coalesce(c1, 0.0) +
+        |               coalesce(c2, 0.0) + coalesce(c3, 0.0), 6) DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    // q25's inverted-index equi-join with multiplicities: Σmin over
+    // shared shingles, Σmax derived as |A|+|B|−Σmin
+    "q154_weighted_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) sh
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) tot, unnest(sh) s FROM t),
+        |c AS (SELECT doc_id, tot, s, CAST(count(*) AS BIGINT) c
+        |      FROM e GROUP BY doc_id, tot, s),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b,
+        |         any_value(a.tot) ta, any_value(b.tot) tb,
+        |         CAST(sum(least(a.c, b.c)) AS BIGINT) wmin
+        |  FROM c a JOIN c b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |       round(CAST(wmin AS DOUBLE) / (ta + tb - wmin), 4) wjaccard
+        |FROM p WHERE CAST(wmin AS DOUBLE) / (ta + tb - wmin) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -622,4 +622,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Weighted (multiset) n-gram Jaccard near-dup pairs:
+    * J_w = Σ_s min(aₛ, bₛ) / (|A| + |B| − Σ_s min(aₛ, bₛ)) over shingle
+    * COUNTS — no `array_distinct`, so a doc that repeats a boilerplate
+    * block five times matches its four-repeat twin at high J_w where
+    * the set Jaccard of [[ngramJaccard]] would underweight the
+    * repetition. Same inverted-index equi-join scale shape: candidate
+    * pairs only through shared shingles (each shared DISTINCT shingle
+    * joins once, carrying both multiplicities), never all-pairs; Σmax
+    * is derived as |A|+|B|−Σmin, so only the min-sum is aggregated.
+    * All counts exact longs; one double division per surviving pair.
+    */
+  def weightedNgramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.repartition(parallelism, col(idCol))
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col("id"),
+        transform(
+          sequence(lit(1), greatest(size(col("toks")) - (shingleLen - 1), lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(shingleLen)))).as("sh"))
+    val cnt = sh
+      .select(col("id"), size(col("sh")).as("tot"), explode(col("sh")).as("s"))
+      .groupBy(col("id"), col("tot"), col("s")).agg(count(lit(1)).as("c"))
+    val pairs = cnt
+      .select(col("s"), col("id").as("id_a"), col("tot").as("tot_a"),
+        col("c").as("c_a"))
+      .join(cnt.select(col("s"), col("id").as("id_b"),
+        col("tot").as("tot_b"), col("c").as("c_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("tot_a"), col("tot_b"))
+      .agg(sum(least(col("c_a"), col("c_b"))).as("wmin"))
+    pairs
+      .withColumn("wjaccard",
+        col("wmin").cast("double") /
+          (col("tot_a") + col("tot_b") - col("wmin")))
+      .filter(col("wjaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("wjaccard"), 4).as("wjaccard"))
+  }
 }

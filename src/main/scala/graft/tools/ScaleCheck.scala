@@ -108,7 +108,13 @@ object ScaleCheck {
       "q133_weighted_median", "q134_ks_drift", "q135_psi", "q136_jsd",
       "q137_readability", "q138_pmi", "q139_lexical_diversity",
       "q140_source_overlap", "q141_survival_curve", "q142_rank_bias",
-      "q143_split_leakage", "q144_spearman")
+      "q143_split_leakage", "q144_spearman",
+      // round-6 continuation: shape moments, equi-depth/Lorenz deciles,
+      // windowed funnel, dup spectrum, SLA lags, audience overlap,
+      // nearest-centroid label audit
+      "q145_moments", "q146_equidepth", "q147_lorenz",
+      "q148_window_funnel", "q149_dup_spectrum", "q150_ship_lag",
+      "q151_audience_overlap", "q152_centroid_audit")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -364,6 +364,16 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4)
   }
 
+  test("bm25Query: top-20, strictly positive, descending rounded scores") {
+    initQuiet()
+    val out = Curation.bm25Query(spark, sf).collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getDouble(1) > 0.0))
+    out.map(_.getDouble(1)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => ()
+    }
+  }
+
   test("centroidAuditOf: perfectly separated clusters classify at 1.0") {
     initQuiet()
     // two orthogonal tight clusters -> nearest centroid is always own

@@ -373,4 +373,28 @@ class DedupSpec extends SparkSpec {
     }
     assert(purged.length < 10, s"purged ${purged.length} docs — fixture degenerated")
   }
+
+  test("weighted ngram jaccard: multiplicities weigh repetition that set Jaccard ignores") {
+    // A repeats the block "a b c" three times, B twice. The DISTINCT
+    // shingle sets are near-identical (set Jaccard conflates 2x and 3x),
+    // but the multiset min-sum tracks the shared repetition mass.
+    val df = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b c a b c"),
+      (3L, "a b c a b c")).toDF("doc_id", "text")
+    val w = Dedup.weightedNgramJaccard(df, "doc_id", "text", 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical multisets -> exactly 1.0
+    assert(w((2L, 3L)) == 1.0)
+    // A has 7 shingles, B 4; shared min-sum: "a b c"(min 2)+"b c a"(2)+
+    // "c a b"(2) = 6 -> 6/(7+4-6) = 1.2? no: per-shingle counts A:
+    // a b c=3, b c a=2, c a b=2; B: a b c=2, b c a=1, c a b=1 ->
+    // wmin = 2+1+1 = 4 -> 4/(7+4-4) = 4/7
+    assert(math.abs(w((1L, 2L)) - 4.0 / 7.0) < 1e-4)
+    // set Jaccard sees the same three distinct shingles on both sides
+    val s = Dedup.ngramJaccard(df, "doc_id", "text", 3, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(s((1L, 2L)) == 1.0) // conflated: repetition invisible
+    assert(w((1L, 2L)) < s((1L, 2L)))
+  }
 }
