@@ -375,6 +375,64 @@ object Behavior {
       .coalesce(1).orderBy(col("type_a"), col("type_b"))
   }
 
+  // --------------------------------------------------------------- q155
+
+  /** q155 — propensity calibration deciles: customers binned into ten
+    * equal-count balance bands per market segment (ntile over the
+    * total order (cents, custkey) — identical bucket assignment both
+    * engines), each band reporting its conversion rate (share of
+    * customers with ≥1 order) and exact dollar band boundaries — the
+    * calibration-curve readout that says whether account balance
+    * monotonically predicts purchase propensity. Exact integer
+    * counts/boundaries; one division per band. Group-parallel sort
+    * (the q121/q146 posture). */
+  def calibrationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val conv = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey")).distinct().withColumn("__conv", lit(1L))
+    val rows = Tables.load(spark, dir, "customer")
+      .join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("__cents"),
+        col("c_custkey"), coalesce(col("__conv"), lit(0L)).as("__c"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("__cents"), col("c_custkey"))
+    rows.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("__c")).as("n_converted"),
+        min(col("__cents")).as("__lo"), max(col("__cents")).as("__hi"))
+      .select(col("c_mktsegment"), col("decile"), col("n_customers"),
+        col("n_converted"),
+        round(col("n_converted") / col("n_customers").cast("double"), 6)
+          .as("conv_rate"),
+        round(col("__lo") / lit(100.0), 2).as("lo_balance"),
+        round(col("__hi") / lit(100.0), 2).as("hi_balance"))
+      .coalesce(1).orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  // --------------------------------------------------------------- q157
+
+  /** q157 — new-vs-returning daily actives: per day, distinct active
+    * users split into first-ever-seen ("new") and returning, with the
+    * new share — the growth-accounting readout on the events stream.
+    * One (user, day) dedup + a window min over the user partition (no
+    * self-join back to a firsts table); per-day rows out. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = Window.partitionBy(col("user_id"))
+    ud.withColumn("__first", min(col("day")).over(first))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("__first"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("day"), col("n_active"), col("n_new"),
+        (col("n_active") - col("n_new")).as("n_returning"),
+        round(col("n_new") / col("n_active").cast("double"), 6)
+          .as("new_share"))
+      .coalesce(1).orderBy(col("day"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -385,7 +443,9 @@ object Behavior {
     "q105_ab_test" -> (abTestQuery _),
     "q106_conversion_latency" -> (conversionLatency _),
     "q141_survival_curve" -> (survivalCurve _),
-    "q151_audience_overlap" -> (audienceOverlap _))
+    "q151_audience_overlap" -> (audienceOverlap _),
+    "q155_calibration" -> (calibrationQuery _),
+    "q157_new_returning" -> (newVsReturning _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -592,5 +652,48 @@ object BehaviorOracle {
         |FROM pairs p
         |JOIN sz sa ON sa.event_type = p.type_a
         |JOIN sz sb ON sb.event_type = p.type_b
-        |ORDER BY p.type_a, p.type_b""".stripMargin)
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
+
+    // identical total order (cents, custkey) -> identical ntile bands;
+    // exact counts/boundaries, one division per band
+    "q155_calibration" ->
+      """WITH conv AS (SELECT DISTINCT o_custkey FROM orders),
+        |rows0 AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents,
+        |         c.c_custkey,
+        |         CASE WHEN v.o_custkey IS NULL THEN 0 ELSE 1 END AS cv
+        |  FROM customer c LEFT JOIN conv v ON v.o_custkey = c.c_custkey),
+        |b AS (
+        |  SELECT c_mktsegment,
+        |         ntile(10) OVER (PARTITION BY c_mktsegment
+        |                         ORDER BY cents, c_custkey) AS decile,
+        |         cents, cv
+        |  FROM rows0)
+        |SELECT c_mktsegment, decile,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(cv) AS BIGINT) AS n_converted,
+        |       round(sum(cv) / CAST(count(*) AS DOUBLE), 6) AS conv_rate,
+        |       round(min(cents) / 100.0, 2) AS lo_balance,
+        |       round(max(cents) / 100.0, 2) AS hi_balance
+        |FROM b GROUP BY c_mktsegment, decile
+        |ORDER BY c_mktsegment, decile""".stripMargin,
+
+    // same (user, day) dedup + window-min first day; exact counts
+    "q157_new_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (
+        |  SELECT user_id, day,
+        |         min(day) OVER (PARTITION BY user_id) AS fd
+        |  FROM ud)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_new,
+        |       CAST(count(*) -
+        |            sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_returning,
+        |       round(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) /
+        |             CAST(count(*) AS DOUBLE), 6) AS new_share
+        |FROM f GROUP BY day ORDER BY day""".stripMargin)
 }

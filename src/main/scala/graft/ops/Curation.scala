@@ -1191,6 +1191,45 @@ object Curation {
       .orderBy(col("bm25").desc, col("doc_id")).limit(20)
   }
 
+  /** q156 — adjacent-bigram collocations by PMI: for every adjacent
+    * token pair with support ≥ 20, pmi = ln(p(ab)/(p(a)·p(b))) with
+    * p(ab) = c_ab/N_bi and p(a) = c_a/N_uni — the classic collocation
+    * extractor ("hash join" scores high because the pair co-occurs far
+    * above its unigram rates). The text-adjacency twin of q138's
+    * event-basket PMI. All counts exact integers; pmi is ONE ln over a
+    * fixed-order double ratio; ranking on the rounded score with the
+    * bigram as tiebreak. Scale: bounded explodes (per-doc fan-out =
+    * token count), two vocab-keyed count aggregates with map-side
+    * combine, a token-keyed join for the unigram attach (vocab scales
+    * past broadcast), two single-row total broadcasts, TakeOrdered. */
+  def collocationsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(split(lower(col("text")), " ").as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val nuni = uni.agg(sum(col("__c")).as("__nu"))
+    val bi = toks.filter(size(col("__toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("a"),
+          element_at(col("__toks"), i + 1).as("b")))).as("__bg"))
+      .select(col("__bg.a").as("token_a"), col("__bg.b").as("token_b"))
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val nbi = bi.agg(sum(col("c_ab")).as("__nb"))
+    bi.filter(col("c_ab") >= 20)
+      .join(uni.select(col("__t").as("token_a"), col("__c").as("__ca")),
+        Seq("token_a"))
+      .join(uni.select(col("__t").as("token_b"), col("__c").as("__cb")),
+        Seq("token_b"))
+      .crossJoin(broadcast(nuni)).crossJoin(broadcast(nbi))
+      .select(col("token_a"), col("token_b"), col("c_ab"),
+        round(log((col("c_ab").cast("double") * col("__nu") * col("__nu")) /
+          (col("__nb").cast("double") * col("__ca") * col("__cb"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("token_a"), col("token_b")).limit(20)
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1366,7 +1405,8 @@ object Curation {
     "q149_dup_spectrum" -> (dupSpectrum _),
     "q152_centroid_audit" -> (centroidAudit _),
     "q153_bm25" -> (bm25Query _),
-    "q154_weighted_jaccard" -> (weightedNgramPairs _))
+    "q154_weighted_jaccard" -> (weightedNgramPairs _),
+    "q156_collocations" -> (collocationsQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -906,5 +906,35 @@ object CurationOracle {
         |SELECT id_a, id_b,
         |       round(CAST(wmin AS DOUBLE) / (ta + tb - wmin), 4) wjaccard
         |FROM p WHERE CAST(wmin AS DOUBLE) / (ta + tb - wmin) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same exact unigram/bigram counts; pmi is one ln over the same
+    // fixed-order double ratio; rank on the rounded score
+    "q156_collocations" ->
+      """WITH d AS (
+        |  SELECT string_split(lower(text), ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS ca
+        |  FROM (SELECT unnest(toks) AS t FROM d) GROUP BY t),
+        |nu AS (SELECT CAST(sum(ca) AS BIGINT) AS n FROM uni),
+        |bi AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+        |  FROM (SELECT unnest(list_transform(range(1, len(toks)),
+        |                 i -> {'a': toks[i], 'b': toks[i + 1]}),
+        |               recursive := true)
+        |        FROM d WHERE len(toks) >= 2)
+        |  GROUP BY a, b),
+        |nb AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM bi),
+        |sc AS (
+        |  SELECT bi.a, bi.b, bi.cab,
+        |         ln((CAST(bi.cab AS DOUBLE) * nu.n * nu.n) /
+        |            (CAST(nb.n AS DOUBLE) * ua.ca * ub.ca)) AS pmi
+        |  FROM bi
+        |  JOIN uni ua ON ua.t = bi.a
+        |  JOIN uni ub ON ub.t = bi.b
+        |  CROSS JOIN nu CROSS JOIN nb
+        |  WHERE bi.cab >= 20)
+        |SELECT a AS token_a, b AS token_b, cab AS c_ab,
+        |       round(pmi, 6) AS pmi
+        |FROM sc ORDER BY round(pmi, 6) DESC, a, b LIMIT 20""".stripMargin)
 }

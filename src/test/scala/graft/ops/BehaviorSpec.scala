@@ -225,6 +225,28 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("calibration: 5x10 grid, rates in [0,1], ordered exact bands") {
+    initQuiet()
+    val out = Behavior.calibrationQuery(spark, sf).collect()
+    assert(out.length == 50) // 5 segments x 10 deciles
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2)) // converted <= customers
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) <= r.getDouble(6)) // lo <= hi
+    }
+  }
+
+  test("newVsReturning: day one all new; active = new + returning") {
+    initQuiet()
+    val out = Behavior.newVsReturning(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getDouble(4) == 1.0) // first day: everyone is new
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   test("audienceOverlap: intersection bounded by sizes; canonical pairs") {
     initQuiet()
     val out = Behavior.audienceOverlap(spark, sf).collect()

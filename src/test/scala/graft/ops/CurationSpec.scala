@@ -374,6 +374,16 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("collocations: supported bigrams, descending rounded pmi") {
+    initQuiet()
+    val out = Curation.collocationsQuery(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getLong(2) >= 20L))
+    out.map(_.getDouble(3)).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => ()
+    }
+  }
+
   test("centroidAuditOf: perfectly separated clusters classify at 1.0") {
     initQuiet()
     // two orthogonal tight clusters -> nearest centroid is always own
