@@ -373,5 +373,89 @@ object OracleSql {
         |        FROM days JOIN du ON du.d BETWEEN days.d - 29 AND days.d GROUP BY days.d)
         |SELECT dau.d, dau.dau, wau.wau, mau.mau
         |FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
-        |ORDER BY dau.d""".stripMargin)
+        |ORDER BY dau.d""".stripMargin,
+
+    // same decorrelated min-per-part join; exact cents; ties kept
+    "q158_min_cost_supplier" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_size = 10),
+        |mn AS (SELECT l_partkey, min(pc) AS mn FROM li GROUP BY l_partkey),
+        |w AS (
+        |  SELECT DISTINCT li.l_partkey, li.l_suppkey, li.pc
+        |  FROM li JOIN mn ON mn.l_partkey = li.l_partkey AND li.pc = mn.mn)
+        |SELECT w.l_partkey AS p_partkey, s.s_name, n.n_name,
+        |       round(w.pc / 100.0, 2) AS min_price
+        |FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |ORDER BY min_price, p_partkey, s_name LIMIT 100""".stripMargin,
+
+    // cross-multiplied integer threshold: 5*qty*n < sum(qty)
+    "q159_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(qc) AS BIGINT) AS sq
+        |  FROM li GROUP BY l_partkey)
+        |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        |       round(sum(li.pc) / 100.0, 2) AS revenue
+        |FROM li JOIN per ON per.pk = li.l_partkey
+        |JOIN part p ON p.p_partkey = li.l_partkey
+        |WHERE li.qc * 5 * per.n < per.sq
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    // exact 1e-4-dollar integer revenue; scalar max subquery
+    "q160_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |              (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |           AS BIGINT) AS tot
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, round(rev.tot / 10000.0, 2) AS total_revenue
+        |FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+        |WHERE rev.tot = (SELECT max(tot) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    // integer test bal*n > sum; NOT EXISTS as anti join
+    "q161_idle_rich" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS bc
+        |  FROM customer),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(bc) AS BIGINT) AS s
+        |  FROM c WHERE bc > 0)
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(sum(c.bc) / 100.0, 2) AS total_balance
+        |FROM c CROSS JOIN st
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE c.bc * st.n > st.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    // grouped-HAVING IN subquery as the aggregate itself joined back
+    "q162_big_orders" ->
+      """WITH per AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS tq
+        |  FROM lineitem GROUP BY l_orderkey HAVING tq > 25000)
+        |SELECT c.c_name, o.o_orderkey,
+        |       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+        |       round(o.o_totalprice, 2) AS o_totalprice,
+        |       round(per.tq / 100.0, 2) AS total_qty
+        |FROM per JOIN orders o ON o.o_orderkey = per.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY total_qty DESC, o.o_orderkey LIMIT 50""".stripMargin)
 }

@@ -772,6 +772,153 @@ object Relational {
       .select(col("d"), col("dau"), col("au_7").as("wau"), col("au_30").as("mau"))
       .orderBy(col("d"))
 
+  // ----------------------------------------------------- q158–q162
+  // The decorrelation battery: the classic TPC-H correlated-subquery
+  // shapes (Q2 / Q17 / Q15 / Q22 / Q18), each written in the
+  // decorrelated join form that survives at fact-table scale — a
+  // per-key aggregate joined back instead of a per-row subquery
+  // re-execution. All money/quantity arithmetic in exact integer
+  // cents so both engines compare identical values; thresholds
+  // against averages are cross-multiplied into pure integer
+  // comparisons (x > avg ⟺ x·n > sum), so no float division can
+  // disagree at a boundary.
+
+  /** q158 — cheapest supplier per part (TPC-H Q2 shape): for each
+    * size-10 part, the supplier(s) whose lineitem price achieves the
+    * per-part minimum. The textbook form is a correlated scalar
+    * `= (SELECT min(...) WHERE partkey = outer)`; here it is one
+    * per-part min aggregate joined back on (partkey, price) — two
+    * keyed shuffles, ties kept (both engines emit every minimal
+    * supplier). Global top-100 by price via TakeOrdered, so the
+    * output stays bounded at any scale.
+    */
+  def q158(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.load(spark, dir, "part")
+      .filter(col("p_size") === 10).select(col("p_partkey"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("__pc"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+    val minp = li.groupBy(col("l_partkey").as("__mk"))
+      .agg(min(col("__pc")).as("__min"))
+    li.join(minp, col("l_partkey") === col("__mk") && col("__pc") === col("__min"))
+      .select(col("l_partkey"), col("l_suppkey"), col("__min")).distinct()
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"),
+        round(col("__min") / lit(100.0), 2).as("min_price"))
+      .orderBy(col("min_price"), col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
+  /** q159 — small-quantity revenue by brand (TPC-H Q17 shape): revenue
+    * carried by lineitems whose quantity is below 20% of their part's
+    * average. Decorrelated: per-part (count, sum) aggregate joined
+    * back; the threshold test is the cross-multiplied integer
+    * comparison 5·qty·n < Σqty — exact at the boundary in both
+    * engines (a float 0.2·avg compare could round differently).
+    */
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("__qc"),
+        round(col("l_extendedprice") * 100).cast("long").as("__pc"))
+    val per = li.groupBy(col("l_partkey").as("__pk"))
+      .agg(count(lit(1)).as("__n"), sum(col("__qc")).as("__sq"))
+    li.join(per, col("l_partkey") === col("__pk"))
+      .filter(col("__qc") * 5 * col("__n") < col("__sq"))
+      .join(Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"), sum(col("__pc")).as("__rev"))
+      .select(col("p_brand"), col("n_small"),
+        round(col("__rev") / lit(100.0), 2).as("revenue"))
+      .transform(orderedSmall(_, col("p_brand")))
+  }
+
+  /** q160 — top supplier by quarter revenue (TPC-H Q15 shape): total
+    * discounted revenue per supplier over Q1-1996 shipments, keep the
+    * supplier(s) achieving the maximum. The view + scalar-max
+    * subquery collapses to one supplier aggregate plus a single-row
+    * broadcast max attached by crossJoin — no second scan of the
+    * fact. Revenue in exact 10⁻⁴-dollar integers
+    * (cents · (100 − discount%)), one division at render.
+    */
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .select(col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("__r4"))
+      .groupBy(col("l_suppkey")).agg(sum(col("__r4")).as("__tot"))
+    val mx = rev.agg(max(col("__tot")).as("__mx"))
+    rev.crossJoin(broadcast(mx)).filter(col("__tot") === col("__mx"))
+      .join(Tables.load(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("__tot") / lit(10000.0), 2).as("total_revenue"))
+      .transform(orderedSmall(_, col("s_suppkey")))
+  }
+
+  /** q161 — idle rich customers per nation (TPC-H Q22 shape):
+    * customers whose balance exceeds the average positive balance and
+    * who have placed no order since 2000 (every customer in this
+    * corpus has SOME order, so the recency window is what makes the
+    * anti-join non-vacuous). The scalar-avg subquery is a single-row
+    * (n, Σ) broadcast with the integer test bal·n > Σ; the NOT EXISTS
+    * is one left-anti join against distinct recent-order customers —
+    * the date filter pushes to the orders scan before the distinct.
+    * Nation-bounded output.
+    */
+  def q161(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("__bc"))
+    val stats = cust.filter(col("__bc") > 0)
+      .agg(count(lit(1)).as("__n"), sum(col("__bc")).as("__s"))
+    cust.crossJoin(broadcast(stats))
+      .filter(col("__bc") * col("__n") > col("__s"))
+      .join(Tables.load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= ts("2000-01-01"))
+        .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("__bc")).as("__tb"))
+      .select(col("n_name"), col("n_cust"),
+        round(col("__tb") / lit(100.0), 2).as("total_balance"))
+      .transform(orderedSmall(_, col("n_name")))
+  }
+
+  /** q162 — large-volume orders (TPC-H Q18 shape): orders whose total
+    * lineitem quantity exceeds 250 units, with their customer. The
+    * IN-(grouped HAVING) subquery is the per-order quantity aggregate
+    * itself filtered then joined to orders/customer — the filter
+    * leaves a tiny qualifying set, so AQE broadcasts it into the
+    * orders join at runtime. Top-50 by quantity via TakeOrdered.
+    */
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("__tq"))
+      .filter(col("__tq") > 25000L)
+    per.join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("__tq") / lit(100.0), 2).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
   /** name → implementation, in inventory order. */
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q01_pricing_summary" -> (q01 _),
@@ -817,7 +964,12 @@ object Relational {
     "q72_map_entries" -> (q72 _),
     "q82_asof_ties" -> (q82 _),
     "q91_concurrent_sessions" -> (q91 _),
-    "q92_active_users" -> (q92 _))
+    "q92_active_users" -> (q92 _),
+    "q158_min_cost_supplier" -> (q158 _),
+    "q159_small_qty_revenue" -> (q159 _),
+    "q160_top_supplier" -> (q160 _),
+    "q161_idle_rich" -> (q161 _),
+    "q162_big_orders" -> (q162 _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -65,6 +65,11 @@ object ScaleCheck {
     // q136 the corpus-total and (A, H(Q)) scalar rows; q138 the basket
     // count row; q141 the user total row — all single-row
     // IdentityBroadcastMode attaches, non-scaling by construction.
+    // q149 attaches the single-row spectrum total; q152 cross-attaches
+    // the |labels|-row centroid table (bounded by the label vocabulary,
+    // 10 rows here — per-vector work is O(|labels|·dim) by design);
+    // q153 attaches the single-row corpus stats row; q156 the
+    // single-row unigram and bigram totals.
     val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters",
       "q82_asof_ties", "q96_rfm_segments", "q99_benford",
       "q104_interpolate", "q107_assoc_rules", "q108_triangles",
@@ -72,7 +77,9 @@ object ScaleCheck {
       "q119_conformance", "q127_freshness", "q128_gap_histogram",
       "q130_quality_curve", "q134_ks_drift", "q135_psi", "q136_jsd",
       "q138_pmi", "q141_survival_curve", "q142_rank_bias",
-      "q143_split_leakage")
+      "q143_split_leakage", "q149_dup_spectrum", "q152_centroid_audit",
+      "q153_bm25", "q156_collocations", "q160_top_supplier",
+      "q161_idle_rich")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -114,7 +121,10 @@ object ScaleCheck {
       // nearest-centroid label audit
       "q145_moments", "q146_equidepth", "q147_lorenz",
       "q148_window_funnel", "q149_dup_spectrum", "q150_ship_lag",
-      "q151_audience_overlap", "q152_centroid_audit")
+      "q151_audience_overlap", "q152_centroid_audit", "q153_bm25",
+      "q155_calibration", "q156_collocations", "q157_new_returning",
+      "q158_min_cost_supplier", "q159_small_qty_revenue",
+      "q160_top_supplier", "q161_idle_rich", "q162_big_orders")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)
