@@ -433,6 +433,40 @@ object Behavior {
       .coalesce(1).orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q163
+
+  /** q163 — top session paths: q11's 30-minute-gap sessionization,
+    * each session rendered as its first five event types joined with
+    * '>' in deterministic (ts, event_id) order, then the 20 most
+    * common paths — the navigation-pattern miner. The first-5 slice
+    * happens inside the per-session list aggregate (sort → slice →
+    * join), so the plan is ONE user-key window shuffle plus the
+    * (user, session) aggregate with map-side partials — no second
+    * row_number window over the sub-partition (which would force an
+    * extra exchange on (user, sid)). Path-bounded final aggregate,
+    * global top-20 via TakeOrdered.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.load(spark, dir, "events")
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("__sid", sum(col("__brk")).over(w))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(array_join(
+        transform(
+          slice(sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))), 1, 5),
+          s => s.getField("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -445,7 +479,8 @@ object Behavior {
     "q141_survival_curve" -> (survivalCurve _),
     "q151_audience_overlap" -> (audienceOverlap _),
     "q155_calibration" -> (calibrationQuery _),
-    "q157_new_returning" -> (newVsReturning _))
+    "q157_new_returning" -> (newVsReturning _),
+    "q163_session_paths" -> (sessionPaths _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -695,5 +730,30 @@ object BehaviorOracle {
         |         AS n_returning,
         |       round(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) /
         |             CAST(count(*) AS DOUBLE), 6) AS new_share
-        |FROM f GROUP BY day ORDER BY day""".stripMargin)
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
+
+    // q11's 30-min gap rule; first-5 slice via rn; ordered string_agg
+    "q163_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS sid
+        |  FROM g),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |                               ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, sid,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id, sid)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)
 }

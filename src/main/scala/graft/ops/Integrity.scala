@@ -340,6 +340,68 @@ object Integrity {
       .coalesce(1).orderBy(col("w1"), col("w2"))
   }
 
+  // ---------------------------------------------------------------- q164
+
+  /** q164 — functional-dependency audit: for each declared candidate
+    * FD key → dep, how many keys exist, how many carry more than one
+    * distinct dependent value, and the violation share — the
+    * data-contract check that a column a pipeline ASSUMES is
+    * determined by a key actually is. Each FD is one keyed
+    * exact-distinct aggregate (two shuffles: (key, dep) dedup with
+    * map-side partials, then per-key count) folded to a single row;
+    * four FDs union to a 4-row scorecard. At any scale the output is
+    * |FDs| rows.
+    */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame, key: String, dep: String): DataFrame =
+      df.groupBy(col(key)).agg(countDistinct(col(dep)).as("__d"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating"))
+        .select(lit(name).as("fd"), col("n_keys"), col("n_violating"),
+          round(col("n_violating") / col("n_keys").cast("double"), 6)
+            .as("violation_share"))
+    val li = Tables.load(spark, dir, "lineitem")
+    val ev = Tables.load(spark, dir, "events")
+    val doc = Tables.load(spark, dir, "documents")
+    val ord = Tables.load(spark, dir, "orders")
+    one("lineitem: l_partkey -> l_suppkey", li, "l_partkey", "l_suppkey")
+      .unionByName(one("events: user_id -> event_type", ev, "user_id", "event_type"))
+      .unionByName(one("documents: source -> lang", doc, "source", "lang"))
+      .unionByName(one("orders: o_custkey -> o_orderpriority", ord,
+        "o_custkey", "o_orderpriority"))
+      .coalesce(1).orderBy(col("fd"))
+  }
+
+  // ---------------------------------------------------------------- q165
+
+  /** q165 — bitmap-word exact distinct: distinct users per event type
+    * computed two ways in the same row — the classic bitmap-index
+    * technique (user ids packed into 63-bit words: `word = id div 63`,
+    * `bit = id % 63`; per-(type, word) `bit_or`, then Σ popcount) next
+    * to the plain exact `count(distinct)`. The bitmap path turns a
+    * holistic distinct into an ALGEBRAIC aggregate — partials combine
+    * by OR, so map-side combine collapses each word to one long per
+    * partition and the shuffle carries |types|·⌈maxId/63⌉ longs
+    * regardless of row count; at 100 TB that is the difference between
+    * shuffling every (type, user) pair and shuffling a fixed bitmap.
+    * 63-bit words keep the shift off the sign bit, which DuckDB
+    * rejects as overflow (both engines then agree bit-for-bit).
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val bm = ev.select(col("event_type"),
+        expr("user_id div 63").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("__b"))
+      .groupBy(col("event_type"), col("__w"))
+      .agg(expr("bit_or(__b)").as("__m"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("CAST(bit_count(__m) AS BIGINT)")).as("n_users_bitmap"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    bm.join(exact, Seq("event_type"))
+      .coalesce(1).orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -349,7 +411,9 @@ object Integrity {
     "q93_snapshot_diff" -> (snapshotDiffStats _),
     "q94_rolling_checksum" -> (rollingChecksum _),
     "q99_benford" -> (benfordOrders _),
-    "q125_jaro_pairs" -> (jaroPairs _))
+    "q125_jaro_pairs" -> (jaroPairs _),
+    "q164_fd_audit" -> (fdAudit _),
+    "q165_bitmap_distinct" -> (bitmapDistinct _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -480,5 +544,52 @@ object IntegrityOracle {
         |       round(CAST(n AS DOUBLE) / tt, 6) AS obs_frac,
         |       round(log10(1.0 + 1.0 / digit), 6) AS exp_frac,
         |       round(abs(round(CAST(n AS DOUBLE) / tt, 6) - round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
-        |FROM c, t ORDER BY digit""".stripMargin)
+        |FROM c, t ORDER BY digit""".stripMargin,
+
+    // same per-key exact-distinct aggregates, one row per declared FD
+    "q164_fd_audit" ->
+      """WITH
+        |f1 AS (
+        |  SELECT 'lineitem: l_partkey -> l_suppkey' AS fd,
+        |         CAST(count(*) AS BIGINT) AS n_keys,
+        |         CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        |  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS d
+        |        FROM lineitem GROUP BY l_partkey)),
+        |f2 AS (
+        |  SELECT 'events: user_id -> event_type' AS fd,
+        |         CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT user_id, count(DISTINCT event_type) AS d
+        |        FROM events GROUP BY user_id)),
+        |f3 AS (
+        |  SELECT 'documents: source -> lang' AS fd,
+        |         CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT source, count(DISTINCT lang) AS d
+        |        FROM documents GROUP BY source)),
+        |f4 AS (
+        |  SELECT 'orders: o_custkey -> o_orderpriority' AS fd,
+        |         CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS d
+        |        FROM orders GROUP BY o_custkey)),
+        |u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |      UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+        |SELECT fd, n_keys, n_violating,
+        |       round(n_violating / CAST(n_keys AS DOUBLE), 6) AS violation_share
+        |FROM u ORDER BY fd""".stripMargin,
+
+    // identical 63-bit word packing; bit_or + popcount vs exact distinct
+    "q165_bitmap_distinct" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id // 63 AS wd,
+        |         bit_or((1::BIGINT) << CAST(user_id % 63 AS INT)) AS m
+        |  FROM events GROUP BY event_type, user_id // 63),
+        |bm AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(bit_count(m) AS BIGINT)) AS BIGINT) AS n_users_bitmap
+        |  FROM w GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT bm.event_type, bm.n_users_bitmap, ex.n_users_exact
+        |FROM bm JOIN ex ON ex.event_type = bm.event_type
+        |ORDER BY bm.event_type""".stripMargin)
 }

@@ -124,7 +124,8 @@ object ScaleCheck {
       "q151_audience_overlap", "q152_centroid_audit", "q153_bm25",
       "q155_calibration", "q156_collocations", "q157_new_returning",
       "q158_min_cost_supplier", "q159_small_qty_revenue",
-      "q160_top_supplier", "q161_idle_rich", "q162_big_orders")
+      "q160_top_supplier", "q161_idle_rich", "q162_big_orders",
+      "q163_session_paths", "q164_fd_audit", "q165_bitmap_distinct")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -258,4 +258,23 @@ class BehaviorSpec extends SparkSpec {
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("sessionPaths: ≤5 segments per path, counts descend, total bounded") {
+    initQuiet()
+    val rows = Behavior.sessionPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getString(0).split(">").length <= 5))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sortBy(-_)))
+    // top-20 path mass cannot exceed the total session count (q11 rule)
+    val sessions = graft.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"))))
+      .filter(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 30L * 60 * 1000 * 1000)
+      .count()
+    assert(counts.sum <= sessions)
+  }
 }

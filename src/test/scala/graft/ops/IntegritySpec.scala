@@ -105,4 +105,23 @@ class IntegritySpec extends SparkSpec {
       .head().getLong(3)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("fdAudit: one row per declared FD, shares in [0,1]") {
+    val rows = Integrity.fdAudit(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // in this corpus users touch multiple event types: near-total violation
+    val ev = rows.find(_.getString(0).startsWith("events")).get
+    assert(ev.getLong(2) > 0)
+  }
+
+  test("bitmapDistinct: bitmap popcount equals exact distinct per type") {
+    val rows = Integrity.bitmapDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.getString(0)))
+  }
 }
