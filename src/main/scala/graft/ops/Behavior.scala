@@ -467,6 +467,39 @@ object Behavior {
       .limit(20)
   }
 
+  // --------------------------------------------------------------- q168
+
+  /** q168 — customer value-quartile migration matrix: each customer's
+    * total order value in 1996 and 1997 quartile-banded per year
+    * (ntile over the total order (cents, custkey) — identical band
+    * assignment both engines), customers active in both years joined
+    * on key, and the 4×4 (from, to) matrix with row-normalized
+    * shares — the rank-churn readout behind "are our big spenders
+    * still big next year". Plan: one (customer, year) aggregate, two
+    * year-partitioned ntile sorts, one customer-key self-join, a
+    * 16-row matrix with a broadcast row-total attach.
+    */
+  def quartileMigration(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("__y"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__v"))
+    val w = Window.partitionBy(col("__y")).orderBy(col("__v"), col("o_custkey"))
+    val banded = per.withColumn("__q", ntile(4).over(w))
+    val from = banded.filter(col("__y") === 1996)
+      .select(col("o_custkey").as("__k"), col("__q").as("q_from"))
+    val to = banded.filter(col("__y") === 1997)
+      .select(col("o_custkey").as("__k2"), col("__q").as("q_to"))
+    val m = from.join(to, col("__k") === col("__k2"))
+      .groupBy(col("q_from"), col("q_to")).agg(count(lit(1)).as("n_customers"))
+    val rowTot = m.groupBy(col("q_from").as("__f"))
+      .agg(sum(col("n_customers")).as("__rt"))
+    m.join(broadcast(rowTot), col("q_from") === col("__f"))
+      .select(col("q_from"), col("q_to"), col("n_customers"),
+        round(col("n_customers") / col("__rt").cast("double"), 6).as("share"))
+      .coalesce(1).orderBy(col("q_from"), col("q_to"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -480,7 +513,8 @@ object Behavior {
     "q151_audience_overlap" -> (audienceOverlap _),
     "q155_calibration" -> (calibrationQuery _),
     "q157_new_returning" -> (newVsReturning _),
-    "q163_session_paths" -> (sessionPaths _))
+    "q163_session_paths" -> (sessionPaths _),
+    "q168_quartile_migration" -> (quartileMigration _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -755,5 +789,28 @@ object BehaviorOracle {
         |  FROM r WHERE rn <= 5 GROUP BY user_id, sid)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
         |FROM p GROUP BY path
-        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // identical total order (cents, custkey) -> identical ntile bands;
+    // row-normalized shares from exact counts
+    "q168_quartile_migration" ->
+      """WITH per AS (
+        |  SELECT o_custkey, year(o_orderdate) AS y,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY o_custkey, year(o_orderdate)),
+        |b AS (
+        |  SELECT o_custkey, y,
+        |         ntile(4) OVER (PARTITION BY y ORDER BY v, o_custkey) AS q
+        |  FROM per),
+        |m AS (
+        |  SELECT f.q AS q_from, t.q AS q_to, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM b f JOIN b t ON t.o_custkey = f.o_custkey
+        |  WHERE f.y = 1996 AND t.y = 1997
+        |  GROUP BY f.q, t.q),
+        |rt AS (SELECT q_from, sum(n_customers) AS tot FROM m GROUP BY q_from)
+        |SELECT m.q_from, m.q_to, m.n_customers,
+        |       round(m.n_customers / CAST(rt.tot AS DOUBLE), 6) AS share
+        |FROM m JOIN rt ON rt.q_from = m.q_from
+        |ORDER BY m.q_from, m.q_to""".stripMargin)
 }

@@ -352,6 +352,55 @@ object Drift {
       .limit(600)
   }
 
+  // --------------------------------------------------------------- q167
+
+  /** q167 — quantile normalization (nearest-rank): each document's
+    * length is replaced by the POOLED corpus length at the same
+    * quantile position within its source — the batch-effect remover
+    * that forces every source onto one distribution while preserving
+    * within-source order. Nearest-rank (not interpolated), so every
+    * normalized value is an actual corpus length (a long): the
+    * per-source means are then exact integer sums, and the target
+    * position is computed by integer half-up rounding
+    * ⌊(2·(r−1)·(N−1) + (n_g−1)) / (2·(n_g−1))⌋ + 1 — no float
+    * rounding can disagree at a .5 boundary. Plan: one per-source
+    * rank window, one global rank (range exchange — the documented
+    * swap at unbounded scale is an approx-quantile grid), one
+    * position-keyed join. Source-bounded output; the pooled mean is
+    * the drift readout (all sources land near it — that is the
+    * point of the operator).
+    */
+  def quantileNormQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val wSrcAll = Window.partitionBy(col("source"))
+    val ranked = docs
+      .withColumn("__r", row_number().over(wSrc))
+      .withColumn("__ng", count(lit(1)).over(wSrcAll))
+    val pooled = docs
+      .select(col("n_chars").as("__pv"), col("doc_id").as("__pd"))
+      .withColumn("__pos",
+        row_number().over(Window.orderBy(col("__pv"), col("__pd"))))
+      .drop("__pd")
+    val n = docs.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("__t",
+        when(col("__ng") === 1, expr("(__n + 1) div 2"))
+          .otherwise(expr(
+            "(2 * (__r - 1) * (__n - 1) + (__ng - 1)) div (2 * (__ng - 1)) + 1")))
+      .join(pooled, col("__t") === col("__pos"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")) / count(lit(1)).cast("double"), 4)
+          .as("mean_raw"),
+        round(sum(col("__pv")) / count(lit(1)).cast("double"), 4)
+          .as("mean_norm"),
+        min(col("__pv")).as("min_norm"), max(col("__pv")).as("max_norm"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -367,7 +416,8 @@ object Drift {
     "q136_jsd" -> (jsdQuery _),
     "q142_rank_bias" -> (rankBiasQuery _),
     "q144_spearman" -> (spearmanQuery _),
-    "q145_moments" -> (momentsQuery _))
+    "q145_moments" -> (momentsQuery _),
+    "q167_quantile_norm" -> (quantileNormQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -1165,5 +1215,33 @@ object DriftOracle {
         |       round(sqrt(m2) / 100.0, 4) AS stddev_value,
         |       round(m3 / nullif(m2 * sqrt(m2), 0.0), 6) AS skewness,
         |       round(m4 / nullif(m2 * m2, 0.0) - 3.0, 6) AS kurtosis_excess
-        |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // identical integer half-up target position; normalized values are
+    // actual pooled lengths, so all sums are exact integers
+    "q167_quantile_norm" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        |rk AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS r,
+        |         count(*) OVER (PARTITION BY source) AS ng
+        |  FROM d),
+        |p AS (
+        |  SELECT n_chars AS pv,
+        |         row_number() OVER (ORDER BY n_chars, doc_id) AS pos
+        |  FROM d),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |t AS (
+        |  SELECT rk.*, CASE WHEN ng = 1 THEN (nn.n + 1) // 2
+        |               ELSE (2*(r-1)*(nn.n-1) + (ng-1)) // (2*(ng-1)) + 1
+        |               END AS tpos
+        |  FROM rk CROSS JOIN nn)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       round(sum(t.n_chars) / CAST(count(*) AS DOUBLE), 4) AS mean_raw,
+        |       round(sum(p.pv) / CAST(count(*) AS DOUBLE), 4) AS mean_norm,
+        |       CAST(min(p.pv) AS BIGINT) AS min_norm,
+        |       CAST(max(p.pv) AS BIGINT) AS max_norm
+        |FROM t JOIN p ON p.pos = t.tpos
+        |GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.text.FuzzyJoin
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table fingerprinting, column profiling and statistical summaries —
@@ -402,6 +403,54 @@ object Integrity {
       .coalesce(1).orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q166
+
+  /** q166 — exact proration with largest-remainder rounding: each
+    * order's header total allocated across its lineitems proportional
+    * to extended price, in integer cents, with the leftover cents from
+    * flooring handed to the largest fractional remainders (linenumber
+    * tiebreak) — so every order's allocation sums to EXACTLY its
+    * total, by construction. The financial-allocation primitive where
+    * "round each share" silently loses pennies at scale. All integer
+    * arithmetic: base = ⌊T·p/S⌋, remainder rank on (T·p mod S) desc —
+    * no float division anywhere, so both engines allocate bit-
+    * identically. Plan: one order-key join + windows all partitioned
+    * on the same order key (one shuffle), then the per-order
+    * conservation check and a priority-bounded scorecard. The output
+    * row carries max |Σalloc − T| per priority — the oracle gate
+    * itself verifies conservation (all zeros).
+    */
+  def prorationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long").as("__pc"))
+    val ord = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("__t"))
+    val wOrd = Window.partitionBy(col("l_orderkey"))
+    val wRank = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("__fr").desc, col("l_linenumber"))
+    val alloc = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("__s", sum(col("__pc")).over(wOrd))
+      .withColumn("__base", expr("(__t * __pc) div __s"))
+      .withColumn("__fr", expr("(__t * __pc) % __s"))
+      .withColumn("__rem", col("__t") - sum(col("__base")).over(wOrd))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__alloc",
+        col("__base") + when(col("__rk") <= col("__rem"), 1L).otherwise(0L))
+    val perOrder = alloc.groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("__n"), sum(col("__alloc")).as("__sa"),
+        first(col("__t")).as("__tt"),
+        sum(when(col("__rk") <= col("__rem"), 1L).otherwise(0L)).as("__nb"))
+    perOrder.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("__n")).as("n_lines"),
+        round(sum(col("__sa")) / lit(100.0), 2).as("alloc_total"),
+        round(sum(col("__tt")) / lit(100.0), 2).as("order_total"),
+        max(abs(col("__sa") - col("__tt"))).as("max_abs_diff"),
+        sum(col("__nb")).as("n_bumped"))
+      .coalesce(1).orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -413,7 +462,8 @@ object Integrity {
     "q99_benford" -> (benfordOrders _),
     "q125_jaro_pairs" -> (jaroPairs _),
     "q164_fd_audit" -> (fdAudit _),
-    "q165_bitmap_distinct" -> (bitmapDistinct _))
+    "q165_bitmap_distinct" -> (bitmapDistinct _),
+    "q166_proration" -> (prorationQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -591,5 +641,41 @@ object IntegrityOracle {
         |  FROM events GROUP BY event_type)
         |SELECT bm.event_type, bm.n_users_bitmap, ex.n_users_exact
         |FROM bm JOIN ex ON ex.event_type = bm.event_type
-        |ORDER BY bm.event_type""".stripMargin)
+        |ORDER BY bm.event_type""".stripMargin,
+
+    // identical integer largest-remainder allocation; conservation
+    // (max_abs_diff = 0) is itself part of the compared row
+    "q166_proration" ->
+      """WITH j AS (
+        |  SELECT l.l_orderkey, l.l_linenumber,
+        |         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS pc,
+        |         o.o_orderpriority,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS t
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |a AS (
+        |  SELECT *, sum(pc) OVER (PARTITION BY l_orderkey) AS s FROM j),
+        |b AS (
+        |  SELECT *, (t * pc) // s AS base, (t * pc) % s AS fr FROM a),
+        |c AS (
+        |  SELECT *,
+        |         t - sum(base) OVER (PARTITION BY l_orderkey) AS rem,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY fr DESC, l_linenumber) AS rk
+        |  FROM b),
+        |d AS (
+        |  SELECT *, base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS alloc
+        |  FROM c),
+        |po AS (
+        |  SELECT l_orderkey, o_orderpriority,
+        |         CAST(count(*) AS BIGINT) AS n, CAST(sum(alloc) AS BIGINT) AS sa,
+        |         CAST(min(t) AS BIGINT) AS tt,
+        |         CAST(sum(CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM d GROUP BY l_orderkey, o_orderpriority)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(n) AS BIGINT) AS n_lines,
+        |       round(sum(sa) / 100.0, 2) AS alloc_total,
+        |       round(sum(tt) / 100.0, 2) AS order_total,
+        |       CAST(max(abs(sa - tt)) AS BIGINT) AS max_abs_diff,
+        |       CAST(sum(nb) AS BIGINT) AS n_bumped
+        |FROM po GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

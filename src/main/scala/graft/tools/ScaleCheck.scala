@@ -79,7 +79,7 @@ object ScaleCheck {
       "q138_pmi", "q141_survival_curve", "q142_rank_bias",
       "q143_split_leakage", "q149_dup_spectrum", "q152_centroid_audit",
       "q153_bm25", "q156_collocations", "q160_top_supplier",
-      "q161_idle_rich")
+      "q161_idle_rich", "q167_quantile_norm")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -125,7 +125,8 @@ object ScaleCheck {
       "q155_calibration", "q156_collocations", "q157_new_returning",
       "q158_min_cost_supplier", "q159_small_qty_revenue",
       "q160_top_supplier", "q161_idle_rich", "q162_big_orders",
-      "q163_session_paths", "q164_fd_audit", "q165_bitmap_distinct")
+      "q163_session_paths", "q164_fd_audit", "q165_bitmap_distinct",
+      "q166_proration", "q167_quantile_norm", "q168_quartile_migration")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -277,4 +277,17 @@ class BehaviorSpec extends SparkSpec {
       .count()
     assert(counts.sum <= sessions)
   }
+
+  test("quartileMigration: row shares sum to 1, bands in 1..4") {
+    initQuiet()
+    val rows = Behavior.quartileMigration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 1 && r.getInt(0) <= 4)
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 4)
+    }
+    rows.groupBy(_.getInt(0)).foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+  }
 }

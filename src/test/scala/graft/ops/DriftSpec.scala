@@ -372,4 +372,22 @@ class DriftSpec extends SparkSpec {
     assert(rows.length == 6) // {A,N,R} x {F,O} in the synthetic corpus
     assert(rows.forall(r => r.getLong(2) > 0 && !r.isNullAt(4)))
   }
+
+  test("quantileNormQuery: doc conservation, norms inside pooled range") {
+    initQuiet()
+    val rows = Drift.quantileNormQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val total = docs.count()
+    val (gmin, gmax) = {
+      val r = docs.agg(min(col("n_chars")), max(col("n_chars"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= gmin && r.getLong(5) <= gmax)
+      // normalized mean sits inside the normalized extremes
+      assert(r.getDouble(3) >= r.getLong(4) && r.getDouble(3) <= r.getLong(5))
+    }
+  }
 }

@@ -119,6 +119,15 @@ class IntegritySpec extends SparkSpec {
     assert(ev.getLong(2) > 0)
   }
 
+  test("prorationQuery: conservation exact — zero residual everywhere") {
+    val rows = Integrity.prorationQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5) == 0L, s"residual in ${r.getString(0)}")
+      assert(r.getDouble(3) == r.getDouble(4)) // alloc_total == order_total
+    }
+  }
+
   test("bitmapDistinct: bitmap popcount equals exact distinct per type") {
     val rows = Integrity.bitmapDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
