@@ -401,6 +401,53 @@ object Drift {
       .coalesce(1).orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q171
+
+  /** q171 — one-pass pairwise correlation matrix: all three pairwise
+    * Pearson correlations among (quantity, price, discount) per
+    * return flag from ONE aggregate scan — n plus nine exact
+    * decimal(38,0) (co-)moment sums, unpivoted to a 9-row (flag,
+    * var_a, var_b) matrix. Correlation is scale-free, so the integer
+    * unit encodings (qty·100, price·100, disc·100) cancel exactly;
+    * each corr is one closed-form double from integer sums with a
+    * textually parallel AST in DuckDB (q132/q145 discipline). The
+    * multivariate drift readout ("did discount stop tracking
+    * quantity") at |flags|·3 output rows, map-side partials, no
+    * second scan.
+    */
+  def corrMatrixQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("decimal(38,0)").as("__x"),
+        round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("__y"),
+        round(col("l_discount") * 100).cast("decimal(38,0)").as("__z"))
+    val g = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__z")).as("__sz"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__z") * col("__z")).as("__szz"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__z")).as("__sxz"),
+        sum(col("__y") * col("__z")).as("__syz"))
+    def corr(sa: String, sb: String, saa: String, sbb: String,
+        sab: String): Column =
+      round(
+        (col("n") * col(sab) - col(sa) * col(sb)).cast("double") /
+          sqrt((col("n") * col(saa) - col(sa) * col(sa)).cast("double") *
+            (col("n") * col(sbb) - col(sb) * col(sb)).cast("double")), 6)
+    def pair(a: String, b: String, c: Column): DataFrame =
+      g.select(col("l_returnflag"), lit(a).as("var_a"), lit(b).as("var_b"),
+        col("n"), c.as("corr"))
+    pair("quantity", "price", corr("__sx", "__sy", "__sxx", "__syy", "__sxy"))
+      .unionByName(pair("quantity", "discount",
+        corr("__sx", "__sz", "__sxx", "__szz", "__sxz")))
+      .unionByName(pair("price", "discount",
+        corr("__sy", "__sz", "__syy", "__szz", "__syz")))
+      .coalesce(1).orderBy(col("l_returnflag"), col("var_a"), col("var_b"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -417,7 +464,8 @@ object Drift {
     "q142_rank_bias" -> (rankBiasQuery _),
     "q144_spearman" -> (spearmanQuery _),
     "q145_moments" -> (momentsQuery _),
-    "q167_quantile_norm" -> (quantileNormQuery _))
+    "q167_quantile_norm" -> (quantileNormQuery _),
+    "q171_corr_matrix" -> (corrMatrixQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -1243,5 +1291,41 @@ object DriftOracle {
         |       CAST(min(p.pv) AS BIGINT) AS min_norm,
         |       CAST(max(p.pv) AS BIGINT) AS max_norm
         |FROM t JOIN p ON p.pos = t.tpos
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // same exact HUGEINT co-moment sums; each corr one closed-form
+    // double with a textually parallel AST
+    "q171_corr_matrix" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+        |         CAST(round(l_extendedprice * 100) AS HUGEINT) AS y,
+        |         CAST(round(l_discount * 100) AS HUGEINT) AS z
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+        |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+        |         sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz
+        |  FROM li GROUP BY l_returnflag),
+        |u AS (
+        |  SELECT l_returnflag, 'quantity' AS var_a, 'price' AS var_b, n,
+        |         round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |               sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |                    CAST(n*syy - sy*sy AS DOUBLE)), 6) AS corr
+        |  FROM g
+        |  UNION ALL
+        |  SELECT l_returnflag, 'quantity', 'discount', n,
+        |         round(CAST(n*sxz - sx*sz AS DOUBLE) /
+        |               sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+        |                    CAST(n*szz - sz*sz AS DOUBLE)), 6)
+        |  FROM g
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price', 'discount', n,
+        |         round(CAST(n*syz - sy*sz AS DOUBLE) /
+        |               sqrt(CAST(n*syy - sy*sy AS DOUBLE) *
+        |                    CAST(n*szz - sz*sz AS DOUBLE)), 6)
+        |  FROM g)
+        |SELECT l_returnflag, var_a, var_b, n, corr
+        |FROM u ORDER BY l_returnflag, var_a, var_b""".stripMargin)
 }

@@ -451,6 +451,42 @@ object Integrity {
       .coalesce(1).orderBy(col("o_orderpriority"))
   }
 
+  // ---------------------------------------------------------------- q170
+
+  /** q170 — trailing-7-day distinct users via OR-merged bitmaps: the
+    * q92 rolling-distinct problem solved with the q165 bitmap
+    * technique. Per (day, word) masks OR-combine; each contributes to
+    * its ≤7 target days (the bounded explode — never a day×day join);
+    * per target day, Σ popcount of the re-OR'd words. The shuffle
+    * carries day×word MASKS, not (day, user) rows — at 100 TB the
+    * bitmap is the difference between re-shuffling every user-day
+    * pair 7× and shipping ⌈maxId/63⌉ longs per day. The DuckDB oracle
+    * deliberately computes the NAIVE formulation (7-day range join +
+    * count distinct), so the gate proves bitmap ≡ naive end-to-end.
+    */
+  def windowBitmapDau(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.load(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val words = du
+      .select(col("day"), expr("user_id div 63").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))").as("__b"))
+      .groupBy(col("day"), col("__w"))
+      .agg(expr("bit_or(__b)").as("__m"))
+    val contrib = words
+      .select(col("__w"), col("__m"),
+        explode(sequence(lit(0), lit(6))).as("__o"), col("day"))
+      .select(expr("date_add(day, __o)").as("__td"), col("__w"), col("__m"))
+    val observed = du.select(col("day")).distinct()
+    contrib
+      .groupBy(col("__td"), col("__w"))
+      .agg(expr("bit_or(__m)").as("__mm"))
+      .groupBy(col("__td"))
+      .agg(sum(expr("CAST(bit_count(__mm) AS BIGINT)")).as("n_users_7d"))
+      .join(observed, col("__td") === col("day"))
+      .select(col("day"), col("n_users_7d"))
+      .coalesce(1).orderBy(col("day"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -463,7 +499,8 @@ object Integrity {
     "q125_jaro_pairs" -> (jaroPairs _),
     "q164_fd_audit" -> (fdAudit _),
     "q165_bitmap_distinct" -> (bitmapDistinct _),
-    "q166_proration" -> (prorationQuery _))
+    "q166_proration" -> (prorationQuery _),
+    "q170_window_bitmap_dau" -> (windowBitmapDau _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -677,5 +714,15 @@ object IntegrityOracle {
         |       round(sum(tt) / 100.0, 2) AS order_total,
         |       CAST(max(abs(sa - tt)) AS BIGINT) AS max_abs_diff,
         |       CAST(sum(nb) AS BIGINT) AS n_bumped
-        |FROM po GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM po GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // DELIBERATELY the naive formulation (range join + count distinct):
+    // the gate proves the bitmap path equals it end-to-end
+    "q170_window_bitmap_dau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT days.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_users_7d
+        |FROM days JOIN du ON du.day BETWEEN days.day - 6 AND days.day
+        |GROUP BY days.day ORDER BY days.day""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Co-engagement similarity (SURVEY.md §2.3.1 extensions, q126):
@@ -71,8 +72,48 @@ object Recommend {
       .limit(50)
   }
 
+  // --------------------------------------------------------------- q169
+
+  /** q169 — reciprocal-rank fusion: suppliers ranked two independent
+    * ways — total 1996 revenue and distinct parts supplied — fused by
+    * RRF(k=60): score = 1/(60+r₁) + 1/(60+r₂), the standard
+    * training-free way to combine retrieval rankings (the q153 BM25
+    * list with a vector list, say) without comparable scores. Both
+    * input ranks come from exact integer aggregates under a total
+    * order (value desc, suppkey), so the ranks — and therefore the
+    * two-term float sum, which has a FIXED evaluation order — are
+    * identical cross-engine. Missing-from-one-list members contribute
+    * only their present term (the standard convention). Plan: two
+    * supplier-key aggregates, two supplier-bounded rank sorts, one
+    * full-outer key join, global top-20 TakeOrdered.
+    */
+  def rrfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val rev = li.filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .groupBy(col("l_suppkey").as("__k1"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("__rev"))
+      .withColumn("__r1", row_number().over(
+        Window.orderBy(col("__rev").desc, col("__k1"))))
+    val breadth = li.groupBy(col("l_suppkey").as("__k2"))
+      .agg(countDistinct(col("l_partkey")).as("__np"))
+      .withColumn("__r2", row_number().over(
+        Window.orderBy(col("__np").desc, col("__k2"))))
+    rev.join(breadth, col("__k1") === col("__k2"), "full_outer")
+      .select(coalesce(col("__k1"), col("__k2")).as("s_suppkey"),
+        coalesce(col("__r1"), lit(0)).as("rank_revenue"),
+        coalesce(col("__r2"), lit(0)).as("rank_breadth"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("__r1")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("__r2")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q126_item_cf" -> (itemCfQuery _))
+    "q126_item_cf" -> (itemCfQuery _),
+    "q169_rank_fusion" -> (rrfQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -103,5 +144,28 @@ object RecommendOracle {
         |FROM pairs p
         |JOIN norms na ON na.i = p.item_a
         |JOIN norms nb ON nb.i = p.item_b
-        |ORDER BY cosine DESC, item_a, item_b LIMIT 50""".stripMargin)
+        |ORDER BY cosine DESC, item_a, item_b LIMIT 50""".stripMargin,
+
+    // same exact-integer ranks; the 2-term float sum has a fixed
+    // evaluation order; DOUBLE casts keep DuckDB out of DECIMAL math
+    "q169_rank_fusion" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey AS k1,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rv
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey),
+        |r1 AS (SELECT k1, row_number() OVER (ORDER BY rv DESC, k1) AS r1 FROM rev),
+        |br AS (
+        |  SELECT l_suppkey AS k2, count(DISTINCT l_partkey) AS np
+        |  FROM lineitem GROUP BY l_suppkey),
+        |r2 AS (SELECT k2, row_number() OVER (ORDER BY np DESC, k2) AS r2 FROM br)
+        |SELECT coalesce(k1, k2) AS s_suppkey,
+        |       CAST(coalesce(r1, 0) AS INT) AS rank_revenue,
+        |       CAST(coalesce(r2, 0) AS INT) AS rank_breadth,
+        |       round(coalesce(CAST(1 AS DOUBLE) / (60 + r1), 0.0) +
+        |             coalesce(CAST(1 AS DOUBLE) / (60 + r2), 0.0), 6) AS rrf_score
+        |FROM r1 FULL OUTER JOIN r2 ON r2.k2 = r1.k1
+        |ORDER BY rrf_score DESC, s_suppkey LIMIT 20""".stripMargin)
 }

@@ -126,7 +126,8 @@ object ScaleCheck {
       "q158_min_cost_supplier", "q159_small_qty_revenue",
       "q160_top_supplier", "q161_idle_rich", "q162_big_orders",
       "q163_session_paths", "q164_fd_audit", "q165_bitmap_distinct",
-      "q166_proration", "q167_quantile_norm", "q168_quartile_migration")
+      "q166_proration", "q167_quantile_norm", "q168_quartile_migration",
+      "q169_rank_fusion", "q170_window_bitmap_dau", "q171_corr_matrix")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

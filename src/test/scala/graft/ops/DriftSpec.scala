@@ -390,4 +390,15 @@ class DriftSpec extends SparkSpec {
       assert(r.getDouble(3) >= r.getLong(4) && r.getDouble(3) <= r.getLong(5))
     }
   }
+
+  test("corrMatrixQuery: 9-cell matrix, correlations in [-1, 1]") {
+    initQuiet()
+    val rows = Drift.corrMatrixQuery(spark, sf).collect()
+    assert(rows.length == 9) // 3 flags x 3 pairs
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0)
+      val c = r.getDouble(4)
+      assert(c >= -1.0 && c <= 1.0, s"${r.getString(1)}/${r.getString(2)}: $c")
+    }
+  }
 }

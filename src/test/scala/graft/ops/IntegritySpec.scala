@@ -133,4 +133,13 @@ class IntegritySpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.getString(0)))
   }
+
+  test("windowBitmapDau: OR-merged bitmaps equal the explode-based rolling distinct") {
+    val bitmap = Integrity.windowBitmapDau(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val explode = Analytics.rollingActiveUsers(
+        graft.Tables.load(spark, sf, "events"), "user_id", "ts", Seq(7))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    assert(bitmap.nonEmpty && bitmap == explode)
+  }
 }

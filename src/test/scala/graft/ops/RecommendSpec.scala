@@ -40,4 +40,18 @@ class RecommendSpec extends SparkSpec {
     assert(out.length <= 50 && out.nonEmpty)
     assert(out.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
   }
+
+  test("rrfQuery: scores reproduce 1/(60+r) terms and descend") {
+    initQuiet()
+    val rows = Recommend.rrfQuery(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (r1, r2) = (r.getInt(1), r.getInt(2))
+      val expect = (if (r1 > 0) 1.0 / (60 + r1) else 0.0) +
+        (if (r2 > 0) 1.0 / (60 + r2) else 0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6)
+    }
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+  }
 }
