@@ -500,6 +500,52 @@ object Behavior {
       .coalesce(1).orderBy(col("q_from"), col("q_to"))
   }
 
+  // --------------------------------------------------------------- q173
+
+  /** q173 — year-over-year revenue bridge: each 1996/1997-active
+    * customer classified as new / churned / expanded / contracted /
+    * flat, with per-(nation, class) customer counts and the exact
+    * revenue delta each class contributes — the growth-accounting
+    * "waterfall" that explains WHERE a topline change came from (the
+    * class deltas sum to the nation's total YoY change by
+    * construction). Presence flags (not zero-value sentinels) decide
+    * new/churned, so a hypothetical zero-revenue year can never be
+    * misclassified. All cents-exact; one (customer, year) aggregate,
+    * one customer-key self-join + customer/nation attach;
+    * nation×class-bounded output.
+    */
+  def revenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("__y"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__v"))
+    val a = per.filter(col("__y") === 1996)
+      .select(col("o_custkey").as("__ka"), col("__v").as("__va"))
+    val b = per.filter(col("__y") === 1997)
+      .select(col("o_custkey").as("__kb"), col("__v").as("__vb"))
+    val classed = a.join(b, col("__ka") === col("__kb"), "full_outer")
+      .select(coalesce(col("__ka"), col("__kb")).as("__ck"),
+        col("__ka").isNotNull.as("__in96"), col("__kb").isNotNull.as("__in97"),
+        coalesce(col("__va"), lit(0L)).as("__v96"),
+        coalesce(col("__vb"), lit(0L)).as("__v97"))
+      .withColumn("class",
+        when(!col("__in96"), "new")
+          .when(!col("__in97"), "churned")
+          .when(col("__v97") > col("__v96"), "expanded")
+          .when(col("__v97") < col("__v96"), "contracted")
+          .otherwise("flat"))
+    classed
+      .join(Tables.load(spark, dir, "customer"),
+        col("__ck") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("class"))
+      .agg(count(lit(1)).as("n_customers"),
+        round((sum(col("__v97")) - sum(col("__v96"))) / lit(100.0), 2)
+          .as("delta"))
+      .coalesce(1).orderBy(col("n_name"), col("class"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -514,7 +560,8 @@ object Behavior {
     "q155_calibration" -> (calibrationQuery _),
     "q157_new_returning" -> (newVsReturning _),
     "q163_session_paths" -> (sessionPaths _),
-    "q168_quartile_migration" -> (quartileMigration _))
+    "q168_quartile_migration" -> (quartileMigration _),
+    "q173_revenue_bridge" -> (revenueBridge _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -812,5 +859,31 @@ object BehaviorOracle {
         |SELECT m.q_from, m.q_to, m.n_customers,
         |       round(m.n_customers / CAST(rt.tot AS DOUBLE), 6) AS share
         |FROM m JOIN rt ON rt.q_from = m.q_from
-        |ORDER BY m.q_from, m.q_to""".stripMargin)
+        |ORDER BY m.q_from, m.q_to""".stripMargin,
+
+    // same presence-flag classification; exact cent deltas
+    "q173_revenue_bridge" ->
+      """WITH per AS (
+        |  SELECT o_custkey, year(o_orderdate) AS y,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY o_custkey, year(o_orderdate)),
+        |a AS (SELECT o_custkey AS ka, v AS va FROM per WHERE y = 1996),
+        |b AS (SELECT o_custkey AS kb, v AS vb FROM per WHERE y = 1997),
+        |cl AS (
+        |  SELECT coalesce(ka, kb) AS ck,
+        |         coalesce(va, 0) AS v96, coalesce(vb, 0) AS v97,
+        |         CASE WHEN ka IS NULL THEN 'new'
+        |              WHEN kb IS NULL THEN 'churned'
+        |              WHEN coalesce(vb, 0) > coalesce(va, 0) THEN 'expanded'
+        |              WHEN coalesce(vb, 0) < coalesce(va, 0) THEN 'contracted'
+        |              ELSE 'flat' END AS class
+        |  FROM a FULL OUTER JOIN b ON b.kb = a.ka)
+        |SELECT n.n_name, cl.class, CAST(count(*) AS BIGINT) AS n_customers,
+        |       round((sum(cl.v97) - sum(cl.v96)) / 100.0, 2) AS delta
+        |FROM cl
+        |JOIN customer c ON c.c_custkey = cl.ck
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY n.n_name, cl.class
+        |ORDER BY n.n_name, cl.class""".stripMargin)
 }

@@ -364,6 +364,73 @@ object Concentration {
         "c_custkey"),
       col("c_mktsegment"), col("decile"))
 
+  // --------------------------------------------------------------- q172
+
+  /** q172 — supplier Pareto skyline: the non-dominated set on (total
+    * revenue, distinct parts supplied) — suppliers no other supplier
+    * beats-or-ties on BOTH axes while strictly beating on one. The
+    * engine runs the sort-based O(n log n) formulation: per-x-group
+    * keep only the max-y row, then keep rows whose y strictly exceeds
+    * the best y among all STRICTLY-greater-x rows — an integer range
+    * frame `rangeBetween(1, ∞)`, so "strictly greater" is exact. The
+    * DuckDB oracle deliberately evaluates the quadratic NOT-EXISTS
+    * dominance definition, so window-skyline ≡ definition is itself
+    * the gate. Both metrics are exact integers; the window runs over
+    * the supplier-bounded aggregate, never the fact table.
+    */
+  def skylineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("__x"),
+        countDistinct(col("l_partkey")).as("__y"))
+    val wx = Window.partitionBy(col("__x"))
+    val wAbove = Window.orderBy(col("__x"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    m.withColumn("__ymaxsame", max(col("__y")).over(wx))
+      .withColumn("__ymaxabove", max(col("__y")).over(wAbove))
+      .filter(col("__y") === col("__ymaxsame") &&
+        (col("__ymaxabove").isNull || col("__ymaxabove") < col("__y")))
+      .select(col("l_suppkey").as("s_suppkey"),
+        round(col("__x") / lit(100.0), 2).as("revenue"),
+        col("__y").as("n_parts"))
+      .coalesce(1).orderBy(col("revenue").desc, col("s_suppkey"))
+  }
+
+  // --------------------------------------------------------------- q174
+
+  /** q174 — hierarchical contribution (share-of-parent): customer
+    * order revenue rolled to nation grain, each nation row carrying
+    * its share of its REGION and the region's share of the GRAND
+    * total — the drill-down contribution readout a rollup alone
+    * doesn't give (q07 produces the level totals; this produces the
+    * level RATIOS). The fact scan aggregates once to the 25-row
+    * nation grain; both parent totals are window sums OVER THE
+    * AGGREGATE (region partition / global), so the windows never see
+    * fact rows. Exact cent sums; two divisions per output row.
+    */
+  def shareOfParentQuery(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__v"))
+    val wReg = Window.partitionBy(col("r_name"))
+    val wAll = Window.partitionBy()
+    nat.withColumn("__vr", sum(col("__v")).over(wReg))
+      .withColumn("__vt", sum(col("__v")).over(wAll))
+      .select(col("r_name"), col("n_name"),
+        round(col("__v") / lit(100.0), 2).as("revenue"),
+        round(col("__v") / col("__vr").cast("double"), 6)
+          .as("share_of_region"),
+        round(col("__vr") / col("__vt").cast("double"), 6)
+          .as("region_share_of_total"))
+      .coalesce(1).orderBy(col("r_name"), col("n_name"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -373,7 +440,9 @@ object Concentration {
     "q137_readability" -> (readabilityQuery _),
     "q139_lexical_diversity" -> (lexicalDiversityQuery _),
     "q146_equidepth" -> (equiDepthQuery _),
-    "q147_lorenz" -> (lorenzQuery _))
+    "q147_lorenz" -> (lorenzQuery _),
+    "q172_skyline" -> (skylineQuery _),
+    "q174_share_of_parent" -> (shareOfParentQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -574,5 +643,40 @@ object ConcentrationOracle {
         |SELECT c_mktsegment, decile, n,
         |       round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
         |       round(CAST(c AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share
-        |FROM cum ORDER BY c_mktsegment, decile""".stripMargin)
+        |FROM cum ORDER BY c_mktsegment, decile""".stripMargin,
+
+    // DELIBERATELY the quadratic NOT-EXISTS dominance definition: the
+    // gate proves the window-based skyline equals it
+    "q172_skyline" ->
+      """WITH m AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x,
+        |         CAST(count(DISTINCT l_partkey) AS BIGINT) AS y
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT a.l_suppkey AS s_suppkey, round(a.x / 100.0, 2) AS revenue,
+        |       a.y AS n_parts
+        |FROM m a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM m b
+        |  WHERE b.x >= a.x AND b.y >= a.y AND (b.x > a.x OR b.y > a.y))
+        |ORDER BY revenue DESC, s_suppkey""".stripMargin,
+
+    // same nation-grain aggregate; parent totals as window sums
+    "q174_share_of_parent" ->
+      """WITH nat AS (
+        |  SELECT r.r_name, n.n_name,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  GROUP BY r.r_name, n.n_name),
+        |w AS (
+        |  SELECT *, sum(v) OVER (PARTITION BY r_name) AS vr,
+        |         sum(v) OVER () AS vt
+        |  FROM nat)
+        |SELECT r_name, n_name, round(v / 100.0, 2) AS revenue,
+        |       round(v / CAST(vr AS DOUBLE), 6) AS share_of_region,
+        |       round(vr / CAST(vt AS DOUBLE), 6) AS region_share_of_total
+        |FROM w ORDER BY r_name, n_name""".stripMargin)
 }

@@ -127,7 +127,8 @@ object ScaleCheck {
       "q160_top_supplier", "q161_idle_rich", "q162_big_orders",
       "q163_session_paths", "q164_fd_audit", "q165_bitmap_distinct",
       "q166_proration", "q167_quantile_norm", "q168_quartile_migration",
-      "q169_rank_fusion", "q170_window_bitmap_dau", "q171_corr_matrix")
+      "q169_rank_fusion", "q170_window_bitmap_dau", "q171_corr_matrix",
+      "q172_skyline", "q173_revenue_bridge", "q174_share_of_parent")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -290,4 +290,30 @@ class BehaviorSpec extends SparkSpec {
       assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-4)
     }
   }
+
+  test("revenueBridge: class deltas reconcile to the nation YoY change") {
+    initQuiet()
+    val rows = Behavior.revenueBridge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val classes = Set("new", "churned", "expanded", "contracted", "flat")
+    rows.foreach(r => assert(classes.contains(r.getString(1))))
+    // recompute each nation's total 1997-1996 delta independently
+    val per = graft.Tables.load(spark, sf, "orders")
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .join(graft.Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.load(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(when(year(col("o_orderdate")) === 1997,
+        round(col("o_totalprice") * 100).cast("long")).otherwise(0L)) -
+        sum(when(year(col("o_orderdate")) === 1996,
+          round(col("o_totalprice") * 100).cast("long")).otherwise(0L)))
+        .as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (nation, g) =>
+      val bridged = math.round(g.map(_.getDouble(3)).sum * 100)
+      assert(bridged == per(nation), nation)
+    }
+  }
 }

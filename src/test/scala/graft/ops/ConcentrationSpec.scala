@@ -154,4 +154,33 @@ class ConcentrationSpec extends SparkSpec {
     assert(lz.length == 50)
     assert(lz.filter(_.getInt(1) == 10).forall(_.getDouble(4) == 1.0))
   }
+
+  test("skylineQuery: window formulation equals brute-force dominance") {
+    initQuiet()
+    val metrics = graft.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"),
+        countDistinct(col("l_partkey")).as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = metrics.filter { case (_, x, y) =>
+      !metrics.exists { case (_, bx, by) =>
+        bx >= x && by >= y && (bx > x || by > y)
+      }
+    }.map(_._1).toSet
+    val got = Concentration.skylineQuery(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
+  test("shareOfParentQuery: shares sum to 1 within region and overall") {
+    initQuiet()
+    val rows = Concentration.shareOfParentQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+    val regionShares = rows.map(r => r.getString(0) -> r.getDouble(4))
+      .distinct.map(_._2)
+    assert(math.abs(regionShares.sum - 1.0) < 1e-4)
+  }
 }
