@@ -546,6 +546,65 @@ object Behavior {
       .coalesce(1).orderBy(col("n_name"), col("class"))
   }
 
+  // --------------------------------------------------------------- q175
+
+  /** q175 — kept-anchor debounce (notification throttle): per user,
+    * keep an event only if it is ≥ 7 days after the last KEPT event —
+    * the anchor advances only on keeps, which is NOT expressible as a
+    * lag window (a chain of sub-threshold gaps must stay suppressed;
+    * gap-based lag debounce would re-admit the third event of a
+    * 0/3/6-day chain). Engine: one user-key shuffle, then the
+    * codegen'd `aggregate` HOF scans each user's sorted sequence with
+    * (anchor, kept-list) state — the q80 funnel idiom. The DuckDB
+    * oracle replays the same semantics with a RECURSIVE CTE (each
+    * step: the earliest event ≥ anchor + 7 d per user), a genuinely
+    * different evaluation strategy — scan ≡ fixpoint is the gate.
+    * Kept events are classified by type through the (user, ts) join
+    * with a first-by-event_id rule, so duplicate timestamps cannot
+    * diverge. Output: per event type, raw vs kept counts + kept
+    * share.
+    */
+  /** Kept events under a kept-anchor debounce: one row per (key,
+    * tu, tag) the scan keeps. One key shuffle; the HOF scan carries
+    * (anchor, kept-list) state per key. Duplicate-timestamp rows sort
+    * on `ordCol` so the FIRST one is the kept representative. */
+  def debounce(df: DataFrame, keyCol: String, tuCol: String,
+      ordCol: String, tagCol: String, windowUs: Long): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tuCol).as("tu"),
+        col(ordCol).as("o"), col(tagCol).as("et")))).as("__seq"))
+      .withColumn("__kept", aggregate(
+        col("__seq"),
+        struct(lit(null).cast("long").as("anchor"),
+          array().cast("array<struct<tu:bigint,et:string>>").as("ks")),
+        (s, x) => when(
+          s.getField("anchor").isNull ||
+            x.getField("tu") >= s.getField("anchor") + windowUs,
+          struct(x.getField("tu").as("anchor"),
+            concat(s.getField("ks"),
+              array(struct(x.getField("tu").as("tu"),
+                x.getField("et").as("et")))).as("ks")))
+          .otherwise(s),
+        s => s.getField("ks")))
+      .select(col(keyCol), explode(col("__kept")).as("__k"))
+      .select(col(keyCol), col("__k.tu").as("tu"), col("__k.et").as("tag"))
+
+  def debounceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("__tu"),
+        col("event_id"), col("event_type"))
+    val kept = debounce(ev, "user_id", "__tu", "event_id", "event_type",
+        windowUs = 7L * 86400 * 1000 * 1000)
+      .groupBy(col("tag").as("event_type"))
+      .agg(count(lit(1)).as("n_kept"))
+    val raw = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_raw"))
+    raw.join(kept, Seq("event_type"))
+      .select(col("event_type"), col("n_raw"), col("n_kept"),
+        round(col("n_kept") / col("n_raw").cast("double"), 6)
+          .as("kept_share"))
+      .coalesce(1).orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -561,7 +620,8 @@ object Behavior {
     "q157_new_returning" -> (newVsReturning _),
     "q163_session_paths" -> (sessionPaths _),
     "q168_quartile_migration" -> (quartileMigration _),
-    "q173_revenue_bridge" -> (revenueBridge _))
+    "q173_revenue_bridge" -> (revenueBridge _),
+    "q175_debounce" -> (debounceQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -885,5 +945,36 @@ object BehaviorOracle {
         |JOIN customer c ON c.c_custkey = cl.ck
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
         |GROUP BY n.n_name, cl.class
-        |ORDER BY n.n_name, cl.class""".stripMargin)
+        |ORDER BY n.n_name, cl.class""".stripMargin,
+
+    // DELIBERATELY a different evaluation strategy: the kept-anchor
+    // fixpoint as a RECURSIVE CTE (earliest event >= anchor + 7d per
+    // step); the engine's sequential scan must equal it
+    "q175_debounce" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id AS u, event_id AS eid, event_type AS et,
+        |         epoch_us(ts) AS tu
+        |  FROM events),
+        |kept AS (
+        |  SELECT u, min(tu) AS tu FROM ev GROUP BY u
+        |  UNION ALL
+        |  SELECT e.u, min(e.tu) AS tu
+        |  FROM kept k JOIN ev e
+        |    ON e.u = k.u AND e.tu >= k.tu + 604800000000
+        |  GROUP BY e.u),
+        |kd AS (SELECT DISTINCT u, tu FROM kept),
+        |cls AS (
+        |  SELECT kd.u, kd.tu, first(e.et ORDER BY e.eid) AS et
+        |  FROM kd JOIN ev e ON e.u = kd.u AND e.tu = kd.tu
+        |  GROUP BY kd.u, kd.tu),
+        |kc AS (
+        |  SELECT et AS event_type, CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM cls GROUP BY et),
+        |rw AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw
+        |  FROM events GROUP BY event_type)
+        |SELECT rw.event_type, rw.n_raw, kc.n_kept,
+        |       round(kc.n_kept / CAST(rw.n_raw AS DOUBLE), 6) AS kept_share
+        |FROM rw JOIN kc ON kc.event_type = rw.event_type
+        |ORDER BY rw.event_type""".stripMargin)
 }

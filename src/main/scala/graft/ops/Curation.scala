@@ -80,6 +80,16 @@ object Curation {
         shingleLen = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** q177 — prefix-filtered exact Jaccard pairs (oracle-checked
+    * against q25's SQL verbatim): [[Dedup.ngramJaccardPrefix]] indexes
+    * only each document's rare-first prefix (PPJoin principle) yet
+    * must emit EXACTLY q25's pairs — the candidate-reduction
+    * losslessness theorem sits under the driver's gate. */
+  def dedupNgramPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPrefix(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", shingleLen = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** q154 — weighted (multiset) 3-gram Jaccard near-dup pairs
     * (oracle-checked): [[Dedup.weightedNgramJaccard]] — q25's
     * inverted-index candidates with multiplicities carried, so
@@ -1406,7 +1416,8 @@ object Curation {
     "q152_centroid_audit" -> (centroidAudit _),
     "q153_bm25" -> (bm25Query _),
     "q154_weighted_jaccard" -> (weightedNgramPairs _),
-    "q156_collocations" -> (collocationsQuery _))
+    "q156_collocations" -> (collocationsQuery _),
+    "q177_prefix_jaccard" -> (dedupNgramPrefix _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

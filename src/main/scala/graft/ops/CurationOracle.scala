@@ -936,5 +936,23 @@ object CurationOracle {
         |  WHERE bi.cab >= 20)
         |SELECT a AS token_a, b AS token_b, cab AS c_ab,
         |       round(pmi, 6) AS pmi
-        |FROM sc ORDER BY round(pmi, 6) DESC, a, b LIMIT 20""".stripMargin)
+        |FROM sc ORDER BY round(pmi, 6) DESC, a, b LIMIT 20""".stripMargin,
+
+    // VERBATIM the q25 oracle: the prefix-filtered engine path must
+    // emit exactly the unfiltered inverted-index pair set — the
+    // PPJoin losslessness theorem under the gate
+    "q177_prefix_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/(na + nb - inter),4) jaccard
+        |FROM p WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin)
 }

@@ -203,12 +203,67 @@ object Spans {
       col("entry_type"))
   }
 
+  // --------------------------------------------------------------- q176
+
+  /** q176 — interval union (merge-overlaps): each order opens a
+    * 30-day activity window for its customer; overlapping/touching
+    * windows merge into islands and the customer's covered time is
+    * the union length — the classic "merge intervals" operator
+    * (entity timelines, machine uptime, contract coverage), distinct
+    * from q118's concurrency counting and q117's day-grain streaks.
+    * Rewrite: one customer-key window pass — an interval starts a new
+    * island iff its start exceeds the running max end of all earlier
+    * intervals (ROWS UNBOUNDED PRECEDING TO 1 PRECEDING); island id =
+    * running sum of starts; per island the union length is
+    * max(end) − min(start), all integer µs. Nation-bounded output:
+    * customers, islands, exact mean covered days per nation. DuckDB
+    * replays the identical windows — but the per-customer LENGTHS are
+    * also pinned against a brute-force day-set union in SpansSpec.
+    */
+  def intervalUnionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 30L * 86400 * 1000 * 1000
+    // o_orderdate is TIMESTAMP_NTZ in the corpus; under the pinned UTC
+    // session the cast reads the same instant (the q11 events rule)
+    val iv = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("__s"))
+      .withColumn("__e", col("__s") + winUs)
+    val wPrev = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("__s"), col("__e"))
+    val islands = iv
+      .withColumn("__pmax", max(col("__e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+      .groupBy(col("o_custkey"), col("__isl"))
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+    val perCust = islands.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(col("__ie") - col("__is")).as("__cov"))
+    perCust
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("__ni")).as("n_islands"),
+        round((sum(col("__cov")) / count(lit(1)).cast("double")) /
+          lit(86400000000.0), 4).as("mean_covered_days"))
+      .coalesce(1).orderBy(col("n_name"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q117_streaks" -> (streakQuery _),
     "q118_concurrency" -> (concurrencyQuery _),
     "q119_conformance" -> (conformanceQuery _),
     "q120_position" -> (positionQuery _),
-    "q131_bounce_rate" -> (bounceQuery _))
+    "q131_bounce_rate" -> (bounceQuery _),
+    "q176_interval_union" -> (intervalUnionQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -313,5 +368,39 @@ object SpansOracle {
         |         AS n_bounce,
         |       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) /
         |             CAST(count(*) AS DOUBLE), 6) AS bounce_rate
-        |FROM per GROUP BY entry_type ORDER BY entry_type""".stripMargin)
+        |FROM per GROUP BY entry_type ORDER BY entry_type""".stripMargin,
+
+    // identical running-max island windows; integer-µs lengths
+    "q176_interval_union" ->
+      """WITH iv AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) AS s,
+        |         epoch_us(o_orderdate) + 2592000000000 AS e
+        |  FROM orders),
+        |w AS (
+        |  SELECT *, max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS pmax
+        |  FROM iv),
+        |f AS (
+        |  SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+        |           AS nw
+        |  FROM w),
+        |g AS (
+        |  SELECT *, sum(nw) OVER (PARTITION BY o_custkey ORDER BY s, e)
+        |           AS isl
+        |  FROM f),
+        |isd AS (
+        |  SELECT o_custkey, isl, min(s) AS si, max(e) AS ei
+        |  FROM g GROUP BY o_custkey, isl),
+        |pc AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS ni,
+        |         CAST(sum(ei - si) AS BIGINT) AS cov
+        |  FROM isd GROUP BY o_custkey)
+        |SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(pc.ni) AS BIGINT) AS n_islands,
+        |       round((sum(pc.cov) / CAST(count(*) AS DOUBLE)) /
+        |             86400000000.0, 4) AS mean_covered_days
+        |FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
 }

@@ -328,6 +328,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard pairs (the PPJoin principle):
+    * identical output to [[ngramJaccard]], but the inverted index
+    * holds only each document's PREFIX — its first
+    * |sh| − ⌈t·|sh|⌉ + 1 shingles in the global (document frequency
+    * asc, shingle) order — instead of every shingle. Losslessness is
+    * a theorem: J(A,B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, and by pigeonhole
+    * the smallest shared shingle (in the SAME global order on both
+    * sides) lands inside both prefixes, so the prefix-prefix
+    * equi-join still generates every qualifying pair. Rare-first
+    * ordering makes the surviving postings lists the SHORT ones —
+    * at 100 TB this is the difference between indexing Σ|doc| entries
+    * and ≈(1−t)·Σ|doc| entries with the hot shingles pushed OUT of
+    * the prefix zone entirely. ⌈t·|sh|⌉ is computed in integers for
+    * t = 0.5 ((|sh|+1) div 2), so the prefix boundary can never
+    * float-drift. Candidates re-verify with exact Jaccard over full
+    * shingle sets, so reported similarities are exact; equality with
+    * [[ngramJaccard]] sits under the driver's q25 oracle (q177 reuses
+    * its SQL verbatim) and under DedupSpec.
+    */
+  def ngramJaccardPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold == 0.5,
+      "integer prefix arithmetic below is specialized to t = 0.5")
+    graft.GraftFunctions.register(df.sparkSession)
+    val sh = shingleTable(df, idCol, textCol, shingleLen)
+    val inv = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col("id"))
+      .orderBy(col("__df"), col("s"))
+    val prefix = inv.join(dfreq, Seq("s"))
+      .withColumn("__rk", row_number().over(wDoc))
+      // prefix length = n - ceil(n/2) + 1 with ceil(n/2) = (n+1) div 2
+      .filter(col("__rk") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("s"), col("id"))
+    val cand = prefix.select(col("s"), col("id").as("id_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.GraftFunctions.jaccardSim(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact n-gram OVERLAP-coefficient pairs: |A∩B| / min(|A|,|B|) ≥
     * `threshold`. The asymmetric companion to [[ngramJaccard]] — a short
     * document fully CONTAINED in a long one scores overlap 1.0 but a

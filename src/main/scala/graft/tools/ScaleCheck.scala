@@ -128,7 +128,11 @@ object ScaleCheck {
       "q163_session_paths", "q164_fd_audit", "q165_bitmap_distinct",
       "q166_proration", "q167_quantile_norm", "q168_quartile_migration",
       "q169_rank_fusion", "q170_window_bitmap_dau", "q171_corr_matrix",
-      "q172_skyline", "q173_revenue_bridge", "q174_share_of_parent")
+      "q172_skyline", "q173_revenue_bridge", "q174_share_of_parent",
+      // q177 prefix-jaccard joins q25/q154 in the pair-machinery
+      // family (ScaleRun, not ScaleCheck: quadratic BY SEMANTICS on
+      // the 99-exact-twins amplified corpus)
+      "q175_debounce", "q176_interval_union")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -316,4 +316,24 @@ class BehaviorSpec extends SparkSpec {
       assert(bridged == per(nation), nation)
     }
   }
+
+  test("debounce: kept-anchor semantics, not gap-based lag") {
+    initQuiet()
+    import spark.implicits._
+    // chain 0,3,6,11 with window 5: kept-anchor keeps 0,6,11.
+    // (gap-based lag>5 would keep only 0 — gaps 3,3,5 all short.)
+    val df = Seq((1L, 0L, 1L, "a"), (1L, 3L, 2L, "b"),
+      (1L, 6L, 3L, "c"), (1L, 11L, 4L, "d"),
+      (2L, 0L, 5L, "e"), (2L, 10L, 6L, "f"))
+      .toDF("u", "tu", "eid", "tag")
+    val kept = Behavior.debounce(df, "u", "tu", "eid", "tag", windowUs = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 0L), (1L, 6L), (1L, 11L), (2L, 0L), (2L, 10L)))
+    // duplicate timestamp: first-by-ord is the kept representative
+    val dup = Seq((3L, 0L, 2L, "late"), (3L, 0L, 1L, "first"))
+      .toDF("u", "tu", "eid", "tag")
+    val k2 = Behavior.debounce(dup, "u", "tu", "eid", "tag", windowUs = 5L)
+      .collect()
+    assert(k2.length == 1 && k2.head.getString(2) == "first")
+  }
 }

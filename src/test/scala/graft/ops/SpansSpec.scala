@@ -89,4 +89,29 @@ class SpansSpec extends SparkSpec {
     // exactly one new-session row)
     assert(out.forall(!_.isNullAt(0)))
   }
+
+  test("intervalUnionQuery: window islands equal brute-force day-set union") {
+    initQuiet()
+    val winUs = 30L * 86400 * 1000 * 1000
+    // brute force: per customer, the union of [s, s+30d) as a day set
+    val ivs = graft.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dayUs = 86400L * 1000 * 1000
+    val bruteCov = ivs.groupBy(_._1).map { case (k, g) =>
+      k -> g.flatMap { case (_, s) =>
+        (s / dayUs) until ((s + winUs) / dayUs)
+      }.distinct.length.toLong * dayUs
+    }
+    val perCustTotal = bruteCov.values.sum
+    // engine total covered µs recomputed from the nation aggregate
+    val rows = Spans.intervalUnionQuery(spark, sf).collect()
+    val engineTotal = rows.map(r =>
+      math.round(r.getDouble(3) * r.getLong(1) * 86400000000.0 /
+        1.0)).sum
+    // mean_covered_days rounds to 4 decimals -> compare within rounding
+    assert(math.abs(engineTotal - perCustTotal).toDouble /
+      perCustTotal < 1e-6)
+  }
 }

@@ -397,4 +397,13 @@ class DedupSpec extends SparkSpec {
     assert(s((1L, 2L)) == 1.0) // conflated: repetition invisible
     assert(w((1L, 2L)) < s((1L, 2L)))
   }
+
+  test("prefix-filtered Jaccard emits exactly the unfiltered pair set") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val full = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.ngramJaccardPrefix(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full && full.nonEmpty)
+  }
 }
