@@ -66,7 +66,8 @@ object Bench {
   /** The 20 BASELINE.md headline queries (q32+ additions are not in the
     * baseline suite; including them would skew the comparison). */
   def headlineNames: Seq[String] =
-    graft.ops.Relational.allNames.filter(_.slice(1, 3).toInt <= 20)
+    graft.ops.Relational.allNames
+      .filter(_.drop(1).takeWhile(_.isDigit).toInt <= 20)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
