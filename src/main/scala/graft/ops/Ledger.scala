@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ledger-style quantity matching (SURVEY.md §2.3.1 extensions, q178):
+  * FIFO lot-to-demand allocation via the cumulative-range interval
+  * join — the set-based rewrite of the classic row-at-a-time FIFO
+  * costing loop.
+  *
+  * Scale shape: each side gets ONE key shuffle for its running-sum
+  * window; the match is an equi-join on the item key with a range
+  * predicate on the cumulative intervals, so candidate pairs are
+  * bounded per key by how many lots a single demand row straddles —
+  * never a per-key cross product, never a driver loop.
+  */
+object Ledger {
+
+  /** FIFO allocation: match `demand` rows against `supply` lots in
+    * first-in-first-out order WITHOUT iterating. Each supply lot
+    * covers the half-open cumulative-quantity interval
+    * [cum − qty, cum) of its key's supply timeline, each demand row
+    * the analogous interval of the demand timeline; FIFO matching is
+    * exactly the overlap of the two interval sets, so
+    * matched(lot, dem) = min(hi_s, hi_d) − max(lo_s, lo_d) on the
+    * overlapping pairs. Quantities must be integral (exactness), and
+    * `seqCols` must make the per-key ordering total (determinism).
+    *
+    * Returns one row per (key, lot, demand) matched pair with the
+    * matched quantity and both cumulative intervals.
+    */
+  def fifoMatch(
+      supply: DataFrame, demand: DataFrame, keyCol: String, qtyCol: String,
+      seqCols: Seq[String]): DataFrame = {
+    def ranged(df: DataFrame, prefix: String): DataFrame = {
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(seqCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(s"${prefix}_hi", sum(col(qtyCol).cast("long")).over(w))
+        .withColumn(s"${prefix}_lo",
+          col(s"${prefix}_hi") - col(qtyCol).cast("long"))
+    }
+    val s = ranged(supply, "s").select(
+      col(keyCol).as("__k"), col("s_lo"), col("s_hi"),
+      struct(supply.columns.map(col): _*).as("supply"))
+    val d = ranged(demand, "d").select(
+      col(keyCol).as("__dk"), col("d_lo"), col("d_hi"),
+      struct(demand.columns.map(col): _*).as("demand"))
+    s.join(d, col("__k") === col("__dk") &&
+        col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+      .withColumn("matched_qty",
+        least(col("s_hi"), col("d_hi")) - greatest(col("s_lo"), col("d_lo")))
+      .drop("__dk")
+      .withColumnRenamed("__k", keyCol)
+  }
+
+  // --------------------------------------------------------------- q178
+
+  /** q178 — FIFO cost of goods for returned quantity, per brand:
+    * returned lineitems (R) consume non-returned lots (N) of the same
+    * part in shipdate FIFO order; each matched slice is costed at its
+    * LOT's unit price (exact integer cents per unit), so the result is
+    * the FIFO COGS a bookkeeping system would produce — computed here
+    * as one window pass per side plus one partkey equi-join. Brand
+    * rollup reports demand coverage (fill rate) and exact-cents COGS.
+    */
+  def fifoCostingQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+    val seqCols = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+    val supply = li.filter(col("l_returnflag") === "N")
+      .withColumn("unit_cents",
+        round(col("l_extendedprice") * 100 / col("l_quantity")).cast("long"))
+    val demand = li.filter(col("l_returnflag") === "R")
+    val pairs = fifoMatch(supply, demand, "l_partkey", "l_quantity", seqCols)
+      .select(col("l_partkey"), col("matched_qty"),
+        (col("matched_qty") * col("supply.unit_cents")).as("__cents"))
+    val perPartMatched = pairs.groupBy(col("l_partkey"))
+      .agg(sum(col("matched_qty")).as("__mq"), sum(col("__cents")).as("__cc"))
+    val perPartDemand = demand.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("__dq"))
+    perPartDemand
+      .join(perPartMatched, Seq("l_partkey"), "left")
+      .join(Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("__dq")).as("demand_qty"),
+        sum(coalesce(col("__mq"), lit(0L))).as("matched_qty"),
+        round(sum(coalesce(col("__mq"), lit(0L))) /
+          sum(col("__dq")).cast("double"), 6).as("fill_rate"),
+        round(sum(coalesce(col("__cc"), lit(0L))) / lit(100.0), 2)
+          .as("fifo_cogs"))
+      .coalesce(1).orderBy(col("p_brand"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q178_fifo_costing" -> (fifoCostingQuery _))
+
+  val allNames: Seq[String] = all.map(_._1)
+}
+
+/** DuckDB twins for [[Ledger]] (driver correctness gate). */
+object LedgerOracle {
+
+  val all: Seq[(String, String)] = Seq(
+    // identical cumulative half-open intervals on both timelines,
+    // identical overlap arithmetic, exact integer cents throughout
+    "q178_fifo_costing" ->
+      """WITH supply AS (
+        |  SELECT l_partkey,
+        |         CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT)
+        |           AS unit_cents,
+        |         sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_partkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_hi,
+        |         CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem WHERE l_returnflag = 'N'),
+        |dem AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_partkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_hi,
+        |         CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |pairs AS (
+        |  SELECT s.l_partkey,
+        |         least(s.s_hi, d.d_hi) -
+        |           greatest(s.s_hi - s.q, d.d_hi - d.q) AS m,
+        |         (least(s.s_hi, d.d_hi) -
+        |           greatest(s.s_hi - s.q, d.d_hi - d.q)) * s.unit_cents AS c
+        |  FROM supply s JOIN dem d
+        |    ON s.l_partkey = d.l_partkey
+        |   AND s.s_hi - s.q < d.d_hi AND d.d_hi - d.q < s.s_hi),
+        |pm AS (
+        |  SELECT l_partkey, sum(m) AS mq, sum(c) AS cc
+        |  FROM pairs GROUP BY l_partkey),
+        |pd AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS dq
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey)
+        |SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+        |       CAST(sum(pd.dq) AS BIGINT) AS demand_qty,
+        |       CAST(sum(coalesce(pm.mq, 0)) AS BIGINT) AS matched_qty,
+        |       round(sum(coalesce(pm.mq, 0)) /
+        |             CAST(sum(pd.dq) AS DOUBLE), 6) AS fill_rate,
+        |       round(sum(coalesce(pm.cc, 0)) / 100.0, 2) AS fifo_cogs
+        |FROM pd LEFT JOIN pm ON pm.l_partkey = pd.l_partkey
+        |JOIN part p ON p.p_partkey = pd.l_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+}

@@ -194,11 +194,84 @@ object TimeSeries {
         max(col("__lag")).as("max_days"))
       .coalesce(1).orderBy(col("o_orderpriority"))
 
+  /** Per-nation monthly revenue in exact integer cents — the shared
+    * series under q179/q180. One orderkey-free dim join (customer →
+    * nation broadcasts), one (nation, month) aggregate.
+    */
+  private def nationMonthly(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+
+  // --------------------------------------------------------------- q179
+
+  /** q179 — worst decline-from-peak (max drawdown) of each nation's
+    * monthly revenue: running peak via one ordered window over the
+    * 25×~80-row aggregate (windows never see fact rows), drawdown =
+    * (peak − rev)/peak, argmax by `max(struct(dd, month))` so a tie
+    * resolves to the LATEST month — the oracle's ORDER BY dd DESC,
+    * m DESC replay. Revenue is exact cents; only the final ratio is
+    * floating-point.
+    */
+  def drawdownQuery(spark: SparkSession, dir: String): DataFrame = {
+    val wPeak = Window.partitionBy(col("n_name")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nationMonthly(spark, dir)
+      .withColumn("__peak", max(col("rev_cents")).over(wPeak))
+      .withColumn("__dd",
+        (col("__peak") - col("rev_cents")) / col("__peak").cast("double"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_months"),
+        max(struct(col("__dd"), col("m"))).as("__best"))
+      .select(col("n_name"), col("n_months"),
+        round(col("__best.__dd"), 6).as("max_drawdown"),
+        to_date(col("__best.m")).as("dd_month"))
+      .coalesce(1).orderBy(col("n_name"))
+  }
+
+  // --------------------------------------------------------------- q180
+
+  /** q180 — Kendall tau-b trend test per nation: concordant /
+    * discordant / tied pair counts between month order and monthly
+    * revenue, from a self-join of the per-nation monthly aggregate on
+    * m1 < m2 — pairs are bounded by the CALENDAR (~80 months →
+    * ~3.2k pairs per nation), not by data volume, so the quadratic
+    * lives entirely on the post-aggregate 25-key table. Months are
+    * unique within a nation (no x-ties), so
+    * tau_b = (nc − nd) / sqrt(n0 · (n0 − n_rev_ties)). Exact-cents
+    * revenue makes every comparison exact.
+    */
+  def kendallQuery(spark: SparkSession, dir: String): DataFrame = {
+    val m = nationMonthly(spark, dir)
+    val a = m.select(col("n_name"), col("m").as("m1"),
+      col("rev_cents").as("r1"))
+    val b = m.select(col("n_name").as("__n2"), col("m").as("m2"),
+      col("rev_cents").as("r2"))
+    val pairs = a.join(b,
+      col("n_name") === col("__n2") && col("m1") < col("m2"))
+    pairs.groupBy(col("n_name"))
+      .agg(sum(when(col("r2") > col("r1"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("r2") < col("r1"), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("r2") === col("r1"), 1L).otherwise(0L)).as("n_ties"),
+        count(lit(1)).as("n0"))
+      .select(col("n_name"), col("nc"), col("nd"), col("n_ties"),
+        round((col("nc") - col("nd")) /
+          sqrt(col("n0").cast("double") * (col("n0") - col("n_ties"))), 6)
+          .as("tau_b"))
+      .coalesce(1).orderBy(col("n_name"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q102_twap" -> (twapQuery _),
     "q103_ewma" -> (ewmaQuery _),
     "q104_interpolate" -> (interpolateQuery _),
-    "q150_ship_lag" -> (shipLagQuery _))
+    "q150_ship_lag" -> (shipLagQuery _),
+    "q179_drawdown" -> (drawdownQuery _),
+    "q180_kendall" -> (kendallQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -297,5 +370,58 @@ object TimeSeriesOracle {
         |       round(quantile_cont(d, 0.9), 4) AS p90_days,
         |       max(d) AS max_days
         |FROM lag GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // identical running-peak window; argmax replayed as
+    // ORDER BY dd DESC, m DESC (Spark's max(struct) tie rule)
+    "q179_drawdown" ->
+      """WITH monthly AS (
+        |  SELECT n.n_name, date_trunc('month', o.o_orderdate) AS m,
+        |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name, date_trunc('month', o.o_orderdate)),
+        |dd AS (
+        |  SELECT n_name, m,
+        |         (max(rev) OVER (PARTITION BY n_name ORDER BY m
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - rev)
+        |         / CAST(max(rev) OVER (PARTITION BY n_name ORDER BY m
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS DOUBLE) AS d
+        |  FROM monthly),
+        |ranked AS (
+        |  SELECT n_name, m, d,
+        |         count(*) OVER (PARTITION BY n_name) AS n_months,
+        |         row_number() OVER (PARTITION BY n_name
+        |           ORDER BY d DESC, m DESC) AS rn
+        |  FROM dd)
+        |SELECT n_name, n_months, round(d, 6) AS max_drawdown,
+        |       CAST(m AS DATE) AS dd_month
+        |FROM ranked WHERE rn = 1 ORDER BY n_name""".stripMargin,
+
+    // same bounded month-pair self-join, same exact-cents comparisons,
+    // same tau-b denominator (months unique per nation: no x-ties)
+    "q180_kendall" ->
+      """WITH monthly AS (
+        |  SELECT n.n_name, date_trunc('month', o.o_orderdate) AS m,
+        |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev
+        |  FROM orders o
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name, date_trunc('month', o.o_orderdate)),
+        |p AS (
+        |  SELECT a.n_name,
+        |         sum(CASE WHEN b.rev > a.rev THEN 1 ELSE 0 END) AS nc,
+        |         sum(CASE WHEN b.rev < a.rev THEN 1 ELSE 0 END) AS nd,
+        |         sum(CASE WHEN b.rev = a.rev THEN 1 ELSE 0 END) AS n_ties,
+        |         count(*) AS n0
+        |  FROM monthly a JOIN monthly b
+        |    ON b.n_name = a.n_name AND a.m < b.m
+        |  GROUP BY a.n_name)
+        |SELECT n_name, CAST(nc AS BIGINT) AS nc, CAST(nd AS BIGINT) AS nd,
+        |       CAST(n_ties AS BIGINT) AS n_ties,
+        |       round((nc - nd) /
+        |             sqrt(CAST(n0 AS DOUBLE) * (n0 - n_ties)), 6) AS tau_b
+        |FROM p ORDER BY n_name""".stripMargin)
 }

@@ -20,10 +20,10 @@ class InventorySpec extends SparkSpec {
     // LAST entry on a duplicate key — a query or oracle defined in two
     // inventories would silently shadow its twin and drop out of the
     // gate. Compare the raw Seq sizes against the merged maps.
-    import graft.ops.{Behavior, BehaviorOracle, Concentration, ConcentrationOracle, Curation, CurationOracle, Drift, DriftOracle, Graph, GraphOracle, Integrity, IntegrityOracle, OracleSql, Recommend, RecommendOracle, Relational, Spans, SpansOracle, TimeSeries, TimeSeriesOracle}
-    assert(Relational.all.size + Curation.all.size + Integrity.all.size + Behavior.all.size + TimeSeries.all.size + Graph.all.size + Drift.all.size + Spans.all.size + Concentration.all.size + Recommend.all.size == SparkEntry.queries.size,
+    import graft.ops.{Behavior, BehaviorOracle, Concentration, ConcentrationOracle, Curation, CurationOracle, Drift, DriftOracle, Graph, GraphOracle, Integrity, IntegrityOracle, Ledger, LedgerOracle, OracleSql, Recommend, RecommendOracle, Relational, Spans, SpansOracle, TimeSeries, TimeSeriesOracle}
+    assert(Relational.all.size + Curation.all.size + Integrity.all.size + Behavior.all.size + TimeSeries.all.size + Graph.all.size + Drift.all.size + Spans.all.size + Concentration.all.size + Recommend.all.size + Ledger.all.size == SparkEntry.queries.size,
       "duplicate query key across the query inventories")
-    assert(OracleSql.all.size + CurationOracle.all.size + IntegrityOracle.all.size + BehaviorOracle.all.size + TimeSeriesOracle.all.size + GraphOracle.all.size + DriftOracle.all.size + SpansOracle.all.size + ConcentrationOracle.all.size + RecommendOracle.all.size == SparkEntry.oracleSql.size,
+    assert(OracleSql.all.size + CurationOracle.all.size + IntegrityOracle.all.size + BehaviorOracle.all.size + TimeSeriesOracle.all.size + GraphOracle.all.size + DriftOracle.all.size + SpansOracle.all.size + ConcentrationOracle.all.size + RecommendOracle.all.size + LedgerOracle.all.size == SparkEntry.oracleSql.size,
       "duplicate oracle key across the oracle inventories")
     assert(Relational.all.map(_._1).distinct.size == Relational.all.size)
     assert(Curation.all.map(_._1).distinct.size == Curation.all.size)
@@ -44,6 +44,8 @@ class InventorySpec extends SparkSpec {
     assert(Concentration.all.map(_._1).distinct.size == Concentration.all.size)
     assert(ConcentrationOracle.all.map(_._1).distinct.size == ConcentrationOracle.all.size)
     assert(Recommend.all.map(_._1).distinct.size == Recommend.all.size)
+    assert(Ledger.all.map(_._1).distinct.size == Ledger.all.size)
+    assert(LedgerOracle.all.map(_._1).distinct.size == LedgerOracle.all.size)
     assert(RecommendOracle.all.map(_._1).distinct.size == RecommendOracle.all.size)
   }
 

@@ -67,4 +67,55 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getDouble(4) <= r.getInt(5).toDouble) // p90 <= max
     }
   }
+
+  test("drawdownQuery: drawdown in [0,1]; a peak month has zero drawdown") {
+    initQuiet()
+    val out = TimeSeries.drawdownQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val dd = r.getAs[Double]("max_drawdown")
+      assert(dd >= 0.0 && dd < 1.0)
+      assert(r.getAs[Long]("n_months") > 1)
+    }
+  }
+
+  test("kendall: a strictly increasing series has tau_b = 1, decreasing = -1") {
+    initQuiet()
+    // pin the pair arithmetic on hand-built series through the same
+    // groupBy shape the query uses (inline replica over a tiny frame)
+    val m = Seq(("UP", 1, 10L), ("UP", 2, 20L), ("UP", 3, 30L),
+      ("DOWN", 1, 30L), ("DOWN", 2, 20L), ("DOWN", 3, 10L),
+      ("TIE", 1, 10L), ("TIE", 2, 10L), ("TIE", 3, 20L))
+      .toDF("n_name", "m", "rev_cents")
+    val a = m.select(col("n_name"), col("m").as("m1"), col("rev_cents").as("r1"))
+    val b = m.select(col("n_name").as("__n2"), col("m").as("m2"),
+      col("rev_cents").as("r2"))
+    val out = a.join(b, col("n_name") === col("__n2") && col("m1") < col("m2"))
+      .groupBy(col("n_name"))
+      .agg(sum(when(col("r2") > col("r1"), 1L).otherwise(0L)).as("nc"),
+        sum(when(col("r2") < col("r1"), 1L).otherwise(0L)).as("nd"),
+        sum(when(col("r2") === col("r1"), 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("n0"))
+      .select(col("n_name"),
+        ((col("nc") - col("nd")) /
+          sqrt(col("n0").cast("double") * (col("n0") - col("nt")))).as("tau"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("UP") == 1.0)
+    assert(out("DOWN") == -1.0)
+    // TIE: nc=2 (10<20 twice), nd=0, nt=1, n0=3 → 2/sqrt(3*2) = 0.816497
+    assert(math.abs(out("TIE") - 2.0 / math.sqrt(6.0)) < 1e-9)
+  }
+
+  test("kendallQuery: tau_b bounded and pair counts consistent") {
+    initQuiet()
+    val out = TimeSeries.kendallQuery(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nc, nd, nt) = (r.getAs[Long]("nc"), r.getAs[Long]("nd"),
+        r.getAs[Long]("n_ties"))
+      val tau = r.getAs[Double]("tau_b")
+      assert(tau >= -1.0 && tau <= 1.0)
+      assert(nc >= 0 && nd >= 0 && nt >= 0)
+    }
+  }
 }
