@@ -431,6 +431,72 @@ object Concentration {
       .coalesce(1).orderBy(col("r_name"), col("n_name"))
   }
 
+  // --------------------------------------------------------------- q182
+
+  /** q182 — nucleus (top-p) vocabulary cut per language: the smallest
+    * frequency-ranked token prefix covering ≥90% of the token mass —
+    * the cut a tokenizer-training or vocab-pruning pass keeps. A token
+    * is IN the nucleus iff the mass BEFORE it is < 0.9·total, so the
+    * boundary token that crosses 90% is included (the "smallest
+    * covering prefix" rule); the membership test is exact integer
+    * arithmetic ((cum − freq)·10 < total·9), no floating-point at the
+    * cut. Shape: one token aggregate (corpus-proportional, one
+    * shuffle), then windows only over the per-lang VOCABULARY — freq
+    * rank ties broken by token for engine-identical ordering.
+    */
+  def nucleusVocabQuery(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("__f"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("__f").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("lang"))
+    freq
+      .withColumn("__cum", sum(col("__f")).over(w))
+      .withColumn("__tot", sum(col("__f")).over(wTot))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        max(col("__tot")).as("total_tokens"),
+        sum(when((col("__cum") - col("__f")) * 10 < col("__tot") * 9, 1L)
+          .otherwise(0L)).as("nucleus_size"),
+        round(sum(when((col("__cum") - col("__f")) * 10 < col("__tot") * 9,
+          col("__f")).otherwise(0L)) / max(col("__tot")).cast("double"), 6)
+          .as("nucleus_coverage"))
+      .coalesce(1).orderBy(col("lang"))
+  }
+
+  // --------------------------------------------------------------- q183
+
+  /** q183 — Zipf's-law fit per language: regress ln(freq) on ln(rank)
+    * over the top-500 frequency ranks (rank ties broken by token) and
+    * report slope / intercept / R² — the standard corpus-health probe
+    * (natural text ≈ slope −1; synthetic or templated text bends the
+    * tail). The regression runs on a ≤500-row-per-lang aggregate via
+    * the built-in algebraic regr_* aggregates — fact data is touched
+    * exactly once by the token count.
+    */
+  def zipfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.load(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("__f"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("__f").desc, col("token"))
+    freq
+      .withColumn("__r", row_number().over(wRank))
+      .filter(col("__r") <= 500)
+      .select(col("lang"), log(col("__r").cast("double")).as("__x"),
+        log(col("__f").cast("double")).as("__y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ranks"),
+        round(regr_slope(col("__y"), col("__x")), 6).as("zipf_slope"),
+        round(regr_intercept(col("__y"), col("__x")), 6).as("intercept"),
+        round(regr_r2(col("__y"), col("__x")), 6).as("r2"))
+      .coalesce(1).orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -442,7 +508,9 @@ object Concentration {
     "q146_equidepth" -> (equiDepthQuery _),
     "q147_lorenz" -> (lorenzQuery _),
     "q172_skyline" -> (skylineQuery _),
-    "q174_share_of_parent" -> (shareOfParentQuery _))
+    "q174_share_of_parent" -> (shareOfParentQuery _),
+    "q182_nucleus_vocab" -> (nucleusVocabQuery _),
+    "q183_zipf_fit" -> (zipfQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -678,5 +746,49 @@ object ConcentrationOracle {
         |SELECT r_name, n_name, round(v / 100.0, 2) AS revenue,
         |       round(v / CAST(vr AS DOUBLE), 6) AS share_of_region,
         |       round(vr / CAST(vt AS DOUBLE), 6) AS region_share_of_total
-        |FROM w ORDER BY r_name, n_name""".stripMargin)
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
+
+    // identical (freq desc, token) rank order; the nucleus membership
+    // test is exact integer arithmetic on both engines
+    "q182_nucleus_vocab" ->
+      """WITH freq AS (
+        |  SELECT lang, token, count(*) AS f FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  GROUP BY lang, token),
+        |c AS (
+        |  SELECT lang, f,
+        |         sum(f) OVER (PARTITION BY lang ORDER BY f DESC, token
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(f) OVER (PARTITION BY lang) AS tot
+        |  FROM freq)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS vocab_size,
+        |       CAST(max(tot) AS BIGINT) AS total_tokens,
+        |       CAST(sum(CASE WHEN (cum - f) * 10 < tot * 9 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS nucleus_size,
+        |       round(sum(CASE WHEN (cum - f) * 10 < tot * 9 THEN f ELSE 0 END)
+        |             / CAST(max(tot) AS DOUBLE), 6) AS nucleus_coverage
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same top-500 rank prefix, same ln/ln regression via regr_*
+    "q183_zipf_fit" ->
+      """WITH freq AS (
+        |  SELECT lang, token, count(*) AS f FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  GROUP BY lang, token),
+        |ranked AS (
+        |  SELECT lang, f,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY f DESC, token) AS r
+        |  FROM freq)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+        |       round(regr_slope(ln(CAST(f AS DOUBLE)),
+        |                        ln(CAST(r AS DOUBLE))), 6) AS zipf_slope,
+        |       round(regr_intercept(ln(CAST(f AS DOUBLE)),
+        |                            ln(CAST(r AS DOUBLE))), 6) AS intercept,
+        |       round(regr_r2(ln(CAST(f AS DOUBLE)),
+        |                     ln(CAST(r AS DOUBLE))), 6) AS r2
+        |FROM ranked WHERE r <= 500
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 }

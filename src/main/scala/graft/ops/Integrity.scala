@@ -487,6 +487,37 @@ object Integrity {
       .coalesce(1).orderBy(col("day"))
   }
 
+  // --------------------------------------------------------------- q181
+
+  /** q181 — k-anonymity risk audit: equivalence classes over the
+    * quasi-identifier tuple (nation, market segment, 1000-unit
+    * account-balance band), then per-nation re-identification risk:
+    * the smallest class size (the k the dataset actually achieves)
+    * and the share of customers in classes smaller than 5 — the rows
+    * a release under k=5 would have to suppress or generalize.
+    * Shape: two hash aggregates (class grain, then nation grain), no
+    * windows, no joins beyond the bounded nation dim; the balance
+    * band is VALUE-based (floor(bal/1000)), never a global ntile, so
+    * no single-partition sort exists at any scale.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("__band"))
+      .agg(count(lit(1)).as("__k"))
+    classes.groupBy(col("n_name"))
+      .agg(sum(col("__k")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__k")).as("min_k"),
+        sum(when(col("__k") < 5, col("__k")).otherwise(0L))
+          .as("rows_at_risk"),
+        round(sum(when(col("__k") < 5, col("__k")).otherwise(0L)) /
+          sum(col("__k")).cast("double"), 6).as("risk_rate"))
+      .coalesce(1).orderBy(col("n_name"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -500,7 +531,8 @@ object Integrity {
     "q164_fd_audit" -> (fdAudit _),
     "q165_bitmap_distinct" -> (bitmapDistinct _),
     "q166_proration" -> (prorationQuery _),
-    "q170_window_bitmap_dau" -> (windowBitmapDau _))
+    "q170_window_bitmap_dau" -> (windowBitmapDau _),
+    "q181_k_anonymity" -> (kAnonymity _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -724,5 +756,23 @@ object IntegrityOracle {
         |days AS (SELECT DISTINCT day FROM du)
         |SELECT days.day, CAST(count(DISTINCT du.user_id) AS BIGINT) AS n_users_7d
         |FROM days JOIN du ON du.day BETWEEN days.day - 6 AND days.day
-        |GROUP BY days.day ORDER BY days.day""".stripMargin)
+        |GROUP BY days.day ORDER BY days.day""".stripMargin,
+
+    // identical QI grain (value-based balance band, never ntile) and
+    // identical <5 risk threshold
+    "q181_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT n.n_name, c.c_mktsegment,
+        |         floor(c.c_acctbal / 1000) AS band,
+        |         count(*) AS k
+        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  GROUP BY n.n_name, c.c_mktsegment, floor(c.c_acctbal / 1000))
+        |SELECT n_name, CAST(sum(k) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+        |         AS rows_at_risk,
+        |       round(sum(CASE WHEN k < 5 THEN k ELSE 0 END) /
+        |             CAST(sum(k) AS DOUBLE), 6) AS risk_rate
+        |FROM cls GROUP BY n_name ORDER BY n_name""".stripMargin)
 }

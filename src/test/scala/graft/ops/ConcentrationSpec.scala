@@ -172,6 +172,30 @@ class ConcentrationSpec extends SparkSpec {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("nucleusVocabQuery: boundary token included, coverage >= 0.9, nucleus <= vocab") {
+    initQuiet()
+    val rows = Concentration.nucleusVocabQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vocab, nucleus) = (r.getAs[Long]("vocab_size"), r.getAs[Long]("nucleus_size"))
+      assert(nucleus >= 1 && nucleus <= vocab)
+      // smallest covering prefix: coverage crosses 0.9 BECAUSE the
+      // boundary token is in, so it can't be below 0.9
+      assert(r.getAs[Double]("nucleus_coverage") >= 0.9)
+    }
+  }
+
+  test("zipfQuery: natural-ish corpus slopes are negative with high R2") {
+    initQuiet()
+    val rows = Concentration.zipfQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("zipf_slope") < 0.0)
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 > 0.0 && r2 <= 1.0)
+    }
+  }
+
   test("shareOfParentQuery: shares sum to 1 within region and overall") {
     initQuiet()
     val rows = Concentration.shareOfParentQuery(spark, sf).collect()

@@ -134,6 +134,19 @@ class IntegritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) == r.getLong(2), r.getString(0)))
   }
 
+  test("kAnonymity: class counts reconcile and min_k is a real class size") {
+    val rows = Integrity.kAnonymity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == graft.Tables.load(spark, sf, "customer").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_k") >= 1)
+      assert(r.getAs[Long]("rows_at_risk") <= r.getAs[Long]("n_rows"))
+      val rate = r.getAs[Double]("risk_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("windowBitmapDau: OR-merged bitmaps equal the explode-based rolling distinct") {
     val bitmap = Integrity.windowBitmapDau(spark, sf).collect()
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
