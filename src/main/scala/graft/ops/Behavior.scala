@@ -605,6 +605,34 @@ object Behavior {
       .coalesce(1).orderBy(col("event_type"))
   }
 
+  // --------------------------------------------------------------- q186
+
+  /** q186 — time-decayed engagement mass: each event contributes
+    * value·0.5^(age_days/30) where age is measured back from the
+    * corpus's last event day — the recency-weighted feature a ranking
+    * or sampling pipeline reads instead of a raw sum. The anchor is a
+    * 1-row aggregate broadcast into the scan (no window over
+    * unpartitioned data); per-type totals then aggregate ~half-lives
+    * deep. Decayed doubles sum order-dependently, so output rounds to
+    * 4 (the q103 EWMA convention); weights and ages are exact integer
+    * day arithmetic before the single pow().
+    */
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val anchor = ev.agg(max(to_date(col("ts"))).as("__anchor"))
+    ev.crossJoin(broadcast(anchor))
+      .select(col("event_type"),
+        (col("value") * pow(lit(0.5),
+          datediff(col("__anchor"), to_date(col("ts"))).cast("double") / 30.0))
+          .as("__dv"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("__dv")), 4).as("decayed_mass"),
+        round(sum(col("__dv")) / sum(col("value")), 6).as("retention_ratio"))
+      .coalesce(1).orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -621,7 +649,8 @@ object Behavior {
     "q163_session_paths" -> (sessionPaths _),
     "q168_quartile_migration" -> (quartileMigration _),
     "q173_revenue_bridge" -> (revenueBridge _),
-    "q175_debounce" -> (debounceQuery _))
+    "q175_debounce" -> (debounceQuery _),
+    "q186_decayed_engagement" -> (decayedEngagement _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -976,5 +1005,18 @@ object BehaviorOracle {
         |SELECT rw.event_type, rw.n_raw, kc.n_kept,
         |       round(kc.n_kept / CAST(rw.n_raw AS DOUBLE), 6) AS kept_share
         |FROM rw JOIN kc ON kc.event_type = rw.event_type
-        |ORDER BY rw.event_type""".stripMargin)
+        |ORDER BY rw.event_type""".stripMargin,
+
+    // same scalar anchor, same exact-day ages, same 0.5^(age/30) weight
+    "q186_decayed_engagement" ->
+      """WITH anchor AS (
+        |  SELECT max(CAST(ts AS DATE)) AS a FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value * power(0.5,
+        |         date_diff('day', CAST(ts AS DATE), (SELECT a FROM anchor))
+        |           / 30.0)), 4) AS decayed_mass,
+        |       round(sum(value * power(0.5,
+        |         date_diff('day', CAST(ts AS DATE), (SELECT a FROM anchor))
+        |           / 30.0)) / sum(value), 6) AS retention_ratio
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -518,6 +518,47 @@ object Integrity {
       .coalesce(1).orderBy(col("n_name"))
   }
 
+  // --------------------------------------------------------------- q185
+
+  /** q185 — join fan-out audit: for each candidate join relationship,
+    * predict the output cardinality WITHOUT running the join —
+    * Σ_k n_left(k)·n_right(k) over the per-key count aggregates — and
+    * report it with per-side key stats and the row-amplification
+    * factor. This is the guardrail a pipeline runs before an
+    * enrichment join ships: an unexpected N:M key (amplification ≫ 1)
+    * is caught from two cheap aggregates instead of an exploded
+    * shuffle. Each relationship costs two hash aggregates plus an
+    * equi-join of key-count tables (rows = distinct keys, not data).
+    */
+  def joinFanout(spark: SparkSession, dir: String): DataFrame = {
+    def audit(label: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val l = left.groupBy(col(lk).as("__k")).agg(count(lit(1)).as("__nl"))
+      val r = right.groupBy(col(rk).as("__rk")).agg(count(lit(1)).as("__nr"))
+      l.join(r, col("__k") === col("__rk"))
+        .agg(count(lit(1)).as("matched_keys"),
+          sum(col("__nl")).as("rows_left"),
+          sum(col("__nr")).as("rows_right"),
+          sum(col("__nl") * col("__nr")).as("est_out_rows"),
+          max(col("__nl") * col("__nr")).as("max_key_out"))
+        .select(lit(label).as("relationship"), col("matched_keys"),
+          col("rows_left"), col("rows_right"), col("est_out_rows"),
+          col("max_key_out"),
+          round(col("est_out_rows") / col("rows_left").cast("double"), 4)
+            .as("amplification"))
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    val ord = Tables.load(spark, dir, "orders")
+    val ev = Tables.load(spark, dir, "events")
+    audit("events_self_user", ev, "user_id", ev, "user_id")
+      .unionAll(audit("lineitem_orders", li, "l_orderkey", ord, "o_orderkey"))
+      .unionAll(audit("lineitem_part", li, "l_partkey",
+        Tables.load(spark, dir, "part"), "p_partkey"))
+      .unionAll(audit("orders_customer", ord, "o_custkey",
+        Tables.load(spark, dir, "customer"), "c_custkey"))
+      .coalesce(1).orderBy(col("relationship"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -532,7 +573,8 @@ object Integrity {
     "q165_bitmap_distinct" -> (bitmapDistinct _),
     "q166_proration" -> (prorationQuery _),
     "q170_window_bitmap_dau" -> (windowBitmapDau _),
-    "q181_k_anonymity" -> (kAnonymity _))
+    "q181_k_anonymity" -> (kAnonymity _),
+    "q185_join_fanout" -> (joinFanout _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -774,5 +816,39 @@ object IntegrityOracle {
         |         AS rows_at_risk,
         |       round(sum(CASE WHEN k < 5 THEN k ELSE 0 END) /
         |             CAST(sum(k) AS DOUBLE), 6) AS risk_rate
-        |FROM cls GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |FROM cls GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // same per-key count aggregates and sum-of-products estimate
+    "q185_join_fanout" ->
+      """WITH a AS (
+        |  SELECT 'events_self_user' AS relationship, l.__nl, r.__nr
+        |  FROM (SELECT user_id AS k, count(*) AS __nl FROM events GROUP BY 1) l
+        |  JOIN (SELECT user_id AS k, count(*) AS __nr FROM events GROUP BY 1) r
+        |    ON l.k = r.k),
+        |b AS (
+        |  SELECT 'lineitem_orders' AS relationship, l.__nl, r.__nr
+        |  FROM (SELECT l_orderkey AS k, count(*) AS __nl FROM lineitem GROUP BY 1) l
+        |  JOIN (SELECT o_orderkey AS k, count(*) AS __nr FROM orders GROUP BY 1) r
+        |    ON l.k = r.k),
+        |c AS (
+        |  SELECT 'lineitem_part' AS relationship, l.__nl, r.__nr
+        |  FROM (SELECT l_partkey AS k, count(*) AS __nl FROM lineitem GROUP BY 1) l
+        |  JOIN (SELECT p_partkey AS k, count(*) AS __nr FROM part GROUP BY 1) r
+        |    ON l.k = r.k),
+        |d AS (
+        |  SELECT 'orders_customer' AS relationship, l.__nl, r.__nr
+        |  FROM (SELECT o_custkey AS k, count(*) AS __nl FROM orders GROUP BY 1) l
+        |  JOIN (SELECT c_custkey AS k, count(*) AS __nr FROM customer GROUP BY 1) r
+        |    ON l.k = r.k),
+        |u AS (
+        |  SELECT * FROM a UNION ALL SELECT * FROM b
+        |  UNION ALL SELECT * FROM c UNION ALL SELECT * FROM d)
+        |SELECT relationship, CAST(count(*) AS BIGINT) AS matched_keys,
+        |       CAST(sum(__nl) AS BIGINT) AS rows_left,
+        |       CAST(sum(__nr) AS BIGINT) AS rows_right,
+        |       CAST(sum(__nl * __nr) AS BIGINT) AS est_out_rows,
+        |       CAST(max(__nl * __nr) AS BIGINT) AS max_key_out,
+        |       round(sum(__nl * __nr) / CAST(sum(__nl) AS DOUBLE), 4)
+        |         AS amplification
+        |FROM u GROUP BY relationship ORDER BY relationship""".stripMargin)
 }

@@ -98,8 +98,47 @@ object Ledger {
       .coalesce(1).orderBy(col("p_brand"))
   }
 
+  // --------------------------------------------------------------- q184
+
+  /** q184 — clamped running balance: purchases credit, errors debit,
+    * and the balance saturates at [0, cap] — so the final state
+    * depends on WHERE the clamps bit, which no window rewrite can
+    * express (a clamp erases history; prefix sums don't). Engine: one
+    * user-key shuffle, events folded in (ts, event_id) order by the
+    * `aggregate` HOF carrying (balance, clamp-high count, clamp-low
+    * count) — the q175-debounce shape: per-key sequential state, keys
+    * distributed. All arithmetic is exact integer cents. Output is the
+    * bounded $20-bucket histogram of final balances.
+    */
+  def cappedBalanceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val capCents = 20000L
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))
+          .otherwise(-round(col("value") * 100).cast("long")).as("d"))
+    val folded = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        col("ts"), col("event_id"), col("d")))).as("__evs"))
+      .withColumn("__st", expr(
+        s"""aggregate(__evs,
+           |  named_struct('bal', 0L, 'nh', 0L, 'nl', 0L),
+           |  (a, x) -> named_struct(
+           |    'bal', least(${capCents}L, greatest(0L, a.bal + x.d)),
+           |    'nh', a.nh + IF(a.bal + x.d > ${capCents}L, 1L, 0L),
+           |    'nl', a.nl + IF(a.bal + x.d < 0L, 1L, 0L)))""".stripMargin))
+    folded
+      .groupBy(expr("__st.bal div 2000L").as("bal_bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__st.nh")).as("n_clamp_high"),
+        sum(col("__st.nl")).as("n_clamp_low"))
+      .coalesce(1).orderBy(col("bal_bucket"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q178_fifo_costing" -> (fifoCostingQuery _))
+    "q178_fifo_costing" -> (fifoCostingQuery _),
+    "q184_capped_balance" -> (cappedBalanceQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -152,5 +191,46 @@ object LedgerOracle {
         |       round(sum(coalesce(pm.cc, 0)) / 100.0, 2) AS fifo_cogs
         |FROM pd LEFT JOIN pm ON pm.l_partkey = pd.l_partkey
         |JOIN part p ON p.p_partkey = pd.l_partkey
-        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin,
+
+    // the same clamp fold via list_reduce: a zero-state element is
+    // prepended as the seed (list_reduce seeds from the first element),
+    // so every element carries (d, nh, nl, bal) with identical
+    // saturation arithmetic; identical (ts, event_id) fold order.
+    // FIELD ORDER MATTERS: DuckDB 1.0 materializes the lambda's result
+    // struct field-by-field INTO the accumulator, so a field reading
+    // a.bal after 'bal' is assigned would see the NEW balance —
+    // 'bal' is therefore the LAST field, keeping nh/nl on the
+    // pre-update accumulator exactly like Spark's functional fold
+    "q184_capped_balance" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(round(value * 100) AS BIGINT)
+        |              ELSE -CAST(round(value * 100) AS BIGINT) END AS d
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |folded AS (
+        |  SELECT user_id,
+        |         list_reduce(
+        |           list_prepend(
+        |             {'d': CAST(0 AS BIGINT), 'nh': CAST(0 AS BIGINT),
+        |              'nl': CAST(0 AS BIGINT), 'bal': CAST(0 AS BIGINT)},
+        |             list({'d': d, 'nh': CAST(0 AS BIGINT),
+        |                   'nl': CAST(0 AS BIGINT), 'bal': CAST(0 AS BIGINT)}
+        |                  ORDER BY ts, event_id)),
+        |           (a, x) -> {
+        |             'd': CAST(0 AS BIGINT),
+        |             'nh': a.nh + CASE WHEN a.bal + x.d > 20000
+        |                               THEN 1 ELSE 0 END,
+        |             'nl': a.nl + CASE WHEN a.bal + x.d < 0
+        |                               THEN 1 ELSE 0 END,
+        |             'bal': least(CAST(20000 AS BIGINT),
+        |                          greatest(CAST(0 AS BIGINT), a.bal + x.d))}) AS st
+        |  FROM ev GROUP BY user_id)
+        |SELECT st.bal // 2000 AS bal_bucket,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(sum(st.nh) AS BIGINT) AS n_clamp_high,
+        |       CAST(sum(st.nl) AS BIGINT) AS n_clamp_low
+        |FROM folded GROUP BY st.bal // 2000
+        |ORDER BY bal_bucket""".stripMargin)
 }

@@ -317,6 +317,17 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("decayedEngagement: decayed mass below raw mass, ratio in (0,1]") {
+    initQuiet()
+    val rows = Behavior.decayedEngagement(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("retention_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(r.getAs[Double]("decayed_mass") > 0.0)
+    }
+  }
+
   test("debounce: kept-anchor semantics, not gap-based lag") {
     initQuiet()
     import spark.implicits._

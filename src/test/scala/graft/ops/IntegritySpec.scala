@@ -147,6 +147,17 @@ class IntegritySpec extends SparkSpec {
     }
   }
 
+  test("joinFanout: FK joins predict exactly the joined row count") {
+    val rows = Integrity.joinFanout(spark, sf).collect()
+      .map(r => r.getAs[String]("relationship") -> r).toMap
+    // lineitem⋈orders on orderkey is N:1 → est_out_rows == matched lineitem rows
+    val lo = rows("lineitem_orders")
+    assert(lo.getAs[Long]("est_out_rows") == lo.getAs[Long]("rows_left"))
+    assert(lo.getAs[Double]("amplification") == 1.0)
+    // events self-join amplifies by >> 1
+    assert(rows("events_self_user").getAs[Double]("amplification") > 1.0)
+  }
+
   test("windowBitmapDau: OR-merged bitmaps equal the explode-based rolling distinct") {
     val bitmap = Integrity.windowBitmapDau(spark, sf).collect()
       .map(r => r.getDate(0).toString -> r.getLong(1)).toMap

@@ -40,6 +40,42 @@ class LedgerSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("cappedBalanceQuery: clamp histogram masses reconcile to the user count") {
+    initQuiet()
+    val rows = Ledger.cappedBalanceQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bal_bucket")
+      assert(b >= 0 && b <= 10) // cap 20000 cents / 2000-cent buckets
+    }
+  }
+
+  test("clamp fold: hand-computed saturation path") {
+    initQuiet()
+    // deltas +150, +100 (clamps at 200), -250 (clamps at 0), +50:
+    // bal: 150 -> 200 (nh=1) -> 0 (nl=1) -> 50
+    val df = Seq((1L, 1L, 1L, 15000L), (1L, 2L, 2L, 10000L),
+      (1L, 3L, 3L, -25000L), (1L, 4L, 4L, 5000L))
+      .toDF("user_id", "sec", "event_id", "d")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"),
+        col("event_id"), col("d"))
+    val st = df.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("d")))).as("__evs"))
+      .withColumn("__st", expr(
+        """aggregate(__evs, named_struct('bal', 0L, 'nh', 0L, 'nl', 0L),
+          |  (a, x) -> named_struct(
+          |    'bal', least(20000L, greatest(0L, a.bal + x.d)),
+          |    'nh', a.nh + IF(a.bal + x.d > 20000L, 1L, 0L),
+          |    'nl', a.nl + IF(a.bal + x.d < 0L, 1L, 0L)))""".stripMargin))
+      .select("__st.bal", "__st.nh", "__st.nl").head()
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) == ((5000L, 1L, 1L)))
+  }
+
   test("fifoCostingQuery: brand rows cover every demanded part; fill_rate ≤ 1") {
     initQuiet()
     val out = Ledger.fifoCostingQuery(spark, sf).collect()
