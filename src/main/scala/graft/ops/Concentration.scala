@@ -497,6 +497,37 @@ object Concentration {
       .coalesce(1).orderBy(col("lang"))
   }
 
+  // --------------------------------------------------------------- q187
+
+  /** q187 — Herfindahl–Hirschman concentration of supplier revenue per
+    * ship year: HHI = Σ share² with the numerator Σv² kept EXACT
+    * (decimal(38,0) sums of long-cent squares — no order-dependent
+    * double accumulation), so both engines divide the same two big
+    * integers and round the same IEEE quotient. Also reports the
+    * effective supplier count 1/HHI (the "numbers equivalent") and the
+    * top share. Two keyed aggregates; nothing wider than
+    * (year × suppliers).
+    */
+  def hhiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.load(spark, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("yr"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("__v"))
+    perSupp.groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("__v")).as("__tot"),
+        sum(col("__v").cast("decimal(38,0)") * col("__v")).as("__ssq"),
+        max(col("__v")).as("__top"))
+      .select(col("yr"), col("n_suppliers"),
+        round(col("__ssq").cast("double") /
+          (col("__tot").cast("double") * col("__tot").cast("double")), 6)
+          .as("hhi"),
+        round((col("__tot").cast("double") * col("__tot").cast("double")) /
+          col("__ssq").cast("double"), 4).as("effective_suppliers"),
+        round(col("__top") / col("__tot").cast("double"), 6).as("top_share"))
+      .coalesce(1).orderBy(col("yr"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -510,7 +541,8 @@ object Concentration {
     "q172_skyline" -> (skylineQuery _),
     "q174_share_of_parent" -> (shareOfParentQuery _),
     "q182_nucleus_vocab" -> (nucleusVocabQuery _),
-    "q183_zipf_fit" -> (zipfQuery _))
+    "q183_zipf_fit" -> (zipfQuery _),
+    "q187_hhi" -> (hhiQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -790,5 +822,27 @@ object ConcentrationOracle {
         |       round(regr_r2(ln(CAST(f AS DOUBLE)),
         |                     ln(CAST(r AS DOUBLE))), 6) AS r2
         |FROM ranked WHERE r <= 500
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same exact HUGEINT sum-of-squares numerator, same one-division
+    // rounding
+    "q187_hhi" ->
+      """WITH s AS (
+        |  SELECT year(l_shipdate) AS yr, l_suppkey,
+        |         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |                  AS BIGINT)) AS v
+        |  FROM lineitem GROUP BY year(l_shipdate), l_suppkey),
+        |a AS (
+        |  SELECT yr, count(*) AS n_suppliers,
+        |         sum(v) AS tot,
+        |         sum(CAST(v AS HUGEINT) * v) AS ssq,
+        |         max(v) AS top
+        |  FROM s GROUP BY yr)
+        |SELECT yr, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+        |       round(CAST(ssq AS DOUBLE) /
+        |             (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+        |       round((CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) /
+        |             CAST(ssq AS DOUBLE), 4) AS effective_suppliers,
+        |       round(top / CAST(tot AS DOUBLE), 6) AS top_share
+        |FROM a ORDER BY yr""".stripMargin)
 }

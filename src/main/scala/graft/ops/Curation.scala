@@ -1365,6 +1365,51 @@ object Curation {
       .coalesce(1).orderBy(col("fold_a"), col("fold_b"))
   }
 
+  // --------------------------------------------------------------- q188
+
+  /** q188 — deterministic negative sampling for implicit-feedback
+    * training: each customer draws 3 candidate parts via a PORTABLE
+    * seeded hash (little-endian lower-64 of md5(custkey:i) — the q94
+    * digest recipe, reproducible by any engine, never rand()), and
+    * candidates that the customer actually purchased are rejected by
+    * ONE anti-join-shaped probe against the distinct (customer, part)
+    * positives. The audit reports per-segment candidate/collision
+    * rates — the health check before a recommender or contrastive
+    * trainer consumes the negatives. Scale: positives aggregate to
+    * key grain before the join; candidates are 3 rows per customer;
+    * the part count attaches as a broadcast scalar.
+    */
+  def negativeSamples(spark: SparkSession, dir: String): DataFrame = {
+    val nPartsDf = Tables.load(spark, dir, "part")
+      .agg(count(lit(1)).as("__np"))
+    val hex = md5(concat_ws(":", col("c_custkey"), col("__i")).cast("binary"))
+    val h = (0 to 7)
+      .map(i => shiftleft(
+        conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i))
+      .reduce(_ + _)
+    val cand = Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .crossJoin(broadcast(nPartsDf))
+      .select(col("c_custkey"), col("c_mktsegment"), col("__np"),
+        explode(sequence(lit(0), lit(2))).as("__i"))
+      .withColumn("cand_part", pmod(h, col("__np")))
+    val pos = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    cand
+      .join(pos, col("c_custkey") === col("o_custkey") &&
+        col("cand_part") === col("l_partkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_candidates"),
+        count(col("l_partkey")).as("n_rejected"),
+        (count(lit(1)) - count(col("l_partkey"))).as("n_kept"),
+        round(count(col("l_partkey")) / count(lit(1)).cast("double"), 6)
+          .as("reject_rate"))
+      .coalesce(1).orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -1417,7 +1462,8 @@ object Curation {
     "q153_bm25" -> (bm25Query _),
     "q154_weighted_jaccard" -> (weightedNgramPairs _),
     "q156_collocations" -> (collocationsQuery _),
-    "q177_prefix_jaccard" -> (dedupNgramPrefix _))
+    "q177_prefix_jaccard" -> (dedupNgramPrefix _),
+    "q188_negative_samples" -> (negativeSamples _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

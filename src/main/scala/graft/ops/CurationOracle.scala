@@ -954,5 +954,40 @@ object CurationOracle {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/(na + nb - inter),4) jaccard
         |FROM p WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same md5 lower-64 seeded draw (the q94 digest recipe); DuckDB's
+    // md5_number_lower is UNSIGNED, so re-interpret as the signed
+    // 64-bit value (− 2^64 above 2^63) before the positive modulo to
+    // match Spark's long exactly
+    "q188_negative_samples" ->
+      """WITH np AS (SELECT count(*) AS n FROM part),
+        |h AS (
+        |  SELECT c.c_custkey, c.c_mktsegment,
+        |         CASE WHEN md5_number_lower(c.c_custkey || ':' || i.i)
+        |                   >= 9223372036854775808
+        |              THEN CAST(md5_number_lower(c.c_custkey || ':' || i.i)
+        |                        AS HUGEINT) - 18446744073709551616
+        |              ELSE CAST(md5_number_lower(c.c_custkey || ':' || i.i)
+        |                        AS HUGEINT) END AS hv
+        |  FROM customer c, (SELECT unnest([0, 1, 2]) AS i) i),
+        |cand AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(((hv % (SELECT n FROM np)) + (SELECT n FROM np))
+        |           % (SELECT n FROM np) AS BIGINT) AS cand_part
+        |  FROM h),
+        |pos AS (
+        |  SELECT DISTINCT o.o_custkey, l.l_partkey
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        |SELECT cand.c_mktsegment,
+        |       CAST(count(DISTINCT cand.c_custkey) AS BIGINT) AS n_customers,
+        |       CAST(count(*) AS BIGINT) AS n_candidates,
+        |       CAST(count(pos.l_partkey) AS BIGINT) AS n_rejected,
+        |       CAST(count(*) - count(pos.l_partkey) AS BIGINT) AS n_kept,
+        |       round(count(pos.l_partkey) / CAST(count(*) AS DOUBLE), 6)
+        |         AS reject_rate
+        |FROM cand LEFT JOIN pos
+        |  ON pos.o_custkey = cand.c_custkey
+        | AND pos.l_partkey = cand.cand_part
+        |GROUP BY cand.c_mktsegment ORDER BY cand.c_mktsegment""".stripMargin)
 }

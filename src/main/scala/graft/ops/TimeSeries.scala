@@ -265,13 +265,52 @@ object TimeSeries {
       .coalesce(1).orderBy(col("n_name"))
   }
 
+  // --------------------------------------------------------------- q189
+
+  /** q189 — Holt double exponential smoothing (level + trend) of daily
+    * event counts per type, α=0.3 β=0.1, initialized (l₁=x₁, b₁=0):
+    * the recursive update l′=αx+(1−α)(l+b), b′=β(l′−l)+(1−β)b cannot
+    * be window-rewritten (each step feeds the next through TWO coupled
+    * states), so it folds per series via the `aggregate` HOF over the
+    * day-sorted list — per-type sequential state, types distributed,
+    * the q184 shape. Both engines execute the identical IEEE op
+    * sequence in the identical order, so the doubles match bitwise
+    * before the final rounding. Emits the last level/trend and the
+    * 7-day-ahead linear forecast.
+    */
+  def holtQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    // b' needs both the old and the new level, so l' is inlined into
+    // b' (same doubles, same op order as the oracle's recursive CTE,
+    // which reuses the identical expression text).
+    val lNew = "IF(a.n = 0L, x.x, 0.3D * x.x + 0.7D * (a.l + a.b))"
+    val folded = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("__s"))
+      .withColumn("__st", expr(
+        s"""aggregate(__s,
+           |  named_struct('l', 0D, 'b', 0D, 'n', 0L),
+           |  (a, x) -> named_struct(
+           |    'l', $lNew,
+           |    'b', IF(a.n = 0L, 0D,
+           |            0.1D * (($lNew) - a.l) + 0.9D * a.b),
+           |    'n', a.n + 1L))""".stripMargin))
+    folded.select(col("event_type"), col("__st.n").as("n_days"),
+        round(col("__st.l"), 6).as("level"),
+        round(col("__st.b"), 6).as("trend"),
+        round(col("__st.l") + lit(7.0) * col("__st.b"), 6).as("forecast_7d"))
+      .coalesce(1).orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q102_twap" -> (twapQuery _),
     "q103_ewma" -> (ewmaQuery _),
     "q104_interpolate" -> (interpolateQuery _),
     "q150_ship_lag" -> (shipLagQuery _),
     "q179_drawdown" -> (drawdownQuery _),
-    "q180_kendall" -> (kendallQuery _))
+    "q180_kendall" -> (kendallQuery _),
+    "q189_holt" -> (holtQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -423,5 +462,37 @@ object TimeSeriesOracle {
         |       CAST(n_ties AS BIGINT) AS n_ties,
         |       round((nc - nd) /
         |             sqrt(CAST(n0 AS DOUBLE) * (n0 - n_ties)), 6) AS tau_b
-        |FROM p ORDER BY n_name""".stripMargin)
+        |FROM p ORDER BY n_name""".stripMargin,
+
+    // identical Holt recursion replayed as a RECURSIVE CTE stepping
+    // one observation per iteration (the q175 fixpoint precedent —
+    // DuckDB 1.0's list_reduce aliases struct-state fields, so a
+    // multi-field recurrence can't fold reliably there); l' and b'
+    // reuse the same expression text, so the IEEE sequence matches
+    // Spark's HOF bit-for-bit
+    "q189_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY CAST(ts AS DATE)) AS rn
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |rec AS (
+        |  SELECT event_type, rn, x AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM daily WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.rn,
+        |         0.3 * d.x + 0.7 * (r.l + r.b),
+        |         0.1 * ((0.3 * d.x + 0.7 * (r.l + r.b)) - r.l) + 0.9 * r.b
+        |  FROM rec r JOIN daily d
+        |    ON d.event_type = r.event_type AND d.rn = r.rn + 1),
+        |fin AS (
+        |  SELECT event_type, rn, l, b,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY rn DESC) AS rr
+        |  FROM rec)
+        |SELECT event_type, CAST(rn AS BIGINT) AS n_days,
+        |       round(l, 6) AS level, round(b, 6) AS trend,
+        |       round(l + 7.0 * b, 6) AS forecast_7d
+        |FROM fin WHERE rr = 1 ORDER BY event_type""".stripMargin)
 }

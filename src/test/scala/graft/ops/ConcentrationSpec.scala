@@ -196,6 +196,21 @@ class ConcentrationSpec extends SparkSpec {
     }
   }
 
+  test("hhiQuery: HHI within [1/n, 1]; effective suppliers <= n") {
+    initQuiet()
+    val rows = Concentration.hhiQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers")
+      val hhi = r.getAs[Double]("hhi")
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0)
+      assert(r.getAs[Double]("effective_suppliers") <= n + 1e-6)
+      val top = r.getAs[Double]("top_share")
+      // top share bounds HHI: top^2 <= HHI <= top
+      assert(hhi >= top * top - 1e-6 && hhi <= top + 1e-6)
+    }
+  }
+
   test("shareOfParentQuery: shares sum to 1 within region and overall") {
     initQuiet()
     val rows = Concentration.shareOfParentQuery(spark, sf).collect()

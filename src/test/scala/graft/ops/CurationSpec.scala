@@ -399,4 +399,14 @@ class CurationSpec extends SparkSpec {
       assert(r.getDouble(4) > 0.9 && r.getDouble(5) <= 1.0)
     }
   }
+  test("negativeSamples: 3 candidates per customer; kept + rejected = candidates") {
+    initQuiet()
+    val rows = Curation.negativeSamples(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") == 3 * r.getAs[Long]("n_customers"))
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_rejected") ==
+        r.getAs[Long]("n_candidates"))
+    }
+  }
 }

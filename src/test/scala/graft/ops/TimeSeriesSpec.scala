@@ -106,6 +106,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(out("TIE") - 2.0 / math.sqrt(6.0)) < 1e-9)
   }
 
+  test("holt: hand-computed two-step level and trend") {
+    initQuiet()
+    // series 10, 20 at alpha=.3 beta=.1:
+    // step1: l=10 b=0; step2: l=.3*20+.7*10=13, b=.1*(13-10)=0.3
+    val df = Seq(("e", java.sql.Date.valueOf("2024-01-01"), 10.0),
+      ("e", java.sql.Date.valueOf("2024-01-02"), 20.0))
+      .toDF("event_type", "day", "x")
+    val lNew = "IF(a.n = 0L, x.x, 0.3D * x.x + 0.7D * (a.l + a.b))"
+    val st = df.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("__s"))
+      .withColumn("__st", expr(
+        s"""aggregate(__s, named_struct('l', 0D, 'b', 0D, 'n', 0L),
+           |  (a, x) -> named_struct(
+           |    'l', $lNew,
+           |    'b', IF(a.n = 0L, 0D, 0.1D * (($lNew) - a.l) + 0.9D * a.b),
+           |    'n', a.n + 1L))""".stripMargin))
+      .select("__st.l", "__st.b").head()
+    assert(st.getDouble(0) == 13.0)
+    assert(math.abs(st.getDouble(1) - 0.3) < 1e-12)
+  }
+
+  test("holtQuery: forecast is the linear level+7*trend extension") {
+    initQuiet()
+    val rows = TimeSeries.holtQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (l, b, f) = (r.getAs[Double]("level"), r.getAs[Double]("trend"),
+        r.getAs[Double]("forecast_7d"))
+      assert(math.abs(f - (l + 7 * b)) < 1e-4)
+      assert(r.getAs[Long]("n_days") > 0)
+    }
+  }
+
   test("kendallQuery: tau_b bounded and pair counts consistent") {
     initQuiet()
     val out = TimeSeries.kendallQuery(spark, sf).collect()
