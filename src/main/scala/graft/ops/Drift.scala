@@ -448,6 +448,80 @@ object Drift {
       .coalesce(1).orderBy(col("l_returnflag"), col("var_a"), col("var_b"))
   }
 
+  // --------------------------------------------------------------- q190
+
+  /** q190 — isotonic (monotone non-decreasing) regression of mean
+    * event value over hour-of-day per event type, via the CLOSED-FORM
+    * minimax identity ŷᵢ = max_{j≤i} min_{k≥i} mean(y_j..y_k) instead
+    * of the sequential pool-adjacent-violators loop — PAVA ≡ minimax
+    * (property-pinned in DriftSpec against a reference PAVA), and the
+    * minimax form is pure joins/aggregates over the BOUNDED 24-bucket
+    * series, so the "quadratic" lives on a ≤24-row aggregate while
+    * fact data is touched once. Prefix sums run in a deterministic
+    * ROWS window (identical doubles both engines).
+    */
+  def isotonicQuery(spark: SparkSession, dir: String): DataFrame = {
+    val y = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("i"))
+      .agg((sum(round(col("value") * 100).cast("long")) /
+        (count(lit(1)) * 100.0)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = y.withColumn("__S", sum(col("y")).over(w))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("i"))))
+    val sj = s.select(col("event_type").as("__e1"), col("__r").as("__j"),
+      (col("__S") - col("y")).as("__Sj1")) // S_{j-1}
+    val sk = s.select(col("event_type").as("__e2"), col("__r").as("__k"),
+      col("__S").as("__Sk"))
+    val means = sj.join(sk, col("__e1") === col("__e2") &&
+        col("__j") <= col("__k"))
+      .select(col("__e1").as("__e"), col("__j"), col("__k"),
+        ((col("__Sk") - col("__Sj1")) / (col("__k") - col("__j") + 1))
+          .as("__m"))
+    val minK = means.join(
+        s.select(col("event_type").as("__ei"), col("__r").as("__i")),
+        col("__e") === col("__ei") && col("__j") <= col("__i") &&
+          col("__i") <= col("__k"))
+      .groupBy(col("__e"), col("__i"), col("__j"))
+      .agg(min(col("__m")).as("__mj"))
+    val fit = minK.groupBy(col("__e"), col("__i"))
+      .agg(max(col("__mj")).as("__fit"))
+    s.join(fit, col("event_type") === col("__e") && col("__r") === col("__i"))
+      .select(col("event_type"), col("i").as("hod"),
+        round(col("y"), 6).as("y_mean"), round(col("__fit"), 6).as("iso_fit"))
+      .coalesce(1).orderBy(col("event_type"), col("hod"))
+  }
+
+  // --------------------------------------------------------------- q191
+
+  /** q191 — burstiness profile of hourly event arrivals per type: the
+    * Fano factor (variance/mean of hourly counts) and the bounded
+    * burstiness score B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 periodic, 0
+    * Poisson-like, →1 bursty). Variance from exact integer power sums
+    * (Σc, Σc² are longs), so both engines evaluate the same closed
+    * form — the q97 convention.
+    */
+  def burstinessQuery(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).as("__s"), sum(col("c") * col("c")).as("__s2"))
+      .withColumn("__mu", col("__s").cast("double") / col("n_hours"))
+      .withColumn("__var",
+        (col("__s2").cast("double") - col("__s").cast("double") * col("__mu")) /
+          (col("n_hours") - 1))
+      .withColumn("__sd", sqrt(col("__var")))
+      .select(col("event_type"), col("n_hours"),
+        round(col("__mu"), 6).as("mean_per_hour"),
+        round(col("__var") / col("__mu"), 6).as("fano"),
+        round((col("__sd") - col("__mu")) / (col("__sd") + col("__mu")), 6)
+          .as("burstiness"))
+      .coalesce(1).orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -465,7 +539,9 @@ object Drift {
     "q144_spearman" -> (spearmanQuery _),
     "q145_moments" -> (momentsQuery _),
     "q167_quantile_norm" -> (quantileNormQuery _),
-    "q171_corr_matrix" -> (corrMatrixQuery _))
+    "q171_corr_matrix" -> (corrMatrixQuery _),
+    "q190_isotonic" -> (isotonicQuery _),
+    "q191_burstiness" -> (burstinessQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -1327,5 +1403,59 @@ object DriftOracle {
         |                    CAST(n*szz - sz*sz AS DOUBLE)), 6)
         |  FROM g)
         |SELECT l_returnflag, var_a, var_b, n, corr
-        |FROM u ORDER BY l_returnflag, var_a, var_b""".stripMargin)
+        |FROM u ORDER BY l_returnflag, var_a, var_b""".stripMargin,
+
+    // the same minimax identity over the same deterministic ROWS
+    // prefix sums; quadratic only on the 24-bucket aggregate
+    "q190_isotonic" ->
+      """WITH y AS (
+        |  SELECT event_type, hour(ts) AS i,
+        |         sum(CAST(round(value * 100) AS BIGINT)) /
+        |           (count(*) * 100.0) AS y
+        |  FROM events GROUP BY event_type, hour(ts)),
+        |s AS (
+        |  SELECT event_type, i, y,
+        |         sum(y) OVER (PARTITION BY event_type ORDER BY i
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY i) AS r
+        |  FROM y),
+        |means AS (
+        |  SELECT j.event_type, j.r AS j, k.r AS k,
+        |         (k.S - (j.S - j.y)) / (k.r - j.r + 1) AS m
+        |  FROM s j JOIN s k
+        |    ON k.event_type = j.event_type AND j.r <= k.r),
+        |mink AS (
+        |  SELECT me.event_type, i.r AS i, me.j, min(me.m) AS mj
+        |  FROM means me JOIN s i
+        |    ON i.event_type = me.event_type
+        |   AND me.j <= i.r AND i.r <= me.k
+        |  GROUP BY me.event_type, i.r, me.j),
+        |fit AS (
+        |  SELECT event_type, i, max(mj) AS f
+        |  FROM mink GROUP BY event_type, i)
+        |SELECT s.event_type, s.i AS hod, round(s.y, 6) AS y_mean,
+        |       round(fit.f, 6) AS iso_fit
+        |FROM s JOIN fit ON fit.event_type = s.event_type AND fit.i = s.r
+        |ORDER BY s.event_type, hod""".stripMargin,
+
+    // exact integer power sums, identical closed forms (q97 convention)
+    "q191_burstiness" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+        |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_hours,
+        |         sum(c) AS s, sum(c * c) AS s2
+        |  FROM hourly GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type, n_hours,
+        |         CAST(s AS DOUBLE) / n_hours AS mu,
+        |         (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) *
+        |            (CAST(s AS DOUBLE) / n_hours)) / (n_hours - 1) AS v
+        |  FROM agg)
+        |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+        |       round(mu, 6) AS mean_per_hour,
+        |       round(v / mu, 6) AS fano,
+        |       round((sqrt(v) - mu) / (sqrt(v) + mu), 6) AS burstiness
+        |FROM st ORDER BY event_type""".stripMargin)
 }

@@ -111,9 +111,42 @@ object Recommend {
       .limit(20)
   }
 
+  // --------------------------------------------------------------- q192
+
+  /** q192 — catalog coverage and popularity skew per brand: the share
+    * of each brand's parts that were ever purchased, the interaction
+    * concentration on the single most-popular part, and the mean
+    * interactions per covered part — the recommender-health triple
+    * (low coverage + high top-1 share = a feedback loop amplifying the
+    * head). One partkey aggregate joined to the part dim (broadcast at
+    * dim scale), then a brand rollup; exact integer counts until the
+    * two final ratios.
+    */
+  def coverageQuery(spark: SparkSession, dir: String): DataFrame = {
+    val pop = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("__n"))
+    Tables.load(spark, dir, "part")
+      .join(pop, col("p_partkey") === col("l_partkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        count(col("__n")).as("n_covered"),
+        sum(coalesce(col("__n"), lit(0L))).as("n_interactions"),
+        max(coalesce(col("__n"), lit(0L))).as("__top"))
+      .select(col("p_brand"), col("n_parts"), col("n_covered"),
+        round(col("n_covered") / col("n_parts").cast("double"), 6)
+          .as("coverage"),
+        col("n_interactions"),
+        round(col("__top") / col("n_interactions").cast("double"), 6)
+          .as("top1_share"),
+        round(col("n_interactions") / col("n_covered").cast("double"), 4)
+          .as("mean_per_covered"))
+      .coalesce(1).orderBy(col("p_brand"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q126_item_cf" -> (itemCfQuery _),
-    "q169_rank_fusion" -> (rrfQuery _))
+    "q169_rank_fusion" -> (rrfQuery _),
+    "q192_coverage" -> (coverageQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -167,5 +200,25 @@ object RecommendOracle {
         |       round(coalesce(CAST(1 AS DOUBLE) / (60 + r1), 0.0) +
         |             coalesce(CAST(1 AS DOUBLE) / (60 + r2), 0.0), 6) AS rrf_score
         |FROM r1 FULL OUTER JOIN r2 ON r2.k2 = r1.k1
-        |ORDER BY rrf_score DESC, s_suppkey LIMIT 20""".stripMargin)
+        |ORDER BY rrf_score DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    // same left join against the partkey popularity aggregate
+    "q192_coverage" ->
+      """WITH pop AS (
+        |  SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey),
+        |b AS (
+        |  SELECT p.p_brand, count(*) AS n_parts,
+        |         count(pop.n) AS n_covered,
+        |         sum(coalesce(pop.n, 0)) AS n_interactions,
+        |         max(coalesce(pop.n, 0)) AS top
+        |  FROM part p LEFT JOIN pop ON pop.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand)
+        |SELECT p_brand, CAST(n_parts AS BIGINT) AS n_parts,
+        |       CAST(n_covered AS BIGINT) AS n_covered,
+        |       round(n_covered / CAST(n_parts AS DOUBLE), 6) AS coverage,
+        |       CAST(n_interactions AS BIGINT) AS n_interactions,
+        |       round(top / CAST(n_interactions AS DOUBLE), 6) AS top1_share,
+        |       round(n_interactions / CAST(n_covered AS DOUBLE), 4)
+        |         AS mean_per_covered
+        |FROM b ORDER BY p_brand""".stripMargin)
 }

@@ -401,4 +401,61 @@ class DriftSpec extends SparkSpec {
       assert(c >= -1.0 && c <= 1.0, s"${r.getString(1)}/${r.getString(2)}: $c")
     }
   }
+  // reference PAVA (pool adjacent violators): the sequential algorithm
+  // the q190 minimax identity replaces
+  private def pava(ys: Array[Double]): Array[Double] = {
+    case class Block(var sum: Double, var n: Int) { def mean = sum / n }
+    val st = scala.collection.mutable.ArrayBuffer.empty[Block]
+    ys.foreach { y =>
+      st += Block(y, 1)
+      while (st.length > 1 && st(st.length - 2).mean >= st.last.mean) {
+        val b = st.remove(st.length - 1)
+        st.last.sum += b.sum; st.last.n += b.n
+      }
+    }
+    st.flatMap(b => Array.fill(b.n)(b.mean)).toArray
+  }
+
+  private def minimax(ys: Array[Double]): Array[Double] = {
+    val n = ys.length
+    val S = ys.scanLeft(0.0)(_ + _)
+    def mean(j: Int, k: Int) = (S(k + 1) - S(j)) / (k - j + 1)
+    Array.tabulate(n) { i =>
+      (0 to i).map(j => (i until n).map(k => mean(j, k)).min).max
+    }
+  }
+
+  test("isotonic: minimax identity equals reference PAVA on random series") {
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val ys = Array.fill(1 + rnd.nextInt(24))(rnd.nextInt(100).toDouble)
+      val (a, b) = (pava(ys), minimax(ys))
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9, 
+        s"${ys.mkString(",")}") }
+    }
+  }
+
+  test("isotonicQuery: fit is monotone non-decreasing within each type") {
+    initQuiet()
+    val rows = Drift.isotonicQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val fits = g.sortBy(_.getInt(1)).map(_.getAs[Double]("iso_fit"))
+      fits.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b + 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("burstinessQuery: burstiness bounded in [-1,1]; fano positive") {
+    initQuiet()
+    val rows = Drift.burstinessQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b >= -1.0 && b <= 1.0)
+      assert(r.getAs[Double]("fano") > 0.0)
+    }
+  }
 }

@@ -54,4 +54,15 @@ class RecommendSpec extends SparkSpec {
     val scores = rows.map(_.getDouble(3))
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
   }
+  test("coverageQuery: covered <= parts; top1_share and coverage in (0,1]") {
+    initQuiet()
+    val rows = Recommend.coverageQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_parts"))
+      val cov = r.getAs[Double]("coverage")
+      assert(cov > 0.0 && cov <= 1.0)
+      assert(r.getAs[Double]("top1_share") > 0.0)
+    }
+  }
 }
