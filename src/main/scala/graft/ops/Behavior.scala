@@ -633,6 +633,104 @@ object Behavior {
       .coalesce(1).orderBy(col("event_type"))
   }
 
+  // --------------------------------------------------------------- q193
+
+  /** q193 — multi-touch attribution under three credit models at once:
+    * each purchase distributes credit across the same user's
+    * click/view touches in the trailing 7 days — equally (linear),
+    * by 1-day-half-life recency (time_decay), or entirely to the
+    * latest touch (last_touch, event_id tiebreak); touchless
+    * purchases credit "(none)". One user-key range join bounded by
+    * the lookback (the q39 band shape), one conversion-grain window,
+    * then a (model × touch_type) rollup — the side-by-side a
+    * marketing team uses to see how model choice moves budget. Credit
+    * fractions are per-conversion-normalized doubles; totals round 4
+    * (the q186 convention).
+    */
+  def multiTouchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val lookUs = 7L * 86400L * 1000000L
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("__u"), col("event_id").as("__cid"),
+        unix_micros(col("ts")).as("__cts"),
+        round(col("value") * 100).cast("long").as("__cents"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("__tu"), col("event_id").as("__tid"),
+        col("event_type").as("touch_type"), unix_micros(col("ts")).as("__tts"))
+    val joined = conv.join(touch,
+      col("__u") === col("__tu") && col("__tts") <= col("__cts") &&
+        col("__cts") - col("__tts") <= lookUs, "left")
+    val wConv = Window.partitionBy(col("__cid"))
+    val scored = joined
+      .withColumn("__n", count(col("__tid")).over(wConv))
+      .withColumn("__w", pow(lit(0.5),
+        (col("__cts") - col("__tts")).cast("double") / 86400000000.0))
+      .withColumn("__wsum", sum(col("__w")).over(wConv))
+      .withColumn("__latest",
+        max(struct(col("__tts"), col("__tid"))).over(wConv))
+    def rollup(model: String, credit: Column): DataFrame = scored
+      .withColumn("__c", credit)
+      .groupBy(coalesce(col("touch_type"), lit("(none)")).as("touch_type"))
+      .agg(round(sum(col("__c")), 4).as("credited_conversions"),
+        round(sum(col("__c") * col("__cents")) / 100.0, 2)
+          .as("credited_revenue"))
+      .withColumn("model", lit(model))
+    val linear = rollup("linear",
+      when(col("__tid").isNull, lit(1.0)).otherwise(lit(1.0) / col("__n")))
+    val decay = rollup("time_decay",
+      when(col("__tid").isNull, lit(1.0))
+        .otherwise(col("__w") / col("__wsum")))
+    val last = rollup("last_touch",
+      when(col("__tid").isNull, lit(1.0))
+        .otherwise((col("__latest.__tts") === col("__tts") &&
+          col("__latest.__tid") === col("__tid")).cast("double")))
+    linear.unionByName(decay).unionByName(last)
+      .select(col("model"), col("touch_type"), col("credited_conversions"),
+        col("credited_revenue"))
+      .coalesce(1).orderBy(col("model"), col("touch_type"))
+  }
+
+  // --------------------------------------------------------------- q194
+
+  /** q194 — discrete churn hazard by tenure week: among users who
+    * survived ≥ w weeks, the probability of churning in week w
+    * (churn = last activity ≥ 14 days before the corpus horizon;
+    * later-active users are censored, counted at risk but never as
+    * events — the Kaplan-Meier discrete-hazard convention). At-risk
+    * counts come from a reverse cumulative sum over the ≤|weeks|-row
+    * tenure aggregate; survival is the running product Π(1−h) via
+    * exp∘Σln over a deterministic ROWS window. One user-key aggregate
+    * touches the fact data; everything after is week-grain.
+    */
+  def hazardQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val anchor = ev.agg(max(to_date(col("ts"))).as("__a"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("__f"), max(to_date(col("ts"))).as("__l"))
+      .crossJoin(broadcast(anchor))
+      .select(floor(datediff(col("__l"), col("__f")) / 7).as("__w"),
+        (datediff(col("__a"), col("__l")) >= 14).cast("long").as("__churned"))
+    val byWeek = users.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__n"), sum(col("__churned")).as("n_churned"))
+    val wOrd = Window.orderBy(col("__w"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byWeek
+      .withColumn("n_at_risk",
+        sum(col("__n")).over(wOrd.rowsBetween(
+          Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__h", col("n_churned") / col("n_at_risk").cast("double"))
+      // a terminal hazard of 1 would put ln(0) into the running sum —
+      // contribute 0 there and pin survival to 0 instead
+      .withColumn("survival",
+        round(exp(sum(when(col("__h") < 1.0, log(lit(1.0) - col("__h")))
+          .otherwise(lit(0.0))).over(wRun)), 6))
+      .select(col("__w").as("tenure_week"), col("n_at_risk"),
+        col("n_churned"), round(col("__h"), 6).as("hazard"),
+        when(col("__h") < 1.0, col("survival")).otherwise(lit(0.0))
+          .as("survival"))
+      .coalesce(1).orderBy(col("tenure_week"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -650,7 +748,9 @@ object Behavior {
     "q168_quartile_migration" -> (quartileMigration _),
     "q173_revenue_bridge" -> (revenueBridge _),
     "q175_debounce" -> (debounceQuery _),
-    "q186_decayed_engagement" -> (decayedEngagement _))
+    "q186_decayed_engagement" -> (decayedEngagement _),
+    "q193_multi_touch" -> (multiTouchQuery _),
+    "q194_churn_hazard" -> (hazardQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1018,5 +1118,82 @@ object BehaviorOracle {
         |       round(sum(value * power(0.5,
         |         date_diff('day', CAST(ts AS DATE), (SELECT a FROM anchor))
         |           / 30.0)) / sum(value), 6) AS retention_ratio
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same bounded range join, same per-conversion normalization, same
+    // (ts, event_id) latest-touch rule
+    "q193_multi_touch" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, event_id AS cid, epoch_us(ts) AS cts,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id AS tu, event_id AS tid, event_type AS touch_type,
+        |         epoch_us(ts) AS tts
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        |  SELECT conv.*, touch.tid, touch.touch_type, touch.tts
+        |  FROM conv LEFT JOIN touch
+        |    ON touch.tu = conv.u AND touch.tts <= conv.cts
+        |   AND conv.cts - touch.tts <= CAST(7 AS BIGINT) * 86400 * 1000000),
+        |scored AS (
+        |  SELECT *,
+        |         count(tid) OVER (PARTITION BY cid) AS n,
+        |         power(0.5, (cts - tts) / 86400000000.0) AS w,
+        |         sum(power(0.5, (cts - tts) / 86400000000.0))
+        |           OVER (PARTITION BY cid) AS wsum,
+        |         max(row(tts, tid)) OVER (PARTITION BY cid) AS latest
+        |  FROM j),
+        |m AS (
+        |  SELECT 'linear' AS model, coalesce(touch_type, '(none)') AS touch_type,
+        |         CASE WHEN tid IS NULL THEN 1.0 ELSE 1.0 / n END AS c, cents
+        |  FROM scored
+        |  UNION ALL
+        |  SELECT 'time_decay', coalesce(touch_type, '(none)'),
+        |         CASE WHEN tid IS NULL THEN 1.0 ELSE w / wsum END, cents
+        |  FROM scored
+        |  UNION ALL
+        |  SELECT 'last_touch', coalesce(touch_type, '(none)'),
+        |         CASE WHEN tid IS NULL THEN 1.0
+        |              WHEN latest = row(tts, tid) THEN 1.0 ELSE 0.0 END, cents
+        |  FROM scored)
+        |SELECT model, touch_type,
+        |       round(sum(c), 4) AS credited_conversions,
+        |       round(sum(c * cents) / 100.0, 2) AS credited_revenue
+        |FROM m GROUP BY model, touch_type
+        |ORDER BY model, touch_type""".stripMargin,
+
+    // same censoring rule, same reverse-cumulative at-risk counts,
+    // same exp-sum-ln running survival with the ln(0) guard
+    "q194_churn_hazard" ->
+      """WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+        |users AS (
+        |  SELECT CAST(floor(date_diff('day', min(CAST(ts AS DATE)),
+        |                    max(CAST(ts AS DATE))) / 7) AS BIGINT) AS w,
+        |         CASE WHEN date_diff('day', max(CAST(ts AS DATE)),
+        |                    (SELECT a FROM anchor)) >= 14
+        |              THEN 1 ELSE 0 END AS churned
+        |  FROM events GROUP BY user_id),
+        |byweek AS (
+        |  SELECT w, count(*) AS n, CAST(sum(churned) AS BIGINT) AS n_churned
+        |  FROM users GROUP BY w),
+        |risk AS (
+        |  SELECT w, n_churned,
+        |         sum(n) OVER (ORDER BY w
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |           AS n_at_risk
+        |  FROM byweek),
+        |h AS (
+        |  SELECT w, n_at_risk, n_churned,
+        |         n_churned / CAST(n_at_risk AS DOUBLE) AS hz
+        |  FROM risk)
+        |SELECT w AS tenure_week, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |       n_churned, round(hz, 6) AS hazard,
+        |       CASE WHEN hz < 1.0
+        |            THEN round(exp(sum(CASE WHEN hz < 1.0 THEN ln(1.0 - hz)
+        |                                    ELSE 0.0 END)
+        |              OVER (ORDER BY w
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |            ELSE 0.0 END AS survival
+        |FROM h ORDER BY tenure_week""".stripMargin)
 }

@@ -522,6 +522,51 @@ object Drift {
       .coalesce(1).orderBy(col("event_type"))
   }
 
+  // --------------------------------------------------------------- q195
+
+  /** q195 — Simpson's-paradox screen: the pooled regression slope of
+    * quantity on discount versus each brand's within-stratum slope,
+    * flagging strata whose trend REVERSES the pooled one. Slopes come
+    * from exact integer power sums (discounts are integral cents,
+    * quantities integral; Σx, Σy, Σxy, Σx² carried in decimal(38,0)),
+    * so the reversal flag compares exact integer numerator signs —
+    * positive denominators make sign(slope) = sign(n·Σxy − Σx·Σy) —
+    * and can never flip on accumulation noise. One brand aggregate +
+    * a broadcast pooled row.
+    */
+  def simpsonQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round(col("l_discount") * 100).cast("long").as("__x"),
+        col("l_quantity").cast("long").as("__y"))
+    def sums(df: DataFrame, keys: Seq[Column]) = df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+        sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"))
+    def num(pre: String) = col(s"${pre}__n") * col(s"${pre}__sxy") -
+      col(s"${pre}__sx") * col(s"${pre}__sy")
+    def den(pre: String) = col(s"${pre}__n") * col(s"${pre}__sxx") -
+      col(s"${pre}__sx") * col(s"${pre}__sx")
+    val pooled = sums(base, Seq.empty)
+      .select(col("__n").as("p__n"), col("__sx").as("p__sx"),
+        col("__sy").as("p__sy"), col("__sxy").as("p__sxy"),
+        col("__sxx").as("p__sxx"))
+    sums(base, Seq(col("p_brand")))
+      .crossJoin(broadcast(pooled))
+      .select(col("p_brand"), col("__n").as("n"),
+        round(num("").cast("double") / den("").cast("double"), 6)
+          .as("brand_slope"),
+        round(num("p").cast("double") / den("p").cast("double"), 6)
+          .as("pooled_slope"),
+        (signum(num("").cast("double")) =!=
+          signum(num("p").cast("double"))).as("reversed"))
+      .coalesce(1).orderBy(col("p_brand"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -541,7 +586,8 @@ object Drift {
     "q167_quantile_norm" -> (quantileNormQuery _),
     "q171_corr_matrix" -> (corrMatrixQuery _),
     "q190_isotonic" -> (isotonicQuery _),
-    "q191_burstiness" -> (burstinessQuery _))
+    "q191_burstiness" -> (burstinessQuery _),
+    "q195_simpson" -> (simpsonQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -1457,5 +1503,36 @@ object DriftOracle {
         |       round(mu, 6) AS mean_per_hour,
         |       round(v / mu, 6) AS fano,
         |       round((sqrt(v) - mu) / (sqrt(v) + mu), 6) AS burstiness
-        |FROM st ORDER BY event_type""".stripMargin)
+        |FROM st ORDER BY event_type""".stripMargin,
+
+    // same exact HUGEINT power sums; reversal compares exact numerator
+    // signs, never rounded doubles
+    "q195_simpson" ->
+      """WITH base AS (
+        |  SELECT p.p_brand,
+        |         CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+        |         CAST(l.l_quantity AS BIGINT) AS y
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |b AS (
+        |  SELECT p_brand, count(*) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM base GROUP BY p_brand),
+        |p AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |         sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |         sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM base)
+        |SELECT b.p_brand, CAST(b.n AS BIGINT) AS n,
+        |       round(CAST(b.n * b.sxy - b.sx * b.sy AS DOUBLE) /
+        |             CAST(b.n * b.sxx - b.sx * b.sx AS DOUBLE), 6)
+        |         AS brand_slope,
+        |       round(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE) /
+        |             CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE), 6)
+        |         AS pooled_slope,
+        |       sign(CAST(b.n * b.sxy - b.sx * b.sy AS DOUBLE)) <>
+        |         sign(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)) AS reversed
+        |FROM b, p ORDER BY b.p_brand""".stripMargin)
 }
