@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Behavior, BehaviorOracle, Concentration, ConcentrationOracle, Curation, CurationOracle, Drift, DriftOracle, Graph, GraphOracle, Integrity, IntegrityOracle, Ledger, LedgerOracle, OracleSql, Recommend, RecommendOracle, Relational, Spans, SpansOracle, TimeSeries, TimeSeriesOracle}
+import graft.ops.{Behavior, BehaviorOracle, Bloom, BloomOracle, Concentration, ConcentrationOracle, Curation, CurationOracle, Drift, DriftOracle, Graph, GraphOracle, Integrity, IntegrityOracle, Ledger, LedgerOracle, OracleSql, Recommend, RecommendOracle, Relational, Spans, SpansOracle, TimeSeries, TimeSeriesOracle}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,10 +18,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (Relational.all ++ Curation.all ++ Integrity.all ++ Behavior.all ++ TimeSeries.all ++ Graph.all ++ Drift.all ++ Spans.all ++ Concentration.all ++ Recommend.all ++ Ledger.all).toMap
+    (Relational.all ++ Curation.all ++ Integrity.all ++ Behavior.all ++ TimeSeries.all ++ Graph.all ++ Drift.all ++ Spans.all ++ Concentration.all ++ Recommend.all ++ Ledger.all ++ Bloom.all).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    (OracleSql.all ++ CurationOracle.all ++ IntegrityOracle.all ++ BehaviorOracle.all ++ TimeSeriesOracle.all ++ GraphOracle.all ++ DriftOracle.all ++ SpansOracle.all ++ ConcentrationOracle.all ++ RecommendOracle.all ++ LedgerOracle.all).toMap
+    (OracleSql.all ++ CurationOracle.all ++ IntegrityOracle.all ++ BehaviorOracle.all ++ TimeSeriesOracle.all ++ GraphOracle.all ++ DriftOracle.all ++ SpansOracle.all ++ ConcentrationOracle.all ++ RecommendOracle.all ++ LedgerOracle.all ++ BloomOracle.all).toMap
 }

@@ -528,6 +528,53 @@ object Concentration {
       .coalesce(1).orderBy(col("yr"))
   }
 
+  // --------------------------------------------------------------- q197
+
+  /** q197 — Theil-T inequality decomposition of customer spend by
+    * nation: the one inequality index that splits EXACTLY into
+    * between-group + Σ (spend-share-weighted) within-group parts, so
+    * "how much inequality lives inside vs across nations" is a
+    * conservation identity, not two unrelated numbers
+    * (ConcentrationSpec pins Σ contribution + Σ between ≡ the
+    * directly-computed global Theil). Per-customer terms are
+    * (x/S_g)·ln(x/μ_g) with x exact cents and μ_g formed by one
+    * double division — no integer cross-products that could overflow
+    * at scale. Plan: one (nation, customer) aggregate, per-nation
+    * stats via a window on the customer-bounded frame, one global
+    * single-row broadcast; fact rows are touched once.
+    */
+  def theilQuery(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__x"))
+    val wNat = Window.partitionBy(col("n_name"))
+    val totals = perCust.agg(count(lit(1)).as("g__n"), sum(col("__x")).as("g__s"))
+    perCust
+      .withColumn("__ng", count(lit(1)).over(wNat))
+      .withColumn("__sg", sum(col("__x")).over(wNat))
+      .withColumn("__term", (col("__x").cast("double") / col("__sg")) *
+        log(col("__x") / (col("__sg").cast("double") / col("__ng"))))
+      .groupBy(col("n_name"))
+      .agg(max(col("__ng")).as("n_customers"),
+        max(col("__sg")).as("__sg"),
+        round(sum(col("__term")), 6).as("theil_within"))
+      .crossJoin(broadcast(totals))
+      .select(col("n_name"), col("n_customers"),
+        round(col("__sg").cast("double") / col("g__s"), 6).as("spend_share"),
+        col("theil_within"),
+        round((col("__sg").cast("double") / col("g__s")) *
+          col("theil_within"), 6).as("within_contribution"),
+        round((col("__sg").cast("double") / col("g__s")) *
+          log((col("__sg").cast("double") / col("g__s")) /
+            (col("n_customers").cast("double") / col("g__n"))), 6)
+          .as("between_term"))
+      .coalesce(1).orderBy(col("n_name"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -542,7 +589,8 @@ object Concentration {
     "q174_share_of_parent" -> (shareOfParentQuery _),
     "q182_nucleus_vocab" -> (nucleusVocabQuery _),
     "q183_zipf_fit" -> (zipfQuery _),
-    "q187_hhi" -> (hhiQuery _))
+    "q187_hhi" -> (hhiQuery _),
+    "q197_theil" -> (theilQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -844,5 +892,36 @@ object ConcentrationOracle {
         |       round((CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) /
         |             CAST(ssq AS DOUBLE), 4) AS effective_suppliers,
         |       round(top / CAST(tot AS DOUBLE), 6) AS top_share
-        |FROM a ORDER BY yr""".stripMargin)
+        |FROM a ORDER BY yr""".stripMargin,
+
+    // same per-customer (x/S_g)·ln(x/μ_g) terms with μ_g from one
+    // double division, same rounded-then-weighted contribution
+    "q197_theil" ->
+      """WITH pc AS (
+        |  SELECT n.n_name, c.c_custkey,
+        |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, c.c_custkey),
+        |w AS (
+        |  SELECT *, count(*) OVER (PARTITION BY n_name) AS ng,
+        |         sum(x) OVER (PARTITION BY n_name) AS sg
+        |  FROM pc),
+        |g AS (SELECT count(*) AS gn, sum(x) AS gs FROM pc),
+        |nat AS (
+        |  SELECT n_name, max(ng) AS n_customers, max(sg) AS sg,
+        |         round(sum((CAST(x AS DOUBLE) / sg) *
+        |               ln(x / (CAST(sg AS DOUBLE) / ng))), 6) AS theil_within
+        |  FROM w GROUP BY n_name)
+        |SELECT nat.n_name, CAST(nat.n_customers AS BIGINT) AS n_customers,
+        |       round(CAST(nat.sg AS DOUBLE) / g.gs, 6) AS spend_share,
+        |       nat.theil_within,
+        |       round((CAST(nat.sg AS DOUBLE) / g.gs) * nat.theil_within, 6)
+        |         AS within_contribution,
+        |       round((CAST(nat.sg AS DOUBLE) / g.gs) *
+        |             ln((CAST(nat.sg AS DOUBLE) / g.gs) /
+        |                (CAST(nat.n_customers AS DOUBLE) / g.gn)), 6)
+        |         AS between_term
+        |FROM nat, g ORDER BY nat.n_name""".stripMargin)
 }

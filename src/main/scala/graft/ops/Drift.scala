@@ -567,6 +567,40 @@ object Drift {
       .coalesce(1).orderBy(col("p_brand"))
   }
 
+  // --------------------------------------------------------------- q198
+
+  /** q198 — Gaussian kernel density of order value per priority on a
+    * fixed 21-point grid: the smooth distribution profile a histogram
+    * (q146's equi-depth, q128's log2 bins) jumps past. Order values
+    * normalize to [0,1] by the EXACT global integer min/max (one
+    * broadcast stats row), grid points are j/20, bandwidth 0.05; each
+    * order contributes exp(−½z²) to every grid point via a bounded
+    * 21× explode — |orders|·21 rows into a (priority, j) aggregate,
+    * never a data×data cross. Both engines evaluate the identical
+    * closed-form kernel over identical exact inputs; the final
+    * density divides once by n·h·√(2π).
+    */
+  def kdeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("__c"))
+    val stats = orders.agg(min(col("__c")).as("__mn"), max(col("__c")).as("__mx"))
+    orders.crossJoin(broadcast(stats))
+      .withColumn("__u", (col("__c") - col("__mn")).cast("double") /
+        (col("__mx") - col("__mn")).cast("double"))
+      .select(col("o_orderpriority"), col("__u"),
+        explode(sequence(lit(0), lit(20))).as("j"))
+      .withColumn("__z", (col("__u") - col("j") / lit(20.0)) / lit(0.05))
+      .groupBy(col("o_orderpriority"), col("j"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(exp(col("__z") * col("__z") / lit(-2.0))) /
+          (count(lit(1)) * lit(0.05) * sqrt(lit(2.0) * lit(math.Pi))), 6)
+          .as("density"))
+      .select(col("o_orderpriority"), round(col("j") / 20.0, 2).as("u_grid"),
+        col("n_orders"), col("density"))
+      .coalesce(1).orderBy(col("o_orderpriority"), col("u_grid"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -587,7 +621,8 @@ object Drift {
     "q171_corr_matrix" -> (corrMatrixQuery _),
     "q190_isotonic" -> (isotonicQuery _),
     "q191_burstiness" -> (burstinessQuery _),
-    "q195_simpson" -> (simpsonQuery _))
+    "q195_simpson" -> (simpsonQuery _),
+    "q198_kde" -> (kdeQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -1534,5 +1569,27 @@ object DriftOracle {
         |         AS pooled_slope,
         |       sign(CAST(b.n * b.sxy - b.sx * b.sy AS DOUBLE)) <>
         |         sign(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)) AS reversed
-        |FROM b, p ORDER BY b.p_brand""".stripMargin)
+        |FROM b, p ORDER BY b.p_brand""".stripMargin,
+
+    // same exact-integer normalization, same closed-form kernel, same
+    // left-associated n·h·√(2π) denominator (0.05 cast to DOUBLE so
+    // both engines run the identical double product chain)
+    "q198_kde" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |s AS (SELECT min(c) AS mn, max(c) AS mx FROM o),
+        |z AS (
+        |  SELECT o.o_orderpriority, t.j,
+        |         (CAST(o.c - s.mn AS DOUBLE) / CAST(s.mx - s.mn AS DOUBLE)
+        |          - t.j / 20.0) / CAST(0.05 AS DOUBLE) AS z
+        |  FROM o, s, (SELECT unnest(generate_series(0, 20)) AS j) t)
+        |SELECT o_orderpriority, round(j / 20.0, 2) AS u_grid,
+        |       count(*) AS n_orders,
+        |       round(sum(exp(z * z / -2.0)) /
+        |             (count(*) * CAST(0.05 AS DOUBLE) * sqrt(2.0 * pi())), 6)
+        |         AS density
+        |FROM z GROUP BY o_orderpriority, j
+        |ORDER BY o_orderpriority, u_grid""".stripMargin)
 }

@@ -211,6 +211,26 @@ class ConcentrationSpec extends SparkSpec {
     }
   }
 
+  test("theilQuery: within contributions + between terms = global Theil") {
+    initQuiet()
+    val rows = Concentration.theilQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val decomposed = rows.map(r => r.getAs[Double]("within_contribution") +
+      r.getAs[Double]("between_term")).sum
+    // direct global Theil: sum (x/S) * ln(x/mu) over ALL customers
+    val perCust = graft.Tables.load(spark, sf, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .select(col("x").cast("double")).collect().map(_.getDouble(0))
+    val s = perCust.sum; val mu = s / perCust.length
+    val direct = perCust.map(x => (x / s) * math.log(x / mu)).sum
+    // each nation's two terms are rounded to 6dp -> <= 50e-6 slack
+    assert(math.abs(decomposed - direct) < 1e-4,
+      s"decomposed=$decomposed direct=$direct")
+    // spend shares partition the total
+    assert(math.abs(rows.map(_.getAs[Double]("spend_share")).sum - 1.0) < 1e-4)
+  }
+
   test("shareOfParentQuery: shares sum to 1 within region and overall") {
     initQuiet()
     val rows = Concentration.shareOfParentQuery(spark, sf).collect()

@@ -458,4 +458,20 @@ class DriftSpec extends SparkSpec {
       assert(r.getAs[Double]("fano") > 0.0)
     }
   }
+
+  test("kdeQuery: densities non-negative; grid mass integrates to ~1") {
+    initQuiet()
+    val rows = Drift.kdeQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(g.length === 21) // full grid per priority
+      g.foreach(r => assert(r.getAs[Double]("density") >= 0.0))
+      // Riemann sum at step 1/20; edge kernels lose tail mass outside
+      // [0,1], so the sum sits a bit under 1 but never far from it
+      val mass = g.map(_.getAs[Double]("density")).sum / 20.0
+      assert(mass > 0.85 && mass < 1.1, s"grid mass $mass")
+      // n_orders is the same (priority-total) count on every grid row
+      assert(g.map(_.getAs[Long]("n_orders")).distinct.length === 1)
+    }
+  }
 }
