@@ -575,6 +575,46 @@ object Concentration {
       .coalesce(1).orderBy(col("n_name"))
   }
 
+  // --------------------------------------------------------------- q201
+
+  /** q201 — ABC inventory classification per part type: parts ranked
+    * by net revenue, class A while the cumulative share is ≤ 80%,
+    * B while ≤ 95%, else C — the stock-policy triage built on q122's
+    * crossing machinery but emitting the full three-band partition
+    * (counts, revenue, share per band), not just the threshold. Both
+    * class cuts are pure integer comparisons on decimal(38,0)
+    * cross-products (cum·5 ≤ tot·4, cum·20 ≤ tot·19) under a total
+    * order (cents desc, partkey asc), so no float boundary can ever
+    * classify differently across engines. Plan: one part-key
+    * aggregate, windows partitioned by type (group-parallel), ≤
+    * |types|·3 rows out.
+    */
+  def abcQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"), col("p_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("__cents"))
+    val w = Window.partitionBy(col("p_type"))
+      .orderBy(col("__cents").desc, col("p_partkey"))
+    val wTot = Window.partitionBy(col("p_type"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    rev
+      .withColumn("__cum", sum(col("__cents")).over(w))
+      .withColumn("__tot", sum(col("__cents")).over(wTot))
+      .withColumn("abc_class",
+        when(d38(col("__cum")) * 5 <= d38(col("__tot")) * 4, "A")
+          .when(d38(col("__cum")) * 20 <= d38(col("__tot")) * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("p_type"), col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("__cents")) / 100.0, 2).as("revenue"),
+        round(sum(col("__cents")).cast("double") /
+          max(col("__tot")).cast("double"), 6).as("rev_share"))
+      .coalesce(1).orderBy(col("p_type"), col("abc_class"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -590,7 +630,8 @@ object Concentration {
     "q182_nucleus_vocab" -> (nucleusVocabQuery _),
     "q183_zipf_fit" -> (zipfQuery _),
     "q187_hhi" -> (hhiQuery _),
-    "q197_theil" -> (theilQuery _))
+    "q197_theil" -> (theilQuery _),
+    "q201_abc" -> (abcQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -923,5 +964,35 @@ object ConcentrationOracle {
         |             ln((CAST(nat.sg AS DOUBLE) / g.gs) /
         |                (CAST(nat.n_customers AS DOUBLE) / g.gn)), 6)
         |         AS between_term
-        |FROM nat, g ORDER BY nat.n_name""".stripMargin)
+        |FROM nat, g ORDER BY nat.n_name""".stripMargin,
+
+    // same total order (cents desc, partkey), same integer
+    // cross-product class cuts
+    "q201_abc" ->
+      """WITH rev AS (
+        |  SELECT p.p_type, p.p_partkey,
+        |         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |             * 100) AS BIGINT)) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_type, p.p_partkey),
+        |w AS (
+        |  SELECT *,
+        |         sum(cents) OVER (PARTITION BY p_type
+        |           ORDER BY cents DESC, p_partkey) AS cum,
+        |         sum(cents) OVER (PARTITION BY p_type) AS tot
+        |  FROM rev),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN CAST(cum AS DECIMAL(38,0)) * 5
+        |              <= CAST(tot AS DECIMAL(38,0)) * 4 THEN 'A'
+        |         WHEN CAST(cum AS DECIMAL(38,0)) * 20
+        |              <= CAST(tot AS DECIMAL(38,0)) * 19 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM w)
+        |SELECT p_type, abc_class, count(*) AS n_parts,
+        |       round(sum(cents) / 100.0, 2) AS revenue,
+        |       round(CAST(sum(cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
+        |         AS rev_share
+        |FROM c GROUP BY p_type, abc_class
+        |ORDER BY p_type, abc_class""".stripMargin)
 }

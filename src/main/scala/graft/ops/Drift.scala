@@ -601,6 +601,104 @@ object Drift {
       .coalesce(1).orderBy(col("o_orderpriority"), col("u_grid"))
   }
 
+  // --------------------------------------------------------------- q199
+
+  /** q199 — two-regressor OLS per return flag: quantity regressed on
+    * discount AND tax jointly via the closed-form normal equations —
+    * the multi-feature step past q195's single-slope screen (which
+    * cannot separate two correlated drivers). The five centered
+    * co-moments S_x1x1, S_x2x2, S_x1x2, S_x1y, S_x2y are exact
+    * decimal(38,0) integer forms (n·Σab − Σa·Σb over cents/units);
+    * each casts to double ONCE and the 2×2 solve
+    * b = [S_x2x2·S_x1y − S_x1x2·S_x2y, S_x1x1·S_x2y − S_x1x2·S_x1y]/det
+    * is a fixed-shape closed-form AST both engines evaluate
+    * identically (the determinant of n²-scaled moments would overflow
+    * decimal(38) at extreme scale, so the COMBINATION is double by
+    * design — the q145 discipline). R² = (b1·S_x1y + b2·S_x2y)/S_yy.
+    * Plan: ONE algebraic aggregate pass over the fact, |groups| rows
+    * out — map-side partials, no second scan.
+    */
+  def ols2Query(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_discount") * 100).cast("long").as("__x1"),
+        round(col("l_tax") * 100).cast("long").as("__x2"),
+        col("l_quantity").cast("long").as("__y"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val agg = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("__n"),
+        sum(d38(col("__x1"))).as("__s1"),
+        sum(d38(col("__x2"))).as("__s2"),
+        sum(d38(col("__y"))).as("__sy"),
+        sum(d38(col("__x1") * col("__x1"))).as("__s11"),
+        sum(d38(col("__x2") * col("__x2"))).as("__s22"),
+        sum(d38(col("__x1") * col("__x2"))).as("__s12"),
+        sum(d38(col("__x1") * col("__y"))).as("__s1y"),
+        sum(d38(col("__x2") * col("__y"))).as("__s2y"),
+        sum(d38(col("__y") * col("__y"))).as("__syy"))
+    def ctr(ab: String, a: String, b: String) =
+      ((col("__n") * col(s"__s$ab") - col(s"__s$a") * col(s"__s$b"))
+        .cast("double")).as(s"__c$ab")
+    val m = agg.select(col("l_returnflag"), col("__n"),
+      col("__s1"), col("__s2"), col("__sy"),
+      ctr("11", "1", "1"), ctr("22", "2", "2"), ctr("12", "1", "2"),
+      ctr("1y", "1", "y"), ctr("2y", "2", "y"), ctr("yy", "y", "y"))
+    val det = col("__c11") * col("__c22") - col("__c12") * col("__c12")
+    val b1 = (col("__c22") * col("__c1y") - col("__c12") * col("__c2y")) / det
+    val b2 = (col("__c11") * col("__c2y") - col("__c12") * col("__c1y")) / det
+    m.select(col("l_returnflag"), col("__n").as("n"),
+        round(b1, 6).as("b_discount"),
+        round(b2, 6).as("b_tax"),
+        round((col("__sy").cast("double") - b1 * col("__s1").cast("double") -
+          b2 * col("__s2").cast("double")) / col("__n").cast("double"), 6)
+          .as("intercept"),
+        round((b1 * col("__c1y") + b2 * col("__c2y")) / col("__cyy"), 6)
+          .as("r2"))
+      .coalesce(1).orderBy(col("l_returnflag"))
+  }
+
+  // --------------------------------------------------------------- q200
+
+  /** q200 — principal-axis (PCA / total-least-squares) decomposition
+    * of the per-lineitem (discount, tax) cloud per return flag: the
+    * ORTHOGONAL regression q199's OLS is not — errors in both
+    * variables, axis = leading eigenvector of the 2×2 covariance
+    * matrix, which has a closed form: λ = (tr ± √(diff² + 4c²))/2,
+    * θ = ½·atan2(2c, diff). Co-moments are exact decimal(38,0)
+    * integer forms cast to double once (their squares inside the
+    * discriminant would overflow decimal(38) at extreme scale);
+    * explained share λ1/tr is scale-invariant in n so the n²-scaling
+    * cancels. ONE algebraic aggregate pass, |groups| rows out.
+    */
+  def pcaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_discount") * 100).cast("long").as("__x"),
+        round(col("l_tax") * 100).cast("long").as("__y"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val agg = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("__n"),
+        sum(d38(col("__x"))).as("__sx"),
+        sum(d38(col("__y"))).as("__sy"),
+        sum(d38(col("__x") * col("__x"))).as("__sxx"),
+        sum(d38(col("__y") * col("__y"))).as("__syy"),
+        sum(d38(col("__x") * col("__y"))).as("__sxy"))
+    val vx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val vy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    val cxy = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val tr = vx + vy
+    val disc = sqrt((vx - vy) * (vx - vy) + lit(4.0) * cxy * cxy)
+    agg.select(col("l_returnflag"), col("__n").as("n"),
+        round((tr + disc) / (lit(2.0) * tr), 6).as("explained_share"),
+        round(atan2(lit(2.0) * cxy, vx - vy) / lit(2.0), 6)
+          .as("axis_angle_rad"),
+        round(cxy / sqrt(vx * vy), 6).as("corr"))
+      .coalesce(1).orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -622,7 +720,9 @@ object Drift {
     "q190_isotonic" -> (isotonicQuery _),
     "q191_burstiness" -> (burstinessQuery _),
     "q195_simpson" -> (simpsonQuery _),
-    "q198_kde" -> (kdeQuery _))
+    "q198_kde" -> (kdeQuery _),
+    "q199_ols2" -> (ols2Query _),
+    "q200_pca" -> (pcaQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -1591,5 +1691,80 @@ object DriftOracle {
         |             (count(*) * CAST(0.05 AS DOUBLE) * sqrt(2.0 * pi())), 6)
         |         AS density
         |FROM z GROUP BY o_orderpriority, j
-        |ORDER BY o_orderpriority, u_grid""".stripMargin)
+        |ORDER BY o_orderpriority, u_grid""".stripMargin,
+
+    // same exact decimal co-moments cast to double once, same 2x2
+    // normal-equation solve with the identical operand order
+    "q199_ols2" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS x1,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS x2,
+        |         CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(x1 AS DECIMAL(38,0))) AS s1,
+        |         sum(CAST(x2 AS DECIMAL(38,0))) AS s2,
+        |         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |         sum(CAST(x1 * x1 AS DECIMAL(38,0))) AS s11,
+        |         sum(CAST(x2 * x2 AS DECIMAL(38,0))) AS s22,
+        |         sum(CAST(x1 * x2 AS DECIMAL(38,0))) AS s12,
+        |         sum(CAST(x1 * y AS DECIMAL(38,0))) AS s1y,
+        |         sum(CAST(x2 * y AS DECIMAL(38,0))) AS s2y,
+        |         sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+        |  FROM b GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n, s1, s2, sy,
+        |         CAST(n * s11 - s1 * s1 AS DOUBLE) AS c11,
+        |         CAST(n * s22 - s2 * s2 AS DOUBLE) AS c22,
+        |         CAST(n * s12 - s1 * s2 AS DOUBLE) AS c12,
+        |         CAST(n * s1y - s1 * sy AS DOUBLE) AS c1y,
+        |         CAST(n * s2y - s2 * sy AS DOUBLE) AS c2y,
+        |         CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |       round((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12), 6)
+        |         AS b_discount,
+        |       round((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12), 6)
+        |         AS b_tax,
+        |       round((CAST(sy AS DOUBLE)
+        |              - ((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12))
+        |                * CAST(s1 AS DOUBLE)
+        |              - ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12))
+        |                * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |         AS intercept,
+        |       round((((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)) * c1y
+        |            + ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) * c2y)
+        |             / cyy, 6) AS r2
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    // same exact co-moments, same closed-form eigen/angle ASTs
+    "q200_pca" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |         sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+        |         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+        |  FROM b GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, n,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) AS vx,
+        |         CAST(n * syy - sy * sy AS DOUBLE) AS vy,
+        |         CAST(n * sxy - sx * sy AS DOUBLE) AS cxy
+        |  FROM a)
+        |SELECT l_returnflag, n,
+        |       round((vx + vy + sqrt((vx - vy) * (vx - vy)
+        |              + 4.0 * cxy * cxy)) / (2.0 * (vx + vy)), 6)
+        |         AS explained_share,
+        |       round(atan2(2.0 * cxy, vx - vy) / 2.0, 6) AS axis_angle_rad,
+        |       round(cxy / sqrt(vx * vy), 6) AS corr
+        |FROM c ORDER BY l_returnflag""".stripMargin)
 }

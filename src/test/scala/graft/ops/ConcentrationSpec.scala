@@ -211,6 +211,24 @@ class ConcentrationSpec extends SparkSpec {
     }
   }
 
+  test("abcQuery: shares partition to 1; class cuts respect 80/95 bounds") {
+    initQuiet()
+    val rows = Concentration.abcQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getAs[Double]("rev_share")).sum - 1.0) < 1e-4)
+      val byClass = g.map(r => r.getString(1) -> r.getAs[Double]("rev_share"))
+        .toMap
+      // cumulative-share cuts: A mass <= 80%, A+B mass <= 95%
+      assert(byClass.getOrElse("A", 0.0) <= 0.8 + 1e-9)
+      assert(byClass.getOrElse("A", 0.0) +
+        byClass.getOrElse("B", 0.0) <= 0.95 + 1e-9)
+      // C always exists (the crossing part itself lands in C's band
+      // only when cum > 95%; the LAST part always has cum = tot > 95%)
+      assert(byClass.contains("C"))
+    }
+  }
+
   test("theilQuery: within contributions + between terms = global Theil") {
     initQuiet()
     val rows = Concentration.theilQuery(spark, sf).collect()

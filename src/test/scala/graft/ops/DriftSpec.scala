@@ -459,6 +459,55 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("ols2Query: matches a direct normal-equation solve on collected data") {
+    initQuiet()
+    val raw = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_tax") * 100).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toDouble,
+        r.getLong(2).toDouble, r.getLong(3).toDouble))
+    val rows = Drift.ols2Query(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val g = raw.filter(_._1 == row.getString(0))
+      val n = g.length.toDouble
+      val (s1, s2, sy) = (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum)
+      val c11 = n * g.map(t => t._2 * t._2).sum - s1 * s1
+      val c22 = n * g.map(t => t._3 * t._3).sum - s2 * s2
+      val c12 = n * g.map(t => t._2 * t._3).sum - s1 * s2
+      val c1y = n * g.map(t => t._2 * t._4).sum - s1 * sy
+      val c2y = n * g.map(t => t._3 * t._4).sum - s2 * sy
+      val cyy = n * g.map(t => t._4 * t._4).sum - sy * sy
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c22 * c1y - c12 * c2y) / det
+      val b2 = (c11 * c2y - c12 * c1y) / det
+      assert(math.abs(row.getAs[Double]("b_discount") - b1) < 1e-4)
+      assert(math.abs(row.getAs[Double]("b_tax") - b2) < 1e-4)
+      assert(math.abs(row.getAs[Double]("intercept") -
+        (sy - b1 * s1 - b2 * s2) / n) < 1e-4)
+      val r2 = row.getAs[Double]("r2")
+      assert(math.abs(r2 - (b1 * c1y + b2 * c2y) / cyy) < 1e-4)
+      assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("pcaQuery: eigen identities hold; explained share in [1/2, 1]") {
+    initQuiet()
+    val rows = Drift.pcaQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("explained_share")
+      // leading eigenvalue always carries at least half the trace
+      assert(share >= 0.5 - 1e-9 && share <= 1.0 + 1e-9)
+      val corr = r.getAs[Double]("corr")
+      assert(corr >= -1.0 && corr <= 1.0)
+      val theta = r.getAs[Double]("axis_angle_rad")
+      assert(theta >= -math.Pi / 2 - 1e-9 && theta <= math.Pi / 2 + 1e-9)
+    }
+  }
+
   test("kdeQuery: densities non-negative; grid mass integrates to ~1") {
     initQuiet()
     val rows = Drift.kdeQuery(spark, sf).collect()
