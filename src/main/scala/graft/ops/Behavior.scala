@@ -731,6 +731,49 @@ object Behavior {
       .coalesce(1).orderBy(col("tenure_week"))
   }
 
+  // --------------------------------------------------------------- q204
+
+  /** q204 — cohort LTV curve: users grouped by first-seen day, each
+    * cohort's CUMULATIVE purchase revenue per member tracked across
+    * cohort age in days — the "how fast does a cohort pay back"
+    * readout on top of q81's activity retention. Revenue is exact
+    * cents; the (cohort, age) grid is bounded by the corpus day span
+    * squared / 2 (never user×age — users aggregate to their cohort
+    * before the cumulative window); per-member LTV is computed by
+    * exact integer FLOOR division to 10⁻⁴-dollar units first (a
+    * float division then round(…, 4) lands on .5 boundaries whenever
+    * cents·100/size terminates at the 5th decimal — caught live at
+    * sf0.01 — and the two engines round the binary double
+    * differently), then ONE exact long→double scaling. Ages with no
+    * purchases still appear when any purchase happens later
+    * (cumulative is over OBSERVED ages — stated, and matched in the
+    * oracle).
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val sizes = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val rev = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("__d"),
+        round(col("value") * 100).cast("long").as("__c"))
+      .join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("__d"), col("cohort_day")).as("age_days"))
+      .agg(sum(col("__c")).as("__cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("age_days"))
+    rev
+      .withColumn("__cum", sum(col("__cents")).over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("age_days"), col("cohort_users"),
+        round(col("__cents") / 100.0, 2).as("revenue"),
+        (expr("(__cum * 100) div cohort_users") / lit(10000.0))
+          .as("cum_ltv"))
+      .coalesce(1).orderBy(col("cohort_day"), col("age_days"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -750,7 +793,8 @@ object Behavior {
     "q175_debounce" -> (debounceQuery _),
     "q186_decayed_engagement" -> (decayedEngagement _),
     "q193_multi_touch" -> (multiTouchQuery _),
-    "q194_churn_hazard" -> (hazardQuery _))
+    "q194_churn_hazard" -> (hazardQuery _),
+    "q204_cohort_ltv" -> (cohortLtv _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1195,5 +1239,33 @@ object BehaviorOracle {
         |              OVER (ORDER BY w
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
         |            ELSE 0.0 END AS survival
-        |FROM h ORDER BY tenure_week""".stripMargin)
+        |FROM h ORDER BY tenure_week""".stripMargin,
+
+    // same exact-cents revenue grid, same cumulative window over
+    // observed ages, same 100·size division shape
+    "q204_cohort_ltv" ->
+      """WITH first AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_day, count(*) AS cohort_users
+        |  FROM first GROUP BY cohort_day),
+        |rev AS (
+        |  SELECT f.cohort_day,
+        |         CAST(e.ts AS DATE) - f.cohort_day AS age_days,
+        |         sum(CAST(round(e.value * 100) AS BIGINT)) AS cents
+        |  FROM events e JOIN first f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY f.cohort_day, CAST(e.ts AS DATE) - f.cohort_day),
+        |c AS (
+        |  SELECT *, sum(cents) OVER (PARTITION BY cohort_day
+        |    ORDER BY age_days) AS cum
+        |  FROM rev)
+        |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day, c.age_days,
+        |       s.cohort_users,
+        |       round(c.cents / 100.0, 2) AS revenue,
+        |       CAST((c.cum * 100) // s.cohort_users AS DOUBLE) / 10000.0
+        |         AS cum_ltv
+        |FROM c JOIN sizes s ON s.cohort_day = c.cohort_day
+        |ORDER BY cohort_day, age_days""".stripMargin)
 }

@@ -429,9 +429,100 @@ object Graph {
     "q110_mutual_info" -> (miQuery _),
     "q111_winnowing" -> (winnowQuery _),
     "q112_pagerank" -> (pageRankQuery _),
-    "q138_pmi" -> (pmiQuery _))
+    "q138_pmi" -> (pmiQuery _),
+    "q202_hits" -> (hitsQuery _),
+    "q203_clustering" -> (clusteringQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
+
+  // --------------------------------------------------------------- q202
+
+  /** HITS hubs-and-authorities over a DIRECTED weighted edge list:
+    * auth(i) ← Σ_{p→i} w·hub(p), hub(p) ← Σ_{p→i} w·auth(i), each
+    * vector L1-normalized per half-step so scores are shares. Same
+    * distributed shape as [[pageRank]] (state = one row per node;
+    * one edges⋈state shuffle + one key aggregate per half-step;
+    * lineage truncated per iteration), but TWO scores: where PageRank
+    * finds where attention lands, HITS separates the POINTERS (hubs —
+    * events that lead on to everything) from the DESTINATIONS
+    * (authorities).
+    */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+      nodes: DataFrame, nodeCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in 1..50: $iters")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+      col(wCol).as("__w")).localCheckpoint()
+    val v = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    def normalized(df: DataFrame, c: String): DataFrame = {
+      val tot = df.agg(sum(col(c)).as("__t"))
+      df.crossJoin(broadcast(tot))
+        .select(col("node"), (col(c) / col("__t")).as(c))
+    }
+    var hub = v.withColumn("h", lit(1.0))
+    var auth = v.withColumn("a", lit(1.0))
+    for (_ <- 1 to iters) {
+      auth = normalized(
+        v.join(hub.join(e, col("node") === col("__s"))
+            .groupBy(col("__d")).agg(sum(col("h") * col("__w")).as("__m")),
+            col("node") === col("__d"), "left")
+          .select(col("node"), coalesce(col("__m"), lit(0.0)).as("a")),
+        "a").localCheckpoint()
+      hub = normalized(
+        v.join(auth.join(e, col("node") === col("__d"))
+            .groupBy(col("__s")).agg(sum(col("a") * col("__w")).as("__m")),
+            col("node") === col("__s"), "left")
+          .select(col("node"), coalesce(col("__m"), lit(0.0)).as("h")),
+        "h").localCheckpoint()
+    }
+    auth.join(hub, "node")
+  }
+
+  /** q202 — HITS over the event-type transition graph (edge weight =
+    * exact transition count): authorities are the states sessions
+    * converge INTO, hubs the states they fan out FROM — the
+    * directional readout q112's single PageRank score blends.
+    */
+  def hitsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = ev
+      .select(col("user_id"), col("event_type").as("next"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", lag(col("next"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+    val nodes = ev.select(col("event_type")).distinct()
+    hits(trans, "prev", "next", "n", nodes, "event_type", iters = 3)
+      .select(col("node"), round(col("a"), 6).as("auth"),
+        round(col("h"), 6).as("hub"))
+      .coalesce(1).orderBy(col("auth").desc, col("node"))
+  }
+
+  // --------------------------------------------------------------- q203
+
+  /** q203 — local clustering coefficient per brand in the q108
+    * co-occurrence graph: cc = 2·tri/(deg·(deg−1)) — how much of each
+    * node's neighborhood is itself connected (the community-tightness
+    * readout on top of q108's raw triangle counts). Triangle and
+    * degree counts are exact integers from the same oriented edge
+    * list; cc is ONE division; deg ≤ 1 nodes are null, never NaN.
+    */
+  def clusteringQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = brandEdges(spark, dir).localCheckpoint()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(triangles(e, "a", "b"), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("tri_count"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("clustering"))
+      .coalesce(1).orderBy(col("clustering").desc_nulls_last,
+        col("tri_count").desc, col("node"))
+  }
 }
 
 /** DuckDB twins for [[Graph]] (driver correctness gate). */
@@ -451,6 +542,27 @@ object GraphOracle {
       |  GROUP BY l.item, r.item),
       |edges AS (
       |  SELECT a, b FROM co WHERE co >= (SELECT avg(co) FROM co))""".stripMargin
+
+  /** Unrolled HITS iterations: per half-step, the raw mass pull then
+    * the L1 normalization, mirroring [[Graph.hits]] exactly. */
+  private def hitsIters(n: Int): String =
+    (1 to n).map { i =>
+      s"""a${i}r AS (
+        |  SELECT v.node, coalesce(m.s, 0.0) AS a
+        |  FROM v LEFT JOIN (
+        |    SELECT e.next AS node, sum(h.h * e.n) AS s
+        |    FROM h${i - 1} h JOIN trans e ON e.prev = h.node
+        |    GROUP BY e.next) m ON m.node = v.node),
+        |a$i AS (SELECT node, a / (SELECT sum(a) FROM a${i}r) AS a FROM a${i}r),
+        |h${i}r AS (
+        |  SELECT v.node, coalesce(m.s, 0.0) AS h
+        |  FROM v LEFT JOIN (
+        |    SELECT e.prev AS node, sum(a.a * e.n) AS s
+        |    FROM a$i a JOIN trans e ON e.next = a.node
+        |    GROUP BY e.prev) m ON m.node = v.node),
+        |h$i AS (SELECT node, h / (SELECT sum(h) FROM h${i}r) AS h FROM h${i}r)"""
+        .stripMargin
+    }.mkString(",\n")
 
   /** Unrolled PageRank iterations (recursive CTEs cannot aggregate in
     * the recursive term, so the fixed iteration count is expanded). */
@@ -622,5 +734,48 @@ object GraphOracle {
         |FROM co JOIN supp sa ON sa.item = co.item_a
         |        JOIN supp sc ON sc.item = co.item_b
         |        CROSS JOIN n
-        |ORDER BY item_a, item_b""".stripMargin)
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // same exact transition counts, same L1-normalized half-steps
+    "q202_hits" ->
+      s"""WITH seq AS (
+        |  SELECT user_id, event_type AS next, ts, event_id,
+        |         lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |trans AS (
+        |  SELECT prev, next, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, next),
+        |v AS (SELECT DISTINCT event_type AS node FROM events),
+        |h0 AS (SELECT node, 1.0 AS h FROM v),
+        |${hitsIters(3)}
+        |SELECT v.node, round(a3.a, 6) AS auth, round(h3.h, 6) AS hub
+        |FROM v JOIN a3 ON a3.node = v.node JOIN h3 ON h3.node = v.node
+        |ORDER BY auth DESC, v.node""".stripMargin,
+
+    // same oriented triangle enumeration + symmetrized degree count;
+    // cc is the identical single division
+    "q203_clustering" ->
+      s"""WITH $edges,
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.a = e1.b
+        |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (
+        |  SELECT node, count(*) AS tri_count
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node),
+        |deg AS (
+        |  SELECT node, count(*) AS degree
+        |  FROM (SELECT a AS node FROM edges
+        |        UNION ALL SELECT b AS node FROM edges)
+        |  GROUP BY node)
+        |SELECT d.node, d.degree, coalesce(tc.tri_count, 0) AS tri_count,
+        |       CASE WHEN d.degree >= 2 THEN
+        |         round(2.0 * coalesce(tc.tri_count, 0) /
+        |               CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+        |       END AS clustering
+        |FROM deg d LEFT JOIN tc ON tc.node = d.node
+        |ORDER BY clustering DESC NULLS LAST, tri_count DESC, d.node"""
+        .stripMargin)
 }

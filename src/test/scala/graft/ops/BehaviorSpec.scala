@@ -347,4 +347,28 @@ class BehaviorSpec extends SparkSpec {
       .collect()
     assert(k2.length == 1 && k2.head.getString(2) == "first")
   }
+
+  test("cohortLtv: cum_ltv non-decreasing per cohort; sizes consistent") {
+    initQuiet()
+    val rows = Behavior.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      // one size per cohort
+      assert(g.map(_.getAs[Long]("cohort_users")).distinct.length == 1)
+      val ltv = g.sortBy(_.getAs[Int]("age_days"))
+        .map(_.getAs[Double]("cum_ltv"))
+      ltv.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b + 1e-9)
+        case _ =>
+      }
+      // ages are non-negative (purchase can never precede first event)
+      g.foreach(r => assert(r.getAs[Int]("age_days") >= 0))
+    }
+    // cohort sizes partition the user base
+    val totalUsers = rows.groupBy(_.getString(0))
+      .map(_._2.head.getAs[Long]("cohort_users")).sum
+    val distinctUsers = graft.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(totalUsers <= distinctUsers) // cohorts with no purchases absent
+  }
 }

@@ -143,4 +143,55 @@ class GraphSpec extends SparkSpec {
     val total = pr.map(_.getDouble(1)).sum
     assert(total > 0.8 && total <= 1.000001) // dangling leak ≤ teleport bound
   }
+
+  test("hits: pure star a->c, b->c makes c the sole authority") {
+    initQuiet()
+    val edges = Seq(("a", "c", 1L), ("b", "c", 1L)).toDF("s", "d", "w")
+    val nodes = Seq("a", "b", "c").toDF("n")
+    val out = Graph.hits(edges, "s", "d", "w", nodes, "n", iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(math.abs(out("c")._1 - 1.0) < 1e-9) // all authority mass
+    assert(math.abs(out("a")._2 - 0.5) < 1e-9) // hubs split evenly
+    assert(math.abs(out("b")._2 - 0.5) < 1e-9)
+    assert(out("c")._2 == 0.0) // c points at nothing
+  }
+
+  test("hitsQuery: auth and hub are L1-normalized shares") {
+    initQuiet()
+    val rows = Graph.hitsQuery(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(math.abs(rows.map(_.getDouble(1)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+  }
+
+  test("triangles+clustering: K3 gives cc=1, a path gives cc=null") {
+    initQuiet()
+    // K3 on {1,2,3} plus a pendant 3-4: deg(3)=3 with 1 triangle
+    val edges = Seq((1, 2), (1, 3), (2, 3), (3, 4)).toDF("a", "b")
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(deg == Map(1 -> 2L, 2 -> 2L, 3 -> 3L, 4 -> 1L))
+    val tri = Graph.triangles(edges, "a", "b").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(tri == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+    // cc: nodes 1,2 fully connected (2*1/(2*1)=1); node 3: 2*1/(3*2)=1/3
+    assert(math.abs(2.0 * tri(3) / (deg(3) * (deg(3) - 1)) - 1.0 / 3) < 1e-9)
+  }
+
+  test("clusteringQuery: cc in [0,1]; null only when degree < 2") {
+    initQuiet()
+    val rows = Graph.clusteringQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val deg = r.getLong(1)
+      if (r.isNullAt(3)) assert(deg < 2)
+      else {
+        val cc = r.getDouble(3)
+        assert(cc >= 0.0 && cc <= 1.0 + 1e-9)
+      }
+    }
+  }
 }
