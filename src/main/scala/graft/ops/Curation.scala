@@ -754,7 +754,7 @@ object Curation {
     * caller guarantees non-negative non-null ids. Oracles replay it
     * verbatim in SQL (q58, q66).
     */
-  private def mixedKey(id: Column, salt: Long): Column = {
+  private[ops] def mixedKey(id: Column, salt: Long): Column = {
     val inner = pmod(
       pmod(id, lit(1000003L)) * lit(2654435761L) +
         shiftright(id, 16) * lit(7919L) + lit(salt * 10007L),

@@ -699,6 +699,64 @@ object Drift {
       .coalesce(1).orderBy(col("l_returnflag"))
   }
 
+  // --------------------------------------------------------------- q205
+
+  /** q205 — deterministic Poisson bootstrap CI for the mean order
+    * value per priority: B = 32 resampling replicates where each
+    * order's per-replicate multiplicity is a Poisson(1)-distributed
+    * INTEGER drawn from the q58 engine-independent mixer (salt =
+    * replicate id) compared against hard-coded integer inverse-CDF
+    * thresholds (⌈cdf·(10⁹+7)⌉ — the draw is pure integer compares,
+    * no float RNG anywhere, so both engines resample the IDENTICAL
+    * multiset). Replicate means come out in exact 10⁻⁴-dollar units
+    * via the overflow-safe split floor division (quot·10⁴ +
+    * (rem·10⁴ div Σw)); the 90% percentile interval is order
+    * statistics 2 and 31 of the 32 sorted replicate means. This is
+    * the uncertainty readout none of the point-statistic families
+    * carry. Plan: one bounded 32× explode (never data×data), one
+    * (group, replicate) aggregate with map-side partials, a ≤32-row
+    * per-group list fold.
+    */
+  def bootstrapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val B = 32
+    // ceil(P(Poisson(1) <= k) * (1e9+7)) for k = 0..8; w = #{T <= v}
+    val thresholds = Seq(367879444L, 735758888L, 919698610L, 981011850L,
+      996340161L, 999405823L, 999916766L, 999989758L, 999998882L)
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("__c"))
+    // Curation.mixedKey with a per-row (replicate) salt column
+    val inner = pmod(
+      pmod(col("o_orderkey"), lit(1000003L)) * lit(2654435761L) +
+        shiftright(col("o_orderkey"), 16) * lit(7919L) +
+        col("b") * lit(10007L),
+      lit(1000000007L))
+    val v = pmod(inner * lit(2654435761L), lit(1000000007L))
+    val w = thresholds.map(t => when(v >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("__c"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("__w", w)
+      .groupBy(col("o_orderpriority"), col("b"))
+      .agg(sum(col("__w") * col("__c")).as("__wx"),
+        sum(col("__w")).as("__sw"))
+      .withColumn("__m_e4",
+        expr("(__wx div __sw) * 10000 + ((__wx % __sw) * 10000) div __sw"))
+    val point = orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("__c")).as("__tc"))
+      .withColumn("__p_e4",
+        expr("(__tc div n_orders) * 10000 + ((__tc % n_orders) * 10000) div n_orders"))
+    reps.groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_list(col("__m_e4"))).as("__arr"))
+      .join(point, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_orders"),
+        (col("__p_e4") / lit(10000.0)).as("mean_value"),
+        (element_at(col("__arr"), 2) / lit(10000.0)).as("boot_lo"),
+        (element_at(col("__arr"), 31) / lit(10000.0)).as("boot_hi"))
+      .coalesce(1).orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -722,7 +780,8 @@ object Drift {
     "q195_simpson" -> (simpsonQuery _),
     "q198_kde" -> (kdeQuery _),
     "q199_ols2" -> (ols2Query _),
-    "q200_pca" -> (pcaQuery _))
+    "q200_pca" -> (pcaQuery _),
+    "q205_bootstrap" -> (bootstrapQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -1766,5 +1825,59 @@ object DriftOracle {
         |         AS explained_share,
         |       round(atan2(2.0 * cxy, vx - vy) / 2.0, 6) AS axis_angle_rad,
         |       round(cxy / sqrt(vx * vy), 6) AS corr
-        |FROM c ORDER BY l_returnflag""".stripMargin)
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    // same integer mixer, same integer Poisson thresholds, same
+    // split floor division and order-statistic picks
+    "q205_bootstrap" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders),
+        |r AS (
+        |  SELECT o.*, t.b,
+        |         ((((o.o_orderkey % 1000003) * 2654435761
+        |            + (o.o_orderkey >> 16) * 7919
+        |            + t.b * 10007) % 1000000007) * 2654435761)
+        |           % 1000000007 AS v
+        |  FROM o, (SELECT unnest(generate_series(0, 31)) AS b) t),
+        |w AS (
+        |  SELECT o_orderpriority, b,
+        |         sum((CASE WHEN v >= 367879444 THEN 1 ELSE 0 END
+        |            + CASE WHEN v >= 735758888 THEN 1 ELSE 0 END
+        |            + CASE WHEN v >= 919698610 THEN 1 ELSE 0 END
+        |            + CASE WHEN v >= 981011850 THEN 1 ELSE 0 END
+        |            + CASE WHEN v >= 996340161 THEN 1 ELSE 0 END
+        |            + CASE WHEN v >= 999405823 THEN 1 ELSE 0 END
+        |            + CASE WHEN v >= 999916766 THEN 1 ELSE 0 END
+        |            + CASE WHEN v >= 999989758 THEN 1 ELSE 0 END
+        |            + CASE WHEN v >= 999998882 THEN 1 ELSE 0 END) * c)
+        |           AS wx,
+        |         sum(CASE WHEN v >= 367879444 THEN 1 ELSE 0 END
+        |           + CASE WHEN v >= 735758888 THEN 1 ELSE 0 END
+        |           + CASE WHEN v >= 919698610 THEN 1 ELSE 0 END
+        |           + CASE WHEN v >= 981011850 THEN 1 ELSE 0 END
+        |           + CASE WHEN v >= 996340161 THEN 1 ELSE 0 END
+        |           + CASE WHEN v >= 999405823 THEN 1 ELSE 0 END
+        |           + CASE WHEN v >= 999916766 THEN 1 ELSE 0 END
+        |           + CASE WHEN v >= 999989758 THEN 1 ELSE 0 END
+        |           + CASE WHEN v >= 999998882 THEN 1 ELSE 0 END) AS sw
+        |  FROM r GROUP BY o_orderpriority, b),
+        |m AS (
+        |  SELECT o_orderpriority, b,
+        |         (wx // sw) * 10000 + ((wx % sw) * 10000) // sw AS m_e4
+        |  FROM w),
+        |arr AS (
+        |  SELECT o_orderpriority, list_sort(list(m_e4)) AS a
+        |  FROM m GROUP BY o_orderpriority),
+        |p AS (
+        |  SELECT o_orderpriority, count(*) AS n_orders, sum(c) AS tc
+        |  FROM o GROUP BY o_orderpriority)
+        |SELECT p.o_orderpriority, p.n_orders,
+        |       ((tc // n_orders) * 10000 + ((tc % n_orders) * 10000)
+        |          // n_orders) / 10000.0 AS mean_value,
+        |       a[2] / 10000.0 AS boot_lo,
+        |       a[31] / 10000.0 AS boot_hi
+        |FROM p JOIN arr ON arr.o_orderpriority = p.o_orderpriority
+        |ORDER BY p.o_orderpriority""".stripMargin)
 }

@@ -559,6 +559,45 @@ object Integrity {
       .coalesce(1).orderBy(col("relationship"))
   }
 
+  // ---------------------------------------------------------------- q207
+
+  /** q207 — linear-counting distinct estimate per event type, next to
+    * the exact answer in the same row: user ids hash through the q58
+    * engine-independent mixer into an m = 4096-cell table; the
+    * estimator is −m·ln(z/m) over the exact occupied-cell count
+    * (z = empty cells) — the occupancy sketch that, like q165's
+    * bitmap, makes distinct ALGEBRAIC (per-cell presence OR-combines;
+    * the shuffle carries ≤ m cells per group regardless of row
+    * count), but at a FIXED m independent of the id domain, trading
+    * exactness for the textbook √m relative error. Because the hash
+    * and the estimator are deterministic closed forms over exact
+    * integers, the ESTIMATE itself sits under the oracle gate — a
+    * sketch whose cross-engine value is bit-reproducible, not just
+    * statistically characterized (q31's HLL bound test is the
+    * contrast). Rel-error column reads the quality against the exact
+    * distinct.
+    */
+  def linearCounting(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4096
+    val ev = Tables.load(spark, dir, "events")
+    val cell = pmod(Curation.mixedKey(col("user_id"), 13L), lit(m.toLong))
+    val occ = ev.select(col("event_type"), cell.as("__cell"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("__cell")).as("occupied"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    occ.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("occupied"),
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / (lit(m) - col("occupied")).cast("double")), 4)
+          .as("lc_estimate"),
+        round((lit(m.toDouble) *
+          log(lit(m.toDouble) / (lit(m) - col("occupied")).cast("double")) -
+          col("n_exact")) / col("n_exact").cast("double"), 6)
+          .as("rel_error"))
+      .coalesce(1).orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -574,7 +613,8 @@ object Integrity {
     "q166_proration" -> (prorationQuery _),
     "q170_window_bitmap_dau" -> (windowBitmapDau _),
     "q181_k_anonymity" -> (kAnonymity _),
-    "q185_join_fanout" -> (joinFanout _))
+    "q185_join_fanout" -> (joinFanout _),
+    "q207_linear_counting" -> (linearCounting _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -850,5 +890,30 @@ object IntegrityOracle {
         |       CAST(max(__nl * __nr) AS BIGINT) AS max_key_out,
         |       round(sum(__nl * __nr) / CAST(sum(__nl) AS DOUBLE), 4)
         |         AS amplification
-        |FROM u GROUP BY relationship ORDER BY relationship""".stripMargin)
+        |FROM u GROUP BY relationship ORDER BY relationship""".stripMargin,
+
+    // same integer mixer, same occupancy count, same closed-form
+    // -m*ln(z/m) estimator over exact integers
+    "q207_linear_counting" ->
+      """WITH h AS (
+        |  SELECT event_type, user_id,
+        |         ((((user_id % 1000003) * 2654435761
+        |            + (user_id >> 16) * 7919 + 13 * 10007)
+        |           % 1000000007) * 2654435761) % 1000000007 % 4096
+        |           AS cell
+        |  FROM events),
+        |occ AS (
+        |  SELECT event_type, count(DISTINCT cell) AS occupied
+        |  FROM h GROUP BY event_type),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT ex.event_type, ex.n_exact, occ.occupied,
+        |       round(4096.0 * ln(4096.0 /
+        |             CAST(4096 - occ.occupied AS DOUBLE)), 4) AS lc_estimate,
+        |       round((4096.0 * ln(4096.0 /
+        |             CAST(4096 - occ.occupied AS DOUBLE)) - ex.n_exact)
+        |             / CAST(ex.n_exact AS DOUBLE), 6) AS rel_error
+        |FROM ex JOIN occ ON occ.event_type = ex.event_type
+        |ORDER BY ex.event_type""".stripMargin)
 }

@@ -303,6 +303,51 @@ object TimeSeries {
       .coalesce(1).orderBy(col("event_type"))
   }
 
+  // --------------------------------------------------------------- q206
+
+  /** q206 — classical seasonal decomposition (STL-lite) of the daily
+    * event count per type: trend = centered 7-day moving average
+    * (FULL windows only — edges stay null, never a shrunken-window
+    * bias), seasonal = weekday mean of the detrended series, residual
+    * = series − trend − seasonal. ENTIRELY exact integer arithmetic:
+    * the series is carried in ×7 units (det7 = 7·x − Σ₇, an exact
+    * long) and the emitted components are 10⁻⁴-unit FLOOR divisions —
+    * Spark's `div` and DuckDB's `//` both truncate toward zero
+    * (pinned in TimeSeriesSpec for negative numerators, which the
+    * detrended series produces), so no float accumulation or rounding
+    * boundary exists anywhere in the query. Plan: windows partition
+    * by the series key; the seasonal join attaches a |types|·7-row
+    * broadcast.
+    */
+  def seasonalDecomposeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("__n7", count(lit(1)).over(w7))
+      .withColumn("__s7", sum(col("x")).over(w7))
+      .withColumn("__det7",
+        when(col("__n7") === 7, lit(7) * col("x") - col("__s7")))
+      .withColumn("dow", date_format(col("day"), "EEEE"))
+    val seasonal = det.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("__det7")).as("__sn"),
+        count(col("__det7")).as("__sc"))
+      .withColumn("__seas_e4", expr("(__sn * 10000) div (7 * __sc)"))
+      .select(col("event_type"), col("dow"), col("__seas_e4"))
+    det.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .withColumn("__trend_e4",
+        when(col("__n7") === 7, expr("(__s7 * 10000) div 7")))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("x").as("n_events"),
+        (col("__trend_e4") / lit(10000.0)).as("trend"),
+        (col("__seas_e4") / lit(10000.0)).as("seasonal"),
+        ((col("x") * 10000L - col("__trend_e4") - col("__seas_e4")) /
+          lit(10000.0)).as("residual"))
+      .coalesce(1).orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q102_twap" -> (twapQuery _),
     "q103_ewma" -> (ewmaQuery _),
@@ -310,7 +355,8 @@ object TimeSeries {
     "q150_ship_lag" -> (shipLagQuery _),
     "q179_drawdown" -> (drawdownQuery _),
     "q180_kendall" -> (kendallQuery _),
-    "q189_holt" -> (holtQuery _))
+    "q189_holt" -> (holtQuery _),
+    "q206_seasonal_decompose" -> (seasonalDecomposeQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -494,5 +540,38 @@ object TimeSeriesOracle {
         |SELECT event_type, CAST(rn AS BIGINT) AS n_days,
         |       round(l, 6) AS level, round(b, 6) AS trend,
         |       round(l + 7.0 * b, 6) AS forecast_7d
-        |FROM fin WHERE rr = 1 ORDER BY event_type""".stripMargin)
+        |FROM fin WHERE rr = 1 ORDER BY event_type""".stripMargin,
+
+    // same x7-unit detrending and 1e-4-unit truncating divisions
+    // (DuckDB // and Spark div both truncate toward zero)
+    "q206_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |d AS (
+        |  SELECT *,
+        |         count(*) OVER w AS n7,
+        |         sum(x) OVER w AS s7,
+        |         dayname(day) AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT *, CASE WHEN n7 = 7 THEN 7 * x - s7 END AS det7
+        |  FROM d),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |         (sum(det7) * 10000) // (7 * count(det7)) AS seas_e4
+        |  FROM det GROUP BY event_type, dow)
+        |SELECT det.event_type, CAST(det.day AS VARCHAR) AS day,
+        |       det.x AS n_events,
+        |       (CASE WHEN det.n7 = 7 THEN (det.s7 * 10000) // 7 END)
+        |         / 10000.0 AS trend,
+        |       seas.seas_e4 / 10000.0 AS seasonal,
+        |       (det.x * 10000
+        |        - (CASE WHEN det.n7 = 7 THEN (det.s7 * 10000) // 7 END)
+        |        - seas.seas_e4) / 10000.0 AS residual
+        |FROM det JOIN seas
+        |  ON seas.event_type = det.event_type AND seas.dow = det.dow
+        |ORDER BY det.event_type, day""".stripMargin)
 }

@@ -508,6 +508,38 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapQuery: interval ordered and anchored around the mean") {
+    initQuiet()
+    val rows = Drift.bootstrapQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, lo, hi) = (r.getAs[Double]("mean_value"),
+        r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_hi"))
+      assert(lo <= hi)
+      // resample means of a ~300+-row group straddle the sample mean
+      assert(lo <= mean && mean <= hi,
+        s"mean $mean outside bootstrap interval [$lo, $hi]")
+      assert(r.getAs[Long]("n_orders") > 0)
+    }
+  }
+
+  test("bootstrap weights: deterministic Poisson(1) has mean ~1") {
+    initQuiet()
+    import spark.implicits._
+    val thresholds = Seq(367879444L, 735758888L, 919698610L, 981011850L,
+      996340161L, 999405823L, 999916766L, 999989758L, 999998882L)
+    val ids = (1L to 20000L).toDF("id")
+    val inner = pmod(
+      pmod(col("id"), lit(1000003L)) * lit(2654435761L) +
+        shiftright(col("id"), 16) * lit(7919L) + lit(7L) * lit(10007L),
+      lit(1000000007L))
+    val v = pmod(inner * lit(2654435761L), lit(1000000007L))
+    val w = thresholds.map(t => when(v >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val stats = ids.agg(avg(w).as("m"), variance(w).as("s2")).head()
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.05) // Poisson(1) mean
+    assert(math.abs(stats.getDouble(1) - 1.0) < 0.10) // Poisson(1) variance
+  }
+
   test("kdeQuery: densities non-negative; grid mass integrates to ~1") {
     initQuiet()
     val rows = Drift.kdeQuery(spark, sf).collect()

@@ -166,4 +166,19 @@ class IntegritySpec extends SparkSpec {
       .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
     assert(bitmap.nonEmpty && bitmap == explode)
   }
+
+  test("linearCounting: estimate tracks exact distinct at low load factor") {
+    val rows = Integrity.linearCounting(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val occ = r.getAs[Long]("occupied")
+      assert(occ <= exact) // hashing can only merge ids
+      assert(occ < 4096)
+      // corpus load factor is tiny (<= 1500 users / 4096 cells), so
+      // the occupancy estimator sits within a few percent of exact
+      assert(math.abs(r.getAs[Double]("rel_error")) < 0.05)
+      assert(r.getAs[Double]("lc_estimate") >= occ.toDouble - 1e-9)
+    }
+  }
 }

@@ -151,4 +151,35 @@ class TimeSeriesSpec extends SparkSpec {
       assert(nc >= 0 && nd >= 0 && nt >= 0)
     }
   }
+
+  test("integer div truncates toward zero on negatives (q206 contract)") {
+    initQuiet()
+    // the q206 oracle relies on Spark `div` == DuckDB `//` for the
+    // NEGATIVE detrended numerators; both must truncate, never floor
+    val r = spark.range(1)
+      .selectExpr("(-7L) div 2L AS a", "7L div 2L AS b",
+        "(-70001L) div 10000L AS c").head()
+    assert(r.getLong(0) == -3L) // floor would give -4
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == -7L) // floor would give -8
+  }
+
+  test("seasonalDecomposeQuery: residual identity; trend null only at edges") {
+    initQuiet()
+    val rows = TimeSeries.seasonalDecomposeQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getString(1))
+      // centered 7-day MA: exactly the first 3 and last 3 days lack it
+      val nullTrend = sorted.zipWithIndex.filter(_._1.isNullAt(3)).map(_._2)
+      assert(nullTrend.toSet ==
+        (0 to 2).toSet ++ (sorted.length - 3 until sorted.length).toSet)
+      sorted.filterNot(_.isNullAt(3)).foreach { r =>
+        val recomposed = r.getAs[Double]("trend") +
+          r.getAs[Double]("seasonal") + r.getAs[Double]("residual")
+        // exact by construction in 1e-4 units
+        assert(math.abs(recomposed - r.getAs[Long]("n_events")) < 1e-9)
+      }
+    }
+  }
 }
