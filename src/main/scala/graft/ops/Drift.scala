@@ -757,6 +757,115 @@ object Drift {
       .coalesce(1).orderBy(col("o_orderpriority"))
   }
 
+  // --------------------------------------------------------------- q208
+
+  /** q208 — two-way ANOVA of quantity on return flag (A/N/R) ×
+    * line status (F/O): the main-effect + interaction decomposition
+    * q105's single-factor z-test can't express. Every sum-of-squares
+    * term is assembled from EXACT integer cell sums (n, Σy, Σy² via a
+    * conditional-aggregation pivot over the literal 3×2 grid, so the
+    * per-level float additions happen in a FIXED textual order — the
+    * q153 discipline), then combined in one closed-form double AST:
+    * SS_A = Σᵢsᵢ²/nᵢ − G²/N, SS_AB = Σᵢⱼsᵢⱼ²/nᵢⱼ − CF − SS_A − SS_B,
+    * SS_E = ΣY² − Σᵢⱼsᵢⱼ²/nᵢⱼ, F = (SS/df)/(SS_E/df_E). ONE aggregate
+    * pass over the fact, one row out. The level literals are part of
+    * the query contract (TPC-H-shaped lineitem); a missing level
+    * surfaces as a 0-count cell, never a silent wrong F.
+    */
+  def anovaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"),
+        col("l_quantity").cast("long").as("y"))
+    def cnt(p: Column) = sum(when(p, 1L).otherwise(0L))
+    def s(p: Column) = sum(when(p, col("y")).otherwise(0L))
+    val aL = Seq("A", "N", "R"); val bL = Seq("F", "O")
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(col("y")).as("g"),
+        sum(col("y") * col("y")).as("q")) ++
+      aL.flatMap(av => Seq(
+        cnt(col("a") === av).as(s"n_$av"), s(col("a") === av).as(s"s_$av"))) ++
+      bL.flatMap(bv => Seq(
+        cnt(col("b") === bv).as(s"n_$bv"), s(col("b") === bv).as(s"s_$bv"))) ++
+      (for { av <- aL; bv <- bL } yield Seq(
+        cnt(col("a") === av && col("b") === bv).as(s"n_${av}${bv}"),
+        s(col("a") === av && col("b") === bv).as(s"s_${av}${bv}"))).flatten
+    val m = li.agg(aggs.head, aggs.tail: _*)
+    def dd(c: String) = col(c).cast("double")
+    def ratio(sc: String, nc: String) = dd(sc) * dd(sc) / dd(nc)
+    val cf = dd("g") * dd("g") / dd("n")
+    val ssA = aL.map(av => ratio(s"s_$av", s"n_$av")).reduce(_ + _) - cf
+    val ssB = bL.map(bv => ratio(s"s_$bv", s"n_$bv")).reduce(_ + _) - cf
+    val cells = (for { av <- aL; bv <- bL }
+      yield ratio(s"s_${av}${bv}", s"n_${av}${bv}")).reduce(_ + _)
+    val ssAB = cells - cf - ssA - ssB
+    val ssE = dd("q") - cells
+    val dfE = dd("n") - lit(6.0)
+    m.select(col("n").as("n_rows"),
+        round(ssA, 4).as("ss_flag"), round(ssB, 4).as("ss_status"),
+        round(ssAB, 4).as("ss_interaction"), round(ssE, 4).as("ss_error"),
+        round((ssA / lit(2.0)) / (ssE / dfE), 6).as("f_flag"),
+        round((ssB / lit(1.0)) / (ssE / dfE), 6).as("f_status"),
+        round((ssAB / lit(2.0)) / (ssE / dfE), 6).as("f_interaction"))
+  }
+
+  // --------------------------------------------------------------- q209
+
+  /** q209 — decision-stump split finder: per market segment, the
+    * account-balance threshold that best separates converters
+    * (customers with ≥ 1 order) from non-converters by entropy
+    * impurity — one trained tree node, the primitive every
+    * boosted/forest pipeline repeats. Candidates are the observed
+    * distinct balance values (cents); cumulative class counts come
+    * from a segment-partitioned window over the per-value aggregate
+    * (group-parallel, never a global sort); the weighted impurity
+    * n_L·H_L + n_R·H_R expands to Σ(n ln n − p ln p − q ln q) — every
+    * ln argument an exact integer, 0·ln 0 guarded to 0, fixed AST
+    * order. The argmin is a deterministic (impurity, threshold)
+    * window rank: identical doubles both engines, integer tiebreak.
+    * Info gain is reported in nats.
+    */
+  def stumpQuery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val conv = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey")).distinct()
+    val labeled = cust.join(conv, col("c_custkey") === col("o_custkey"),
+        "left")
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
+    val byVal = labeled.groupBy(col("seg"), col("bal"))
+      .agg(count(lit(1)).as("__n"), sum(col("pos")).as("__p"))
+    val wSeg = Window.partitionBy(col("seg"))
+    val wCum = wSeg.orderBy(col("bal"))
+    // xlnx(0) = 0 — the entropy convention
+    def xlnx(c: Column) = when(c > 0, c.cast("double") * log(c.cast("double")))
+      .otherwise(lit(0.0))
+    val cand = byVal
+      .withColumn("__nl", sum(col("__n")).over(wCum))
+      .withColumn("__pl", sum(col("__p")).over(wCum))
+      .withColumn("__nt", sum(col("__n")).over(wSeg))
+      .withColumn("__pt", sum(col("__p")).over(wSeg))
+      .filter(col("__nl") < col("__nt")) // right side must be non-empty
+      .withColumn("__nr", col("__nt") - col("__nl"))
+      .withColumn("__pr", col("__pt") - col("__pl"))
+      .withColumn("__imp",
+        xlnx(col("__nl")) - xlnx(col("__pl")) - xlnx(col("__nl") - col("__pl"))
+          + xlnx(col("__nr")) - xlnx(col("__pr"))
+          - xlnx(col("__nr") - col("__pr")))
+      .withColumn("__rn", row_number().over(
+        wSeg.orderBy(col("__imp"), col("bal"))))
+    cand.filter(col("__rn") === 1)
+      .select(col("seg"),
+        (col("bal") / lit(100.0)).as("threshold"),
+        col("__nl").as("n_le"), col("__nr").as("n_gt"),
+        round(col("__pl").cast("double") / col("__nl"), 6).as("rate_le"),
+        round(col("__pr").cast("double") / col("__nr"), 6).as("rate_gt"),
+        round((xlnx(col("__nt")) - xlnx(col("__pt"))
+          - xlnx(col("__nt") - col("__pt")) - col("__imp")) /
+          col("__nt").cast("double"), 6).as("info_gain"))
+      .coalesce(1).orderBy(col("seg"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -781,7 +890,9 @@ object Drift {
     "q198_kde" -> (kdeQuery _),
     "q199_ols2" -> (ols2Query _),
     "q200_pca" -> (pcaQuery _),
-    "q205_bootstrap" -> (bootstrapQuery _))
+    "q205_bootstrap" -> (bootstrapQuery _),
+    "q208_anova" -> (anovaQuery _),
+    "q209_stump" -> (stumpQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -1879,5 +1990,116 @@ object DriftOracle {
         |       a[2] / 10000.0 AS boot_lo,
         |       a[31] / 10000.0 AS boot_hi
         |FROM p JOIN arr ON arr.o_orderpriority = p.o_orderpriority
-        |ORDER BY p.o_orderpriority""".stripMargin)
+        |ORDER BY p.o_orderpriority""".stripMargin,
+
+    // same literal 3x2 conditional pivot, same left-associated
+    // sum-of-squares ASTs over exact integer cell sums
+    "q208_anova" ->
+      """WITH li AS (
+        |  SELECT l_returnflag AS a, l_linestatus AS b,
+        |         CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT count(*) AS n, sum(y) AS g, sum(y * y) AS q,
+        |    sum(CASE WHEN a = 'A' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN a = 'A' THEN y ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN a = 'N' THEN 1 ELSE 0 END) AS n_n,
+        |    sum(CASE WHEN a = 'N' THEN y ELSE 0 END) AS s_n,
+        |    sum(CASE WHEN a = 'R' THEN 1 ELSE 0 END) AS n_r,
+        |    sum(CASE WHEN a = 'R' THEN y ELSE 0 END) AS s_r,
+        |    sum(CASE WHEN b = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |    sum(CASE WHEN b = 'F' THEN y ELSE 0 END) AS s_f,
+        |    sum(CASE WHEN b = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |    sum(CASE WHEN b = 'O' THEN y ELSE 0 END) AS s_o,
+        |    sum(CASE WHEN a = 'A' AND b = 'F' THEN 1 ELSE 0 END) AS n_af,
+        |    sum(CASE WHEN a = 'A' AND b = 'F' THEN y ELSE 0 END) AS s_af,
+        |    sum(CASE WHEN a = 'A' AND b = 'O' THEN 1 ELSE 0 END) AS n_ao,
+        |    sum(CASE WHEN a = 'A' AND b = 'O' THEN y ELSE 0 END) AS s_ao,
+        |    sum(CASE WHEN a = 'N' AND b = 'F' THEN 1 ELSE 0 END) AS n_nf,
+        |    sum(CASE WHEN a = 'N' AND b = 'F' THEN y ELSE 0 END) AS s_nf,
+        |    sum(CASE WHEN a = 'N' AND b = 'O' THEN 1 ELSE 0 END) AS n_no,
+        |    sum(CASE WHEN a = 'N' AND b = 'O' THEN y ELSE 0 END) AS s_no,
+        |    sum(CASE WHEN a = 'R' AND b = 'F' THEN 1 ELSE 0 END) AS n_rf,
+        |    sum(CASE WHEN a = 'R' AND b = 'F' THEN y ELSE 0 END) AS s_rf,
+        |    sum(CASE WHEN a = 'R' AND b = 'O' THEN 1 ELSE 0 END) AS n_ro,
+        |    sum(CASE WHEN a = 'R' AND b = 'O' THEN y ELSE 0 END) AS s_ro
+        |  FROM li),
+        |t AS (
+        |  SELECT n, g, q,
+        |    CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      + CAST(s_n AS DOUBLE) * CAST(s_n AS DOUBLE) / CAST(n_n AS DOUBLE)
+        |      + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE)
+        |      - CAST(g AS DOUBLE) * CAST(g AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS ss_a,
+        |    CAST(s_f AS DOUBLE) * CAST(s_f AS DOUBLE) / CAST(n_f AS DOUBLE)
+        |      + CAST(s_o AS DOUBLE) * CAST(s_o AS DOUBLE) / CAST(n_o AS DOUBLE)
+        |      - CAST(g AS DOUBLE) * CAST(g AS DOUBLE) / CAST(n AS DOUBLE)
+        |      AS ss_b,
+        |    CAST(s_af AS DOUBLE) * CAST(s_af AS DOUBLE) / CAST(n_af AS DOUBLE)
+        |      + CAST(s_ao AS DOUBLE) * CAST(s_ao AS DOUBLE) / CAST(n_ao AS DOUBLE)
+        |      + CAST(s_nf AS DOUBLE) * CAST(s_nf AS DOUBLE) / CAST(n_nf AS DOUBLE)
+        |      + CAST(s_no AS DOUBLE) * CAST(s_no AS DOUBLE) / CAST(n_no AS DOUBLE)
+        |      + CAST(s_rf AS DOUBLE) * CAST(s_rf AS DOUBLE) / CAST(n_rf AS DOUBLE)
+        |      + CAST(s_ro AS DOUBLE) * CAST(s_ro AS DOUBLE) / CAST(n_ro AS DOUBLE)
+        |      AS cells
+        |  FROM m)
+        |SELECT n AS n_rows,
+        |       round(ss_a, 4) AS ss_flag,
+        |       round(ss_b, 4) AS ss_status,
+        |       round(cells - CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+        |             / CAST(n AS DOUBLE) - ss_a - ss_b, 4) AS ss_interaction,
+        |       round(CAST(q AS DOUBLE) - cells, 4) AS ss_error,
+        |       round((ss_a / 2.0) / ((CAST(q AS DOUBLE) - cells)
+        |             / (CAST(n AS DOUBLE) - 6.0)), 6) AS f_flag,
+        |       round((ss_b / 1.0) / ((CAST(q AS DOUBLE) - cells)
+        |             / (CAST(n AS DOUBLE) - 6.0)), 6) AS f_status,
+        |       round(((cells - CAST(g AS DOUBLE) * CAST(g AS DOUBLE)
+        |             / CAST(n AS DOUBLE) - ss_a - ss_b) / 2.0)
+        |             / ((CAST(q AS DOUBLE) - cells)
+        |             / (CAST(n AS DOUBLE) - 6.0)), 6) AS f_interaction
+        |FROM t""".stripMargin,
+
+    // same cumulative class counts, same 0*ln0-guarded impurity AST,
+    // same (impurity, threshold) argmin
+    "q209_stump" ->
+      """WITH lab AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal,
+        |         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS pos
+        |  FROM customer c LEFT JOIN
+        |    (SELECT DISTINCT o_custkey FROM orders) o
+        |    ON c.c_custkey = o.o_custkey),
+        |bv AS (
+        |  SELECT seg, bal, count(*) AS n, sum(pos) AS p
+        |  FROM lab GROUP BY seg, bal),
+        |cum AS (
+        |  SELECT seg, bal,
+        |         sum(n) OVER (PARTITION BY seg ORDER BY bal) AS nl,
+        |         sum(p) OVER (PARTITION BY seg ORDER BY bal) AS pl,
+        |         sum(n) OVER (PARTITION BY seg) AS nt,
+        |         sum(p) OVER (PARTITION BY seg) AS pt
+        |  FROM bv),
+        |imp AS (
+        |  SELECT seg, bal, nl, pl, nt, pt, nt - nl AS nr, pt - pl AS pr,
+        |    (CASE WHEN nl > 0 THEN CAST(nl AS DOUBLE) * ln(CAST(nl AS DOUBLE)) ELSE 0.0 END)
+        |    - (CASE WHEN pl > 0 THEN CAST(pl AS DOUBLE) * ln(CAST(pl AS DOUBLE)) ELSE 0.0 END)
+        |    - (CASE WHEN nl - pl > 0 THEN CAST(nl - pl AS DOUBLE) * ln(CAST(nl - pl AS DOUBLE)) ELSE 0.0 END)
+        |    + (CASE WHEN nt - nl > 0 THEN CAST(nt - nl AS DOUBLE) * ln(CAST(nt - nl AS DOUBLE)) ELSE 0.0 END)
+        |    - (CASE WHEN pt - pl > 0 THEN CAST(pt - pl AS DOUBLE) * ln(CAST(pt - pl AS DOUBLE)) ELSE 0.0 END)
+        |    - (CASE WHEN (nt - nl) - (pt - pl) > 0 THEN CAST((nt - nl) - (pt - pl) AS DOUBLE) * ln(CAST((nt - nl) - (pt - pl) AS DOUBLE)) ELSE 0.0 END)
+        |      AS impurity
+        |  FROM cum WHERE nl < nt),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY seg
+        |    ORDER BY impurity, bal) AS rn
+        |  FROM imp)
+        |SELECT seg, bal / 100.0 AS threshold,
+        |       CAST(nl AS BIGINT) AS n_le, CAST(nr AS BIGINT) AS n_gt,
+        |       round(CAST(pl AS DOUBLE) / nl, 6) AS rate_le,
+        |       round(CAST(pr AS DOUBLE) / nr, 6) AS rate_gt,
+        |       round(((CASE WHEN nt > 0 THEN CAST(nt AS DOUBLE) * ln(CAST(nt AS DOUBLE)) ELSE 0.0 END)
+        |         - (CASE WHEN pt > 0 THEN CAST(pt AS DOUBLE) * ln(CAST(pt AS DOUBLE)) ELSE 0.0 END)
+        |         - (CASE WHEN nt - pt > 0 THEN CAST(nt - pt AS DOUBLE) * ln(CAST(nt - pt AS DOUBLE)) ELSE 0.0 END)
+        |         - impurity) / CAST(nt AS DOUBLE), 6) AS info_gain
+        |FROM best WHERE rn = 1 ORDER BY seg""".stripMargin)
 }

@@ -598,6 +598,41 @@ object Integrity {
       .coalesce(1).orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q210
+
+  /** q210 — rapid-repeat transaction screen: per user, consecutive
+    * purchase events landing within one hour of the previous purchase
+    * — the double-submit / replay / bot audit a payments pipeline
+    * runs continuously (an exact-duplicate-invoice rule is vacuous on
+    * near-continuous synthetic amounts — measured: zero pairs at any
+    * SF — so the screen keys on TIME proximity, which the corpus
+    * genuinely exhibits). ONE user-key window pass (lag over the
+    * purchase stream, deterministic (ts, event_id) order), exact-µs
+    * gaps, then a per-user scorecard of flagged users only: total
+    * purchases, rapid repeats, tightest gap in seconds, repeat share.
+    */
+  def rapidRepeatScreen(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("__gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("__gap_us") <= 3600000000L, 1L).otherwise(0L))
+          .as("rapid_repeats"),
+        min(when(col("__gap_us") <= 3600000000L,
+          expr("__gap_us div 1000000"))).as("min_gap_sec"))
+      .filter(col("rapid_repeats") > 0)
+      .select(col("user_id"), col("n_purchases"), col("rapid_repeats"),
+        col("min_gap_sec"),
+        round(col("rapid_repeats").cast("double") / col("n_purchases"), 6)
+          .as("repeat_share"))
+      .coalesce(1).orderBy(col("rapid_repeats").desc, col("user_id"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -614,7 +649,8 @@ object Integrity {
     "q170_window_bitmap_dau" -> (windowBitmapDau _),
     "q181_k_anonymity" -> (kAnonymity _),
     "q185_join_fanout" -> (joinFanout _),
-    "q207_linear_counting" -> (linearCounting _))
+    "q207_linear_counting" -> (linearCounting _),
+    "q210_rapid_repeats" -> (rapidRepeatScreen _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -915,5 +951,26 @@ object IntegrityOracle {
         |             CAST(4096 - occ.occupied AS DOUBLE)) - ex.n_exact)
         |             / CAST(ex.n_exact AS DOUBLE), 6) AS rel_error
         |FROM ex JOIN occ ON occ.event_type = ex.event_type
-        |ORDER BY ex.event_type""".stripMargin)
+        |ORDER BY ex.event_type""".stripMargin,
+
+    // same (ts, event_id)-ordered lag, same exact-µs 1-hour rule
+    "q210_rapid_repeats" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, event_id,
+        |         epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT user_id, count(*) AS n_purchases,
+        |         sum(CASE WHEN gap_us <= 3600000000 THEN 1 ELSE 0 END)
+        |           AS rapid_repeats,
+        |         min(CASE WHEN gap_us <= 3600000000
+        |                  THEN gap_us // 1000000 END) AS min_gap_sec
+        |  FROM p GROUP BY user_id)
+        |SELECT user_id, n_purchases, CAST(rapid_repeats AS BIGINT)
+        |         AS rapid_repeats, min_gap_sec,
+        |       round(CAST(rapid_repeats AS DOUBLE) / n_purchases, 6)
+        |         AS repeat_share
+        |FROM s WHERE rapid_repeats > 0
+        |ORDER BY rapid_repeats DESC, user_id""".stripMargin)
 }

@@ -540,6 +540,57 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(stats.getDouble(1) - 1.0) < 0.10) // Poisson(1) variance
   }
 
+  test("anovaQuery: sums of squares partition the total; F stats positive") {
+    initQuiet()
+    val r = Drift.anovaQuery(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val parts = row.getAs[Double]("ss_flag") + row.getAs[Double]("ss_status") +
+      row.getAs[Double]("ss_interaction") + row.getAs[Double]("ss_error")
+    // recompute SS_total = sum(y^2) - (sum y)^2 / n directly
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select(col("l_quantity").cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("g"),
+        sum(col("y") * col("y")).as("q")).head()
+    val (n, g, q) = (li.getLong(0).toDouble, li.getLong(1).toDouble,
+      li.getLong(2).toDouble)
+    val ssTotal = q - g * g / n
+    assert(math.abs(parts - ssTotal) / ssTotal < 1e-6,
+      s"decomposition $parts vs total $ssTotal")
+    assert(row.getAs[Double]("ss_error") > 0)
+    assert(row.getAs[Long]("n_rows") === n.toLong)
+  }
+
+  test("stumpQuery: argmin split matches brute force per segment") {
+    initQuiet()
+    val labeled = graft.Tables.load(spark, sf, "customer")
+      .join(graft.Tables.load(spark, sf, "orders")
+        .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def xlnx(x: Long): Double = if (x > 0) x * math.log(x.toDouble) else 0.0
+    val rows = Drift.stumpQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val g = labeled.filter(_._1 == row.getString(0))
+      val vals = g.map(_._2).distinct.sorted
+      val (nt, pt) = (g.length.toLong, g.map(_._3).sum)
+      val best = vals.dropRight(1).map { t =>
+        val nl = g.count(_._2 <= t).toLong
+        val pl = g.filter(_._2 <= t).map(_._3).sum
+        val (nr, pr) = (nt - nl, pt - pl)
+        val imp = xlnx(nl) - xlnx(pl) - xlnx(nl - pl) +
+          xlnx(nr) - xlnx(pr) - xlnx(nr - pr)
+        (imp, t)
+      }.min
+      assert(math.abs(row.getAs[Double]("threshold") - best._2 / 100.0) < 1e-9)
+      assert(row.getAs[Double]("info_gain") >= -1e-12)
+    }
+  }
+
   test("kdeQuery: densities non-negative; grid mass integrates to ~1") {
     initQuiet()
     val rows = Drift.kdeQuery(spark, sf).collect()

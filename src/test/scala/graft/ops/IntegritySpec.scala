@@ -181,4 +181,24 @@ class IntegritySpec extends SparkSpec {
       assert(r.getAs[Double]("lc_estimate") >= occ.toDouble - 1e-9)
     }
   }
+
+  test("rapidRepeatScreen: matches a brute-force per-user scan") {
+    val purchases = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = purchases.groupBy(_._1).flatMap { case (u, g) =>
+      val sorted = g.sortBy(t => (t._2, t._3))
+      val gaps = sorted.sliding(2).collect {
+        case Array(a, b) => b._2 - a._2
+      }.toSeq
+      val rapid = gaps.count(_ <= 3600000000L)
+      if (rapid > 0) Some(u -> rapid.toLong) else None
+    }.toMap
+    val got = Integrity.rapidRepeatScreen(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("rapid_repeats"))
+      .toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }
