@@ -431,7 +431,8 @@ object Graph {
     "q112_pagerank" -> (pageRankQuery _),
     "q138_pmi" -> (pmiQuery _),
     "q202_hits" -> (hitsQuery _),
-    "q203_clustering" -> (clusteringQuery _))
+    "q203_clustering" -> (clusteringQuery _),
+    "q211_assortativity" -> (assortativityQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 
@@ -500,6 +501,45 @@ object Graph {
   }
 
   // --------------------------------------------------------------- q203
+
+  // --------------------------------------------------------------- q211
+
+  /** q211 — degree assortativity of the brand co-occurrence graph:
+    * the Pearson correlation of endpoint degrees over all DIRECTED
+    * edge instances (each undirected edge counted both ways — the
+    * Newman convention; by symmetry Σdx = Σdy and Σdx² = Σdy², which
+    * the query exploits). Positive = hubs attach to hubs (rich club),
+    * negative = hub-and-spoke. Degrees are exact integers; the
+    * co-moments are one aggregate over the 2|E| endpoint pairs in
+    * decimal(38,0); r is q144's closed Pearson form. Plan: degree
+    * table joined to both edge endpoints (two broadcast-size attaches
+    * at |nodes| rows), one global aggregate, ONE row out.
+    */
+  def assortativityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val e = brandEdges(spark, dir).localCheckpoint()
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(broadcast(deg).withColumnRenamed("node", "a")
+        .withColumnRenamed("deg", "dx"), "a")
+      .join(broadcast(deg).withColumnRenamed("node", "b")
+        .withColumnRenamed("deg", "dy"), "b")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(d38(col("dx"))).as("sx"),
+      sum(d38(col("dx") * col("dx"))).as("sxx"),
+      sum(d38(col("dx") * col("dy"))).as("sxy"),
+      max(col("dx")).as("max_deg"))
+    // symmetry: sy = sx, syy = sxx — the numerator/denominator reuse sx/sxx
+    val num = (col("n") * col("sxy") - col("sx") * col("sx")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select((col("n") / 2).cast("long").as("n_edges"),
+        col("max_deg"),
+        round(col("sx").cast("double") / col("n").cast("double"), 4)
+          .as("avg_edge_end_deg"),
+        round(num / den, 6).as("assortativity"))
+  }
 
   /** q203 — local clustering coefficient per brand in the q108
     * co-occurrence graph: cc = 2·tri/(deg·(deg−1)) — how much of each
@@ -777,5 +817,30 @@ object GraphOracle {
         |       END AS clustering
         |FROM deg d LEFT JOIN tc ON tc.node = d.node
         |ORDER BY clustering DESC NULLS LAST, tri_count DESC, d.node"""
-        .stripMargin)
+        .stripMargin,
+
+    // same symmetrized endpoint pairs, same exact co-moments and
+    // closed Pearson form exploiting Σdx = Σdy
+    "q211_assortativity" ->
+      s"""WITH $edges,
+        |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        |deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY a),
+        |pairs AS (
+        |  SELECT da.deg AS dx, db.deg AS dy
+        |  FROM sym JOIN deg da ON da.node = sym.a
+        |           JOIN deg db ON db.node = sym.b),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |         sum(CAST(dx AS DECIMAL(38,0))) AS sx,
+        |         sum(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+        |         sum(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+        |         max(dx) AS max_deg
+        |  FROM pairs)
+        |SELECT CAST(n / 2 AS BIGINT) AS n_edges, CAST(max_deg AS BIGINT)
+        |         AS max_deg,
+        |       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4)
+        |         AS avg_edge_end_deg,
+        |       round(CAST(n * sxy - sx * sx AS DOUBLE) /
+        |             CAST(n * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+        |FROM m""".stripMargin)
 }

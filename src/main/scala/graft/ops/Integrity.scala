@@ -633,6 +633,47 @@ object Integrity {
       .coalesce(1).orderBy(col("rapid_repeats").desc, col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q213
+
+  /** q213 — capture–recapture population estimate: treat each event
+    * type's distinct-user audience as an independent "capture" of the
+    * user population and estimate the true population from every
+    * audience PAIR with the Chapman estimator
+    * (n₁+1)(n₂+1)/(m+1) − 1 — the mark-recapture technique that sizes
+    * a population you can't enumerate (here the truth IS enumerable,
+    * so the estimator's bias sits directly under the oracle gate next
+    * to the exact answer). Intersections come from the q151 per-user
+    * self-pairing (fan-out ≤ C(|types|,2) per user — never
+    * user×user); the estimate is exact integer products with ONE
+    * floor division, so no float rounding exists anywhere.
+    */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val ut = ev.select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("__sz"))
+    val truth = ev.agg(countDistinct(col("user_id")).as("__t"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(broadcast(sizes).withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("__sz", "n_a"), "type_a")
+      .join(broadcast(sizes).withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("__sz", "n_b"), "type_b")
+      .crossJoin(broadcast(truth))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("overlap"),
+        expr("((n_a + 1) * (n_b + 1)) div (overlap + 1) - 1")
+          .as("chapman_estimate"),
+        col("__t").as("n_true"),
+        round((expr("((n_a + 1) * (n_b + 1)) div (overlap + 1) - 1") -
+          col("__t")).cast("double") / col("__t"), 6).as("bias"))
+      .coalesce(1).orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q84_table_checksum" -> (tableChecksum _),
     "q85_profile" -> (profileDocs _),
@@ -650,7 +691,8 @@ object Integrity {
     "q181_k_anonymity" -> (kAnonymity _),
     "q185_join_fanout" -> (joinFanout _),
     "q207_linear_counting" -> (linearCounting _),
-    "q210_rapid_repeats" -> (rapidRepeatScreen _))
+    "q210_rapid_repeats" -> (rapidRepeatScreen _),
+    "q213_capture_recapture" -> (captureRecapture _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -972,5 +1014,31 @@ object IntegrityOracle {
         |       round(CAST(rapid_repeats AS DOUBLE) / n_purchases, 6)
         |         AS repeat_share
         |FROM s WHERE rapid_repeats > 0
-        |ORDER BY rapid_repeats DESC, user_id""".stripMargin)
+        |ORDER BY rapid_repeats DESC, user_id""".stripMargin,
+
+    // same bounded per-user pairing, same integer Chapman estimator
+    "q213_capture_recapture" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (
+        |  SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+        |truth AS (
+        |  SELECT count(DISTINCT user_id) AS t FROM events),
+        |ov AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS overlap
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT ov.type_a, ov.type_b,
+        |       sa.n AS n_a, sb.n AS n_b, ov.overlap,
+        |       ((sa.n + 1) * (sb.n + 1)) // (ov.overlap + 1) - 1
+        |         AS chapman_estimate,
+        |       truth.t AS n_true,
+        |       round(CAST(((sa.n + 1) * (sb.n + 1)) // (ov.overlap + 1)
+        |             - 1 - truth.t AS DOUBLE) / truth.t, 6) AS bias
+        |FROM ov JOIN sz sa ON sa.event_type = ov.type_a
+        |        JOIN sz sb ON sb.event_type = ov.type_b
+        |        CROSS JOIN truth
+        |ORDER BY ov.type_a, ov.type_b""".stripMargin)
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -319,7 +319,10 @@ object TimeSeries {
     * by the series key; the seasonal join attaches a |types|·7-row
     * broadcast.
     */
-  def seasonalDecomposeQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared q206/q212 decomposition grid: per (type, day) the
+    * count, 10⁻⁴-unit trend/seasonal components and the exact-integer
+    * residual (nulls where the centered window is not full). */
+  private[ops] def seasonalParts(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.load(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
@@ -339,13 +342,57 @@ object TimeSeries {
     det.join(broadcast(seasonal), Seq("event_type", "dow"))
       .withColumn("__trend_e4",
         when(col("__n7") === 7, expr("(__s7 * 10000) div 7")))
+      .withColumn("__resid_e4",
+        col("x") * 10000L - col("__trend_e4") - col("__seas_e4"))
+  }
+
+  def seasonalDecomposeQuery(spark: SparkSession, dir: String): DataFrame =
+    seasonalParts(spark, dir)
       .select(col("event_type"), col("day").cast("string").as("day"),
         col("x").as("n_events"),
         (col("__trend_e4") / lit(10000.0)).as("trend"),
         (col("__seas_e4") / lit(10000.0)).as("seasonal"),
-        ((col("x") * 10000L - col("__trend_e4") - col("__seas_e4")) /
-          lit(10000.0)).as("residual"))
+        (col("__resid_e4") / lit(10000.0)).as("residual"))
       .coalesce(1).orderBy(col("event_type"), col("day"))
+
+  // --------------------------------------------------------------- q212
+
+  /** q212 — deseasonalized anomaly screen, composed ON TOP of q206:
+    * per type the residual series' σ and the worst day by |z|, where
+    * z = (n·r − Σr)/√(n·Σr² − (Σr)²) — every input an exact integer
+    * (the residuals are 10⁻⁴-unit longs BY CONSTRUCTION of q206's
+    * floor-division decomposition), so the argmax runs on the
+    * cross-multiplied integer |n·r − Σr| with a day tiebreak and no
+    * float compare can reorder it. The detector a raw-count z-score
+    * (q97) gets wrong on strongly weekly-patterned series: weekday
+    * swings inflate σ and mask true anomalies.
+    */
+  def deseasonalAnomalyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val parts = seasonalParts(spark, dir)
+      .filter(col("__resid_e4").isNotNull)
+    val wT = Window.partitionBy(col("event_type"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val enriched = parts
+      .withColumn("__n", count(lit(1)).over(wT))
+      .withColumn("__s", sum(d38(col("__resid_e4"))).over(wT))
+      .withColumn("__q",
+        sum(d38(col("__resid_e4") * col("__resid_e4"))).over(wT))
+      .withColumn("__dev",
+        abs(d38(col("__n")) * d38(col("__resid_e4")) - col("__s")))
+      .withColumn("__rn", row_number().over(
+        wT.orderBy(col("__dev").desc, col("day"))))
+    enriched.filter(col("__rn") === 1)
+      .select(col("event_type"), col("__n").as("n_days"),
+        round(sqrt((d38(col("__n")) * col("__q") - col("__s") * col("__s"))
+          .cast("double")) / (col("__n") * lit(10000.0)), 4)
+          .as("resid_sigma"),
+        col("day").cast("string").as("worst_day"),
+        (col("__resid_e4") / lit(10000.0)).as("worst_resid"),
+        round((d38(col("__n")) * d38(col("__resid_e4")) - col("__s"))
+          .cast("double") /
+          sqrt((d38(col("__n")) * col("__q") - col("__s") * col("__s"))
+            .cast("double")), 4).as("worst_z"))
+      .coalesce(1).orderBy(col("event_type"))
   }
 
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -356,7 +403,8 @@ object TimeSeries {
     "q179_drawdown" -> (drawdownQuery _),
     "q180_kendall" -> (kendallQuery _),
     "q189_holt" -> (holtQuery _),
-    "q206_seasonal_decompose" -> (seasonalDecomposeQuery _))
+    "q206_seasonal_decompose" -> (seasonalDecomposeQuery _),
+    "q212_deseasonal_anomaly" -> (deseasonalAnomalyQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -573,5 +621,56 @@ object TimeSeriesOracle {
         |        - seas.seas_e4) / 10000.0 AS residual
         |FROM det JOIN seas
         |  ON seas.event_type = det.event_type AND seas.dow = det.dow
-        |ORDER BY det.event_type, day""".stripMargin)
+        |ORDER BY det.event_type, day""".stripMargin,
+
+    // same decomposition, same cross-multiplied integer argmax and
+    // closed z form over exact residual power sums
+    "q212_deseasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |d AS (
+        |  SELECT *,
+        |         count(*) OVER w AS n7,
+        |         sum(x) OVER w AS s7,
+        |         dayname(day) AS dow
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT *, CASE WHEN n7 = 7 THEN 7 * x - s7 END AS det7
+        |  FROM d),
+        |seas AS (
+        |  SELECT event_type, dow,
+        |         (sum(det7) * 10000) // (7 * count(det7)) AS seas_e4
+        |  FROM det GROUP BY event_type, dow),
+        |r AS (
+        |  SELECT det.event_type, det.day,
+        |         det.x * 10000 - (det.s7 * 10000) // 7 - seas.seas_e4
+        |           AS resid_e4
+        |  FROM det JOIN seas
+        |    ON seas.event_type = det.event_type AND seas.dow = det.dow
+        |  WHERE det.n7 = 7),
+        |m AS (
+        |  SELECT *,
+        |         count(*) OVER t AS n,
+        |         sum(CAST(resid_e4 AS DECIMAL(38,0))) OVER t AS s,
+        |         sum(CAST(resid_e4 * resid_e4 AS DECIMAL(38,0))) OVER t AS q
+        |  FROM r
+        |  WINDOW t AS (PARTITION BY event_type)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(CAST(n AS DECIMAL(38,0)) * CAST(resid_e4
+        |      AS DECIMAL(38,0)) - s) DESC, day) AS rn
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |       round(sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q - s * s
+        |             AS DOUBLE)) / (n * 10000.0), 4) AS resid_sigma,
+        |       CAST(day AS VARCHAR) AS worst_day,
+        |       resid_e4 / 10000.0 AS worst_resid,
+        |       round(CAST(CAST(n AS DECIMAL(38,0)) * CAST(resid_e4
+        |             AS DECIMAL(38,0)) - s AS DOUBLE) /
+        |             sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q - s * s
+        |             AS DOUBLE)), 4) AS worst_z
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)
 }

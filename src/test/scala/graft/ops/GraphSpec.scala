@@ -181,6 +181,19 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(2.0 * tri(3) / (deg(3) * (deg(3) - 1)) - 1.0 / 3) < 1e-9)
   }
 
+  test("assortativityQuery: r bounded; edge-end degree sane") {
+    initQuiet()
+    val r = Graph.assortativityQuery(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val a = row.getAs[Double]("assortativity")
+    assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9)
+    assert(row.getAs[Long]("n_edges") > 0)
+    // mean degree over edge ENDS >= mean over nodes (size-biased)
+    assert(row.getAs[Double]("avg_edge_end_deg") >= 1.0)
+    assert(row.getAs[Long]("max_deg") >= 1L)
+  }
+
   test("clusteringQuery: cc in [0,1]; null only when degree < 2") {
     initQuiet()
     val rows = Graph.clusteringQuery(spark, sf).collect()

@@ -201,4 +201,20 @@ class IntegritySpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("captureRecapture: Chapman bounds and overlap algebra hold") {
+    val rows = Integrity.captureRecapture(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, m) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("overlap"))
+      assert(m <= math.min(na, nb))
+      val est = r.getAs[Long]("chapman_estimate")
+      // estimate can never undercut either observed audience
+      assert(est >= math.max(na, nb))
+      assert(r.getAs[Long]("n_true") >= math.max(na, nb))
+      // union lower bound: population >= na + nb - m
+      assert(r.getAs[Long]("n_true") >= na + nb - m)
+    }
+  }
 }

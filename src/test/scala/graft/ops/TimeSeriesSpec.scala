@@ -182,4 +182,28 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("deseasonalAnomalyQuery: worst day matches a brute-force z scan") {
+    initQuiet()
+    // recover the exact e4-unit residuals from the q206 output
+    val resid = TimeSeries.seasonalDecomposeQuery(spark, sf).collect()
+      .filter(!_.isNullAt(3))
+      .map(r => (r.getString(0), r.getString(1),
+        math.round(r.getAs[Double]("residual") * 10000)))
+    val rows = TimeSeries.deseasonalAnomalyQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val g = resid.filter(_._1 == row.getString(0))
+      val n = g.length.toLong
+      assert(row.getAs[Long]("n_days") === n)
+      val s = g.map(_._3).sum
+      // argmax |n*r - s| with day tiebreak
+      val worst = g.map(t => (-(n * t._3 - s).abs, t._2)).min._2
+      assert(row.getAs[String]("worst_day") === worst)
+      val q = g.map(t => t._3 * t._3).sum
+      val z = (n * g.find(_._2 == worst).get._3 - s) /
+        math.sqrt((n * q - s * s).toDouble)
+      assert(math.abs(row.getAs[Double]("worst_z") - z) < 1e-3)
+    }
+  }
 }
