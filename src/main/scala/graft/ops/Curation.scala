@@ -5,6 +5,7 @@ import graft.multimodal.Multimodal
 import graft.text.{Boilerplate, Dedup, TextAnalysis}
 import graft.vector.Similarity
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-curation operator inventory (builder prompt: dedup,
@@ -1240,6 +1241,42 @@ object Curation {
       .orderBy(col("pmi").desc, col("token_a"), col("token_b")).limit(20)
   }
 
+  /** q215 — bigram conditional entropy per source: H(next | prev) =
+    * Σ (c_ab/N)·ln(c_a•/c_ab) over adjacent token bigrams, where c_a•
+    * is the PREFIX total Σ_b c_ab (not the raw unigram count — prefix
+    * totals make the conditional distributions normalize exactly),
+    * plus the perplexity e^H — the "how predictable is this source's
+    * text" readout that separates template/boilerplate feeds (low H)
+    * from organic prose, one level deeper than q139's unigram TTR.
+    * Counts are exact integers; each term is one ln of an integer
+    * ratio; the per-source term sum is a float aggregate rounded to
+    * 4 dp (the q183 convention). Plan: one (source, a, b) aggregate
+    * with map-side combine, prefix totals via a window on the SAME
+    * grouping (no second shuffle), |sources| rows out.
+    */
+  def condEntropyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.load(spark, dir, "documents")
+      .select(col("source"), split(lower(col("text")), " ").as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(element_at(col("__toks"), i).as("a"),
+          element_at(col("__toks"), i + 1).as("b")))).as("__bg"))
+      .groupBy(col("source"), col("__bg.a").as("a"), col("__bg.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val wA = Window.partitionBy(col("source"), col("a"))
+    bi.withColumn("__ca", sum(col("c_ab")).over(wA))
+      .groupBy(col("source"))
+      .agg(sum(col("c_ab")).as("n_bigrams"),
+        countDistinct(col("a")).as("n_prefixes"),
+        sum(col("c_ab") *
+          log(col("__ca").cast("double") / col("c_ab"))).as("__h"))
+      .select(col("source"), col("n_bigrams"), col("n_prefixes"),
+        round(col("__h") / col("n_bigrams"), 4).as("cond_entropy"),
+        round(exp(col("__h") / col("n_bigrams")), 4).as("perplexity"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1463,7 +1500,8 @@ object Curation {
     "q154_weighted_jaccard" -> (weightedNgramPairs _),
     "q156_collocations" -> (collocationsQuery _),
     "q177_prefix_jaccard" -> (dedupNgramPrefix _),
-    "q188_negative_samples" -> (negativeSamples _))
+    "q188_negative_samples" -> (negativeSamples _),
+    "q215_cond_entropy" -> (condEntropyQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -989,5 +989,27 @@ object CurationOracle {
         |FROM cand LEFT JOIN pos
         |  ON pos.o_custkey = cand.c_custkey
         | AND pos.l_partkey = cand.cand_part
-        |GROUP BY cand.c_mktsegment ORDER BY cand.c_mktsegment""".stripMargin)
+        |GROUP BY cand.c_mktsegment ORDER BY cand.c_mktsegment""".stripMargin,
+
+    // same prefix-total normalization, same per-term ln AST
+    "q215_cond_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+        |bi AS (
+        |  SELECT source, t[i] AS a, t[i + 1] AS b, count(*) AS c_ab
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  GROUP BY source, t[i], t[i + 1]),
+        |w AS (
+        |  SELECT *, sum(c_ab) OVER (PARTITION BY source, a) AS ca
+        |  FROM bi),
+        |g AS (
+        |  SELECT source, CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+        |         CAST(count(DISTINCT a) AS BIGINT) AS n_prefixes,
+        |         sum(c_ab * ln(CAST(ca AS DOUBLE) / c_ab)) AS h
+        |  FROM w GROUP BY source)
+        |SELECT source, n_bigrams, n_prefixes,
+        |       round(h / n_bigrams, 4) AS cond_entropy,
+        |       round(exp(h / n_bigrams), 4) AS perplexity
+        |FROM g ORDER BY source""".stripMargin)
 }

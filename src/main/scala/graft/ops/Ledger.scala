@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -136,9 +136,53 @@ object Ledger {
       .coalesce(1).orderBy(col("bal_bucket"))
   }
 
+  // --------------------------------------------------------------- q214
+
+  /** q214 — year-over-year unit-value price index per part type over
+    * the COMMON basket (parts traded in both 1996 and 1997 — the
+    * index-number discipline that stops assortment churn from
+    * masquerading as price movement): index = (R₉₇·Q₉₆)/(Q₉₇·R₉₆),
+    * the ratio of per-unit revenues, computed as exact decimal(38,0)
+    * cross products with ONE final division; per-year unit values are
+    * the exact 10⁻⁴-dollar floor divisions (R·100) div Q. Plan: one
+    * (type, part, year) aggregate, a part-grain self-pair to keep
+    * common parts (part-key shuffle), |types| rows out.
+    */
+  def unitValueIndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("p_type"), col("p_partkey"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("r"),
+        sum(col("l_quantity").cast("long")).as("q"))
+    val both = base.groupBy(col("p_type"), col("p_partkey"))
+      .agg(sum(when(col("yr") === 1996, col("r"))).as("r96"),
+        sum(when(col("yr") === 1996, col("q"))).as("q96"),
+        sum(when(col("yr") === 1997, col("r"))).as("r97"),
+        sum(when(col("yr") === 1997, col("q"))).as("q97"))
+      .filter(col("r96").isNotNull && col("r97").isNotNull)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    both.groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_common_parts"),
+        sum(col("r96")).as("__r96"), sum(col("q96")).as("__q96"),
+        sum(col("r97")).as("__r97"), sum(col("q97")).as("__q97"))
+      .select(col("p_type"), col("n_common_parts"),
+        (expr("(__r96 * 100) div __q96") / lit(10000.0)).as("unit_value_96"),
+        (expr("(__r97 * 100) div __q97") / lit(10000.0)).as("unit_value_97"),
+        round((d38(col("__r97")) * d38(col("__q96"))).cast("double") /
+          (d38(col("__q97")) * d38(col("__r96"))).cast("double"), 6)
+          .as("uv_index"))
+      .coalesce(1).orderBy(col("p_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q178_fifo_costing" -> (fifoCostingQuery _),
-    "q184_capped_balance" -> (cappedBalanceQuery _))
+    "q184_capped_balance" -> (cappedBalanceQuery _),
+    "q214_unit_value_index" -> (unitValueIndexQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -232,5 +276,40 @@ object LedgerOracle {
         |       CAST(sum(st.nh) AS BIGINT) AS n_clamp_high,
         |       CAST(sum(st.nl) AS BIGINT) AS n_clamp_low
         |FROM folded GROUP BY st.bal // 2000
-        |ORDER BY bal_bucket""".stripMargin)
+        |ORDER BY bal_bucket""".stripMargin,
+
+    // same common-basket rule, same exact cross-product index
+    "q214_unit_value_index" ->
+      """WITH base AS (
+        |  SELECT p.p_type, p.p_partkey, year(o.o_orderdate) AS yr,
+        |         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS r,
+        |         sum(CAST(l.l_quantity AS BIGINT)) AS q
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE year(o.o_orderdate) IN (1996, 1997)
+        |  GROUP BY p.p_type, p.p_partkey, year(o.o_orderdate)),
+        |bt AS (
+        |  SELECT p_type, p_partkey,
+        |         sum(CASE WHEN yr = 1996 THEN r END) AS r96,
+        |         sum(CASE WHEN yr = 1996 THEN q END) AS q96,
+        |         sum(CASE WHEN yr = 1997 THEN r END) AS r97,
+        |         sum(CASE WHEN yr = 1997 THEN q END) AS q97
+        |  FROM base GROUP BY p_type, p_partkey
+        |  HAVING r96 IS NOT NULL AND r97 IS NOT NULL),
+        |t AS (
+        |  SELECT p_type, count(*) AS n_common_parts,
+        |         CAST(sum(r96) AS BIGINT) AS r96,
+        |         CAST(sum(q96) AS BIGINT) AS q96,
+        |         CAST(sum(r97) AS BIGINT) AS r97,
+        |         CAST(sum(q97) AS BIGINT) AS q97
+        |  FROM bt GROUP BY p_type)
+        |SELECT p_type, n_common_parts,
+        |       ((r96 * 100) // q96) / 10000.0 AS unit_value_96,
+        |       ((r97 * 100) // q97) / 10000.0 AS unit_value_97,
+        |       round(CAST(CAST(r97 AS DECIMAL(38,0)) * CAST(q96
+        |             AS DECIMAL(38,0)) AS DOUBLE) /
+        |             CAST(CAST(q97 AS DECIMAL(38,0)) * CAST(r96
+        |             AS DECIMAL(38,0)) AS DOUBLE), 6) AS uv_index
+        |FROM t ORDER BY p_type""".stripMargin)
 }

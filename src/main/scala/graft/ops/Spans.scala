@@ -257,13 +257,56 @@ object Spans {
       .coalesce(1).orderBy(col("n_name"))
   }
 
+  // --------------------------------------------------------------- q216
+
+  /** q216 — longest revenue up-streak per nation: the maximal run of
+    * consecutive OBSERVED trading days where daily revenue strictly
+    * increased — the momentum readout built on q117's gap-and-islands
+    * machinery, but the island break is a VALUE comparison (not a
+    * calendar gap): islands form wherever a day fails to beat its
+    * predecessor (running count of non-up days), streak length counts
+    * the up days inside each island, and the winner takes the longest
+    * with the earliest end day on ties. Exact integer cents compare —
+    * two float-free window passes, both partitioned by nation.
+    */
+  def upStreakQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("__c"))
+    val wN = Window.partitionBy(col("n_name")).orderBy(col("day"))
+    val flagged = daily
+      .withColumn("__up",
+        when(col("__c") > lag(col("__c"), 1).over(wN), 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(lit(1L) - col("__up")).over(
+          wN.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val streaks = flagged.groupBy(col("n_name"), col("__island"))
+      .agg(sum(col("__up")).as("len"), max(col("day")).as("end_day"))
+    val best = streaks.withColumn("__rn", row_number().over(
+      Window.partitionBy(col("n_name"))
+        .orderBy(col("len").desc, col("end_day"))))
+    val nDays = daily.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_days"))
+    best.filter(col("__rn") === 1)
+      .join(nDays, "n_name")
+      .select(col("n_name"), col("n_days"),
+        col("len").as("longest_up_streak"),
+        col("end_day").cast("string").as("streak_end_day"))
+      .coalesce(1).orderBy(col("n_name"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q117_streaks" -> (streakQuery _),
     "q118_concurrency" -> (concurrencyQuery _),
     "q119_conformance" -> (conformanceQuery _),
     "q120_position" -> (positionQuery _),
     "q131_bounce_rate" -> (bounceQuery _),
-    "q176_interval_union" -> (intervalUnionQuery _))
+    "q176_interval_union" -> (intervalUnionQuery _),
+    "q216_up_streak" -> (upStreakQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -402,5 +445,37 @@ object SpansOracle {
         |             86400000000.0, 4) AS mean_covered_days
         |FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey
         |JOIN nation n ON n.n_nationkey = c.c_nationkey
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    // same value-break islands, same (len desc, end day) tiebreak
+    "q216_up_streak" ->
+      """WITH daily AS (
+        |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+        |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS c
+        |  FROM orders o
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, CAST(o.o_orderdate AS DATE)),
+        |f AS (
+        |  SELECT *,
+        |    CASE WHEN c > lag(c) OVER (PARTITION BY n_name ORDER BY day)
+        |         THEN 1 ELSE 0 END AS up
+        |  FROM daily),
+        |i AS (
+        |  SELECT *, sum(1 - up) OVER (PARTITION BY n_name ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |s AS (
+        |  SELECT n_name, island, sum(up) AS len, max(day) AS end_day
+        |  FROM i GROUP BY n_name, island),
+        |b AS (
+        |  SELECT *, row_number() OVER (PARTITION BY n_name
+        |    ORDER BY len DESC, end_day) AS rn
+        |  FROM s),
+        |nd AS (SELECT n_name, count(*) AS n_days FROM daily GROUP BY n_name)
+        |SELECT b.n_name, nd.n_days,
+        |       CAST(b.len AS BIGINT) AS longest_up_streak,
+        |       CAST(b.end_day AS VARCHAR) AS streak_end_day
+        |FROM b JOIN nd ON nd.n_name = b.n_name
+        |WHERE b.rn = 1 ORDER BY b.n_name""".stripMargin)
 }

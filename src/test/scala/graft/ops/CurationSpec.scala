@@ -409,4 +409,18 @@ class CurationSpec extends SparkSpec {
         r.getAs[Long]("n_candidates"))
     }
   }
+
+  test("condEntropyQuery: entropy and perplexity obey their identities") {
+    initQuiet()
+    val rows = Curation.condEntropyQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("cond_entropy")
+      assert(h >= 0.0)
+      // perplexity = e^H (both rounded to 4dp independently)
+      assert(math.abs(r.getAs[Double]("perplexity") - math.exp(h)) <
+        math.exp(h) * 1e-3)
+      assert(r.getAs[Long]("n_prefixes") <= r.getAs[Long]("n_bigrams"))
+    }
+  }
 }

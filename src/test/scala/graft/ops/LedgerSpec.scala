@@ -86,4 +86,20 @@ class LedgerSpec extends SparkSpec {
       assert(r.getAs[Long]("matched_qty") <= r.getAs[Long]("demand_qty"))
     }
   }
+
+  test("unitValueIndexQuery: index consistent with per-year unit values") {
+    initQuiet()
+    val rows = Ledger.unitValueIndexQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u96, u97) = (r.getAs[Double]("unit_value_96"),
+        r.getAs[Double]("unit_value_97"))
+      val idx = r.getAs[Double]("uv_index")
+      assert(u96 > 0 && u97 > 0 && idx > 0)
+      assert(r.getAs[Long]("n_common_parts") > 0)
+      // the exact index equals the unit-value ratio up to the 1e-4
+      // floor quantization of the reported unit values
+      assert(math.abs(idx - u97 / u96) < 1e-2, s"$idx vs ${u97 / u96}")
+    }
+  }
 }

@@ -114,4 +114,31 @@ class SpansSpec extends SparkSpec {
     assert(math.abs(engineTotal - perCustTotal).toDouble /
       perCustTotal < 1e-6)
   }
+
+  test("upStreakQuery: matches a brute-force run scan per nation") {
+    initQuiet()
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.load(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val rows = Spans.upStreakQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val series = daily.filter(_._1 == row.getString(0)).sortBy(_._2)
+      var best = 0L; var cur = 0L
+      series.sliding(2).foreach {
+        case Array(a, b) =>
+          cur = if (b._3 > a._3) cur + 1 else 0
+          best = math.max(best, cur)
+        case _ =>
+      }
+      assert(row.getAs[Long]("longest_up_streak") === best,
+        s"${row.getString(0)}: engine ${row.getLong(2)} vs brute $best")
+    }
+  }
 }
