@@ -774,6 +774,51 @@ object Behavior {
       .coalesce(1).orderBy(col("cohort_day"), col("age_days"))
   }
 
+  // --------------------------------------------------------------- q218
+
+  /** q218 — placebo difference-in-differences: a deterministic A/A
+    * user split (the q58 hash mixer, salt 99 — NO real treatment
+    * exists) crossed with the integer-µs timeline midpoint (the q93
+    * convention), DiD = (T,post − T,pre) − (C,post − C,pre) on mean
+    * purchase value. The experiment-machinery validation every
+    * platform runs BEFORE trusting a real readout: on an A/A split
+    * the estimate must sit at ~0, and because all four cell means are
+    * exact 10⁻⁴-cent floor divisions, the DiD estimate itself is an
+    * EXACT integer difference — the oracle gate pins the whole
+    * causal-inference plumbing end to end. One aggregate pass over
+    * purchases; 4 cells + 1 estimate row out.
+    */
+  def didQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("__us"),
+        round(col("value") * 100).cast("long").as("__c"))
+    val mid = ev.agg(expr("(min(__us) + max(__us)) div 2").as("__mid"))
+    val cells = ev.crossJoin(broadcast(mid))
+      .withColumn("grp",
+        when(pmod(Curation.mixedKey(col("user_id"), 99L), lit(2L)) === 1,
+          "treatment").otherwise("control"))
+      .withColumn("period",
+        when(col("__us") > col("__mid"), "post").otherwise("pre"))
+      .groupBy(col("grp"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("__s"))
+      .withColumn("__m_e4",
+        expr("(__s div n) * 10000 + ((__s % n) * 10000) div n"))
+    def cell(g: String, p: String) =
+      sum(when(col("grp") === g && col("period") === p, col("__m_e4")))
+    val did = cells.agg(
+      cell("treatment", "post").as("__tp"), cell("treatment", "pre").as("__tr"),
+      cell("control", "post").as("__cp"), cell("control", "pre").as("__cr"))
+      .select(lit("did_estimate").as("grp"), lit("a/a").as("period"),
+        lit(null).cast("long").as("n"),
+        ((col("__tp") - col("__tr") - (col("__cp") - col("__cr"))) /
+          lit(10000.0)).as("mean_value"))
+    cells.select(col("grp"), col("period"), col("n"),
+        (col("__m_e4") / lit(10000.0)).as("mean_value"))
+      .unionAll(did)
+      .coalesce(1).orderBy(col("grp"), col("period"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -794,7 +839,8 @@ object Behavior {
     "q186_decayed_engagement" -> (decayedEngagement _),
     "q193_multi_touch" -> (multiTouchQuery _),
     "q194_churn_hazard" -> (hazardQuery _),
-    "q204_cohort_ltv" -> (cohortLtv _))
+    "q204_cohort_ltv" -> (cohortLtv _),
+    "q218_did_placebo" -> (didQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1267,5 +1313,42 @@ object BehaviorOracle {
         |       CAST((c.cum * 100) // s.cohort_users AS DOUBLE) / 10000.0
         |         AS cum_ltv
         |FROM c JOIN sizes s ON s.cohort_day = c.cohort_day
-        |ORDER BY cohort_day, age_days""".stripMargin)
+        |ORDER BY cohort_day, age_days""".stripMargin,
+
+    // same mixer split, same integer-µs midpoint, same exact-e4 cells
+    "q218_did_placebo" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM ev),
+        |cells AS (
+        |  SELECT CASE WHEN ((((user_id % 1000003) * 2654435761
+        |                + (user_id >> 16) * 7919 + 99 * 10007)
+        |               % 1000000007) * 2654435761) % 1000000007 % 2 = 1
+        |              THEN 'treatment' ELSE 'control' END AS grp,
+        |         CASE WHEN us > mid.m THEN 'post' ELSE 'pre' END AS period,
+        |         c
+        |  FROM ev, mid),
+        |agg AS (
+        |  SELECT grp, period, count(*) AS n, sum(c) AS s,
+        |         (sum(c) // count(*)) * 10000
+        |           + ((sum(c) % count(*)) * 10000) // count(*) AS m_e4
+        |  FROM cells GROUP BY grp, period),
+        |did AS (
+        |  SELECT 'did_estimate' AS grp, 'a/a' AS period,
+        |         CAST(NULL AS BIGINT) AS n,
+        |         (sum(CASE WHEN grp = 'treatment' AND period = 'post'
+        |                   THEN m_e4 END)
+        |          - sum(CASE WHEN grp = 'treatment' AND period = 'pre'
+        |                     THEN m_e4 END)
+        |          - (sum(CASE WHEN grp = 'control' AND period = 'post'
+        |                      THEN m_e4 END)
+        |             - sum(CASE WHEN grp = 'control' AND period = 'pre'
+        |                        THEN m_e4 END))) / 10000.0 AS mean_value
+        |  FROM agg)
+        |SELECT grp, period, n, m_e4 / 10000.0 AS mean_value FROM agg
+        |UNION ALL
+        |SELECT grp, period, n, mean_value FROM did
+        |ORDER BY grp, period""".stripMargin)
 }

@@ -615,6 +615,38 @@ object Concentration {
       .coalesce(1).orderBy(col("p_type"), col("abc_class"))
   }
 
+  // --------------------------------------------------------------- q219
+
+  /** q219 — Chao1 vocabulary-richness estimate per source: from the
+    * observed type counts alone, estimate how many word types the
+    * source's full population carries — V + n₁(n₁−1)/(2(n₂+1)) (the
+    * bias-corrected Chao1, defined even with no doubletons) — plus
+    * the Good–Turing unseen-probability mass n₁/N. The "how much
+    * vocabulary have we NOT seen yet" readout that sizes tokenizer
+    * coverage (q124's OOV rate measures the seen side). Everything is
+    * an exact integer count (types V, hapaxes n₁, doubletons n₂,
+    * tokens N) with two closed-form divisions. One (source, token)
+    * aggregate, |sources| rows out.
+    */
+  def chao1Query(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("f"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("v_observed"),
+        sum(col("f")).as("n_tokens"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("n_doubleton"))
+      .select(col("source"), col("v_observed"), col("n_tokens"),
+        col("n_hapax"), col("n_doubleton"),
+        round(col("v_observed") +
+          (col("n_hapax") * (col("n_hapax") - 1)).cast("double") /
+          (lit(2.0) * (col("n_doubleton") + 1)), 2).as("chao1_richness"),
+        round(col("n_hapax").cast("double") / col("n_tokens"), 6)
+          .as("unseen_mass"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -631,7 +663,8 @@ object Concentration {
     "q183_zipf_fit" -> (zipfQuery _),
     "q187_hhi" -> (hhiQuery _),
     "q197_theil" -> (theilQuery _),
-    "q201_abc" -> (abcQuery _))
+    "q201_abc" -> (abcQuery _),
+    "q219_chao1" -> (chao1Query _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -994,5 +1027,28 @@ object ConcentrationOracle {
         |       round(CAST(sum(cents) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6)
         |         AS rev_share
         |FROM c GROUP BY p_type, abc_class
-        |ORDER BY p_type, abc_class""".stripMargin)
+        |ORDER BY p_type, abc_class""".stripMargin,
+
+    // same exact type counts, same bias-corrected Chao1 AST
+    "q219_chao1" ->
+      """WITH f AS (
+        |  SELECT source, t, count(*) AS f
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY source, t),
+        |a AS (
+        |  SELECT source,
+        |         count(*) AS v_observed,
+        |         CAST(sum(f) AS BIGINT) AS n_tokens,
+        |         CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_hapax,
+        |         CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_doubleton
+        |  FROM f GROUP BY source)
+        |SELECT source, v_observed, n_tokens, n_hapax, n_doubleton,
+        |       round(v_observed +
+        |             CAST(n_hapax * (n_hapax - 1) AS DOUBLE) /
+        |             (2.0 * (n_doubleton + 1)), 2) AS chao1_richness,
+        |       round(CAST(n_hapax AS DOUBLE) / n_tokens, 6) AS unseen_mass
+        |FROM a ORDER BY source""".stripMargin)
 }

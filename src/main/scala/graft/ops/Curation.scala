@@ -1277,6 +1277,50 @@ object Curation {
       .coalesce(1).orderBy(col("source"))
   }
 
+  /** q217 — Burrows' delta stylometry: pairwise style distance
+    * between sources over the corpus top-50 words' RELATIVE
+    * frequencies, z-scored per word across sources (a source missing
+    * a word participates at frequency 0 — the dense sources×words
+    * grid, bounded at |sources|·50). delta(a,b) = mean_w |z_aw−z_bw|,
+    * the standard authorship-attribution distance: low delta = same
+    * template/author family, the cross-source twin of q139's
+    * within-source diversity. Counts exact; the per-word mean/σ and
+    * the 50-term delta average are bounded float folds rounded to
+    * 4 dp (the q183 convention). Plan: one (source, token) aggregate,
+    * a 50-row broadcast vocabulary, windows over the ≤|sources|·50
+    * grid, C(|sources|,2) rows out.
+    */
+  def burrowsDeltaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+    val freq = toks.groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("f"))
+    val totals = freq.groupBy(col("source")).agg(sum(col("f")).as("n"))
+    val top = freq.groupBy(col("t")).agg(sum(col("f")).as("cf"))
+      .orderBy(col("cf").desc, col("t")).limit(50).select(col("t"))
+    // dense grid: every (source, top word) cell, absent words at f=0
+    val grid = totals.crossJoin(broadcast(top))
+      .join(freq, Seq("source", "t"), "left")
+      .select(col("source"), col("t"),
+        (coalesce(col("f"), lit(0L)).cast("double") / col("n")).as("r"))
+    val wW = Window.partitionBy(col("t"))
+    val z = grid
+      .withColumn("__k", count(lit(1)).over(wW))
+      .withColumn("__m", sum(col("r")).over(wW))
+      .withColumn("__q", sum(col("r") * col("r")).over(wW))
+      .withColumn("__sd", sqrt(col("__q") / col("__k") -
+        (col("__m") / col("__k")) * (col("__m") / col("__k"))))
+      .filter(col("__sd") > 0)
+      .select(col("source"), col("t"),
+        ((col("r") - col("__m") / col("__k")) / col("__sd")).as("z"))
+    z.as("a").join(z.as("b"),
+        col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(abs(col("a.z") - col("b.z"))), 4).as("delta"))
+      .coalesce(1).orderBy(col("source_a"), col("source_b"))
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1501,7 +1545,8 @@ object Curation {
     "q156_collocations" -> (collocationsQuery _),
     "q177_prefix_jaccard" -> (dedupNgramPrefix _),
     "q188_negative_samples" -> (negativeSamples _),
-    "q215_cond_entropy" -> (condEntropyQuery _))
+    "q215_cond_entropy" -> (condEntropyQuery _),
+    "q217_burrows_delta" -> (burrowsDeltaQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

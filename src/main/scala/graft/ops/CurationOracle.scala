@@ -1011,5 +1011,46 @@ object CurationOracle {
         |SELECT source, n_bigrams, n_prefixes,
         |       round(h / n_bigrams, 4) AS cond_entropy,
         |       round(exp(h / n_bigrams), 4) AS perplexity
-        |FROM g ORDER BY source""".stripMargin)
+        |FROM g ORDER BY source""".stripMargin,
+
+    // same dense sources x top-50 grid, same z and delta ASTs
+    "q217_burrows_delta" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |freq AS (
+        |  SELECT source, t, count(*) AS f FROM toks GROUP BY source, t),
+        |totals AS (
+        |  SELECT source, CAST(sum(f) AS BIGINT) AS n
+        |  FROM freq GROUP BY source),
+        |top AS (
+        |  SELECT t FROM (
+        |    SELECT t, sum(f) AS cf FROM freq GROUP BY t
+        |    ORDER BY cf DESC, t LIMIT 50)),
+        |grid AS (
+        |  SELECT totals.source, top.t,
+        |         CAST(coalesce(freq.f, 0) AS DOUBLE) / totals.n AS r
+        |  FROM totals CROSS JOIN top
+        |  LEFT JOIN freq ON freq.source = totals.source AND freq.t = top.t),
+        |z AS (
+        |  SELECT source, t,
+        |         (r - m / k) / sd AS z
+        |  FROM (
+        |    SELECT *,
+        |           count(*) OVER (PARTITION BY t) AS k,
+        |           sum(r) OVER (PARTITION BY t) AS m,
+        |           sqrt(sum(r * r) OVER (PARTITION BY t)
+        |                / count(*) OVER (PARTITION BY t)
+        |              - (sum(r) OVER (PARTITION BY t)
+        |                 / count(*) OVER (PARTITION BY t))
+        |              * (sum(r) OVER (PARTITION BY t)
+        |                 / count(*) OVER (PARTITION BY t))) AS sd
+        |    FROM grid)
+        |  WHERE sd > 0)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       count(*) AS n_words,
+        |       round(avg(abs(a.z - b.z)), 4) AS delta
+        |FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
+        |GROUP BY a.source, b.source
+        |ORDER BY source_a, source_b""".stripMargin)
 }

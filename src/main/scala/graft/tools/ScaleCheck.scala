@@ -79,7 +79,16 @@ object ScaleCheck {
       "q138_pmi", "q141_survival_curve", "q142_rank_bias",
       "q143_split_leakage", "q149_dup_spectrum", "q152_centroid_audit",
       "q153_bm25", "q156_collocations", "q160_top_supplier",
-      "q161_idle_rich", "q167_quantile_norm")
+      "q161_idle_rich", "q167_quantile_norm",
+      // q186 attaches the corpus-horizon row; q188 the brand-count
+      // row; q194 the horizon row; q195 the single pooled-moments row;
+      // q196 the ONE-row bloom-filter map (the whole point of the
+      // operator: the filter rides a single broadcast row); q197/q198
+      // the global stats row; q213 the single-row true-population
+      // attach — all IdentityBroadcastMode single-row patterns
+      "q186_decayed_engagement", "q188_negative_samples",
+      "q194_churn_hazard", "q195_simpson", "q196_bloom_join",
+      "q197_theil", "q198_kde", "q213_capture_recapture")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -132,7 +141,23 @@ object ScaleCheck {
       // q177 prefix-jaccard joins q25/q154 in the pair-machinery
       // family (ScaleRun, not ScaleCheck: quadratic BY SEMANTICS on
       // the 99-exact-twins amplified corpus)
-      "q175_debounce", "q176_interval_union")
+      "q175_debounce", "q176_interval_union",
+      // ledger / stats / risk / forecast waves (q178-q195)
+      "q178_fifo_costing", "q179_drawdown", "q180_kendall",
+      "q181_k_anonymity", "q182_nucleus_vocab", "q183_zipf_fit",
+      "q184_capped_balance", "q185_join_fanout",
+      "q186_decayed_engagement", "q187_hhi", "q188_negative_samples",
+      "q189_holt", "q190_isotonic", "q191_burstiness", "q192_coverage",
+      "q193_multi_touch", "q194_churn_hazard", "q195_simpson",
+      // bloom pruning, inequality, density, regression, classification,
+      // graph-stats, resampling, decomposition, sketch, audit waves
+      "q196_bloom_join", "q197_theil", "q198_kde", "q199_ols2",
+      "q200_pca", "q201_abc", "q202_hits", "q203_clustering",
+      "q204_cohort_ltv", "q205_bootstrap", "q206_seasonal_decompose",
+      "q207_linear_counting", "q208_anova", "q209_stump",
+      "q210_rapid_repeats", "q211_assortativity",
+      "q212_deseasonal_anomaly", "q213_capture_recapture",
+      "q214_unit_value_index", "q215_cond_entropy", "q216_up_streak")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)

@@ -371,4 +371,22 @@ class BehaviorSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(totalUsers <= distinctUsers) // cohorts with no purchases absent
   }
+
+  test("didQuery: A/A placebo sits near zero; cells partition purchases") {
+    initQuiet()
+    val rows = Behavior.didQuery(spark, sf).collect()
+    assert(rows.length === 5) // 4 cells + the estimate row
+    val cells = rows.filter(!_.isNullAt(2))
+    val total = cells.map(_.getAs[Long]("n")).sum
+    val purchases = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(total === purchases)
+    val did = rows.find(_.getString(0) == "did_estimate").get
+      .getAs[Double]("mean_value")
+    val overallMean = cells.map(r =>
+      r.getAs[Double]("mean_value") * r.getAs[Long]("n")).sum / total
+    // no treatment exists -> the estimate must be small vs the scale
+    assert(math.abs(did) < 0.5 * overallMean,
+      s"placebo DiD $did vs mean $overallMean")
+  }
 }

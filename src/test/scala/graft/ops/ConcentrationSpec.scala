@@ -229,6 +229,19 @@ class ConcentrationSpec extends SparkSpec {
     }
   }
 
+  test("chao1Query: richness >= observed; unseen mass in (0, 1)") {
+    initQuiet()
+    val rows = Concentration.chao1Query(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chao1_richness") >=
+        r.getAs[Long]("v_observed").toDouble - 1e-9)
+      val u = r.getAs[Double]("unseen_mass")
+      assert(u >= 0.0 && u < 1.0)
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("v_observed"))
+    }
+  }
+
   test("theilQuery: within contributions + between terms = global Theil") {
     initQuiet()
     val rows = Concentration.theilQuery(spark, sf).collect()

@@ -423,4 +423,17 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("n_prefixes") <= r.getAs[Long]("n_bigrams"))
     }
   }
+
+  test("burrowsDeltaQuery: all unordered source pairs, delta >= 0") {
+    initQuiet()
+    val rows = Curation.burrowsDeltaQuery(spark, sf).collect()
+    val k = graft.Tables.load(spark, sf, "documents")
+      .select("source").distinct().count()
+    assert(rows.length === (k * (k - 1) / 2).toInt)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1)) // unordered, each pair once
+      assert(r.getAs[Long]("n_words") <= 50L)
+      assert(r.getAs[Double]("delta") >= 0.0)
+    }
+  }
 }
