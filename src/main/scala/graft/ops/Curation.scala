@@ -1321,6 +1321,34 @@ object Curation {
       .coalesce(1).orderBy(col("source_a"), col("source_b"))
   }
 
+  /** q221 — feature-hashing collision audit per source: tokens hashed
+    * into a 16⁴ = 65536-bucket space (bucket label = the first four
+    * hex chars of md5(token) — md5 renders identically in any engine,
+    * so the "hash function" itself is portable with no integer
+    * conversion at all), reporting distinct tokens vs occupied
+    * buckets, the collision rate 1 − buckets/tokens, and the heaviest
+    * bucket's type count. The audit run before shipping a
+    * hashing-trick featurizer: how much vocabulary collapses at this
+    * width. All exact integer counts, one division.
+    */
+  def featureHashAudit(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+      .distinct()
+      .withColumn("bucket", substring(md5(col("t")), 1, 4))
+    val perBucket = tok.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("__types"))
+    perBucket.groupBy(col("source"))
+      .agg(sum(col("__types")).as("n_tokens"),
+        count(lit(1)).as("n_buckets"),
+        max(col("__types")).as("max_bucket_types"))
+      .select(col("source"), col("n_tokens"), col("n_buckets"),
+        col("max_bucket_types"),
+        round(lit(1.0) - col("n_buckets").cast("double") / col("n_tokens"), 6)
+          .as("collision_rate"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1546,7 +1574,8 @@ object Curation {
     "q177_prefix_jaccard" -> (dedupNgramPrefix _),
     "q188_negative_samples" -> (negativeSamples _),
     "q215_cond_entropy" -> (condEntropyQuery _),
-    "q217_burrows_delta" -> (burrowsDeltaQuery _))
+    "q217_burrows_delta" -> (burrowsDeltaQuery _),
+    "q221_feature_hash" -> (featureHashAudit _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -1052,5 +1052,22 @@ object CurationOracle {
         |       round(avg(abs(a.z - b.z)), 4) AS delta
         |FROM z a JOIN z b ON a.t = b.t AND a.source < b.source
         |GROUP BY a.source, b.source
-        |ORDER BY source_a, source_b""".stripMargin)
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // same md5-prefix bucket labels, same exact counts
+    "q221_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT source, t FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents)),
+        |pb AS (
+        |  SELECT source, substring(md5(t), 1, 4) AS bucket,
+        |         count(*) AS types
+        |  FROM tok GROUP BY source, substring(md5(t), 1, 4))
+        |SELECT source, CAST(sum(types) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_buckets,
+        |       CAST(max(types) AS BIGINT) AS max_bucket_types,
+        |       round(1.0 - CAST(count(*) AS DOUBLE) / sum(types), 6)
+        |         AS collision_rate
+        |FROM pb GROUP BY source ORDER BY source""".stripMargin)
 }

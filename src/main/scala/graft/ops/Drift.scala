@@ -866,6 +866,43 @@ object Drift {
       .coalesce(1).orderBy(col("seg"))
   }
 
+  // --------------------------------------------------------------- q220
+
+  /** q220 — Theil–Sen robust trend per nation: the MEDIAN of all
+    * pairwise slopes of the daily-revenue series — the estimator a
+    * single outlier day cannot move, where q189/q195's least-squares
+    * fits shift with every extreme point (breakdown point 29% vs 0%).
+    * The series is first reduced to ≤|days| rows per nation (bounded
+    * aggregate), so the pairwise fan-out is C(|days|,2) per nation —
+    * bounded by the calendar, NEVER by fact rows. Each slope is ONE
+    * division of exact integers (Δcents/Δdays); the median is the
+    * interpolating percentile both engines define identically. The
+    * series is the 1996 trading year (≤366 points, ~67k pairs per
+    * nation) — the pair count is CALENDAR-bounded, so it stays
+    * constant under any fact-scale growth.
+    */
+  def theilSenQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(to_date(col("o_orderdate")), lit("1996-01-01")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    daily.as("a").join(daily.as("b"),
+        col("a.n_name") === col("b.n_name") && col("a.d") < col("b.d"))
+      .select(col("a.n_name").as("n_name"),
+        ((col("b.c") - col("a.c")).cast("double") /
+          (col("b.d") - col("a.d"))).as("slope"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5)") / 100.0, 4)
+          .as("theil_sen_slope"))
+      .coalesce(1).orderBy(col("n_name"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -892,7 +929,8 @@ object Drift {
     "q200_pca" -> (pcaQuery _),
     "q205_bootstrap" -> (bootstrapQuery _),
     "q208_anova" -> (anovaQuery _),
-    "q209_stump" -> (stumpQuery _))
+    "q209_stump" -> (stumpQuery _),
+    "q220_theil_sen" -> (theilSenQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -2101,5 +2139,27 @@ object DriftOracle {
         |         - (CASE WHEN pt > 0 THEN CAST(pt AS DOUBLE) * ln(CAST(pt AS DOUBLE)) ELSE 0.0 END)
         |         - (CASE WHEN nt - pt > 0 THEN CAST(nt - pt AS DOUBLE) * ln(CAST(nt - pt AS DOUBLE)) ELSE 0.0 END)
         |         - impurity) / CAST(nt AS DOUBLE), 6) AS info_gain
-        |FROM best WHERE rn = 1 ORDER BY seg""".stripMargin)
+        |FROM best WHERE rn = 1 ORDER BY seg""".stripMargin,
+
+    // same bounded day-pair fan-out, same single-division slopes,
+    // same interpolating median
+    "q220_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT n.n_name,
+        |         CAST(o.o_orderdate AS DATE) - DATE '1996-01-01' AS d,
+        |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS c
+        |  FROM orders o
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  WHERE year(o.o_orderdate) = 1996
+        |  GROUP BY n.n_name, CAST(o.o_orderdate AS DATE)),
+        |slopes AS (
+        |  SELECT a.n_name,
+        |         CAST(b.c - a.c AS DOUBLE) / (b.d - a.d) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.n_name = b.n_name AND a.d < b.d)
+        |SELECT n_name, count(*) AS n_pairs,
+        |       round(quantile_cont(slope, 0.5) / 100.0, 4)
+        |         AS theil_sen_slope
+        |FROM slopes GROUP BY n_name ORDER BY n_name""".stripMargin)
 }

@@ -586,14 +586,18 @@ object Integrity {
       .agg(countDistinct(col("__cell")).as("occupied"))
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
+    // a SATURATED table (occupied = m) is outside the estimator's
+    // domain (ln of 0) — emit null, never a crash: hit live on the
+    // 10x-amplified corpus where 15k users fill all 4096 cells
+    val est = when(col("occupied") < m, round(lit(m.toDouble) *
+      log(lit(m.toDouble) / (lit(m) - col("occupied")).cast("double")), 4))
     occ.join(exact, Seq("event_type"))
       .select(col("event_type"), col("n_exact"), col("occupied"),
-        round(lit(m.toDouble) *
-          log(lit(m.toDouble) / (lit(m) - col("occupied")).cast("double")), 4)
-          .as("lc_estimate"),
-        round((lit(m.toDouble) *
-          log(lit(m.toDouble) / (lit(m) - col("occupied")).cast("double")) -
-          col("n_exact")) / col("n_exact").cast("double"), 6)
+        est.as("lc_estimate"),
+        when(col("occupied") < m,
+          round((lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m) - col("occupied")).cast("double")) -
+            col("n_exact")) / col("n_exact").cast("double"), 6))
           .as("rel_error"))
       .coalesce(1).orderBy(col("event_type"))
   }
@@ -987,11 +991,14 @@ object IntegrityOracle {
         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
         |  FROM events GROUP BY event_type)
         |SELECT ex.event_type, ex.n_exact, occ.occupied,
-        |       round(4096.0 * ln(4096.0 /
-        |             CAST(4096 - occ.occupied AS DOUBLE)), 4) AS lc_estimate,
-        |       round((4096.0 * ln(4096.0 /
-        |             CAST(4096 - occ.occupied AS DOUBLE)) - ex.n_exact)
-        |             / CAST(ex.n_exact AS DOUBLE), 6) AS rel_error
+        |       CASE WHEN occ.occupied < 4096 THEN
+        |         round(4096.0 * ln(4096.0 /
+        |               CAST(4096 - occ.occupied AS DOUBLE)), 4) END
+        |         AS lc_estimate,
+        |       CASE WHEN occ.occupied < 4096 THEN
+        |         round((4096.0 * ln(4096.0 /
+        |               CAST(4096 - occ.occupied AS DOUBLE)) - ex.n_exact)
+        |               / CAST(ex.n_exact AS DOUBLE), 6) END AS rel_error
         |FROM ex JOIN occ ON occ.event_type = ex.event_type
         |ORDER BY ex.event_type""".stripMargin,
 

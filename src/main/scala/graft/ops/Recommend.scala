@@ -143,10 +143,50 @@ object Recommend {
       .coalesce(1).orderBy(col("p_brand"))
   }
 
+  // --------------------------------------------------------------- q222
+
+  /** q222 — Wilson lower-bound brand ranking: brands ranked by the
+    * 95% lower confidence bound on their repurchase rate (customers
+    * who bought the brand AGAIN / customers who bought it at all) —
+    * the ranking-under-uncertainty rule that stops a 2-for-2 brand
+    * from outranking a 480-for-500 one, which the raw rate (and any
+    * top-k over it) gets wrong. LB = (p̂ + z²/2n − z·√(p̂(1−p̂)/n +
+    * z²/4n²))/(1 + z²/n) at z = 1.96, one closed-form double AST over
+    * exact integer (successes, trials); rank on the ROUNDED bound
+    * with brand tiebreak (the q153 discipline). One (brand, customer)
+    * aggregate, |brands| rows out.
+    */
+  def wilsonQuery(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("o_custkey"))
+      .agg(countDistinct(col("o_orderkey")).as("__orders"))
+    val agg = per.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("__orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+    // z² spelled as 1.96*1.96 so both engines build the identical
+    // double (a decimal literal of the product would differ in ulps)
+    val z = lit(1.96)
+    val z2 = z * z
+    val n = col("n_buyers").cast("double")
+    val p = col("n_repeat").cast("double") / n
+    val lb = (p + z2 / (lit(2.0) * n) -
+      z * sqrt(p * (lit(1.0) - p) / n +
+        z2 / (lit(4.0) * n * n))) / (lit(1.0) + z2 / n)
+    agg.select(col("p_brand"), col("n_buyers"), col("n_repeat"),
+        round(p, 6).as("repeat_rate"),
+        round(lb, 6).as("wilson_lb"))
+      .coalesce(1).orderBy(col("wilson_lb").desc, col("p_brand"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q126_item_cf" -> (itemCfQuery _),
     "q169_rank_fusion" -> (rrfQuery _),
-    "q192_coverage" -> (coverageQuery _))
+    "q192_coverage" -> (coverageQuery _),
+    "q222_wilson_rank" -> (wilsonQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -220,5 +260,33 @@ object RecommendOracle {
         |       round(top / CAST(n_interactions AS DOUBLE), 6) AS top1_share,
         |       round(n_interactions / CAST(n_covered AS DOUBLE), 4)
         |         AS mean_per_covered
-        |FROM b ORDER BY p_brand""".stripMargin)
+        |FROM b ORDER BY p_brand""".stripMargin,
+
+    // same exact counts, same closed-form Wilson AST with z2 spelled
+    // 1.96*1.96
+    "q222_wilson_rank" ->
+      """WITH per AS (
+        |  SELECT p.p_brand, o.o_custkey,
+        |         count(DISTINCT o.o_orderkey) AS orders
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand, o.o_custkey),
+        |a AS (
+        |  SELECT p_brand, count(*) AS n_buyers,
+        |         CAST(sum(CASE WHEN orders >= 2 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_repeat
+        |  FROM per GROUP BY p_brand),
+        |c AS (
+        |  SELECT p_brand, n_buyers, n_repeat,
+        |         CAST(n_buyers AS DOUBLE) AS n,
+        |         CAST(n_repeat AS DOUBLE) / CAST(n_buyers AS DOUBLE) AS p
+        |  FROM a)
+        |SELECT p_brand, n_buyers, n_repeat,
+        |       round(p, 6) AS repeat_rate,
+        |       round((p + (1.96 * 1.96) / (2.0 * n) -
+        |              1.96 * sqrt(p * (1.0 - p) / n +
+        |                (1.96 * 1.96) / (4.0 * n * n)))
+        |             / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_lb
+        |FROM c ORDER BY wilson_lb DESC, p_brand""".stripMargin)
 }

@@ -424,6 +424,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("featureHashAudit: bucket algebra holds at 65536-wide hashing") {
+    initQuiet()
+    val rows = Curation.featureHashAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, bk) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_buckets"))
+      assert(bk <= tok && bk <= 65536L)
+      val rate = r.getAs[Double]("collision_rate")
+      assert(rate >= 0.0 && rate < 1.0)
+      // pigeonhole: heaviest bucket carries at least the mean load
+      assert(r.getAs[Long]("max_bucket_types") >=
+        (tok + 65535) / 65536)
+    }
+  }
+
   test("burrowsDeltaQuery: all unordered source pairs, delta >= 0") {
     initQuiet()
     val rows = Curation.burrowsDeltaQuery(spark, sf).collect()

@@ -591,6 +591,35 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("theilSenQuery: median pairwise slope matches brute force") {
+    initQuiet()
+    val daily = graft.Tables.load(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
+      .join(graft.Tables.load(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.load(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        datediff(to_date(col("o_orderdate")), lit("1996-01-01")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val rows = Drift.theilSenQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val g = daily.filter(_._1 == row.getString(0)).sortBy(_._2)
+      val slopes = (for {
+        i <- g.indices; j <- (i + 1) until g.length
+      } yield (g(j)._3 - g(i)._3).toDouble / (g(j)._2 - g(i)._2))
+        .sorted.toArray
+      assert(row.getAs[Long]("n_pairs") === slopes.length.toLong)
+      val pos = (slopes.length - 1) * 0.5
+      val (lo, hi) = (slopes(pos.toInt), slopes(math.ceil(pos).toInt))
+      val med = lo + (hi - lo) * (pos - pos.toInt)
+      assert(math.abs(row.getAs[Double]("theil_sen_slope") - med / 100.0)
+        < 1e-4, s"${row.getString(0)}")
+    }
+  }
+
   test("kdeQuery: densities non-negative; grid mass integrates to ~1") {
     initQuiet()
     val rows = Drift.kdeQuery(spark, sf).collect()

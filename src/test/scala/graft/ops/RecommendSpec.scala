@@ -65,4 +65,25 @@ class RecommendSpec extends SparkSpec {
       assert(r.getAs[Double]("top1_share") > 0.0)
     }
   }
+
+  test("wilsonQuery: lower bound strictly inside (0, rate); shrinkage real") {
+    initQuiet()
+    val rows = Recommend.wilsonQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rate, lb) = (r.getAs[Double]("repeat_rate"),
+        r.getAs[Double]("wilson_lb"))
+      assert(lb >= 0.0 && lb <= 1.0)
+      if (r.getAs[Long]("n_repeat") > 0) assert(lb < rate + 1e-9)
+      assert(r.getAs[Long]("n_repeat") <= r.getAs[Long]("n_buyers"))
+    }
+    // replicate the closed form on one row
+    val r0 = rows.head
+    val n = r0.getAs[Long]("n_buyers").toDouble
+    val p = r0.getAs[Long]("n_repeat").toDouble / n
+    val z = 1.96
+    val lb = (p + z * z / (2 * n) -
+      z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
+    assert(math.abs(r0.getAs[Double]("wilson_lb") - lb) < 1e-5)
+  }
 }
