@@ -647,6 +647,38 @@ object Concentration {
       .coalesce(1).orderBy(col("source"))
   }
 
+  // --------------------------------------------------------------- q225
+
+  /** q225 — tokenizer fertility per language: characters consumed per
+    * whitespace token, the compression readout that decides how many
+    * GPU-hours a language actually costs (chars/token varies wildly
+    * across scripts — the classic multilingual-tokenizer budget
+    * trap). Corpus-level fertility is the exact 10⁻⁴-unit floor
+    * division Σchars/Σtokens; the per-document p50/p90 come from the
+    * interpolating percentile over per-doc single-division ratios
+    * (identical doubles both engines). One doc-grain pass, |langs|
+    * rows out.
+    */
+  def fertilityQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(split(lower(col("text")), " ")).cast("long").as("__tok"))
+      .filter(col("__tok") > 0)
+      .withColumn("__r", col("n_chars").cast("double") / col("__tok"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("__chars"),
+        sum(col("__tok")).as("__toks"),
+        expr("percentile(__r, 0.5)").as("__p50"),
+        expr("percentile(__r, 0.9)").as("__p90"))
+      .select(col("lang"), col("n_docs"),
+        (expr("(__chars div __toks) * 10000 + ((__chars % __toks) * 10000) div __toks")
+          / lit(10000.0)).as("chars_per_token"),
+        round(col("__p50"), 4).as("p50_fertility"),
+        round(col("__p90"), 4).as("p90_fertility"))
+      .coalesce(1).orderBy(col("lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -664,7 +696,8 @@ object Concentration {
     "q187_hhi" -> (hhiQuery _),
     "q197_theil" -> (theilQuery _),
     "q201_abc" -> (abcQuery _),
-    "q219_chao1" -> (chao1Query _))
+    "q219_chao1" -> (chao1Query _),
+    "q225_fertility" -> (fertilityQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1050,5 +1083,23 @@ object ConcentrationOracle {
         |             CAST(n_hapax * (n_hapax - 1) AS DOUBLE) /
         |             (2.0 * (n_doubleton + 1)), 2) AS chao1_richness,
         |       round(CAST(n_hapax AS DOUBLE) / n_tokens, 6) AS unseen_mass
-        |FROM a ORDER BY source""".stripMargin)
+        |FROM a ORDER BY source""".stripMargin,
+
+    // same single-division ratios, same interpolating percentiles,
+    // same exact corpus-level floor division
+    "q225_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS tok,
+        |         CAST(n_chars AS DOUBLE)
+        |           / len(string_split(lower(text), ' ')) AS r
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) > 0)
+        |SELECT lang, count(*) AS n_docs,
+        |       ((sum(n_chars) // sum(tok)) * 10000
+        |        + ((sum(n_chars) % sum(tok)) * 10000) // sum(tok)) / 10000.0
+        |         AS chars_per_token,
+        |       round(quantile_cont(r, 0.5), 4) AS p50_fertility,
+        |       round(quantile_cont(r, 0.9), 4) AS p90_fertility
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin)
 }

@@ -395,6 +395,82 @@ object TimeSeries {
       .coalesce(1).orderBy(col("event_type"))
   }
 
+  // --------------------------------------------------------------- q223
+
+  /** q223 — value-at-risk and expected shortfall of daily revenue
+    * moves per nation: VaR95 = the 5th percentile of day-over-day
+    * revenue deltas, CVaR = the mean of the deltas at or below it
+    * (the coherent tail measure VaR alone is not). Deltas are exact
+    * integer cents over the observed-day series (one nation-key
+    * window); the percentile is the interpolating quantile both
+    * engines define identically over identical doubles, and the tail
+    * mean is an exact-integer split floor division over the rows the
+    * shared VaR double admits — so even the tail MEMBERSHIP decision
+    * is cross-engine identical.
+    */
+  def varQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    val wN = Window.partitionBy(col("n_name")).orderBy(col("day"))
+    val deltas = daily
+      .withColumn("d", col("c") - lag(col("c"), 1).over(wN))
+      .filter(col("d").isNotNull)
+    val varTbl = deltas.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_deltas"),
+        expr("percentile(CAST(d AS DOUBLE), 0.05)").as("__var"))
+    deltas.join(varTbl, "n_name")
+      .filter(col("d").cast("double") <= col("__var"))
+      .groupBy(col("n_name"))
+      .agg(max(col("n_deltas")).as("n_deltas"),
+        round(max(col("__var")) / 100.0, 4).as("var95"),
+        (expr("(sum(d) div count(1)) * 100 + ((sum(d) % count(1)) * 100) div count(1)")
+          / lit(10000.0)).as("cvar95"))
+      .coalesce(1).orderBy(col("n_name"))
+  }
+
+  // --------------------------------------------------------------- q224
+
+  /** q224 — seasonal-naive forecast backtest per event type: predict
+    * each day's count with the SAME-WEEKDAY value 7 calendar days
+    * back, score MAE against the one-day-back naive as MASE =
+    * MAE(seasonal)/MAE(naive1) — the scale-free "did seasonality
+    * help" gate run before any fancier model earns a slot (MASE ≥ 1
+    * means the 7-day pattern adds nothing). Calendar-day self-joins
+    * (not row lags), so a missing day yields no forecast rather than
+    * a silently shifted one; both MAEs are exact 10⁻⁴-unit floor
+    * divisions; the final ratio is one double division of exact
+    * longs.
+    */
+  def maseQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    def lagged(n: Int, as: String) = daily.select(col("event_type"),
+      date_add(col("day"), n).as("day"), col("x").as(as))
+    val scored = daily
+      .join(lagged(7, "x7"), Seq("event_type", "day"))
+      .join(lagged(1, "x1"), Seq("event_type", "day"))
+      .select(col("event_type"),
+        abs(col("x") - col("x7")).as("e7"),
+        abs(col("x") - col("x1")).as("e1"))
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        expr("(sum(e7) div count(1)) * 10000 + ((sum(e7) % count(1)) * 10000) div count(1)")
+          .as("__m7"),
+        expr("(sum(e1) div count(1)) * 10000 + ((sum(e1) % count(1)) * 10000) div count(1)")
+          .as("__m1"))
+      .select(col("event_type"), col("n_eval"),
+        (col("__m7") / lit(10000.0)).as("mae_seasonal"),
+        (col("__m1") / lit(10000.0)).as("mae_naive1"),
+        round(col("__m7").cast("double") / col("__m1"), 6).as("mase"))
+      .coalesce(1).orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q102_twap" -> (twapQuery _),
     "q103_ewma" -> (ewmaQuery _),
@@ -404,7 +480,9 @@ object TimeSeries {
     "q180_kendall" -> (kendallQuery _),
     "q189_holt" -> (holtQuery _),
     "q206_seasonal_decompose" -> (seasonalDecomposeQuery _),
-    "q212_deseasonal_anomaly" -> (deseasonalAnomalyQuery _))
+    "q212_deseasonal_anomaly" -> (deseasonalAnomalyQuery _),
+    "q223_var_cvar" -> (varQuery _),
+    "q224_mase_backtest" -> (maseQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -672,5 +750,62 @@ object TimeSeriesOracle {
         |             AS DECIMAL(38,0)) - s AS DOUBLE) /
         |             sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q - s * s
         |             AS DOUBLE)), 4) AS worst_z
-        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin)
+        |FROM rk WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    // same observed-day deltas, same interpolating 5th percentile,
+    // same double-admitted tail membership and exact tail mean
+    "q223_var_cvar" ->
+      """WITH daily AS (
+        |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+        |         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS c
+        |  FROM orders o
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_name, CAST(o.o_orderdate AS DATE)),
+        |deltas AS (
+        |  SELECT n_name,
+        |         c - lag(c) OVER (PARTITION BY n_name ORDER BY day) AS d
+        |  FROM daily
+        |  QUALIFY d IS NOT NULL),
+        |v AS (
+        |  SELECT n_name, count(*) AS n_deltas,
+        |         quantile_cont(CAST(d AS DOUBLE), 0.05) AS var
+        |  FROM deltas GROUP BY n_name),
+        |tail AS (
+        |  SELECT deltas.n_name, v.n_deltas, v.var, deltas.d
+        |  FROM deltas JOIN v ON v.n_name = deltas.n_name
+        |  WHERE CAST(deltas.d AS DOUBLE) <= v.var)
+        |SELECT n_name, CAST(max(n_deltas) AS BIGINT) AS n_deltas,
+        |       round(max(var) / 100.0, 4) AS var95,
+        |       ((sum(d) // count(*)) * 100
+        |        + ((sum(d) % count(*)) * 100) // count(*)) / 10000.0
+        |         AS cvar95
+        |FROM tail GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // same calendar-day joins, same exact e4 MAEs, same final ratio
+    "q224_mase_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |s AS (
+        |  SELECT d.event_type,
+        |         abs(d.x - l7.x) AS e7, abs(d.x - l1.x) AS e1
+        |  FROM daily d
+        |  JOIN daily l7 ON l7.event_type = d.event_type
+        |              AND l7.day + 7 = d.day
+        |  JOIN daily l1 ON l1.event_type = d.event_type
+        |              AND l1.day + 1 = d.day)
+        |SELECT event_type, count(*) AS n_eval,
+        |       ((sum(e7) // count(*)) * 10000
+        |        + ((sum(e7) % count(*)) * 10000) // count(*)) / 10000.0
+        |         AS mae_seasonal,
+        |       ((sum(e1) // count(*)) * 10000
+        |        + ((sum(e1) % count(*)) * 10000) // count(*)) / 10000.0
+        |         AS mae_naive1,
+        |       round(CAST((sum(e7) // count(*)) * 10000
+        |              + ((sum(e7) % count(*)) * 10000) // count(*) AS DOUBLE)
+        |             / ((sum(e1) // count(*)) * 10000
+        |              + ((sum(e1) % count(*)) * 10000) // count(*)), 6)
+        |         AS mase
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -229,6 +229,20 @@ class ConcentrationSpec extends SparkSpec {
     }
   }
 
+  test("fertilityQuery: percentiles ordered; corpus ratio at least 1") {
+    initQuiet()
+    val rows = Concentration.fertilityQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90) = (r.getAs[Double]("p50_fertility"),
+        r.getAs[Double]("p90_fertility"))
+      assert(p50 <= p90 + 1e-9)
+      // every space-separated token costs >= 1 char plus separators
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+  }
+
   test("chao1Query: richness >= observed; unseen mass in (0, 1)") {
     initQuiet()
     val rows = Concentration.chao1Query(spark, sf).collect()

@@ -183,6 +183,44 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("varQuery: expected shortfall never exceeds the VaR cut") {
+    initQuiet()
+    val rows = TimeSeries.varQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // CVaR is the mean of the tail AT OR BELOW the 5th percentile
+      assert(r.getAs[Double]("cvar95") <= r.getAs[Double]("var95") + 1e-9)
+      assert(r.getAs[Long]("n_deltas") > 0)
+    }
+  }
+
+  test("maseQuery: matches a brute-force calendar backtest per type") {
+    initQuiet()
+    val daily = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byKey = daily.map(t => (t._1, t._2) -> t._3).toMap
+    val rows = TimeSeries.maseQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val t = row.getString(0)
+      val evals = daily.filter(_._1 == t).flatMap { case (_, d, x) =>
+        for {
+          x7 <- byKey.get((t, d.minusDays(7)))
+          x1 <- byKey.get((t, d.minusDays(1)))
+        } yield (math.abs(x - x7), math.abs(x - x1))
+      }
+      assert(row.getAs[Long]("n_eval") === evals.length.toLong)
+      val m7 = evals.map(_._1).sum.toDouble / evals.length
+      val m1 = evals.map(_._2).sum.toDouble / evals.length
+      assert(math.abs(row.getAs[Double]("mae_seasonal") - m7) < 2e-4)
+      assert(math.abs(row.getAs[Double]("mae_naive1") - m1) < 2e-4)
+      assert(math.abs(row.getAs[Double]("mase") - m7 / m1) < 1e-2)
+    }
+  }
+
   test("deseasonalAnomalyQuery: worst day matches a brute-force z scan") {
     initQuiet()
     // recover the exact e4-unit residuals from the q206 output
