@@ -1349,6 +1349,65 @@ object Curation {
       .coalesce(1).orderBy(col("source"))
   }
 
+  /** q227 — canonical selection under normalized dedup: documents
+    * clustered by md5 of their NORMALIZED text (q73's rule — case,
+    * punctuation and whitespace variants collapse), then each cluster
+    * keeps its single best raw member — longest raw text, doc_id
+    * tiebreak — the "keep the most complete variant" rule real
+    * curation uses where q12's keep-min keeps an arbitrary one.
+    * Scorecard per source: docs, kept, dropped, and the EXACT char
+    * mass each side carries, with the cross-source subtlety that a
+    * cluster's keeper may live in a different source than its drops
+    * (kept + dropped = docs per source by construction — the keeper
+    * decision is global, the attribution is per-doc). One md5-key
+    * shuffle (32-char keys, never full text), one argmax window.
+    */
+  def canonicalKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(TextAnalysis.normalize(col("text"))).as("__ck"))
+    val w = Window.partitionBy(col("__ck"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("__rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__rn") === 1, col("n_chars")).otherwise(0L))
+          .as("kept_chars"),
+        sum(when(col("__rn") =!= 1, col("n_chars")).otherwise(0L))
+          .as("dropped_chars"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
+  /** q228 — training-mixture drift vs the declared recipe: each
+    * source's observed TOKEN-mass share against its target weight
+    * (uniform 1/|sources| here — the recipe is a parameter, not a
+    * discovery), with the per-source KL contribution p·ln(p/t) whose
+    * sum is KL(observed ‖ target) — the number a data-mixing job is
+    * contractually obligated to keep near 0. Doc COUNTS can sit
+    * exactly on recipe while token MASS drifts (long docs), which is
+    * why the audit weighs tokens. Counts exact; p is one division;
+    * each contribution one closed-form double. One (source) token
+    * aggregate + a single-row total broadcast.
+    */
+  def mixtureDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("__tok"))
+      .groupBy(col("source")).agg(sum(col("__tok")).as("tokens"))
+    val tot = perSrc.agg(sum(col("tokens")).as("__t"),
+      count(lit(1)).as("__k"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        round(col("tokens").cast("double") / col("__t"), 6).as("share"),
+        round(lit(1.0) / col("__k"), 6).as("target_share"),
+        round((col("tokens").cast("double") / col("__t")) *
+          log((col("tokens").cast("double") / col("__t")) /
+            (lit(1.0) / col("__k"))), 6).as("kl_term"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1575,7 +1634,9 @@ object Curation {
     "q188_negative_samples" -> (negativeSamples _),
     "q215_cond_entropy" -> (condEntropyQuery _),
     "q217_burrows_delta" -> (burrowsDeltaQuery _),
-    "q221_feature_hash" -> (featureHashAudit _))
+    "q221_feature_hash" -> (featureHashAudit _),
+    "q227_canonical_dedup" -> (canonicalKeepBest _),
+    "q228_mixture_drift" -> (mixtureDriftQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -1069,5 +1069,44 @@ object CurationOracle {
         |       CAST(max(types) AS BIGINT) AS max_bucket_types,
         |       round(1.0 - CAST(count(*) AS DOUBLE) / sum(types), 6)
         |         AS collision_rate
-        |FROM pb GROUP BY source ORDER BY source""".stripMargin)
+        |FROM pb GROUP BY source ORDER BY source""".stripMargin,
+
+    // same q73 normalization, same (n_chars desc, doc_id) keeper rule
+    "q227_canonical_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS ck
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ck
+        |    ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dropped,
+        |       CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |         AS kept_chars,
+        |       CAST(sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |         AS dropped_chars
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // same exact token mass, same closed-form KL terms
+    "q228_mixture_drift" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+        |           AS tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt,
+        |             count(*) AS k FROM ps)
+        |SELECT ps.source, ps.tokens,
+        |       round(CAST(ps.tokens AS DOUBLE) / t.tt, 6) AS share,
+        |       round(1.0 / t.k, 6) AS target_share,
+        |       round((CAST(ps.tokens AS DOUBLE) / t.tt) *
+        |             ln((CAST(ps.tokens AS DOUBLE) / t.tt) / (1.0 / t.k)), 6)
+        |         AS kl_term
+        |FROM ps, t ORDER BY ps.source""".stripMargin)
 }

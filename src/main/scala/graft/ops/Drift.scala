@@ -903,6 +903,47 @@ object Drift {
       .coalesce(1).orderBy(col("n_name"))
   }
 
+  // --------------------------------------------------------------- q226
+
+  /** q226 — exponential inter-arrival fit per event type: the MLE
+    * rate λ̂ = n/Σgaps (exact integer inputs, one division) and the
+    * Kolmogorov–Smirnov distance between the empirical gap CDF and
+    * the fitted Exponential(λ̂) — the memorylessness test that says
+    * whether arrivals are Poisson-like or clumped (q191's burstiness
+    * asks the same question through moments; this answers it through
+    * the whole distribution). D = max over sorted gaps of
+    * max(|r/n − F(x)|, |(r−1)/n − F(x)|) (both one-sided gaps around
+    * each step), F(x) = 1 − e^(−λ̂x); ranks come from a type-
+    * partitioned window, every per-row double is the same fixed AST
+    * in both engines, and the argmax reduces through max() so no
+    * ordering ambiguity exists. Fan-out: one user-key window for
+    * gaps, one type-partitioned rank window over the gap rows.
+    */
+  def expFitQuery(spark: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.load(spark, dir, "events")
+      .withColumn("__gap",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wU)))
+      .filter(col("__gap").isNotNull && col("__gap") > 0)
+      .select(col("event_type"), (col("__gap") / lit(3600000000.0)).as("x"))
+    val stats = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("__sx"))
+      .withColumn("__lambda", col("n") / col("__sx"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    gaps.withColumn("__r", row_number().over(wT))
+      .join(stats, "event_type")
+      .withColumn("__f", lit(1.0) - exp(lit(-1.0) * col("__lambda") * col("x")))
+      .withColumn("__d", greatest(
+        abs(col("__r") / col("n") - col("__f")),
+        abs((col("__r") - lit(1)) / col("n") - col("__f"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        round(max(col("__lambda")), 6).as("rate_per_hour"),
+        round(max(col("__d")), 6).as("ks_distance"))
+      .coalesce(1).orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -930,7 +971,8 @@ object Drift {
     "q205_bootstrap" -> (bootstrapQuery _),
     "q208_anova" -> (anovaQuery _),
     "q209_stump" -> (stumpQuery _),
-    "q220_theil_sen" -> (theilSenQuery _))
+    "q220_theil_sen" -> (theilSenQuery _),
+    "q226_exp_fit" -> (expFitQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -2161,5 +2203,34 @@ object DriftOracle {
         |SELECT n_name, count(*) AS n_pairs,
         |       round(quantile_cont(slope, 0.5) / 100.0, 4)
         |         AS theil_sen_slope
-        |FROM slopes GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |FROM slopes GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // same per-user gaps, same fixed-AST CDF rows, same max-reduce
+    "q226_exp_fit" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |            PARTITION BY event_type, user_id
+        |            ORDER BY ts, event_id))) / 3600000000.0 AS x
+        |  FROM events
+        |  QUALIFY x IS NOT NULL AND x > 0),
+        |s AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |         count(*) / sum(x) AS lambda
+        |  FROM g GROUP BY event_type),
+        |r AS (
+        |  SELECT g.event_type, g.x, s.n, s.lambda,
+        |         row_number() OVER (PARTITION BY g.event_type
+        |           ORDER BY g.x) AS r
+        |  FROM g JOIN s ON s.event_type = g.event_type),
+        |d AS (
+        |  SELECT event_type, n, lambda,
+        |         greatest(abs(r / n - (1.0 - exp(-1.0 * lambda * x))),
+        |                  abs((r - 1) / n - (1.0 - exp(-1.0 * lambda * x))))
+        |           AS dd
+        |  FROM r)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |       round(max(lambda), 6) AS rate_per_hour,
+        |       round(max(dd), 6) AS ks_distance
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

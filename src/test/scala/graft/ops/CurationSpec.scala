@@ -439,6 +439,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("canonicalKeepBest: keepers count the distinct normalized keys") {
+    initQuiet()
+    val rows = Curation.canonicalKeepBest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") ===
+        r.getAs[Long]("n_docs"))
+    }
+    val keptTotal = rows.map(_.getAs[Long]("n_kept")).sum
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val distinctKeys = docs.select(
+      md5(graft.text.TextAnalysis.normalize(col("text")))).distinct().count()
+    assert(keptTotal === distinctKeys)
+    val charTotal = rows.map(r => r.getAs[Long]("kept_chars") +
+      r.getAs[Long]("dropped_chars")).sum
+    val corpusChars = docs.agg(sum(col("n_chars"))).head().getLong(0)
+    assert(charTotal === corpusChars)
+  }
+
+  test("mixtureDriftQuery: shares partition to 1; KL total non-negative") {
+    initQuiet()
+    val rows = Curation.mixtureDriftQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    // Gibbs: KL(p || t) >= 0 even though single terms can be negative
+    assert(rows.map(_.getAs[Double]("kl_term")).sum >= -1e-6)
+    val t = rows.head.getAs[Double]("target_share")
+    assert(rows.forall(_.getAs[Double]("target_share") == t))
+  }
+
   test("burrowsDeltaQuery: all unordered source pairs, delta >= 0") {
     initQuiet()
     val rows = Curation.burrowsDeltaQuery(spark, sf).collect()

@@ -620,6 +620,18 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("expFitQuery: KS in [0,1]; rate positive; gap counts real") {
+    initQuiet()
+    val rows = Drift.expFitQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("ks_distance")
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getAs[Double]("rate_per_hour") > 0.0)
+      assert(r.getAs[Long]("n_gaps") > 0)
+    }
+  }
+
   test("kdeQuery: densities non-negative; grid mass integrates to ~1") {
     initQuiet()
     val rows = Drift.kdeQuery(spark, sf).collect()
