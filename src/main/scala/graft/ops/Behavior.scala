@@ -819,6 +819,41 @@ object Behavior {
       .coalesce(1).orderBy(col("grp"), col("period"))
   }
 
+  // --------------------------------------------------------------- q229
+
+  /** q229 — count-model overdispersion per market segment: the
+    * orders-per-customer distribution's dispersion index σ²/μ and the
+    * method-of-moments negative-binomial size r̂ = μ²/(σ²−μ) — the
+    * "is Poisson even plausible" gate (dispersion ≈ 1) before any
+    * count regression, and the r̂ that parameterizes the NB when it
+    * is not (null when underdispersed — the NB does not exist there,
+    * stated rather than NaN'd). Customers with zero orders COUNT as
+    * zeros (left join — dropping them biases μ up), sample variance
+    * via exact decimal power sums, finals as fixed closed-form
+    * doubles. One customer-grain aggregate, |segments| rows.
+    */
+  def overdispersionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("k"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val m = perCust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("k"))).as("__s"),
+        sum(d38(col("k") * col("k"))).as("__q"))
+    val mu = col("__s").cast("double") / col("n").cast("double")
+    val varPop = (col("n") * col("__q") - col("__s") * col("__s"))
+      .cast("double") / (col("n").cast("double") * col("n").cast("double"))
+    m.select(col("c_mktsegment"), col("n").as("n_customers"),
+        round(mu, 6).as("mean_orders"),
+        round(varPop, 6).as("var_orders"),
+        round(varPop / mu, 6).as("dispersion"),
+        when(varPop > mu, round(mu * mu / (varPop - mu), 6)).as("nb_size"))
+      .coalesce(1).orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -840,7 +875,8 @@ object Behavior {
     "q193_multi_touch" -> (multiTouchQuery _),
     "q194_churn_hazard" -> (hazardQuery _),
     "q204_cohort_ltv" -> (cohortLtv _),
-    "q218_did_placebo" -> (didQuery _))
+    "q218_did_placebo" -> (didQuery _),
+    "q229_overdispersion" -> (overdispersionQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1350,5 +1386,32 @@ object BehaviorOracle {
         |SELECT grp, period, n, m_e4 / 10000.0 AS mean_value FROM agg
         |UNION ALL
         |SELECT grp, period, n, mean_value FROM did
-        |ORDER BY grp, period""".stripMargin)
+        |ORDER BY grp, period""".stripMargin,
+
+    // same zero-inclusive counts, same exact power sums and closed
+    // population-variance / NB-size forms
+    "q229_overdispersion" ->
+      """WITH pc AS (
+        |  SELECT c.c_mktsegment, c.c_custkey,
+        |         count(o.o_orderkey) AS k
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_mktsegment, c.c_custkey),
+        |m AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |         sum(CAST(k AS DECIMAL(38,0))) AS s,
+        |         sum(CAST(k * k AS DECIMAL(38,0))) AS q
+        |  FROM pc GROUP BY c_mktsegment),
+        |f AS (
+        |  SELECT c_mktsegment, n,
+        |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |         CAST(n * q - s * s AS DOUBLE) /
+        |           (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS v
+        |  FROM m)
+        |SELECT c_mktsegment, n AS n_customers,
+        |       round(mu, 6) AS mean_orders,
+        |       round(v, 6) AS var_orders,
+        |       round(v / mu, 6) AS dispersion,
+        |       CASE WHEN v > mu THEN round(mu * mu / (v - mu), 6) END
+        |         AS nb_size
+        |FROM f ORDER BY c_mktsegment""".stripMargin)
 }

@@ -1408,6 +1408,44 @@ object Curation {
       .coalesce(1).orderBy(col("source"))
   }
 
+  /** q231 — near-dup detector precision/recall audit: q24's SimHash
+    * pairing (hamming ≤ 3 over the md5 signature) evaluated AGAINST
+    * q25's exact 3-gram Jaccard ≥ 0.5 pairs as ground truth — the
+    * calibration readout every dedup pipeline owes its operators
+    * before a threshold ships. TP/FP/FN from one full-outer pair-set
+    * join; precision, recall and F1 = 2tp/(2tp+fp+fn) are single
+    * closed-form divisions of exact counts. Both pair generators are
+    * the inverted-index/banded shapes (never all-pairs), so the audit
+    * costs two near-dup passes, not a quadratic scan.
+    */
+  def detectorAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+    val pred = Dedup.nearSimhash(docs, "doc_id", "text",
+        maxHamming = 3, sig = Dedup.simhashMd5, sigBits = 60)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__p"))
+    truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("__p"), lit(0L))).as("n_pred"),
+        sum(when(col("__t").isNotNull && col("__p").isNotNull, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__t").isNull && col("__p").isNotNull, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__t").isNotNull && col("__p").isNull, 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("n_truth"), col("n_pred"), col("tp"), col("fp"), col("fn"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred"), 6))
+          .as("precision"),
+        when(col("n_truth") > 0,
+          round(col("tp").cast("double") / col("n_truth"), 6)).as("recall"),
+        when(col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp") /
+            (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1636,7 +1674,8 @@ object Curation {
     "q217_burrows_delta" -> (burrowsDeltaQuery _),
     "q221_feature_hash" -> (featureHashAudit _),
     "q227_canonical_dedup" -> (canonicalKeepBest _),
-    "q228_mixture_drift" -> (mixtureDriftQuery _))
+    "q228_mixture_drift" -> (mixtureDriftQuery _),
+    "q231_detector_audit" -> (detectorAudit _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

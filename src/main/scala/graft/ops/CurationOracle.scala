@@ -1108,5 +1108,70 @@ object CurationOracle {
         |       round((CAST(ps.tokens AS DOUBLE) / t.tt) *
         |             ln((CAST(ps.tokens AS DOUBLE) / t.tt) / (1.0 / t.k)), 6)
         |         AS kl_term
-        |FROM ps, t ORDER BY ps.source""".stripMargin)
+        |FROM ps, t ORDER BY ps.source""".stripMargin,
+
+    // truth = the q25 SQL, prediction = the q24 SQL, composed; the
+    // P/R/F1 algebra is single divisions of exact counts
+    "q231_detector_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |truthp AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (
+        |  SELECT id_a, id_b FROM truthp
+        |  WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5),
+        |tk AS (
+        |  SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, tok -> CAST(list_sum(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef', md5(tok)[i]) - 1 AS BIGINT)
+        |           * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)) hs
+        |  FROM tk),
+        |sg AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN 2 * len(list_filter(hs, hv -> (hv >> j) & 1 = 1)) > len(hs)
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) sig
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 ck
+        |  FROM sg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b) bi),
+        |pred AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.ck = y.ck
+        |  WHERE x.doc_id < y.doc_id
+        |    AND bit_count(xor(x.sig, y.sig)) <= 3),
+        |j AS (
+        |  SELECT coalesce(truth.id_a, pred.id_a) id_a,
+        |         CASE WHEN truth.id_a IS NOT NULL THEN 1 ELSE 0 END t,
+        |         CASE WHEN pred.id_a IS NOT NULL THEN 1 ELSE 0 END p
+        |  FROM truth FULL OUTER JOIN pred
+        |    ON truth.id_a = pred.id_a AND truth.id_b = pred.id_b),
+        |c AS (
+        |  SELECT CAST(sum(t) AS BIGINT) n_truth,
+        |         CAST(sum(p) AS BIGINT) n_pred,
+        |         CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) tp,
+        |         CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) fp,
+        |         CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) fn
+        |  FROM j)
+        |SELECT n_truth, n_pred, tp, fp, fn,
+        |       CASE WHEN n_pred > 0
+        |            THEN round(CAST(tp AS DOUBLE) / n_pred, 6) END
+        |         AS precision,
+        |       CASE WHEN n_truth > 0
+        |            THEN round(CAST(tp AS DOUBLE) / n_truth, 6) END
+        |         AS recall,
+        |       CASE WHEN tp + fp + fn > 0
+        |            THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+        |FROM c""".stripMargin)
 }

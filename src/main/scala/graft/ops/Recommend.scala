@@ -182,11 +182,53 @@ object Recommend {
       .coalesce(1).orderBy(col("wilson_lb").desc, col("p_brand"))
   }
 
+  // --------------------------------------------------------------- q230
+
+  /** q230 — empirical-Bayes shrinkage of brand repeat rates: each
+    * brand's raw rate pulled toward the cross-brand prior with
+    * beta-binomial method-of-moments strength (α+β = m(1−m)/v − 1,
+    * prior mean m and variance v over the raw rates), shrunk =
+    * (x + α)/(n + α + β) — the James–Stein-style stabilizer that
+    * complements q222's Wilson bound: Wilson widens uncertainty,
+    * shrinkage BORROWS it. Brand counts exact; m and v are float
+    * folds over the ≤|brands| rate list (the q183 convention); the
+    * shrink is one fixed closed-form AST. The moment estimate needs
+    * v > 0 and α,β > 0 — degenerate priors surface as nulls, stated.
+    */
+  def ebShrinkQuery(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "lineitem")
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("o_custkey"))
+      .agg(countDistinct(col("o_orderkey")).as("__orders"))
+    val agg = per.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("__orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      .withColumn("__p",
+        col("n_repeat").cast("double") / col("n_buyers").cast("double"))
+    val prior = agg.agg(count(lit(1)).as("__k"),
+      sum(col("__p")).as("__sp"), sum(col("__p") * col("__p")).as("__sq"))
+    val m = col("__sp") / col("__k")
+    val v = col("__sq") / col("__k") - m * m
+    val strength = m * (lit(1.0) - m) / v - lit(1.0)
+    agg.crossJoin(broadcast(prior))
+      .select(col("p_brand"), col("n_buyers"), col("n_repeat"),
+        round(col("__p"), 6).as("raw_rate"),
+        round(m, 6).as("prior_mean"),
+        when(v > 0 && strength > 0,
+          round((col("n_repeat") + strength * m) /
+            (col("n_buyers") + strength), 6)).as("shrunk_rate"))
+      .coalesce(1).orderBy(col("p_brand"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q126_item_cf" -> (itemCfQuery _),
     "q169_rank_fusion" -> (rrfQuery _),
     "q192_coverage" -> (coverageQuery _),
-    "q222_wilson_rank" -> (wilsonQuery _))
+    "q222_wilson_rank" -> (wilsonQuery _),
+    "q230_eb_shrinkage" -> (ebShrinkQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -288,5 +330,38 @@ object RecommendOracle {
         |              1.96 * sqrt(p * (1.0 - p) / n +
         |                (1.96 * 1.96) / (4.0 * n * n)))
         |             / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_lb
-        |FROM c ORDER BY wilson_lb DESC, p_brand""".stripMargin)
+        |FROM c ORDER BY wilson_lb DESC, p_brand""".stripMargin,
+
+    // same raw rates, same moment prior, same shrink AST
+    "q230_eb_shrinkage" ->
+      """WITH per AS (
+        |  SELECT p.p_brand, o.o_custkey,
+        |         count(DISTINCT o.o_orderkey) AS orders
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_brand, o.o_custkey),
+        |a AS (
+        |  SELECT p_brand, count(*) AS n_buyers,
+        |         CAST(sum(CASE WHEN orders >= 2 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_repeat,
+        |         CAST(sum(CASE WHEN orders >= 2 THEN 1 ELSE 0 END)
+        |              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS p
+        |  FROM per GROUP BY p_brand),
+        |pr AS (
+        |  SELECT count(*) AS k, sum(p) AS sp, sum(p * p) AS sq FROM a),
+        |f AS (
+        |  SELECT a.*, pr.sp / pr.k AS m,
+        |         pr.sq / pr.k - (pr.sp / pr.k) * (pr.sp / pr.k) AS v,
+        |         (pr.sp / pr.k) * (1.0 - pr.sp / pr.k) /
+        |           (pr.sq / pr.k - (pr.sp / pr.k) * (pr.sp / pr.k))
+        |           - 1.0 AS s
+        |  FROM a, pr)
+        |SELECT p_brand, n_buyers, n_repeat,
+        |       round(p, 6) AS raw_rate,
+        |       round(m, 6) AS prior_mean,
+        |       CASE WHEN v > 0 AND s > 0 THEN
+        |         round((n_repeat + s * m) / (n_buyers + s), 6) END
+        |         AS shrunk_rate
+        |FROM f ORDER BY p_brand""".stripMargin)
 }

@@ -372,6 +372,23 @@ class BehaviorSpec extends SparkSpec {
     assert(totalUsers <= distinctUsers) // cohorts with no purchases absent
   }
 
+  test("overdispersion: totals reconcile; NB size only when var > mean") {
+    initQuiet()
+    val rows = Behavior.overdispersionQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totOrders = rows.map(r =>
+      r.getAs[Double]("mean_orders") * r.getAs[Long]("n_customers")).sum
+    val actual = graft.Tables.load(spark, sf, "orders").count()
+    assert(math.abs(totOrders - actual) < actual * 1e-4)
+    rows.foreach { r =>
+      val (mu, v) = (r.getAs[Double]("mean_orders"),
+        r.getAs[Double]("var_orders"))
+      assert(r.getAs[Double]("dispersion") > 0)
+      if (r.isNullAt(r.fieldIndex("nb_size"))) assert(v <= mu + 1e-9)
+      else assert(v > mu && r.getAs[Double]("nb_size") > 0)
+    }
+  }
+
   test("didQuery: A/A placebo sits near zero; cells partition purchases") {
     initQuiet()
     val rows = Behavior.didQuery(spark, sf).collect()

@@ -469,6 +469,22 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("target_share") == t))
   }
 
+  test("detectorAudit: confusion algebra holds; F1 between P and R") {
+    initQuiet()
+    val r = Curation.detectorAudit(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nt, np) = (row.getAs[Long]("n_truth"), row.getAs[Long]("n_pred"))
+    val (tp, fp, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"),
+      row.getAs[Long]("fn"))
+    assert(nt === tp + fn)
+    assert(np === tp + fp)
+    assert(nt > 0 && np > 0)
+    val (p, rc, f1) = (row.getAs[Double]("precision"),
+      row.getAs[Double]("recall"), row.getAs[Double]("f1"))
+    assert(f1 >= math.min(p, rc) - 1e-6 && f1 <= math.max(p, rc) + 1e-6)
+  }
+
   test("burrowsDeltaQuery: all unordered source pairs, delta >= 0") {
     initQuiet()
     val rows = Curation.burrowsDeltaQuery(spark, sf).collect()

@@ -86,4 +86,18 @@ class RecommendSpec extends SparkSpec {
       z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
     assert(math.abs(r0.getAs[Double]("wilson_lb") - lb) < 1e-5)
   }
+
+  test("ebShrinkQuery: shrunk rates sit strictly between raw and prior") {
+    initQuiet()
+    val rows = Recommend.ebShrinkQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(5)).foreach { r =>
+      val (raw, m, s) = (r.getAs[Double]("raw_rate"),
+        r.getAs[Double]("prior_mean"), r.getAs[Double]("shrunk_rate"))
+      // convex combination: between raw and prior, closer to prior
+      // than raw is (|s - m| <= |raw - m|)
+      assert(s >= math.min(raw, m) - 1e-6 && s <= math.max(raw, m) + 1e-6)
+      assert(math.abs(s - m) <= math.abs(raw - m) + 1e-6)
+    }
+  }
 }
