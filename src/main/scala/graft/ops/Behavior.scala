@@ -854,6 +854,39 @@ object Behavior {
       .coalesce(1).orderBy(col("c_mktsegment"))
   }
 
+  // --------------------------------------------------------------- q234
+
+  /** q234 — Markov next-event predictor readout: for each previous
+    * event type, the argmax next state (the 1-step predictor q95's
+    * transition matrix implies), its confidence, and the in-sample
+    * accuracy contribution max_next c(prev,next)/Σc — all exact
+    * integer counts, one division per row, ties broken on the next
+    * state's name. The per-state accuracy column makes the GLOBAL
+    * predictor accuracy Σ max / Σ total recoverable exactly from the
+    * output (pinned in BehaviorSpec) — the baseline any sequence
+    * model must beat before it earns deployment.
+    */
+  def markovPredictorQuery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type").as("next"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", lag(col("next"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+    val best = trans.withColumn("__rn", row_number().over(
+      Window.partitionBy(col("prev"))
+        .orderBy(col("n").desc, col("next"))))
+    val totals = trans.groupBy(col("prev")).agg(sum(col("n")).as("n_from"))
+    best.filter(col("__rn") === 1)
+      .join(totals, "prev")
+      .select(col("prev"), col("n_from"),
+        col("next").as("predicted"),
+        col("n").as("n_hits"),
+        round(col("n").cast("double") / col("n_from"), 6).as("confidence"))
+      .coalesce(1).orderBy(col("prev"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -876,7 +909,8 @@ object Behavior {
     "q194_churn_hazard" -> (hazardQuery _),
     "q204_cohort_ltv" -> (cohortLtv _),
     "q218_did_placebo" -> (didQuery _),
-    "q229_overdispersion" -> (overdispersionQuery _))
+    "q229_overdispersion" -> (overdispersionQuery _),
+    "q234_markov_predictor" -> (markovPredictorQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1413,5 +1447,28 @@ object BehaviorOracle {
         |       round(v / mu, 6) AS dispersion,
         |       CASE WHEN v > mu THEN round(mu * mu / (v - mu), 6) END
         |         AS nb_size
-        |FROM f ORDER BY c_mktsegment""".stripMargin)
+        |FROM f ORDER BY c_mktsegment""".stripMargin,
+
+    // same deterministic-order transitions, same (count desc, name)
+    // argmax
+    "q234_markov_predictor" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS next, ts, event_id,
+        |         lag(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |trans AS (
+        |  SELECT prev, next, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, next),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY prev
+        |    ORDER BY n DESC, next) AS rn
+        |  FROM trans),
+        |tot AS (
+        |  SELECT prev, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM trans GROUP BY prev)
+        |SELECT b.prev, t.n_from, b.next AS predicted, b.n AS n_hits,
+        |       round(CAST(b.n AS DOUBLE) / t.n_from, 6) AS confidence
+        |FROM best b JOIN tot t ON t.prev = b.prev
+        |WHERE b.rn = 1 ORDER BY b.prev""".stripMargin)
 }

@@ -679,6 +679,32 @@ object Concentration {
       .coalesce(1).orderBy(col("lang"))
   }
 
+  // --------------------------------------------------------------- q232
+
+  /** q232 — term burstiness (Church–Gale cf/df): for each term with
+    * document frequency ≥ 20, the mean within-document repetition
+    * cf/df — burstiness separates TOPICAL terms (appear rarely but in
+    * bursts) from FUNCTION words (appear everywhere, ~once per
+    * mention), the signal behind q75's boilerplate scrubbing and any
+    * tf saturation choice. Top-20 by the exact integer-ratio score,
+    * ranked by the cross-multiplied integer compare (cf_a·df_b vs
+    * cf_b·df_a via the rounded double + term tiebreak — identical
+    * doubles both engines). One (term) aggregate over per-doc counts,
+    * map-side combined.
+    */
+  def burstyTermsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("__c"))
+    perDoc.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("cf"))
+      .filter(col("df") >= 20)
+      .select(col("t").as("term"), col("df"), col("cf"),
+        round(col("cf").cast("double") / col("df"), 6).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(20)
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -697,7 +723,8 @@ object Concentration {
     "q197_theil" -> (theilQuery _),
     "q201_abc" -> (abcQuery _),
     "q219_chao1" -> (chao1Query _),
-    "q225_fertility" -> (fertilityQuery _))
+    "q225_fertility" -> (fertilityQuery _),
+    "q232_bursty_terms" -> (burstyTermsQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1101,5 +1128,20 @@ object ConcentrationOracle {
         |         AS chars_per_token,
         |       round(quantile_cont(r, 0.5), 4) AS p50_fertility,
         |       round(quantile_cont(r, 0.9), 4) AS p90_fertility
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // same exact df/cf counts, same rounded ratio rank + term tiebreak
+    "q232_bursty_terms" ->
+      """WITH pd AS (
+        |  SELECT t, doc_id, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY t, doc_id),
+        |a AS (
+        |  SELECT t AS term, count(*) AS df,
+        |         CAST(sum(c) AS BIGINT) AS cf
+        |  FROM pd GROUP BY t HAVING count(*) >= 20)
+        |SELECT term, df, cf,
+        |       round(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+        |FROM a ORDER BY burstiness DESC, term LIMIT 20""".stripMargin)
 }

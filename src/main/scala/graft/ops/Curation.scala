@@ -1446,6 +1446,36 @@ object Curation {
             (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
   }
 
+  /** q233 — token-level vocabulary shift per source: KL(source
+    * unigram distribution ‖ corpus unigram distribution) — the
+    * token-granular strength of drift q228 measures only at the
+    * source-share level (a source can hold its mass share while its
+    * VOCABULARY walks away). Every source token exists in the corpus
+    * distribution by construction, so no smoothing is needed and
+    * every ln argument is a ratio of exact integer products:
+    * p·ln(p/q) = (c_s/N_s)·ln(c_s·N/(c·N_s)). The per-source sum is
+    * a float fold over its vocabulary rounded to 4 dp (the q183
+    * convention). One (source, token) aggregate + a token-keyed
+    * corpus-count attach + two single-row totals.
+    */
+  def unigramKlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("cs"))
+    val corpus = st.groupBy(col("t")).agg(sum(col("cs")).as("c"))
+    val nS = st.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+    val nTot = corpus.agg(sum(col("c")).as("nt"))
+    st.join(corpus, "t").join(nS, "source").crossJoin(broadcast(nTot))
+      .withColumn("__term", (col("cs").cast("double") / col("ns")) *
+        log((col("cs").cast("decimal(38,0)") * col("nt")).cast("double") /
+          (col("c").cast("decimal(38,0)") * col("ns")).cast("double")))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        round(sum(col("__term")), 4).as("kl_to_corpus"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1675,7 +1705,8 @@ object Curation {
     "q221_feature_hash" -> (featureHashAudit _),
     "q227_canonical_dedup" -> (canonicalKeepBest _),
     "q228_mixture_drift" -> (mixtureDriftQuery _),
-    "q231_detector_audit" -> (detectorAudit _))
+    "q231_detector_audit" -> (detectorAudit _),
+    "q233_unigram_kl" -> (unigramKlQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -1173,5 +1173,29 @@ object CurationOracle {
         |         AS recall,
         |       CASE WHEN tp + fp + fn > 0
         |            THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    // same exact counts, same decimal-product ln arguments
+    "q233_unigram_kl" ->
+      """WITH st AS (
+        |  SELECT source, t, count(*) AS cs
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY source, t),
+        |corpus AS (
+        |  SELECT t, CAST(sum(cs) AS BIGINT) AS c FROM st GROUP BY t),
+        |ns AS (
+        |  SELECT source, CAST(sum(cs) AS BIGINT) AS ns
+        |  FROM st GROUP BY source),
+        |nt AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM corpus)
+        |SELECT st.source, CAST(max(ns.ns) AS BIGINT) AS n_tokens,
+        |       count(*) AS vocab,
+        |       round(sum((CAST(st.cs AS DOUBLE) / ns.ns) *
+        |             ln(CAST(CAST(st.cs AS DECIMAL(38,0)) * nt.nt AS DOUBLE) /
+        |                CAST(CAST(corpus.c AS DECIMAL(38,0)) * ns.ns
+        |                     AS DOUBLE))), 4) AS kl_to_corpus
+        |FROM st JOIN corpus ON corpus.t = st.t
+        |        JOIN ns ON ns.source = st.source
+        |        CROSS JOIN nt
+        |GROUP BY st.source ORDER BY st.source""".stripMargin)
 }

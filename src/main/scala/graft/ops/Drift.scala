@@ -1156,16 +1156,20 @@ object Drift {
         lit(2) * rank().over(wx) + count(lit(1)).over(wxt) - 1)
       .withColumn("__my",
         lit(2) * rank().over(wy) + count(lit(1)).over(wyt) - 1)
+    // co-moment sums in DECIMAL(38,0): per-row products fit BIGINT at
+    // any realistic group size, but their SUM overflows long past
+    // ~10^6 rows per group — caught live on the 100x amplified corpus
+    def d38(c: Column) = c.cast("decimal(38,0)")
     orderedSmall(
       ranked.groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("__mx")).as("__sx"), sum(col("__my")).as("__sy"),
-          sum(col("__mx") * col("__my")).as("__sxy"),
-          sum(col("__mx") * col("__mx")).as("__sx2"),
-          sum(col("__my") * col("__my")).as("__sy2"))
+          sum(d38(col("__mx"))).as("__sx"), sum(d38(col("__my"))).as("__sy"),
+          sum(d38(col("__mx") * col("__my"))).as("__sxy"),
+          sum(d38(col("__mx") * col("__mx"))).as("__sx2"),
+          sum(d38(col("__my") * col("__my"))).as("__sy2"))
         .select(col("n_name"), col("n_customers"),
           round((col("n_customers") * col("__sxy") -
-            col("__sx") * col("__sy")) /
+            col("__sx") * col("__sy")).cast("double") /
             nullif(sqrt(
               (col("n_customers") * col("__sx2") -
                 col("__sx") * col("__sx")).cast("double") *
@@ -1659,14 +1663,14 @@ object DriftOracle {
         |  FROM rows0),
         |g AS (
         |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
-        |         CAST(sum(mx) AS BIGINT) AS sx,
-        |         CAST(sum(my) AS BIGINT) AS sy,
-        |         CAST(sum(mx*my) AS BIGINT) AS sxy,
-        |         CAST(sum(mx*mx) AS BIGINT) AS sx2,
-        |         CAST(sum(my*my) AS BIGINT) AS sy2
+        |         CAST(sum(mx) AS DECIMAL(38,0)) AS sx,
+        |         CAST(sum(my) AS DECIMAL(38,0)) AS sy,
+        |         CAST(sum(mx*my) AS DECIMAL(38,0)) AS sxy,
+        |         CAST(sum(mx*mx) AS DECIMAL(38,0)) AS sx2,
+        |         CAST(sum(my*my) AS DECIMAL(38,0)) AS sy2
         |  FROM r GROUP BY n_name)
         |SELECT n_name, n AS n_customers,
-        |       round((n * sxy - sx * sy) /
+        |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
         |             nullif(sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) *
         |                         CAST(n * sy2 - sy * sy AS DOUBLE)), 0.0),
         |             6) AS spearman

@@ -389,6 +389,23 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("markovPredictor: argmax beats uniform; hits bounded by totals") {
+    initQuiet()
+    val rows = Behavior.markovPredictorQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = rows.length // number of observed previous states
+    rows.foreach { r =>
+      val conf = r.getAs[Double]("confidence")
+      // the argmax class can never fall below the uniform share
+      assert(conf >= 1.0 / k - 1e-6 && conf <= 1.0)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_from"))
+    }
+    // global in-sample accuracy = sum hits / sum totals, sane bounds
+    val acc = rows.map(_.getAs[Long]("n_hits")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_from")).sum
+    assert(acc >= 1.0 / k && acc <= 1.0)
+  }
+
   test("didQuery: A/A placebo sits near zero; cells partition purchases") {
     initQuiet()
     val rows = Behavior.didQuery(spark, sf).collect()

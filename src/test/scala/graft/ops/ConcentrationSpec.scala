@@ -243,6 +243,23 @@ class ConcentrationSpec extends SparkSpec {
     }
   }
 
+  test("burstyTermsQuery: burstiness >= 1; support floor respected") {
+    initQuiet()
+    val rows = Concentration.burstyTermsQuery(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") >= 20L)
+      assert(r.getAs[Long]("cf") >= r.getAs[Long]("df"))
+      assert(r.getAs[Double]("burstiness") >= 1.0)
+    }
+    // descending by burstiness
+    val bs = rows.map(_.getAs[Double]("burstiness"))
+    bs.sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+
   test("chao1Query: richness >= observed; unseen mass in (0, 1)") {
     initQuiet()
     val rows = Concentration.chao1Query(spark, sf).collect()

@@ -469,6 +469,23 @@ class CurationSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("target_share") == t))
   }
 
+  test("unigramKlQuery: Gibbs non-negativity; token mass reconciles") {
+    initQuiet()
+    val rows = Curation.unigramKlQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // KL >= 0 per source (4dp rounding slack only)
+      assert(r.getAs[Double]("kl_to_corpus") >= -1e-3)
+      assert(r.getAs[Long]("vocab") > 0)
+    }
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    // recompute corpus token count independently
+    val expected = graft.Tables.load(spark, sf, "documents")
+      .select(size(split(lower(col("text")), " ")).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(totalTokens === expected)
+  }
+
   test("detectorAudit: confusion algebra holds; F1 between P and R") {
     initQuiet()
     val r = Curation.detectorAudit(spark, sf).collect()
