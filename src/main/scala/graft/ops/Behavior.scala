@@ -887,6 +887,123 @@ object Behavior {
       .coalesce(1).orderBy(col("prev"))
   }
 
+  // --------------------------------------------------------------- q235
+
+  /** q235 — ROC AUC of account balance as a conversion score, per
+    * market segment: AUC = P(score_converter > score_non) + ½·ties,
+    * computed EXACTLY via the q142 doubled-midrank trick — Σ(2·mr)
+    * over converters is an integer, U₂ = Σ2mr_pos − n₊(n₊+1) is an
+    * integer, AUC = U₂/(2·n₊·n₋) is ONE division. The
+    * model-evaluation primitive (identical to the Mann–Whitney
+    * statistic, reframed for scoring) — 0.5 means the balance carries
+    * no ranking signal. One segment-partitioned rank window, no
+    * pos×neg pair join.
+    */
+  def aucQuery(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("bal"))
+    val wt = Window.partitionBy(col("seg"), col("bal"))
+    val ranked = labeled.withColumn("__m2",
+      lit(2) * rank().over(w) + count(lit(1)).over(wt) - 1)
+    ranked.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pos")).as("__np"),
+        sum(when(col("pos") === 1, col("__m2")).otherwise(0L)).as("__sp"))
+      .filter(col("__np") > 0 && col("__np") < col("n"))
+      .select(col("seg"), col("n").as("n_customers"),
+        col("__np").as("n_converters"),
+        round((col("__sp") - col("__np") * (col("__np") + 1)).cast("double") /
+          (lit(2) * col("__np") * (col("n") - col("__np"))).cast("double"), 6)
+          .as("auc"))
+      .coalesce(1).orderBy(col("seg"))
+  }
+
+  // --------------------------------------------------------------- q236
+
+  /** q236 — expected calibration error of the balance-percentile
+    * score: score = percent_rank of balance within segment (exact
+    * (rank−1)/(N−1) integers), binned into ntile(10) confidence
+    * bands; ECE = Σ (n_b/N)·|conv_b − mean-score_b| plus the max band
+    * gap — the reliability-diagram summary q155's decile table feeds.
+    * Per-bin means reduce to exact integer sums ((Σrank − n_b) over
+    * (N−1)·n_b); the 10-term weighted fold is a float sum rounded to
+    * 6 dp (the q183 convention).
+    */
+  def eceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"),
+        col("c_custkey").as("ck"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("bal"), col("ck"))
+    val binned = labeled
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("seg"))))
+      .withColumn("__bin", ntile(10).over(w))
+    val bins = binned.groupBy(col("seg"), col("__bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("pos")).as("pb"),
+        sum(col("__r") - 1).as("sr"), max(col("__n")).as("n"))
+      .withColumn("__conv", col("pb").cast("double") / col("nb"))
+      .withColumn("__ms", col("sr").cast("double") /
+        ((col("n") - 1) * col("nb")).cast("double"))
+    bins.groupBy(col("seg"))
+      .agg(max(col("n")).as("n_customers"),
+        round(sum((col("nb").cast("double") / col("n")) *
+          abs(col("__conv") - col("__ms"))), 6).as("ece"),
+        round(max(abs(col("__conv") - col("__ms"))), 6).as("max_gap"))
+      .coalesce(1).orderBy(col("seg"))
+  }
+
+  // --------------------------------------------------------------- q237
+
+  /** q237 — gains table / lift chart: customers ranked by balance
+    * DESCENDING in ntile(10) targeting deciles; per decile the
+    * converter count, cumulative captured share of all converters
+    * (exact integer ratio) and the lift vs the segment base rate
+    * (exact counts, one closed-form double) — the campaign-targeting
+    * readout: "mail the top 2 deciles, capture X% of converters".
+    * Cumulative capture is monotone by construction (spec-pinned).
+    */
+  def gainsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"),
+        col("c_custkey").as("ck"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L).as("pos"))
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("bal").desc, col("ck"))
+    val bins = labeled.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("seg"), col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("converters"))
+    val wCum = Window.partitionBy(col("seg")).orderBy(col("decile"))
+    val wTot = Window.partitionBy(col("seg"))
+    bins
+      .withColumn("__cum", sum(col("converters")).over(wCum))
+      .withColumn("__tp", sum(col("converters")).over(wTot))
+      .withColumn("__tn", sum(col("n")).over(wTot))
+      .select(col("seg"), col("decile"), col("n"), col("converters"),
+        round(col("__cum").cast("double") / col("__tp"), 6)
+          .as("cum_capture"),
+        round((col("converters").cast("double") / col("n")) /
+          (col("__tp").cast("double") / col("__tn")), 6).as("lift"))
+      .coalesce(1).orderBy(col("seg"), col("decile"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q95_transitions" -> (transitions _),
     "q96_rfm_segments" -> (rfm _),
@@ -910,7 +1027,10 @@ object Behavior {
     "q204_cohort_ltv" -> (cohortLtv _),
     "q218_did_placebo" -> (didQuery _),
     "q229_overdispersion" -> (overdispersionQuery _),
-    "q234_markov_predictor" -> (markovPredictorQuery _))
+    "q234_markov_predictor" -> (markovPredictorQuery _),
+    "q235_auc" -> (aucQuery _),
+    "q236_ece" -> (eceQuery _),
+    "q237_gains" -> (gainsQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1470,5 +1590,99 @@ object BehaviorOracle {
         |SELECT b.prev, t.n_from, b.next AS predicted, b.n AS n_hits,
         |       round(CAST(b.n AS DOUBLE) / t.n_from, 6) AS confidence
         |FROM best b JOIN tot t ON t.prev = b.prev
-        |WHERE b.rn = 1 ORDER BY b.prev""".stripMargin)
+        |WHERE b.rn = 1 ORDER BY b.prev""".stripMargin,
+
+    // same doubled midranks, same one-division AUC
+    "q235_auc" ->
+      """WITH lab AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal,
+        |         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS pos
+        |  FROM customer c LEFT JOIN
+        |    (SELECT DISTINCT o_custkey FROM orders
+        |     WHERE year(o_orderdate) = 1997) o
+        |    ON c.c_custkey = o.o_custkey),
+        |r AS (
+        |  SELECT seg, pos,
+        |         2 * rank() OVER (PARTITION BY seg ORDER BY bal) +
+        |           count(*) OVER (PARTITION BY seg, bal) - 1 AS m2
+        |  FROM lab),
+        |g AS (
+        |  SELECT seg, count(*) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS np,
+        |         CAST(sum(CASE WHEN pos = 1 THEN m2 ELSE 0 END) AS BIGINT)
+        |           AS sp
+        |  FROM r GROUP BY seg)
+        |SELECT seg, n AS n_customers, np AS n_converters,
+        |       round(CAST(sp - np * (np + 1) AS DOUBLE) /
+        |             CAST(2 * np * (n - np) AS DOUBLE), 6) AS auc
+        |FROM g WHERE np > 0 AND np < n ORDER BY seg""".stripMargin,
+
+    // same exact percent-rank sums, same 10-band weighted fold
+    "q236_ece" ->
+      """WITH lab AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal,
+        |         c.c_custkey AS ck,
+        |         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS pos
+        |  FROM customer c LEFT JOIN
+        |    (SELECT DISTINCT o_custkey FROM orders
+        |     WHERE year(o_orderdate) = 1997) o
+        |    ON c.c_custkey = o.o_custkey),
+        |r AS (
+        |  SELECT seg, pos,
+        |         row_number() OVER (PARTITION BY seg ORDER BY bal, ck) AS rr,
+        |         count(*) OVER (PARTITION BY seg) AS n,
+        |         ntile(10) OVER (PARTITION BY seg ORDER BY bal, ck) AS bin
+        |  FROM lab),
+        |b AS (
+        |  SELECT seg, bin, count(*) AS nb,
+        |         CAST(sum(pos) AS BIGINT) AS pb,
+        |         CAST(sum(rr - 1) AS BIGINT) AS sr,
+        |         max(n) AS n
+        |  FROM r GROUP BY seg, bin),
+        |f AS (
+        |  SELECT seg, nb, n,
+        |         CAST(pb AS DOUBLE) / nb AS conv,
+        |         CAST(sr AS DOUBLE) / CAST((n - 1) * nb AS DOUBLE) AS ms
+        |  FROM b)
+        |SELECT seg, CAST(max(n) AS BIGINT) AS n_customers,
+        |       round(sum((CAST(nb AS DOUBLE) / n) * abs(conv - ms)), 6)
+        |         AS ece,
+        |       round(max(abs(conv - ms)), 6) AS max_gap
+        |FROM f GROUP BY seg ORDER BY seg""".stripMargin,
+
+    // same descending ntile deciles, same exact cumulative capture
+    "q237_gains" ->
+      """WITH lab AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal,
+        |         c.c_custkey AS ck,
+        |         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS pos
+        |  FROM customer c LEFT JOIN
+        |    (SELECT DISTINCT o_custkey FROM orders
+        |     WHERE year(o_orderdate) = 1997) o
+        |    ON c.c_custkey = o.o_custkey),
+        |b AS (
+        |  SELECT seg,
+        |         ntile(10) OVER (PARTITION BY seg ORDER BY bal DESC, ck)
+        |           AS decile,
+        |         pos
+        |  FROM lab),
+        |g AS (
+        |  SELECT seg, decile, count(*) AS n,
+        |         CAST(sum(pos) AS BIGINT) AS converters
+        |  FROM b GROUP BY seg, decile),
+        |w AS (
+        |  SELECT *,
+        |         sum(converters) OVER (PARTITION BY seg
+        |           ORDER BY decile) AS cum,
+        |         sum(converters) OVER (PARTITION BY seg) AS tp,
+        |         sum(n) OVER (PARTITION BY seg) AS tn
+        |  FROM g)
+        |SELECT seg, decile, n, converters,
+        |       round(CAST(cum AS DOUBLE) / tp, 6) AS cum_capture,
+        |       round((CAST(converters AS DOUBLE) / n) /
+        |             (CAST(tp AS DOUBLE) / tn), 6) AS lift
+        |FROM w ORDER BY seg, decile""".stripMargin)
 }

@@ -812,7 +812,9 @@ object Drift {
 
   /** q209 — decision-stump split finder: per market segment, the
     * account-balance threshold that best separates converters
-    * (customers with ≥ 1 order) from non-converters by entropy
+    * (customers active in the 1997 holdout year — every customer has
+    * SOME order in this corpus, so the all-time label is degenerate)
+    * from non-converters by entropy
     * impurity — one trained tree node, the primitive every
     * boosted/forest pipeline repeats. Candidates are the observed
     * distinct balance values (cents); cumulative class counts come
@@ -827,6 +829,7 @@ object Drift {
   def stumpQuery(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.load(spark, dir, "customer")
     val conv = Tables.load(spark, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1997)
       .select(col("o_custkey")).distinct()
     val labeled = cust.join(conv, col("c_custkey") === col("o_custkey"),
         "left")
@@ -2151,7 +2154,8 @@ object DriftOracle {
         |         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal,
         |         CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS pos
         |  FROM customer c LEFT JOIN
-        |    (SELECT DISTINCT o_custkey FROM orders) o
+        |    (SELECT DISTINCT o_custkey FROM orders
+        |     WHERE year(o_orderdate) = 1997) o
         |    ON c.c_custkey = o.o_custkey),
         |bv AS (
         |  SELECT seg, bal, count(*) AS n, sum(pos) AS p

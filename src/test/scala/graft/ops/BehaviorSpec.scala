@@ -406,6 +406,58 @@ class BehaviorSpec extends SparkSpec {
     assert(acc >= 1.0 / k && acc <= 1.0)
   }
 
+  test("aucQuery: equals brute-force pair counting per segment") {
+    initQuiet()
+    val labeled = graft.Tables.load(spark, sf, "customer")
+      .join(graft.Tables.load(spark, sf, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long"),
+        when(col("o_custkey").isNotNull, 1L).otherwise(0L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = Behavior.aucQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val g = labeled.filter(_._1 == row.getString(0))
+      val pos = g.filter(_._3 == 1L).map(_._2)
+      val neg = g.filter(_._3 == 0L).map(_._2)
+      val wins = (for { p <- pos; n <- neg }
+        yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+      val auc = wins / (pos.length.toLong * neg.length)
+      assert(math.abs(row.getAs[Double]("auc") - auc) < 1e-5,
+        s"${row.getString(0)}")
+    }
+  }
+
+  test("eceQuery: ece bounded by the worst band gap") {
+    initQuiet()
+    val rows = Behavior.eceQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ece, gap) = (r.getAs[Double]("ece"), r.getAs[Double]("max_gap"))
+      assert(ece >= 0.0 && gap >= 0.0)
+      assert(ece <= gap + 1e-6) // weighted mean of gaps <= max gap
+    }
+  }
+
+  test("gainsQuery: capture monotone to 1; deciles partition customers") {
+    initQuiet()
+    val rows = Behavior.gainsQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("decile"))
+      assert(sorted.length === 10)
+      val caps = sorted.map(_.getAs[Double]("cum_capture"))
+      caps.sliding(2).foreach {
+        case Array(a, b) => assert(a <= b + 1e-9)
+        case _ =>
+      }
+      assert(math.abs(caps.last - 1.0) < 1e-9)
+    }
+  }
+
   test("didQuery: A/A placebo sits near zero; cells partition purchases") {
     initQuiet()
     val rows = Behavior.didQuery(spark, sf).collect()

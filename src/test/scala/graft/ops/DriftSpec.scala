@@ -565,6 +565,7 @@ class DriftSpec extends SparkSpec {
     initQuiet()
     val labeled = graft.Tables.load(spark, sf, "customer")
       .join(graft.Tables.load(spark, sf, "orders")
+        .filter(year(col("o_orderdate")) === 1997)
         .select(col("o_custkey")).distinct(),
         col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_mktsegment"),
