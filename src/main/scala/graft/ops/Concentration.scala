@@ -705,6 +705,51 @@ object Concentration {
       .limit(20)
   }
 
+  // --------------------------------------------------------------- q238
+
+  /** q238 — law-of-one-price dispersion audit: per part, the
+    * coefficient of variation of its realized unit price across
+    * lineitems (unit cents = round(extendedprice·100/quantity) — the
+    * rounded double division is the same IEEE op in both engines),
+    * rolled up per brand as the share of parts whose CV exceeds 5%
+    * plus the mean CV — where the same part sells at genuinely
+    * different unit prices, procurement is leaking money (or the
+    * "part" key is dirty). σ/μ per part from exact integer power
+    * sums; the 5% screen is the cross-multiplied integer compare
+    * 400·(nΣx²−S²) > S² (CV² > 1/400 ⇔ CV > 5%), so the FLAG can
+    * never disagree across engines even when the rolled-up mean CV
+    * is a rounded float fold.
+    */
+  def priceDispersionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val unit = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * 100 / col("l_quantity"))
+          .cast("long").as("__u"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val perPart = unit.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("__n"),
+        sum(d38(col("__u"))).as("__s"),
+        sum(d38(col("__u") * col("__u"))).as("__q"))
+      .filter(col("__n") >= 2)
+      .withColumn("__var_num", col("__n") * col("__q") - col("__s") * col("__s"))
+      .withColumn("cv", sqrt(col("__var_num").cast("double")) /
+        col("__s").cast("double"))
+      .withColumn("__flag",
+        when(lit(400) * col("__var_num") > col("__s") * col("__s"), 1L)
+          .otherwise(0L))
+    perPart
+      .join(broadcast(Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("__flag")).as("n_dispersed"),
+        round(sum(col("__flag")).cast("double") / count(lit(1)), 6)
+          .as("dispersed_share"),
+        round(avg(col("cv")), 6).as("mean_cv"))
+      .coalesce(1).orderBy(col("p_brand"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q121_gini" -> (giniQuery _),
     "q122_pareto" -> (paretoQuery _),
@@ -724,7 +769,8 @@ object Concentration {
     "q201_abc" -> (abcQuery _),
     "q219_chao1" -> (chao1Query _),
     "q225_fertility" -> (fertilityQuery _),
-    "q232_bursty_terms" -> (burstyTermsQuery _))
+    "q232_bursty_terms" -> (burstyTermsQuery _),
+    "q238_price_dispersion" -> (priceDispersionQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -1143,5 +1189,32 @@ object ConcentrationOracle {
         |  FROM pd GROUP BY t HAVING count(*) >= 20)
         |SELECT term, df, cf,
         |       round(CAST(cf AS DOUBLE) / df, 6) AS burstiness
-        |FROM a ORDER BY burstiness DESC, term LIMIT 20""".stripMargin)
+        |FROM a ORDER BY burstiness DESC, term LIMIT 20""".stripMargin,
+
+    // same rounded unit cents, same integer CV flag, same rollup
+    "q238_price_dispersion" ->
+      """WITH u AS (
+        |  SELECT l_partkey,
+        |         CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT)
+        |           AS u
+        |  FROM lineitem),
+        |pp AS (
+        |  SELECT l_partkey, count(*) AS n,
+        |         sum(CAST(u AS DECIMAL(38,0))) AS s,
+        |         sum(CAST(u * u AS DECIMAL(38,0))) AS q
+        |  FROM u GROUP BY l_partkey HAVING count(*) >= 2),
+        |f AS (
+        |  SELECT l_partkey,
+        |         sqrt(CAST(n * q - s * s AS DOUBLE)) / CAST(s AS DOUBLE)
+        |           AS cv,
+        |         CASE WHEN 400 * (n * q - s * s) > s * s
+        |              THEN 1 ELSE 0 END AS flag
+        |  FROM pp)
+        |SELECT p.p_brand, count(*) AS n_parts,
+        |       CAST(sum(f.flag) AS BIGINT) AS n_dispersed,
+        |       round(CAST(sum(f.flag) AS DOUBLE) / count(*), 6)
+        |         AS dispersed_share,
+        |       round(avg(f.cv), 6) AS mean_cv
+        |FROM f JOIN part p ON f.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
 }

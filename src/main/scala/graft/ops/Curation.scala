@@ -1476,6 +1476,44 @@ object Curation {
       .coalesce(1).orderBy(col("source"))
   }
 
+  /** q240 — direct standardization: each source's "long document"
+    * rate (n_chars above the corpus median) reported CRUDE and
+    * LANGUAGE-STANDARDIZED — Σ_lang w_lang·rate(source, lang) with the
+    * corpus language mix as the reference weights — the epidemiology
+    * confounder-adjustment that separates "this source writes long"
+    * from "this source is just heavy in a long-winded language".
+    * Strata a source lacks contribute 0 (stated; the standardized
+    * rate then under-reads sources with narrow language coverage,
+    * which is itself signal). Counts exact; the ≤|langs|-term
+    * weighted fold rounds at 6 dp.
+    */
+  def standardizedRateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val med = docs.agg(expr("percentile(n_chars, 0.5)").as("__med"))
+    val flagged = docs.crossJoin(broadcast(med))
+      .select(col("source"), col("lang"),
+        when(col("n_chars") > col("__med"), 1L).otherwise(0L).as("__long"))
+    val cell = flagged.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__n"), sum(col("__long")).as("__l"))
+    val weights = cell.groupBy(col("lang"))
+      .agg(sum(col("__n")).as("__wl"))
+    val wTot = weights.agg(sum(col("__wl")).as("__wt"))
+    val crude = cell.groupBy(col("source"))
+      .agg(sum(col("__n")).as("n_docs"), sum(col("__l")).as("__long"))
+    cell.join(broadcast(weights), "lang").crossJoin(broadcast(wTot))
+      .withColumn("__term", (col("__wl").cast("double") / col("__wt")) *
+        (col("__l").cast("double") / col("__n")))
+      .groupBy(col("source"))
+      .agg(round(sum(col("__term")), 6).as("standardized_rate"),
+        count(lit(1)).as("n_langs"))
+      .join(crude, "source")
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(col("__long").cast("double") / col("n_docs"), 6)
+          .as("crude_rate"),
+        col("standardized_rate"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1706,7 +1744,8 @@ object Curation {
     "q227_canonical_dedup" -> (canonicalKeepBest _),
     "q228_mixture_drift" -> (mixtureDriftQuery _),
     "q231_detector_audit" -> (detectorAudit _),
-    "q233_unigram_kl" -> (unigramKlQuery _))
+    "q233_unigram_kl" -> (unigramKlQuery _),
+    "q240_standardized_rate" -> (standardizedRateQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -1197,5 +1197,38 @@ object CurationOracle {
         |FROM st JOIN corpus ON corpus.t = st.t
         |        JOIN ns ON ns.source = st.source
         |        CROSS JOIN nt
-        |GROUP BY st.source ORDER BY st.source""".stripMargin)
+        |GROUP BY st.source ORDER BY st.source""".stripMargin,
+
+    // same median cut, same corpus-mix weights, same weighted fold
+    "q240_standardized_rate" ->
+      """WITH med AS (
+        |  SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+        |fl AS (
+        |  SELECT source, lang,
+        |         CASE WHEN n_chars > med.m THEN 1 ELSE 0 END AS lng
+        |  FROM documents, med),
+        |cell AS (
+        |  SELECT source, lang, count(*) AS n,
+        |         CAST(sum(lng) AS BIGINT) AS l
+        |  FROM fl GROUP BY source, lang),
+        |w AS (
+        |  SELECT lang, CAST(sum(n) AS BIGINT) AS wl FROM cell GROUP BY lang),
+        |wt AS (SELECT CAST(sum(wl) AS BIGINT) AS wt FROM w),
+        |std AS (
+        |  SELECT cell.source,
+        |         round(sum((CAST(w.wl AS DOUBLE) / wt.wt) *
+        |               (CAST(cell.l AS DOUBLE) / cell.n)), 6)
+        |           AS standardized_rate,
+        |         count(*) AS n_langs
+        |  FROM cell JOIN w ON w.lang = cell.lang CROSS JOIN wt
+        |  GROUP BY cell.source),
+        |crude AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |         CAST(sum(l) AS BIGINT) AS lng
+        |  FROM cell GROUP BY source)
+        |SELECT c.source, c.n_docs, s.n_langs,
+        |       round(CAST(c.lng AS DOUBLE) / c.n_docs, 6) AS crude_rate,
+        |       s.standardized_rate
+        |FROM crude c JOIN std s ON s.source = c.source
+        |ORDER BY c.source""".stripMargin)
 }

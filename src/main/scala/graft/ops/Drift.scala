@@ -947,6 +947,47 @@ object Drift {
       .coalesce(1).orderBy(col("event_type"))
   }
 
+  // --------------------------------------------------------------- q239
+
+  /** q239 — return-rate outlier screen with multiplicity control: per
+    * part type, the two-proportion z of its return rate against the
+    * corpus rate, flagged BOTH at the naive |z| > 1.96 cut and at the
+    * union-bound-corrected cut c = √(2·ln(2k/0.05)) over the k
+    * simultaneous tests (the sub-Gaussian tail bound — slightly
+    * conservative vs the exact normal quantile, and computable as a
+    * closed form in any engine, which an inverse-CDF is not). The
+    * difference between the two flag columns IS the lesson: naive
+    * per-type testing at k≈150 manufactures false alarms. z reduces
+    * to (rN − nR)/√(n·R·(N−R)) — every product exact decimal(38,0),
+    * ONE final division.
+    */
+  def multiTestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("__r"))
+    val per = li.groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n"), sum(col("__r")).as("r"))
+    val tot = per.agg(sum(col("n")).as("__N"), sum(col("r")).as("__R"),
+      count(lit(1)).as("__k"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val z = (d38(col("r")) * col("__N") - d38(col("n")) * col("__R"))
+      .cast("double") /
+      sqrt((d38(col("n")) * col("__R") * (col("__N") - col("__R")))
+        .cast("double"))
+    val crit = sqrt(lit(2.0) * log(lit(40.0) * col("__k")))
+    per.crossJoin(broadcast(tot))
+      .select(col("p_type"), col("n"), col("r").as("n_returned"),
+        round(col("r").cast("double") / col("n"), 6).as("return_rate"),
+        round(z, 4).as("z"),
+        (abs(z) > lit(1.96)).as("flag_naive"),
+        (abs(z) > crit).as("flag_corrected"),
+        round(crit, 4).as("critical_value"))
+      .coalesce(1).orderBy(col("p_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q113_cusum" -> (cusumQuery _),
     "q114_acf" -> (acfQuery _),
@@ -975,7 +1016,8 @@ object Drift {
     "q208_anova" -> (anovaQuery _),
     "q209_stump" -> (stumpQuery _),
     "q220_theil_sen" -> (theilSenQuery _),
-    "q226_exp_fit" -> (expFitQuery _))
+    "q226_exp_fit" -> (expFitQuery _),
+    "q239_multi_test" -> (multiTestQuery _))
 
   // --------------------------------------------------------------- q133
 
@@ -2240,5 +2282,36 @@ object DriftOracle {
         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
         |       round(max(lambda), 6) AS rate_per_hour,
         |       round(max(dd), 6) AS ks_distance
-        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same exact decimal z products, same closed-form union bound
+    "q239_multi_test" ->
+      """WITH li AS (
+        |  SELECT p.p_type,
+        |         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |per AS (
+        |  SELECT p_type, count(*) AS n,
+        |         CAST(sum(r) AS BIGINT) AS r
+        |  FROM li GROUP BY p_type),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |         CAST(sum(r) AS BIGINT) AS rr,
+        |         count(*) AS k
+        |  FROM per),
+        |f AS (
+        |  SELECT per.p_type, per.n, per.r, tot.k,
+        |         CAST(CAST(per.r AS DECIMAL(38,0)) * tot.nn
+        |              - CAST(per.n AS DECIMAL(38,0)) * tot.rr AS DOUBLE) /
+        |         sqrt(CAST(CAST(per.n AS DECIMAL(38,0)) * tot.rr
+        |              * (tot.nn - tot.rr) AS DOUBLE)) AS z,
+        |         sqrt(2.0 * ln(40.0 * tot.k)) AS crit
+        |  FROM per, tot)
+        |SELECT p_type, n, r AS n_returned,
+        |       round(CAST(r AS DOUBLE) / n, 6) AS return_rate,
+        |       round(z, 4) AS z,
+        |       abs(z) > 1.96 AS flag_naive,
+        |       abs(z) > crit AS flag_corrected,
+        |       round(crit, 4) AS critical_value
+        |FROM f ORDER BY p_type""".stripMargin)
 }

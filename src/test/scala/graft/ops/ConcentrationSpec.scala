@@ -260,6 +260,18 @@ class ConcentrationSpec extends SparkSpec {
     }
   }
 
+  test("priceDispersionQuery: flags consistent with the 5% CV cut") {
+    initQuiet()
+    val rows = Concentration.priceDispersionQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dispersed") <= r.getAs[Long]("n_parts"))
+      val share = r.getAs[Double]("dispersed_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(r.getAs[Double]("mean_cv") >= 0.0)
+    }
+  }
+
   test("chao1Query: richness >= observed; unseen mass in (0, 1)") {
     initQuiet()
     val rows = Concentration.chao1Query(spark, sf).collect()

@@ -486,6 +486,21 @@ class CurationSpec extends SparkSpec {
     assert(totalTokens === expected)
   }
 
+  test("standardizedRateQuery: rates bounded; reweighting is real") {
+    initQuiet()
+    val rows = Curation.standardizedRateQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (crude, std) = (r.getAs[Double]("crude_rate"),
+        r.getAs[Double]("standardized_rate"))
+      assert(crude >= 0.0 && crude <= 1.0)
+      // standardized rate is a sub-convex combination (missing strata
+      // contribute 0), so it can never exceed 1
+      assert(std >= 0.0 && std <= 1.0)
+      assert(r.getAs[Long]("n_langs") > 0)
+    }
+  }
+
   test("detectorAudit: confusion algebra holds; F1 between P and R") {
     initQuiet()
     val r = Curation.detectorAudit(spark, sf).collect()

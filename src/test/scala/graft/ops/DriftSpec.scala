@@ -633,6 +633,21 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("multiTestQuery: corrected flags subset of naive; z sane") {
+    initQuiet()
+    val rows = Drift.multiTestQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val crit = rows.head.getAs[Double]("critical_value")
+    assert(crit > 1.96) // multiplicity correction is strictly harder
+    rows.foreach { r =>
+      assert(r.getAs[Double]("critical_value") === crit)
+      if (r.getAs[Boolean]("flag_corrected"))
+        assert(r.getAs[Boolean]("flag_naive"))
+      val rate = r.getAs[Double]("return_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("kdeQuery: densities non-negative; grid mass integrates to ~1") {
     initQuiet()
     val rows = Drift.kdeQuery(spark, sf).collect()
