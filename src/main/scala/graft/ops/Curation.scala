@@ -1514,6 +1514,50 @@ object Curation {
       .coalesce(1).orderBy(col("source"))
   }
 
+  /** q243 — inter-detector agreement (Cohen's kappa): each document
+    * flagged "duplicate" by the n-gram detector (member of any q25
+    * pair) and independently by the SimHash detector (any q24 pair);
+    * kappa corrects the raw agreement for chance — the reliability
+    * statistic that says whether two detectors genuinely see the SAME
+    * duplicates or just both say "rare". Complements q231: that audit
+    * scores PAIR sets against a truth; this one scores DOC-level
+    * verdicts against each other with no truth assumed. All counts
+    * exact; po, pe and kappa are fixed closed-form doubles.
+    */
+  def kappaQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def flagged(pairs: DataFrame): DataFrame =
+      pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val ng = flagged(Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.5)).withColumn("__ng", lit(1L))
+    val sh = flagged(Dedup.nearSimhash(docs, "doc_id", "text",
+      maxHamming = 3, sig = Dedup.simhashMd5, sigBits = 60))
+      .withColumn("__sh", lit(1L))
+    val j = docs.select(col("doc_id"))
+      .join(ng, Seq("doc_id"), "left").join(sh, Seq("doc_id"), "left")
+      .select(coalesce(col("__ng"), lit(0L)).as("g"),
+        coalesce(col("__sh"), lit(0L)).as("s"))
+    val c = j.agg(count(lit(1)).as("n"),
+      sum(when(col("g") === 1 && col("s") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("g") === 1 && col("s") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("g") === 0 && col("s") === 1, 1L).otherwise(0L)).as("c"),
+      sum(when(col("g") === 0 && col("s") === 0, 1L).otherwise(0L)).as("d"))
+    def d38(x: Column) = x.cast("decimal(38,0)")
+    val n = col("n").cast("double")
+    val po = (col("a") + col("d")).cast("double") / n
+    // marginal products in DECIMAL(38,0): at corpus scale the counts
+    // square past long range
+    val pe = (d38(col("a") + col("b")) * (col("a") + col("c")) +
+      d38(col("c") + col("d")) * (col("b") + col("d"))).cast("double") /
+      (n * n)
+    c.select(col("n").as("n_docs"), col("a").as("both_dup"),
+        col("b").as("ngram_only"), col("c").as("simhash_only"),
+        col("d").as("neither"),
+        round(po, 6).as("agreement"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** q81 — cohort retention (oracle-checked): users bucketed by
     * first-event ISO week, distinct-user counts per (cohort week,
     * week offset) via [[Temporal.cohortRetention]]. Monday-truncated
@@ -1745,7 +1789,8 @@ object Curation {
     "q228_mixture_drift" -> (mixtureDriftQuery _),
     "q231_detector_audit" -> (detectorAudit _),
     "q233_unigram_kl" -> (unigramKlQuery _),
-    "q240_standardized_rate" -> (standardizedRateQuery _))
+    "q240_standardized_rate" -> (standardizedRateQuery _),
+    "q243_detector_kappa" -> (kappaQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -1230,5 +1230,76 @@ object CurationOracle {
         |       round(CAST(c.lng AS DOUBLE) / c.n_docs, 6) AS crude_rate,
         |       s.standardized_rate
         |FROM crude c JOIN std s ON s.source = c.source
-        |ORDER BY c.source""".stripMargin)
+        |ORDER BY c.source""".stripMargin,
+
+    // truth-free agreement: q25/q24 doc-level flags, closed kappa
+    "q243_detector_kappa" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |np AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ngd AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT id_a AS doc_id FROM np
+        |    WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5
+        |    UNION ALL
+        |    SELECT id_b FROM np
+        |    WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5)),
+        |tk AS (
+        |  SELECT doc_id, string_split(text, ' ') toks FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, tok -> CAST(list_sum(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef', md5(tok)[i]) - 1 AS BIGINT)
+        |           * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)) hs
+        |  FROM tk),
+        |sg AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN 2 * len(list_filter(hs, hv -> (hv >> j) & 1 = 1)) > len(hs)
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) sig
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 ck
+        |  FROM sg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b) bi),
+        |shp AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.ck = y.ck
+        |  WHERE x.doc_id < y.doc_id
+        |    AND bit_count(xor(x.sig, y.sig)) <= 3),
+        |shd AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT id_a AS doc_id FROM shp
+        |    UNION ALL SELECT id_b FROM shp)),
+        |j AS (
+        |  SELECT CASE WHEN ngd.doc_id IS NOT NULL THEN 1 ELSE 0 END g,
+        |         CASE WHEN shd.doc_id IS NOT NULL THEN 1 ELSE 0 END s
+        |  FROM documents d
+        |  LEFT JOIN ngd ON ngd.doc_id = d.doc_id
+        |  LEFT JOIN shd ON shd.doc_id = d.doc_id),
+        |c AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN g = 1 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT) a,
+        |    CAST(sum(CASE WHEN g = 1 AND s = 0 THEN 1 ELSE 0 END) AS BIGINT) b,
+        |    CAST(sum(CASE WHEN g = 0 AND s = 1 THEN 1 ELSE 0 END) AS BIGINT) c,
+        |    CAST(sum(CASE WHEN g = 0 AND s = 0 THEN 1 ELSE 0 END) AS BIGINT) d
+        |  FROM j)
+        |SELECT n AS n_docs, a AS both_dup, b AS ngram_only,
+        |       c AS simhash_only, d AS neither,
+        |       round(CAST(a + d AS DOUBLE) / n, 6) AS agreement,
+        |       round((CAST(a + d AS DOUBLE) / n
+        |              - CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c)
+        |                   + CAST(c + d AS DECIMAL(38,0)) * (b + d) AS DOUBLE)
+        |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |             / (1.0 - CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c)
+        |                   + CAST(c + d AS DECIMAL(38,0)) * (b + d) AS DOUBLE)
+        |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |         AS kappa
+        |FROM c""".stripMargin)
 }

@@ -179,10 +179,65 @@ object Ledger {
       .coalesce(1).orderBy(col("p_type"))
   }
 
+  // --------------------------------------------------------------- q242
+
+  /** q242 — FIFO ending-inventory valuation: the OTHER side of q178's
+    * ledger — after returned quantity consumes non-returned lots in
+    * FIFO order, what remains on the shelf per brand, valued at each
+    * LOT's own unit cost (the FIFO carrying value a balance sheet
+    * reports). Per-lot remaining = qty − Σmatched via one aggregate
+    * over [[fifoMatch]]'s pairs LEFT-joined back to the full lot list
+    * (unmatched lots carry in full); exact integer quantities and
+    * cents throughout; the per-brand depletion share is one division.
+    * Conservation — matched + remaining = supplied, brand by brand —
+    * sits in LedgerSpec. The lot identity is (partkey, s_lo): this
+    * corpus REUSES (orderkey, linenumber) across rows (found live —
+    * a (orderkey, linenumber) rollup over-attributed 14 units on one
+    * brand at sf0.001), while the cumulative interval start is unique
+    * per lot within a part by construction.
+    */
+  def endingInventoryQuery(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+    val seqCols = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+    val supply = li.filter(col("l_returnflag") === "N")
+      .withColumn("unit_cents",
+        round(col("l_extendedprice") * 100 / col("l_quantity")).cast("long"))
+    val demand = li.filter(col("l_returnflag") === "R")
+    val matched = fifoMatch(supply, demand, "l_partkey", "l_quantity", seqCols)
+      .groupBy(col("l_partkey").as("__pk"), col("s_lo").as("__slo"))
+      .agg(sum(col("matched_qty")).as("__m"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(seqCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    supply
+      .withColumn("__shi", sum(col("l_quantity").cast("long")).over(w))
+      .withColumn("__slo2", col("__shi") - col("l_quantity").cast("long"))
+      .join(matched, col("l_partkey") === col("__pk") &&
+        col("__slo2") === col("__slo"), "left")
+      .withColumn("__rem",
+        col("l_quantity").cast("long") - coalesce(col("__m"), lit(0L)))
+      .join(broadcast(Tables.load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lots"),
+        sum(col("l_quantity").cast("long")).as("supplied_qty"),
+        sum(col("__rem")).as("remaining_qty"),
+        round(sum(col("__rem") * col("unit_cents")) / 100.0, 2)
+          .as("fifo_value"),
+        round(sum(col("__rem")).cast("double") /
+          sum(col("l_quantity").cast("long")), 6).as("remaining_share"))
+      .coalesce(1).orderBy(col("p_brand"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q178_fifo_costing" -> (fifoCostingQuery _),
     "q184_capped_balance" -> (cappedBalanceQuery _),
-    "q214_unit_value_index" -> (unitValueIndexQuery _))
+    "q214_unit_value_index" -> (unitValueIndexQuery _),
+    "q242_ending_inventory" -> (endingInventoryQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -311,5 +366,50 @@ object LedgerOracle {
         |             AS DECIMAL(38,0)) AS DOUBLE) /
         |             CAST(CAST(q97 AS DECIMAL(38,0)) * CAST(r96
         |             AS DECIMAL(38,0)) AS DOUBLE), 6) AS uv_index
-        |FROM t ORDER BY p_type""".stripMargin)
+        |FROM t ORDER BY p_type""".stripMargin,
+
+    // same intervals as q178, remaining = qty - matched per LOT
+    "q242_ending_inventory" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_orderkey, l_linenumber,
+        |         CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT)
+        |           AS unit_cents,
+        |         sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_partkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_hi,
+        |         CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem WHERE l_returnflag = 'N'),
+        |dem AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(l_quantity AS BIGINT)) OVER (
+        |           PARTITION BY l_partkey
+        |           ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d_hi,
+        |         CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |pairs AS (
+        |  SELECT s.l_partkey AS pk, s.s_hi - s.q AS slo,
+        |         least(s.s_hi, d.d_hi) -
+        |           greatest(s.s_hi - s.q, d.d_hi - d.q) AS m
+        |  FROM supply s JOIN dem d
+        |    ON s.l_partkey = d.l_partkey
+        |   AND s.s_hi - s.q < d.d_hi AND d.d_hi - d.q < s.s_hi),
+        |ml AS (
+        |  SELECT pk, slo, CAST(sum(m) AS BIGINT) AS m
+        |  FROM pairs GROUP BY pk, slo),
+        |inv AS (
+        |  SELECT s.l_partkey, s.unit_cents, s.q,
+        |         s.q - coalesce(ml.m, 0) AS rem
+        |  FROM supply s LEFT JOIN ml
+        |    ON ml.pk = s.l_partkey AND ml.slo = s.s_hi - s.q)
+        |SELECT p.p_brand, count(*) AS n_lots,
+        |       CAST(sum(inv.q) AS BIGINT) AS supplied_qty,
+        |       CAST(sum(inv.rem) AS BIGINT) AS remaining_qty,
+        |       round(sum(inv.rem * inv.unit_cents) / 100.0, 2)
+        |         AS fifo_value,
+        |       round(CAST(sum(inv.rem) AS DOUBLE) / sum(inv.q), 6)
+        |         AS remaining_share
+        |FROM inv JOIN part p ON inv.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
 }

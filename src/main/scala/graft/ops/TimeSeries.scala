@@ -471,6 +471,48 @@ object TimeSeries {
       .coalesce(1).orderBy(col("event_type"))
   }
 
+  // --------------------------------------------------------------- q241
+
+  /** q241 — weekday-seasonality strength per event type: the share of
+    * daily-count variance explained by the day-of-week means,
+    * η² = SS_between/SS_total over the daily series — the single
+    * number that says whether q206's decomposition is worth running
+    * at all (η² ≈ 0 ⇒ no weekly pattern to remove). Exact decimal
+    * power sums per (type, weekday) cell; SS terms combine in the
+    * fixed q208 closed form; grand terms attach as one broadcast row
+    * per type via a window over the ≤|types|·7 aggregate.
+    */
+  def seasonalityStrengthQuery(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", date_format(col("day"), "EEEE"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val cells = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("nc"), sum(d38(col("x"))).as("sc"),
+        sum(d38(col("x") * col("x"))).as("qc"))
+    val wT = Window.partitionBy(col("event_type"))
+    val g = cells
+      .withColumn("__n", sum(col("nc")).over(wT))
+      .withColumn("__s", sum(col("sc")).over(wT))
+      .withColumn("__q", sum(col("qc")).over(wT))
+      // per-cell contribution to SS_between: sc²/nc (double, fixed AST)
+      .withColumn("__cellterm",
+        col("sc").cast("double") * col("sc").cast("double") /
+          col("nc").cast("double"))
+    g.groupBy(col("event_type"))
+      .agg(max(col("__n")).as("n_days"),
+        sum(col("__cellterm")).as("__between_raw"),
+        max(col("__s").cast("double")).as("__sd"),
+        max(col("__q").cast("double")).as("__qd"),
+        max(col("__n")).cast("double").as("__nd"))
+      .select(col("event_type"), col("n_days"),
+        round((col("__between_raw") - col("__sd") * col("__sd") / col("__nd"))
+          / (col("__qd") - col("__sd") * col("__sd") / col("__nd")), 6)
+          .as("eta_sq"))
+      .coalesce(1).orderBy(col("event_type"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q102_twap" -> (twapQuery _),
     "q103_ewma" -> (ewmaQuery _),
@@ -482,7 +524,8 @@ object TimeSeries {
     "q206_seasonal_decompose" -> (seasonalDecomposeQuery _),
     "q212_deseasonal_anomaly" -> (deseasonalAnomalyQuery _),
     "q223_var_cvar" -> (varQuery _),
-    "q224_mase_backtest" -> (maseQuery _))
+    "q224_mase_backtest" -> (maseQuery _),
+    "q241_seasonality_strength" -> (seasonalityStrengthQuery _))
 
   val allNames: Seq[String] = all.map(_._1)
 }
@@ -807,5 +850,32 @@ object TimeSeriesOracle {
         |             / ((sum(e1) // count(*)) * 10000
         |              + ((sum(e1) % count(*)) * 10000) // count(*)), 6)
         |         AS mase
-        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same exact cell sums, same fixed closed-form eta squared
+    "q241_seasonality_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x,
+        |         dayname(CAST(ts AS DATE)) AS dow
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |cells AS (
+        |  SELECT event_type, dow, count(*) AS nc,
+        |         sum(CAST(x AS DECIMAL(38,0))) AS sc,
+        |         sum(CAST(x * x AS DECIMAL(38,0))) AS qc
+        |  FROM daily GROUP BY event_type, dow),
+        |g AS (
+        |  SELECT event_type,
+        |         CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |           / CAST(nc AS DOUBLE) AS cellterm,
+        |         sum(nc) OVER (PARTITION BY event_type) AS n,
+        |         sum(sc) OVER (PARTITION BY event_type) AS s,
+        |         sum(qc) OVER (PARTITION BY event_type) AS q
+        |  FROM cells)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+        |       round((sum(cellterm) - CAST(max(s) AS DOUBLE)
+        |              * CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE))
+        |             / (CAST(max(q) AS DOUBLE) - CAST(max(s) AS DOUBLE)
+        |              * CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE)), 6)
+        |         AS eta_sq
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

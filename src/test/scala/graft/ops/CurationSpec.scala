@@ -501,6 +501,19 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("kappaQuery: cells partition docs; kappa <= agreement bound") {
+    initQuiet()
+    val r = Curation.kappaQuery(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val total = row.getAs[Long]("both_dup") + row.getAs[Long]("ngram_only") +
+      row.getAs[Long]("simhash_only") + row.getAs[Long]("neither")
+    assert(total === row.getAs[Long]("n_docs"))
+    val (po, k) = (row.getAs[Double]("agreement"), row.getAs[Double]("kappa"))
+    assert(po >= 0.0 && po <= 1.0)
+    assert(k <= 1.0 + 1e-9 && k <= po + 1e-6) // kappa never exceeds po
+  }
+
   test("detectorAudit: confusion algebra holds; F1 between P and R") {
     initQuiet()
     val r = Curation.detectorAudit(spark, sf).collect()

@@ -102,4 +102,20 @@ class LedgerSpec extends SparkSpec {
       assert(math.abs(idx - u97 / u96) < 1e-2, s"$idx vs ${u97 / u96}")
     }
   }
+
+  test("endingInventory: matched + remaining conserve supplied, per brand") {
+    initQuiet()
+    val inv = Ledger.endingInventoryQuery(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("supplied_qty"), r.getAs[Long]("remaining_qty"))).toMap
+    val cogs = Ledger.fifoCostingQuery(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("matched_qty")).toMap
+    assert(inv.nonEmpty)
+    inv.foreach { case (brand, (supplied, remaining)) =>
+      assert(remaining >= 0 && remaining <= supplied)
+      // q178's matched quantity is the exact complement of remaining
+      assert(cogs.getOrElse(brand, 0L) + remaining === supplied,
+        s"$brand: ${cogs.getOrElse(brand, 0L)} + $remaining != $supplied")
+    }
+  }
 }

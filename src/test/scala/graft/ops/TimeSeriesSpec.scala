@@ -183,6 +183,17 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonalityStrengthQuery: eta squared lives in [0, 1]") {
+    initQuiet()
+    val rows = TimeSeries.seasonalityStrengthQuery(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("eta_sq")
+      assert(e >= -1e-9 && e <= 1.0 + 1e-9, s"${r.getString(0)}: $e")
+      assert(r.getAs[Long]("n_days") > 0)
+    }
+  }
+
   test("varQuery: expected shortfall never exceeds the VaR cut") {
     initQuiet()
     val rows = TimeSeries.varQuery(spark, sf).collect()
