@@ -88,7 +88,13 @@ object ScaleCheck {
       // attach — all IdentityBroadcastMode single-row patterns
       "q186_decayed_engagement", "q188_negative_samples",
       "q194_churn_hazard", "q195_simpson", "q196_bloom_join",
-      "q197_theil", "q198_kde", "q213_capture_recapture")
+      "q197_theil", "q198_kde", "q213_capture_recapture",
+      // q217 attaches the 50-row top-vocab list; q218/q228/q230/q233/
+      // q239 single-row stats/prior/total rows; q240 the median +
+      // weight-total single rows — all bounded attaches
+      "q217_burrows_delta", "q218_did_placebo", "q228_mixture_drift",
+      "q230_eb_shrinkage", "q233_unigram_kl", "q239_multi_test",
+      "q240_standardized_rate")
 
     // headline 20 + join battery + the round-5/6 additions (boilerplate
     // n-grams, count-min, priority sampling, quantile sketch, scd2,
@@ -157,7 +163,19 @@ object ScaleCheck {
       "q207_linear_counting", "q208_anova", "q209_stump",
       "q210_rapid_repeats", "q211_assortativity",
       "q212_deseasonal_anomaly", "q213_capture_recapture",
-      "q214_unit_value_index", "q215_cond_entropy", "q216_up_streak")
+      "q214_unit_value_index", "q215_cond_entropy", "q216_up_streak",
+      // evaluation / economics / epidemiology waves; q231/q243 join
+      // the q25 pair-machinery family (quadratic on the exact-twins
+      // amplified corpus — ScaleRun territory, like q90/q140/q143)
+      "q217_burrows_delta", "q218_did_placebo", "q219_chao1",
+      "q220_theil_sen", "q221_feature_hash", "q222_wilson_rank",
+      "q223_var_cvar", "q224_mase_backtest", "q225_fertility",
+      "q226_exp_fit", "q227_canonical_dedup", "q228_mixture_drift",
+      "q229_overdispersion", "q230_eb_shrinkage", "q232_bursty_terms",
+      "q233_unigram_kl", "q234_markov_predictor", "q235_auc",
+      "q236_ece", "q237_gains", "q238_price_dispersion",
+      "q239_multi_test", "q240_standardized_rate",
+      "q241_seasonality_strength", "q242_ending_inventory")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)
