@@ -16,12 +16,33 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q03(spark, "/root/testdata/sf0.001")
 
+  /** One row per query family: (family name, query inventory, oracle
+    * inventory). `queries`, `oracleSql`, AND InventorySpec's anti-shadowing
+    * guard all derive from this single list — adding a family here wires it
+    * into the driver gate and the registry-integrity spec in one place, so
+    * the guard can never go stale against the registry again.
+    */
+  val families: Seq[(String, Seq[(String, (SparkSession, String) => DataFrame)], Seq[(String, String)])] = Seq(
+    ("relational", Relational.all, OracleSql.all),
+    ("curation", Curation.all, CurationOracle.all),
+    ("integrity", Integrity.all, IntegrityOracle.all),
+    ("behavior", Behavior.all, BehaviorOracle.all),
+    ("timeseries", TimeSeries.all, TimeSeriesOracle.all),
+    ("graph", Graph.all, GraphOracle.all),
+    ("drift", Drift.all, DriftOracle.all),
+    ("spans", Spans.all, SpansOracle.all),
+    ("concentration", Concentration.all, ConcentrationOracle.all),
+    ("recommend", Recommend.all, RecommendOracle.all),
+    ("ledger", Ledger.all, LedgerOracle.all),
+    ("bloom", Bloom.all, BloomOracle.all)
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (Relational.all ++ Curation.all ++ Integrity.all ++ Behavior.all ++ TimeSeries.all ++ Graph.all ++ Drift.all ++ Spans.all ++ Concentration.all ++ Recommend.all ++ Ledger.all ++ Bloom.all).toMap
+    families.flatMap(_._2).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    (OracleSql.all ++ CurationOracle.all ++ IntegrityOracle.all ++ BehaviorOracle.all ++ TimeSeriesOracle.all ++ GraphOracle.all ++ DriftOracle.all ++ SpansOracle.all ++ ConcentrationOracle.all ++ RecommendOracle.all ++ LedgerOracle.all ++ BloomOracle.all).toMap
+    families.flatMap(_._3).toMap
 }
