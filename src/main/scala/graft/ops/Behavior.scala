@@ -828,8 +828,10 @@ object Behavior {
     * count regression, and the r̂ that parameterizes the NB when it
     * is not (null when underdispersed — the NB does not exist there,
     * stated rather than NaN'd). Customers with zero orders COUNT as
-    * zeros (left join — dropping them biases μ up), sample variance
-    * via exact decimal power sums, finals as fixed closed-form
+    * zeros (left join — dropping them biases μ up), POPULATION
+    * variance ((n·Σk² − (Σk)²)/n²) via exact decimal power sums —
+    * the MoM plug-in estimator; at this grain the n vs n−1
+    * distinction is negligible — finals as fixed closed-form
     * doubles. One customer-grain aggregate, |segments| rows.
     */
   def overdispersionQuery(spark: SparkSession, dir: String): DataFrame = {

@@ -1710,7 +1710,9 @@ object Curation {
       .crossJoin(broadcast(nPartsDf))
       .select(col("c_custkey"), col("c_mktsegment"), col("__np"),
         explode(sequence(lit(0), lit(2))).as("__i"))
-      .withColumn("cand_part", pmod(h, col("__np")))
+      // +1: partkeys are 1..n_parts, so pmod alone would make candidate 0
+      // uncollidable and partkey n_parts unsampleable (reject-rate bias).
+      .withColumn("cand_part", pmod(h, col("__np")) + lit(1))
     val pos = Tables.load(spark, dir, "orders")
       .join(Tables.load(spark, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))

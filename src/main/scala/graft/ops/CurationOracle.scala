@@ -974,7 +974,7 @@ object CurationOracle {
         |cand AS (
         |  SELECT c_custkey, c_mktsegment,
         |         CAST(((hv % (SELECT n FROM np)) + (SELECT n FROM np))
-        |           % (SELECT n FROM np) AS BIGINT) AS cand_part
+        |           % (SELECT n FROM np) + 1 AS BIGINT) AS cand_part
         |  FROM h),
         |pos AS (
         |  SELECT DISTINCT o.o_custkey, l.l_partkey

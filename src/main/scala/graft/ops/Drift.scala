@@ -741,6 +741,10 @@ object Drift {
       .groupBy(col("o_orderpriority"), col("b"))
       .agg(sum(col("__w") * col("__c")).as("__wx"),
         sum(col("__w")).as("__sw"))
+      // a replicate where EVERY order drew weight 0 (P ≈ 0.368^n, only
+      // possible at trivially small corpora) has no mean: drop it rather
+      // than emit a null that would shift the sorted order statistics
+      .filter(col("__sw") > 0)
       .withColumn("__m_e4",
         expr("(__wx div __sw) * 10000 + ((__wx % __sw) * 10000) div __sw"))
     val point = orders.groupBy(col("o_orderpriority"))
@@ -2106,7 +2110,7 @@ object DriftOracle {
         |m AS (
         |  SELECT o_orderpriority, b,
         |         (wx // sw) * 10000 + ((wx % sw) * 10000) // sw AS m_e4
-        |  FROM w),
+        |  FROM w WHERE sw > 0),
         |arr AS (
         |  SELECT o_orderpriority, list_sort(list(m_e4)) AS a
         |  FROM m GROUP BY o_orderpriority),

@@ -771,7 +771,7 @@ object TimeSeriesOracle {
         |           AS resid_e4
         |  FROM det JOIN seas
         |    ON seas.event_type = det.event_type AND seas.dow = det.dow
-        |  WHERE det.n7 = 7),
+        |  WHERE det.n7 = 7 AND seas.seas_e4 IS NOT NULL),
         |m AS (
         |  SELECT *,
         |         count(*) OVER t AS n,

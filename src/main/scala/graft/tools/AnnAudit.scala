@@ -60,34 +60,46 @@ object AnnAudit {
 
     val (exact, tExact) = topSets(run(
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)))
-    // default knobs: the cheap configuration
-    val (lsh, tLsh) = topSets(run(
-      Similarity.annTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)))
-    val (ivf, tIvf) = topSets(run(
-      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k)))
-    // recall-tuned knobs: LSH buys recall with more/larger tables
-    // (1-(1-c^p)^L), IVF with a wider probe fan — the dial a user turns
-    // when the corpus (like this one: near-random vectors, LSH's worst
-    // case) carries weak neighborhood structure
-    val (lshQ, tLshQ) = topSets(run(
-      Similarity.annTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k,
-        L = 32, bucketTarget = 128)))
-    val (ivfQ, tIvfQ) = topSets(run(
-      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qv", k,
-        numCells = 64, nProbe = 32)))
+
+    // the recall/cost grid: LSH over (L, bucketTarget); IVF over nProbe.
+    // The LIBRARY DEFAULTS sit inside the grid — the "default" rows below
+    // are literally `annTopK(...)`/`ivfTopK(...)` with no knobs, so the
+    // A4 contract (defaults ≥ 0.8 recall) is checked on the real entry
+    // points, and the rest of the grid documents the cost curve a user
+    // dials along.
+    val lshGrid = Seq(("fast", Some((12, 32))), ("default", None),
+      ("max", Some((48, 256))))
+    val ivfGrid = Seq(("fast", Some(8)), ("probe16", Some(16)),
+      ("default", None), ("probe32", Some(32)))
+    val lshRows = lshGrid.map { case (tag, knobs) =>
+      val (m, t) = topSets(run(knobs match {
+        case Some((l, b)) => Similarity.annTopK(
+          emb, "vec_id", "embedding", queries, "qid", "qv", k,
+          L = l, bucketTarget = b)
+        case None => Similarity.annTopK(
+          emb, "vec_id", "embedding", queries, "qid", "qv", k)
+      }))
+      f""""lsh_$tag": {"recall_at_k": ${recallOf(m, exact)}%.4f, "sec": $t%.3f}"""
+    }
+    val ivfRows = ivfGrid.map { case (tag, knobs) =>
+      val (m, t) = topSets(run(knobs match {
+        case Some(np) => Similarity.ivfTopK(
+          emb, "vec_id", "embedding", queries, "qid", "qv", k, nProbe = np)
+        case None => Similarity.ivfTopK(
+          emb, "vec_id", "embedding", queries, "qid", "qv", k)
+      }))
+      f""""ivf_$tag": {"recall_at_k": ${recallOf(m, exact)}%.4f, "sec": $t%.3f}"""
+    }
 
     val json =
       f"""{
-         |  "note": "ANN recall/latency audit: ${nq} deterministic queries (lowest vec_ids) against the $n-vector corpus; ground truth = exact broadcast cosine top-$k; recall@$k averaged over queries. 'default' = library defaults (LSH: L=12 tables, p sized for 32/bucket; IVF: 64 cells, 8 probes); 'tuned' = the recall dial turned up (LSH: L=32, 128/bucket; IVF: 32 of 64 probes, i.e. half the corpus scanned). The corpus' near-random embeddings are LSH's WORST case (no neighborhood structure) - the artifact shows the recall/cost tradeoff is controllable, and the scaledocs' candidate-bounding arguments give the cost at real corpus sizes. At 2k vectors brute force is one broadcast cross-join, so approximate times carry index overhead.",
+         |  "note": "ANN recall/latency audit: ${nq} deterministic queries (lowest vec_ids) against the $n-vector corpus; ground truth = exact broadcast cosine top-$k; recall@$k averaged over queries. 'default' rows call annTopK/ivfTopK with NO knobs (the A4 contract is on defaults); 'fast' is the cheap end of the dial, other rows document the cost curve. The corpus' near-random embeddings are LSH's WORST case (no neighborhood structure), so these recalls lower-bound structured corpora. At 2k vectors brute force is one broadcast cross-join, so approximate times carry index overhead.",
          |  "sf_dir": "$sfDir",
          |  "corpus_vectors": $n,
          |  "queries": $nq,
          |  "k": $k,
          |  "exact_sec": $tExact%.3f,
-         |  "lsh_default": {"recall_at_k": ${recallOf(lsh, exact)}%.4f, "sec": $tLsh%.3f},
-         |  "ivf_default": {"recall_at_k": ${recallOf(ivf, exact)}%.4f, "sec": $tIvf%.3f},
-         |  "lsh_tuned": {"recall_at_k": ${recallOf(lshQ, exact)}%.4f, "sec": $tLshQ%.3f},
-         |  "ivf_tuned": {"recall_at_k": ${recallOf(ivfQ, exact)}%.4f, "sec": $tIvfQ%.3f}
+         |${(lshRows ++ ivfRows).map("  " + _).mkString(",\n")}
          |}""".stripMargin
     Files.writeString(Paths.get(outJson), json)
     println(json)

@@ -109,13 +109,20 @@ object Similarity {
     * volume stays L·bucketTarget, independent of corpus size, while the
     * bucket join remains one keyed shuffle.
     *
-    * Same output shape as [[bruteForceTopK]]; recall@5 ≥ 0.8 vs exact is
-    * test-asserted (SURVEY.md §2.3 A4).
+    * Same output shape as [[bruteForceTopK]]; recall@k ≥ 0.8 vs exact is
+    * the A4 contract ON THE DEFAULTS (SURVEY.md §2.3), so the defaults
+    * are sized for the WORST case measured in ANN_RECALL (near-random
+    * embeddings, no neighborhood structure): L=32 tables at ≈128/bucket
+    * delivers recall@10 ≈ 0.99 there (vs 0.48 at the old L=12/32 —
+    * a user calling with no knobs got silently bad neighbors). Cost
+    * scales linearly in L and in bucketTarget; a corpus with real
+    * cluster structure sustains the bar at the cheaper (12, 32) end —
+    * the full dial is in the per-round ANN_RECALL artifact.
     */
   def annTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, L: Int = 12, bucketTarget: Int = 32,
+      k: Int, L: Int = 32, bucketTarget: Int = 128,
       pOverride: Option[Int] = None, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val dim = vecDim(corpus, vecCol)
@@ -231,11 +238,20 @@ object Similarity {
     *
     * Ties in both argmax-assignment and probe order break by cell index
     * (deterministic). Empty cells keep their previous centroid.
+    *
+    * Default `nProbe` = numCells/2: like [[annTopK]], the A4 recall
+    * contract (≥ 0.8 at defaults) is sized for the measured WORST case —
+    * near-random embeddings, where IVF recall tracks the scanned
+    * fraction (ANN_RECALL: 0.44 at 8/64 probes, ≥ 0.85 at 32/64). On a
+    * corpus with genuine cluster structure the cells are informative and
+    * nProbe = 4–8 sustains the bar at a fraction of the cost — that is
+    * the dial to turn DOWN after measuring recall on your data, rather
+    * than a default that silently under-recalls on hard corpora.
     */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, numCells: Int = 64, nProbe: Int = 8, lloydIters: Int = 2,
+      k: Int, numCells: Int = 64, nProbe: Int = 32, lloydIters: Int = 2,
       trainFraction: Double = 1.0): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCells, s"nProbe must be in [1, $numCells]")
     GraftFunctions.register(corpus.sparkSession)

@@ -24,6 +24,36 @@ class GraphSpec extends SparkSpec {
     assert(!out.contains(("y", "z"))) // never co-occur
   }
 
+  test("assocRules: apriori pruning is lossless at minCo > 1; basket cap truncates deterministically") {
+    initQuiet()
+    // x,y frequent (3 baskets each); z,w infrequent (1 each). At
+    // minCo=2 only (x,y) qualifies, and pruning z/w before the pair
+    // join must not change any output value (co ≤ min-support bound).
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "w"),
+      (3L, "x"), (3L, "y"), (4L, "x"), (5L, "y"))
+      .toDF("b", "i")
+    val out = Graph.assocRules(df, "b", "i", minCo = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // N=5 (basket 4,5 single-item but still counted), s(x)=4, s(y)=4, co=3
+    assert(out.keySet == Set(("x", "y"), ("y", "x")))
+    assert(out(("x", "y")) == ((3L, 0.75, 0.9375)))
+    // reference: the unpruned semantics via minCo=1, filtered to co>=2
+    val ref = Graph.assocRules(df, "b", "i").collect()
+      .filter(_.getLong(2) >= 2L)
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out == ref, "apriori pruning changed the output")
+    // cap=2 keeps the 2 smallest frequent items per basket — here the
+    // frequent items ARE {x,y}, so the cap changes nothing
+    val capped = Graph.assocRules(df, "b", "i", minCo = 2L,
+        maxBasketSize = Some(2)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped(("x", "y")) == 3L)
+  }
+
   test("triangles: 4-clique has 4 triangles, 3 per node; a path has none") {
     initQuiet()
     val clique = (for {

@@ -23,9 +23,8 @@ class PruneSpec extends SparkSpec {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val urgent = spark.read.parquet(s"$sf/orders.parquet")
       .filter(col("o_orderpriority") === "1-URGENT")
-    val bf = Prune.bloomFor(urgent.select("o_orderkey"), "o_orderkey")
-    val kept = li.filter(
-      Prune.mightContain(bf, col("l_orderkey"), li.schema("l_orderkey").dataType)).count()
+    val kf = Prune.bloomFor(urgent.select("o_orderkey"), "o_orderkey")
+    val kept = kf.pruned(li, "l_orderkey").count()
     val total = li.count()
     // urgent is ~1/5 of orders; with fpp=1% the survivor set must be well
     // under half the fact table for the pruning to be worth anything
@@ -35,12 +34,29 @@ class PruneSpec extends SparkSpec {
   test("string keys probe consistently; nulls never pass") {
     val small = Seq("a", "b").toDF("k")
     val big = Seq(Some("a"), Some("zz"), None).toDF("k2")
-    val bf = Prune.bloomFor(small, "k")
-    val kept = big.filter(Prune.mightContain(bf, col("k2"), big.schema("k2").dataType))
+    val kf = Prune.bloomFor(small, "k")
+    val kept = kf.pruned(big, "k2")
       .as[Option[String]].collect().flatten.toSet
     assert(kept.contains("a") && !kept.contains(null))
     val joined = Prune.bloomPrunedJoin(big, small, "k2", "k").select("k2").as[String].collect()
     assert(joined.toSeq == Seq("a"))
+  }
+
+  test("int fact key probes a filter built from long dim keys (width-normalized hashing)") {
+    val small = Seq(1L, 2L, 3L).toDF("k")
+    val big = Seq(1, 3, 999999).toDF("k2") // IntegerType on purpose
+    val joined = Prune.bloomPrunedJoin(big, small, "k2", "k")
+      .select("k2").as[Int].collect().toSet
+    assert(joined == Set(1, 3))
+  }
+
+  test("the probe plan is codegen'd — no scalar UDF node") {
+    val small = Seq(1L, 2L).toDF("k")
+    val big = Seq(1L, 5L).toDF("k2")
+    val kf = Prune.bloomFor(small, "k")
+    val plan = kf.pruned(big, "k2").queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"UDF node in bloom probe plan:\n$plan")
   }
 
   test("outer join types are rejected (pruning would drop keepable rows)") {
