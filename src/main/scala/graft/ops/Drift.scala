@@ -24,11 +24,56 @@ import org.apache.spark.sql.functions._
   *    lag explode (fan-out = |lags|, never day×day).
   *  - [[pathTrigrams]]: one user-key shuffle for the ordered lag scan,
   *    then a |types|³-bounded aggregate.
-  *  - [[winsorizedMeans]]: exact per-group percentiles are holistic —
-  *    fine at bounded group counts; the 100 TB path swaps in
-  *    `approx_percentile` (mergeable sketch, same API) as q32 does.
+  *  - [[winsorizedMeans]] / [[weightedMedianQuery]]: exact per-group
+  *    percentiles are holistic (per-group distinct-value map in ONE
+  *    aggregation buffer) — fine while value cardinality is bounded;
+  *    both now run behind the size-guarded [[PercentileMode]] switch
+  *    so a 100 TB caller cannot accidentally build an unbounded
+  *    in-memory map: over the bound, q116 swaps to the mergeable
+  *    `approx_percentile` sketch and q133 to the EXACT
+  *    cumulative-window form (spillable sort, O(1) per-row state).
   */
 object Drift {
+
+  /** How per-group percentiles execute.
+    *
+    *  - [[PercentileMode.Exact]] — the holistic `percentile`
+    *    aggregate: per-group state is the distinct-value map. Fastest
+    *    at bounded cardinality; memory grows with distinct values.
+    *  - [[PercentileMode.Scalable]] — the bounded-memory form:
+    *    `approx_percentile` (unweighted) or the exact
+    *    cumulative-weight window (weighted).
+    *  - [[PercentileMode.Auto]] — DEFAULT: one cheap
+    *    `approx_count_distinct` guard pass picks Exact below
+    *    `maxDistinctPerGroup` distinct values per group and Scalable
+    *    above it, so the default caller gets small-scale speed AND
+    *    cannot OOM an executor at 100 TB. The guard runs one
+    *    two-column aggregate (mergeable sketch, map-side partials).
+    */
+  sealed trait PercentileMode
+  object PercentileMode {
+    case object Exact extends PercentileMode
+    /** `accuracy` only applies to the unweighted sketch path. */
+    final case class Scalable(accuracy: Int = 10000) extends PercentileMode
+    /** Default bound 4M distinct longs/group ≈ tens of MB of
+      * aggregation buffer — comfortably inside an executor, far above
+      * any cents-grid cardinality seen at test scale. */
+    final case class Auto(
+        maxDistinctPerGroup: Long = 4000000L,
+        accuracy: Int = 10000) extends PercentileMode
+  }
+
+  /** Resolve [[PercentileMode.Auto]] against the observed data: true =
+    * take the exact holistic path. One approx_count_distinct guard job. */
+  private def exactIsSafe(
+      pairs: DataFrame, keyCol: String, valueCol: String, bound: Long): Boolean = {
+    val worst = pairs
+      .groupBy(col(keyCol))
+      .agg(approx_count_distinct(col(valueCol)).as("__d"))
+      .agg(max(col("__d")).as("__m"))
+      .head()
+    worst.isNullAt(0) || worst.getLong(0) <= bound
+  }
 
   private def orderedSmall(df: DataFrame, cols: Column*): DataFrame =
     df.coalesce(1).orderBy(cols: _*)
@@ -145,19 +190,33 @@ object Drift {
     * integer cents end-to-end: percentile boundaries (identical IEEE
     * doubles in both engines) are rounded to integer cents, the clamp
     * runs on BIGINTs, and each mean is one division of an exact sum.
-    * Two passes over the group: a holistic percentile aggregate
-    * (swap in approx_percentile at unbounded scale) broadcast back,
-    * then one algebraic aggregate.
+    * Two passes over the group: a percentile aggregate broadcast
+    * back, then one algebraic aggregate. The percentile pass runs
+    * behind the [[PercentileMode]] size guard: exact holistic below
+    * the distinct-value bound, `approx_percentile` (mergeable sketch,
+    * same call shape; cut values approximate, clamp+means still exact
+    * integers against those cuts) above it.
     */
   def winsorizedMeans(
       df: DataFrame, keyCol: String, valueCol: String,
-      pLo: Double, pHi: Double): DataFrame = {
+      pLo: Double, pHi: Double,
+      mode: PercentileMode = PercentileMode.Auto()): DataFrame = {
     require(0 <= pLo && pLo < pHi && pHi <= 1, s"need 0<=pLo<pHi<=1: $pLo, $pHi")
     val k = col(keyCol)
     val cents = df.select(k, round(col(valueCol) * 100).cast("long").as("__c"))
-    val cuts = cents.groupBy(k).agg(
-      round(expr(s"percentile(__c, $pLo)")).cast("long").as("__lo"),
-      round(expr(s"percentile(__c, $pHi)")).cast("long").as("__hi"))
+    val (useExact, accuracy) = mode match {
+      case PercentileMode.Exact => (true, 0)
+      case PercentileMode.Scalable(a) => (false, a)
+      case PercentileMode.Auto(bound, a) =>
+        (exactIsSafe(cents, keyCol, "__c", bound), a)
+    }
+    val cuts =
+      if (useExact) cents.groupBy(k).agg(
+        round(expr(s"percentile(__c, $pLo)")).cast("long").as("__lo"),
+        round(expr(s"percentile(__c, $pHi)")).cast("long").as("__hi"))
+      else cents.groupBy(k).agg(
+        round(expr(s"approx_percentile(__c, $pLo, $accuracy)")).cast("long").as("__lo"),
+        round(expr(s"approx_percentile(__c, $pHi, $accuracy)")).cast("long").as("__hi"))
     cents.join(broadcast(cuts), keyCol)
       .withColumn("__w", least(greatest(col("__c"), col("__lo")), col("__hi")))
       .groupBy(k)
@@ -1025,39 +1084,102 @@ object Drift {
 
   // --------------------------------------------------------------- q133
 
-  /** q133 — weighted price percentiles per return flag: Spark's
-    * frequency-weighted exact `percentile` (each row counted
-    * `l_quantity` times — the "per unit sold" price distribution, not
-    * "per line item"). The DuckDB twin materializes the weight as row
-    * replication (`generate_series(1, qty)`), which is the DEFINITION
-    * of integer-frequency weighting, so the two engines interpolate
-    * over the identical multiset. Weights are integral by corpus
-    * construction; the cast is exact.
+  /** Frequency-weighted percentiles per group via the EXACT
+    * cumulative-weight window — the bounded-memory twin of Spark's
+    * holistic 3-arg `percentile`: pre-aggregate to per-(group, value)
+    * total weight (the only shuffle), inclusive cumulative weight over
+    * the value-ordered per-group window (a SPILLABLE sort — per-row
+    * state is O(1), unlike the holistic aggregate's in-buffer value
+    * map), then each requested percentile reads the multiset's
+    * interpolation endpoints by conditional aggregation: position
+    * t = p·(N−1) (0-based in the weight-replicated multiset), value at
+    * index j = first value whose inclusive cumulative weight exceeds
+    * j, result = (⌈t⌉−t)·v_⌊t⌋ + (t−⌊t⌋)·v_⌈t⌉ — the same formula
+    * `percentile` evaluates, so the two forms agree to float
+    * round-off. Output: one row per group, `p_0..p_{k-1}` doubles.
+    */
+  def weightedPercentilesScalable(
+      df: DataFrame, keyCol: String, valueCol: String, weightCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), s"bad percentiles: $ps")
+    val g = col(keyCol)
+    val vw = df.groupBy(g, col(valueCol).as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val wOrd = Window.partitionBy(g).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vw
+      .withColumn("__cum", sum(col("__w")).over(wOrd))
+      .withColumn("__n", sum(col("__w")).over(Window.partitionBy(g)))
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val pos = lit(p) * (col("__n") - lit(1L)).cast("double")
+      Seq(
+        min(when(col("__cum") > floor(pos), col("__v"))).as(s"__vl$i"),
+        min(when(col("__cum") > ceil(pos), col("__v"))).as(s"__vu$i"),
+        first(pos).as(s"__pos$i"))
+    }
+    val finals = ps.indices.map { i =>
+      val pos = col(s"__pos$i"); val lo = floor(pos); val hi = ceil(pos)
+      when(hi === lo, col(s"__vl$i").cast("double"))
+        .otherwise((hi - pos) * col(s"__vl$i") + (pos - lo) * col(s"__vu$i"))
+        .as(s"p_$i")
+    }
+    cum.groupBy(g).agg(aggs.head, aggs.tail: _*)
+      .select(g +: finals: _*)
+  }
+
+  /** q133 — weighted price percentiles per return flag: each row
+    * counted `l_quantity` times — the "per unit sold" price
+    * distribution, not "per line item". The DuckDB twin materializes
+    * the weight as row replication (`generate_series(1, qty)`), which
+    * is the DEFINITION of integer-frequency weighting, so the two
+    * engines interpolate over the identical multiset. Weights are
+    * integral by corpus construction; the cast is exact.
     *
-    * Scale: `percentile` is holistic — per-group state is the distinct
-    * (value, total-weight) map, fine while value cardinality is
-    * bounded (prices on a cents grid) but the 26 s/100× heavy end of
-    * the suite; the unbounded-scale swap is the 3-arg
-    * `approx_percentile` (mergeable sketch, same call shape), the q116
-    * convention.
+    * Percentiles run behind the [[PercentileMode]] size guard
+    * (round-7: previously always holistic — the 57 s/100× heavy tail):
+    * below the distinct-value bound, Spark's holistic 3-arg
+    * `percentile` (fast single aggregate — the regime at every test
+    * sf, so oracle hashes are unchanged); above it,
+    * [[weightedPercentilesScalable]] — still EXACT, same interpolation
+    * formula, but spillable-window memory instead of an unbounded
+    * per-group value map.
     */
   def weightedMedianQuery(spark: SparkSession, dir: String): DataFrame =
-    orderedSmall(
-      Tables.load(spark, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          sum(col("l_quantity").cast("long")).as("total_weight"),
-          round(expr(
-            "percentile(l_extendedprice, 0.25, CAST(l_quantity AS BIGINT))"), 4)
-            .as("wq25"),
-          round(expr(
-            "percentile(l_extendedprice, 0.5, CAST(l_quantity AS BIGINT))"), 4)
-            .as("wmedian"),
-          round(expr(
-            "percentile(l_extendedprice, 0.75, CAST(l_quantity AS BIGINT))"), 4)
-            .as("wq75")),
-      col("l_returnflag"))
+    weightedMedian(spark, dir, PercentileMode.Auto())
+
+  def weightedMedian(
+      spark: SparkSession, dir: String, mode: PercentileMode): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("__q"))
+    val useExact = mode match {
+      case PercentileMode.Exact => true
+      case PercentileMode.Scalable(_) => false
+      case PercentileMode.Auto(bound, _) =>
+        exactIsSafe(li, "l_returnflag", "l_extendedprice", bound)
+    }
+    val out =
+      if (useExact)
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("__q")).as("total_weight"),
+            round(expr("percentile(l_extendedprice, 0.25, __q)"), 4).as("wq25"),
+            round(expr("percentile(l_extendedprice, 0.5, __q)"), 4).as("wmedian"),
+            round(expr("percentile(l_extendedprice, 0.75, __q)"), 4).as("wq75"))
+      else {
+        val base = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("__q")).as("total_weight"))
+        val pct = weightedPercentilesScalable(
+          li, "l_returnflag", "l_extendedprice", "__q", Seq(0.25, 0.5, 0.75))
+        base.join(pct, "l_returnflag")
+          .select(col("l_returnflag"), col("n_rows"), col("total_weight"),
+            round(col("p_0"), 4).as("wq25"),
+            round(col("p_1"), 4).as("wmedian"),
+            round(col("p_2"), 4).as("wq75"))
+      }
+    orderedSmall(out, col("l_returnflag"))
+  }
 
   // -------------------------------------------- two-sample KS (q134)
 

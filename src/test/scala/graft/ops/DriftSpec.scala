@@ -106,6 +106,43 @@ class DriftSpec extends SparkSpec {
     assert(r.getDouble(4) == 104.5)
   }
 
+  test("percentile mode switch: q133 Scalable regime is value-identical to Exact; q116 sketch regime stays within tolerance") {
+    initQuiet()
+    // q133 weighted percentiles — BOTH regimes pinned against each
+    // other: the cumulative-window form mirrors the holistic
+    // percentile's interpolation formula, so at 4-decimal rounding
+    // the outputs must be identical row-for-row
+    def rows(m: Drift.PercentileMode) =
+      Drift.weightedMedian(spark, sf, m).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val exact = rows(Drift.PercentileMode.Exact)
+    val scal = rows(Drift.PercentileMode.Scalable())
+    assert(exact == scal, s"regimes diverged:\n$exact\n$scal")
+    // Auto at test sf resolves to Exact (cents grid ≪ 4M distinct)
+    assert(rows(Drift.PercentileMode.Auto()) == exact)
+
+    // q116 winsorize — the sketch regime approximates the CUTS but
+    // keeps exact clamp arithmetic; at accuracy 10000 over ~1500
+    // orders the cuts land within a tight band of the exact ones
+    import org.apache.spark.sql.functions.col
+    val orders = graft.Tables.load(spark, sf, "orders")
+    def w(m: Drift.PercentileMode) =
+      Drift.winsorizedMeans(orders, "o_orderpriority", "o_totalprice",
+          0.05, 0.95, m).collect()
+        .map(r => r.getString(0) -> r).toMap
+    val we = w(Drift.PercentileMode.Exact)
+    val ws = w(Drift.PercentileMode.Scalable())
+    assert(we.keySet == ws.keySet)
+    we.foreach { case (k, e) =>
+      val s = ws(k)
+      assert(e.getLong(1) == s.getLong(1)) // n identical
+      assert(math.abs(e.getDouble(5) - s.getDouble(5)) <=
+        0.02 * math.abs(e.getDouble(5)) + 1.0,
+        s"$k: winsorized mean drifted: exact=${e.getDouble(5)} sketch=${s.getDouble(5)}")
+    }
+  }
+
   test("freshness: staleness in exact hours, 7d/28d rate-decay ratio") {
     initQuiet()
     // type 'a': events today and 30h ago; type 'b': last seen 10 days
