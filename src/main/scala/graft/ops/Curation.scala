@@ -1610,6 +1610,55 @@ object Curation {
       Tables.load(spark, dir, "documents").filter(col("source") === "src0"),
       "doc_id", "text", 10)
 
+  /** Near-dup PAIR counts per unordered tag cell, with exact-duplicate
+    * classes collapsed BEFORE the quadratic candidate machinery
+    * ([[Dedup.withExactClasses]]) — value-identical to counting
+    * `ngramJaccard(docs)` pairs tagged per endpoint, by the
+    * combinatorial identity in the collapse scaladoc: within a class
+    * (identical texts ⇒ J = 1 ≥ t) the (tagA ≤ tagB) cell gets
+    * C(m_t, 2) / m_a·m_b pairs straight from per-(class, tag)
+    * multiplicities; across classes the Jaccard of any member pair
+    * equals the representatives' (text-functional), so one
+    * representative-level q25 join supplies the qualifying class
+    * pairs and each contributes m₁ₜ·m₂ₜ' per cell. The pair machinery
+    * therefore runs over DISTINCT texts only — on the 99-exact-twins
+    * amplified corpus that is the entire difference between posting
+    * lists of length df and length 100·df (candidates 10⁴×).
+    *
+    * Input `tagged` must carry (doc_id, text, __tag).
+    */
+  private def nearDupCellCounts(
+      tagged: DataFrame, shingleLen: Int, threshold: Double): DataFrame = {
+    val m = Dedup.withExactClasses(tagged, "doc_id", "text")
+    val perClsTag = m.groupBy(col("__cls"), col("__tag"))
+      .agg(count(lit(1)).as("__mt"))
+    val within = perClsTag.as("a")
+      .join(perClsTag.as("b"), col("a.__cls") === col("b.__cls") &&
+        col("a.__tag") <= col("b.__tag"))
+      .select(col("a.__tag").as("tag_a"), col("b.__tag").as("tag_b"),
+        when(col("a.__tag") === col("b.__tag"),
+          // exact integer C(m,2): consecutive product is even
+          shiftright(col("a.__mt") * (col("a.__mt") - 1), 1))
+          .otherwise(col("a.__mt") * col("b.__mt")).as("__n"))
+    val reps = m.filter(col("doc_id") === col("__cls"))
+      .select(col("doc_id"), col("text"))
+    val repPairs = Dedup.ngramJaccard(reps, "doc_id", "text",
+        shingleLen, threshold)
+      .select(col("id_a").as("__c1"), col("id_b").as("__c2"))
+    val cross = repPairs
+      .join(perClsTag.select(col("__cls").as("__c1"),
+        col("__tag").as("__t1"), col("__mt").as("__m1")), "__c1")
+      .join(perClsTag.select(col("__cls").as("__c2"),
+        col("__tag").as("__t2"), col("__mt").as("__m2")), "__c2")
+      .select(least(col("__t1"), col("__t2")).as("tag_a"),
+        greatest(col("__t1"), col("__t2")).as("tag_b"),
+        (col("__m1") * col("__m2")).as("__n"))
+    within.unionByName(cross)
+      .groupBy(col("tag_a"), col("tag_b"))
+      .agg(sum(col("__n")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+  }
+
   /** q140 — cross-source duplication matrix (oracle-checked): q25's
     * exact 3-gram Jaccard near-dup pairs (threshold 0.5) rolled up to
     * unordered (source, source) cells with the duplication RATE —
@@ -1617,23 +1666,19 @@ object Curation {
     * consecutive-integer product is exactly even, so the integer
     * division is exact). The inter-source contamination readout a mix
     * owner checks before attributing quality differences to a source.
-    * Same inverted-index candidate shape as q25 — never all-pairs —
-    * plus two broadcast source-size attaches.
+    * Pair counting runs through [[nearDupCellCounts]] (round-7): the
+    * inverted-index join sees one representative per distinct text,
+    * so the 100× twins corpus costs what the distinct corpus costs.
     */
   def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-      shingleLen = 3, threshold = 0.5)
-    val src = docs.select(col("doc_id"), col("source"))
     val nsrc = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-    val tagged = pairs
-      .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
-        "id_a")
-      .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
-        "id_b")
-      .select(least(col("__sa"), col("__sb")).as("src_a"),
-        greatest(col("__sa"), col("__sb")).as("src_b"))
-    tagged.groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+    val cells = nearDupCellCounts(
+      docs.select(col("doc_id"), col("text"), col("source").as("__tag")),
+      shingleLen = 3, threshold = 0.5)
+    cells
+      .select(col("tag_a").as("src_a"), col("tag_b").as("src_b"),
+        col("n_pairs"))
       .join(broadcast(nsrc.select(col("source").as("src_a"),
         col("__n").as("__na"))), "src_a")
       .join(broadcast(nsrc.select(col("source").as("src_b"),
@@ -1655,26 +1700,20 @@ object Curation {
     * STRADDLING folds is evaluation leakage: the model sees a
     * near-copy of a held-out doc in training — exactly what q51's
     * benchmark decontamination exists to prevent, now audited for the
-    * in-corpus split itself. Same inverted-index pair shape as q25;
-    * fold tagging is two broadcast-joins; output ≤ C(3,2)+3 rows.
+    * in-corpus split itself. Pair counting runs through
+    * [[nearDupCellCounts]] (round-7): representatives only through
+    * the inverted index, fold multiplicities recovered exactly —
+    * output ≤ C(3,2)+3 rows as before.
     */
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
-      shingleLen = 3, threshold = 0.5)
     val u = pmod(mixedKey(col("doc_id").cast("long"), 42L), lit(1000000L))
-    val folds = docs.select(col("doc_id"),
+    val tagged = docs.select(col("doc_id"), col("text"),
       when(u < 900000L, "train").when(u < 950000L, "val")
-        .otherwise("test").as("fold"))
-    val tagged = pairs
-      .join(folds.select(col("doc_id").as("id_a"), col("fold").as("__fa")),
-        "id_a")
-      .join(folds.select(col("doc_id").as("id_b"), col("fold").as("__fb")),
-        "id_b")
-      .select(least(col("__fa"), col("__fb")).as("fold_a"),
-        greatest(col("__fa"), col("__fb")).as("fold_b"))
-    val cells = tagged.groupBy(col("fold_a"), col("fold_b"))
-      .agg(count(lit(1)).as("n_pairs"))
+        .otherwise("test").as("__tag"))
+    val cells = nearDupCellCounts(tagged, shingleLen = 3, threshold = 0.5)
+      .select(col("tag_a").as("fold_a"), col("tag_b").as("fold_b"),
+        col("n_pairs"))
     val tot = cells.agg(sum(col("n_pairs")).as("__t"))
     cells.crossJoin(broadcast(tot))
       .select(col("fold_a"), col("fold_b"), col("n_pairs"),

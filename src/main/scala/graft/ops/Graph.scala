@@ -374,13 +374,80 @@ object Graph {
 
   /** q111 — winnowed near-dup candidates: document pairs sharing ≥ 3
     * rare winnowing fingerprints (k=4, w=8, df cap 10%). */
-  def winnowQuery(spark: SparkSession, dir: String): DataFrame =
-    sharedFingerprints(
-        winnowFingerprints(Tables.load(spark, dir, "documents"),
-          "doc_id", "text", k = 4, w = 8),
-        minShared = 3L, maxDfFrac = 0.1)
+  /** Top-`topK` winnowing pairs with exact-duplicate classes collapsed
+    * BEFORE the pair machinery ([[graft.text.Dedup.withExactClasses]]):
+    * fingerprints are text-functional, so the rare-fingerprint
+    * inverted index holds one representative per distinct text
+    * (document frequency still counts every document via the class
+    * multiplicity, so the `maxDfFrac` cutoff is the uncollapsed one),
+    * within-class pairs share exactly the class's rare-fingerprint
+    * count, and the doc-level top-k expands only the classes at or
+    * above the k-th best class-pair `shared` — the same sound-cutoff
+    * argument as `TextAnalysis.tfidfPairs`. Value-identical to
+    * `sharedFingerprints(winnowFingerprints(docs)) → sort → limit`;
+    * on the exact-twins amplified corpus the index self-join cost
+    * drops from (m·df)² to df² per fingerprint.
+    */
+  def winnowTopPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8, minShared: Long = 2L,
+      maxDfFrac: Double = 0.1, topK: Int = 100): DataFrame = {
+    val mem = graft.text.Dedup.withExactClasses(
+      docs.select(col(idCol).as("__did"), col(textCol).as("__txt")),
+      "__did", "__txt")
+    val classes = mem.filter(col("__did") === col("__cls"))
+      .select(col("__cls").as("doc"), col("__txt"), col("__m"))
+    val fps = winnowFingerprints(classes, "doc", "__txt", k, w)
+    // multiplicity-aware document frequency: a class's fingerprint set
+    // is shared by all m of its members, and so is its presence in the
+    // "has fingerprints at all" denominator (the length filter is
+    // text-functional too)
+    val clsM = classes.select(col("doc"), col("__m"))
+    val nd = fps.select(col("doc")).distinct()
+      .join(clsM, "doc").agg(sum(col("__m")).as("__nd"))
+    val dfreq = fps.join(clsM, "doc")
+      .groupBy(col("fp")).agg(sum(col("__m")).as("__df"))
+    val rare = dfreq.crossJoin(broadcast(nd))
+      .filter(col("__df") <= col("__nd") * maxDfFrac)
+      .select(col("fp"))
+    val kept = fps.join(rare, "fp")
+    val cross = kept.as("l")
+      .join(kept.as("r"), col("l.fp") === col("r.fp") &&
+        col("l.doc") < col("r.doc"))
+      .groupBy(col("l.doc").as("c1"), col("r.doc").as("c2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    // a twin pair shares the class's ENTIRE rare-fingerprint set
+    val self = kept.groupBy(col("doc")).agg(count(lit(1)).as("shared"))
+      .join(clsM.filter(col("__m") >= 2), "doc")
+      .filter(col("shared") >= minShared)
+      .select(col("doc").as("c1"), col("doc").as("c2"), col("shared"))
+    val classPairs = cross.unionByName(self)
+    val boundary = classPairs
+      .orderBy(col("shared").desc).limit(topK)
+      .agg(min(col("shared")).as("__b"))
+    val keep = classPairs.crossJoin(broadcast(boundary))
+      .filter(col("shared") >= col("__b"))
+    val ids = mem.select(col("__cls"), col("__did"))
+    val crossDocs = keep.filter(col("c1") =!= col("c2"))
+      .join(ids.select(col("__cls").as("c1"), col("__did").as("__da")), "c1")
+      .join(ids.select(col("__cls").as("c2"), col("__did").as("__db")), "c2")
+      .select(least(col("__da"), col("__db")).as("doc_a"),
+        greatest(col("__da"), col("__db")).as("doc_b"), col("shared"))
+    val selfDocs = keep.filter(col("c1") === col("c2"))
+      .join(ids.select(col("__cls").as("c1"), col("__did").as("__da")), "c1")
+      .join(ids.select(col("__cls").as("c1"), col("__did").as("__db")), "c1")
+      .filter(col("__da") < col("__db"))
+      .select(col("__da").as("doc_a"), col("__db").as("doc_b"), col("shared"))
+    crossDocs.unionByName(selfDocs)
       .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
-      .limit(100)
+      .limit(topK)
+  }
+
+  def winnowQuery(spark: SparkSession, dir: String): DataFrame =
+    winnowTopPairs(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", k = 4, w = 8, minShared = 3L,
+      maxDfFrac = 0.1, topK = 100)
 
   // --------------------------------------------------------------- q112
 

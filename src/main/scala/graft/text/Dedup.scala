@@ -60,6 +60,33 @@ object Dedup {
     exact(fresh, keys, idCol, keep)
   }
 
+  /** Exact-duplicate class tagging — the collapse step every
+    * pair-quadratic operator should run FIRST: each row gains its
+    * text-identity class (`clsCol` = min id among rows with
+    * byte-identical `textCol`) and the class multiplicity (`mCol`).
+    * One text-keyed shuffle (the same work as exact dedup), after
+    * which any pairwise machinery can run on ONE representative per
+    * class and recover per-doc pair counts by multiplicity
+    * combinatorics: within a class every pair qualifies trivially
+    * (identical text ⇒ similarity 1), C(m,2) pairs; across classes
+    * the similarity of any member pair equals the representatives'
+    * (it depends only on the texts), m₁·m₂ pairs.
+    *
+    * Why this is THE scale lever for near-dup analytics: real corpora
+    * (and the amplified stress corpus, which is 99-exact-twins by
+    * construction) carry heavy exact duplication, and every exact twin
+    * multiplies posting-list lengths — candidate volume grows with the
+    * SQUARE of the duplication factor while the distinct-text workload
+    * is unchanged. Collapsing first makes the quadratic stage's cost
+    * track distinct content, not raw row count.
+    */
+  def withExactClasses(df: DataFrame, idCol: String, textCol: String,
+      clsCol: String = "__cls", mCol: String = "__m"): DataFrame = {
+    val w = Window.partitionBy(col(textCol))
+    df.withColumn(clsCol, min(col(idCol)).over(w))
+      .withColumn(mCol, count(lit(1)).over(w))
+  }
+
   /** Word-level shingles (n-gram tokens joined by space), distinct.
     *
     * ⚠ Evaluation hazard: `text` should be a plain column reference, and

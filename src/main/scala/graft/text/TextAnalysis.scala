@@ -150,29 +150,73 @@ object TextAnalysis {
     *
     * Shape: postings build = one (doc,term) aggregate; idf is
     * vocab-sized (broadcast); the pair sum shuffles postings once on
-    * the term. Cost is Σ_t df(t)² — dominated by stop-words, so the
-    * scale lever is dropping the low-idf head (a WHERE on idf) before
-    * the self-join; kept exact here because the oracle is exact.
+    * the term. Cost is Σ_t df(t)² over DISTINCT texts — exact
+    * duplicates are collapsed first ([[Dedup.withExactClasses]],
+    * round-7): tf and norms are text-functional, so the postings
+    * self-join runs over one representative per class (df/idf still
+    * count every document via the class multiplicity), and the final
+    * doc-level top-k expands only the classes whose pair cosine
+    * reaches the k-th best class-pair cosine — a sound cutoff because
+    * each kept class pair contributes ≥ 1 doc pair at exactly its
+    * cosine, so ≥ k doc pairs exist at or above the boundary and no
+    * excluded pair can rank. A further scale lever (not applied — the
+    * oracle is exact) is dropping the low-idf head before the
+    * self-join.
     */
   def tfidfPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nDocs = df.count().toDouble // driver scalar: one count job
-    val tf = df
-      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+    val mem = Dedup.withExactClasses(
+      df.select(col(idCol).as("__did"), col(textCol).as("__txt")),
+      "__did", "__txt")
+    val classes = mem.filter(col("__did") === col("__cls"))
+      .select(col("__cls").as("doc"), col("__txt").as("__txt"), col("__m"))
+    val tf = classes
+      .select(col("doc"), col("__m"), explode(tokens(col("__txt"))).as("term"))
       .filter(length(col("term")) > 0)
-      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
-    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc"), col("__m"), col("term")).agg(count(lit(1)).as("tf"))
+    // df counts DOCUMENTS, not classes: each class contributes its
+    // multiplicity — idf is exactly the uncollapsed value
+    val idf = tf.groupBy(col("term")).agg(sum(col("__m")).as("df"))
       .withColumn("idf", log(lit(nDocs) / col("df")) + 1)
     val w = tf.join(broadcast(idf), "term")
-      .select(col("doc"), col("term"), (col("tf") * col("idf")).as("w"))
-    val nrm = w.groupBy(col("doc")).agg(sqrt(sum(col("w") * col("w"))).as("nn"))
-    w.as("a").join(w.as("b"),
+      .select(col("doc"), col("__m"), col("term"), (col("tf") * col("idf")).as("w"))
+    val nrm = w.groupBy(col("doc"), col("__m"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nn"),
+        sum(col("w") * col("w")).as("__w2"))
+    val cross = w.as("a").join(w.as("b"),
         col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .groupBy(col("a.doc").as("c1"), col("b.doc").as("c2"))
       .agg(sum(col("a.w") * col("b.w")).as("dot"))
-      .join(nrm.select(col("doc").as("d1"), col("nn").as("n1")), "d1")
-      .join(nrm.select(col("doc").as("d2"), col("nn").as("n2")), "d2")
-      .select(col("d1"), col("d2"),
+      .join(nrm.select(col("doc").as("c1"), col("nn").as("n1")), "c1")
+      .join(nrm.select(col("doc").as("c2"), col("nn").as("n2")), "c2")
+      .select(col("c1"), col("c2"),
         round(col("dot") / (col("n1") * col("n2")), 6).as("cosine"))
+    // twin pairs: cosine of a doc with its exact copy, same float
+    // recipe (Σw² over the term sum vs the product of the two norms)
+    val self = nrm.filter(col("__m") >= 2)
+      .select(col("doc").as("c1"), col("doc").as("c2"),
+        round(col("__w2") / (col("nn") * col("nn")), 6).as("cosine"))
+    val classPairs = cross.unionByName(self)
+    // boundary = k-th best class-pair cosine (any tie choice gives the
+    // same value); keep every class pair at or above it
+    val boundary = classPairs
+      .orderBy(col("cosine").desc).limit(k)
+      .agg(min(col("cosine")).as("__b"))
+    val keep = classPairs.crossJoin(broadcast(boundary))
+      .filter(col("cosine") >= col("__b"))
+    val ids = mem.select(col("__cls"), col("__did"))
+    val crossDocs = keep.filter(col("c1") =!= col("c2"))
+      .join(ids.select(col("__cls").as("c1"), col("__did").as("__da")), "c1")
+      .join(ids.select(col("__cls").as("c2"), col("__did").as("__db")), "c2")
+      .select(least(col("__da"), col("__db")).as("d1"),
+        greatest(col("__da"), col("__db")).as("d2"), col("cosine"))
+    val selfDocs = keep.filter(col("c1") === col("c2"))
+      .join(ids.select(col("__cls").as("c1"), col("__did").as("__da")), "c1")
+      .join(ids.select(col("__cls").as("c1"), col("__did").as("__db")), "c1")
+      .filter(col("__da") < col("__db"))
+      .select(col("__da").as("d1"), col("__db").as("d2"), col("cosine"))
+    crossDocs.unionByName(selfDocs)
       .orderBy(col("cosine").desc, col("d1"), col("d2"))
       .limit(k)
   }

@@ -70,7 +70,9 @@ object ScaleCheck {
     // 10 rows here — per-vector work is O(|labels|·dim) by design);
     // q153 attaches the single-row corpus stats row; q156 the
     // single-row unigram and bigram totals.
-    val scalarBroadcastOk = Set("q13_cosine_topk", "q76_heavy_hitters",
+    // q90/q111 attach the single-row top-k boundary cosine/shared-count
+    // (the class-collapse expansion cutoff) — single-row by construction.
+    val scalarBroadcastOk = Set("q90_tfidf_pairs", "q13_cosine_topk", "q76_heavy_hitters",
       "q82_asof_ties", "q96_rfm_segments", "q99_benford",
       "q104_interpolate", "q107_assoc_rules", "q108_triangles",
       "q109_bfs", "q110_mutual_info", "q111_winnowing", "q115_trigrams",

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import graft.text.{Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-7 class-collapse refactor (q90/q111/q140/q143): the pair
+  * machinery now runs over one representative per distinct text and
+  * recovers doc-level results by multiplicity combinatorics. These
+  * tests pin VALUE-IDENTITY against the uncollapsed formulations on a
+  * corpus with heavy planted exact duplication — the very shape
+  * (amplified exact twins) the collapse exists for.
+  */
+class CollapseEquivalenceSpec extends SparkSpec {
+
+  /** sf0.001 documents plus 3 exact twins of each of the first 8 docs
+    * (ids shifted far above the corpus range, so fold/source tags of
+    * twins differ from their originals — the combinatorics must handle
+    * classes spanning tags).
+    */
+  private lazy val corpus: DataFrame = {
+    initQuiet()
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val firsts = docs.orderBy(col("doc_id")).limit(8)
+    val twins = (1 to 3).map(i =>
+      firsts.withColumn("doc_id", col("doc_id") + lit(10000000L * i)))
+    twins.foldLeft(docs)(_ unionByName _).persist()
+  }
+
+  test("q140-shape: collapsed source cell counts == uncollapsed ngramJaccard rollup") {
+    val pairs = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.5)
+    val src = corpus.select(col("doc_id"), col("source"))
+    val ref = pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("a"),
+        greatest(col("sa"), col("sb")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // drive the production path on the same corpus via the private
+    // helper's public consumer shape: re-derive cells from the
+    // collapsed machinery by calling crossSourceOverlap's building
+    // blocks — here, replicate via withExactClasses + combinatorics
+    val m = Dedup.withExactClasses(
+      corpus.select(col("doc_id"), col("text"), col("source").as("__tag")),
+      "doc_id", "text")
+    val perClsTag = m.groupBy(col("__cls"), col("__tag"))
+      .agg(count(lit(1)).as("__mt"))
+    val within = perClsTag.as("x").join(perClsTag.as("y"),
+        col("x.__cls") === col("y.__cls") && col("x.__tag") <= col("y.__tag"))
+      .select(col("x.__tag").as("a"), col("y.__tag").as("b"),
+        when(col("x.__tag") === col("y.__tag"),
+          shiftright(col("x.__mt") * (col("x.__mt") - 1), 1))
+          .otherwise(col("x.__mt") * col("y.__mt")).as("n"))
+    val reps = m.filter(col("doc_id") === col("__cls"))
+      .select(col("doc_id"), col("text"))
+    val cross = Dedup.ngramJaccard(reps, "doc_id", "text", 3, 0.5)
+      .join(perClsTag.select(col("__cls").as("id_a"),
+        col("__tag").as("t1"), col("__mt").as("m1")), "id_a")
+      .join(perClsTag.select(col("__cls").as("id_b"),
+        col("__tag").as("t2"), col("__mt").as("m2")), "id_b")
+      .select(least(col("t1"), col("t2")).as("a"),
+        greatest(col("t1"), col("t2")).as("b"),
+        (col("m1") * col("m2")).as("n"))
+    val got = within.unionByName(cross)
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == ref, s"cells diverged:\nref=$ref\ngot=$got")
+  }
+
+  test("q90-shape: collapsed tfidfPairs == uncollapsed formulation on a twins corpus") {
+    val docs = corpus.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    // uncollapsed reference — the pre-round-7 tfidfPairs body
+    def tokens(c: org.apache.spark.sql.Column) = split(c, " ")
+    val nDocs = docs.count().toDouble
+    val tf = docs
+      .select(col("doc_id").as("doc"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", log(lit(nDocs) / col("df")) + 1)
+    val wgt = tf.join(broadcast(idf), "term")
+      .select(col("doc"), col("term"), (col("tf") * col("idf")).as("w"))
+    val nrm = wgt.groupBy(col("doc")).agg(sqrt(sum(col("w") * col("w"))).as("nn"))
+    val ref = wgt.as("a").join(wgt.as("b"),
+        col("a.term") === col("b.term") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(nrm.select(col("doc").as("d1"), col("nn").as("n1")), "d1")
+      .join(nrm.select(col("doc").as("d2"), col("nn").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(col("dot") / (col("n1") * col("n2")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("d1"), col("d2"))
+      .limit(12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = TextAnalysis.tfidfPairs(docs, "doc_id", "text", 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == ref, s"top-12 diverged:\nref=$ref\ngot=$got")
+    // the twins must dominate the head at cosine 1.0
+    assert(got.head._3 == 1.0)
+  }
+
+  test("q111-shape: winnowTopPairs == uncollapsed sharedFingerprints rollup") {
+    val ref = Graph.sharedFingerprints(
+        Graph.winnowFingerprints(corpus, "doc_id", "text", k = 4, w = 8),
+        minShared = 3L, maxDfFrac = 0.1)
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Graph.winnowTopPairs(corpus, "doc_id", "text",
+        k = 4, w = 8, minShared = 3L, maxDfFrac = 0.1, topK = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == ref, s"top-50 diverged:\nref=${ref.take(10)}…\ngot=${got.take(10)}…")
+    assert(got.nonEmpty) // twins guarantee qualifying pairs
+  }
+}
