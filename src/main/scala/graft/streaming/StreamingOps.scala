@@ -131,6 +131,116 @@ object StreamingOps {
           right.columns.filterNot(_ == keyCol).map(c => col(s"r_$c"))).toSeq: _*)
   }
 
+  /** Input row of [[asOfEnrichStream]] — the union of both sides.
+    * Times are µs since epoch (corpus-native resolution). */
+  final case class AsOfEvent(k: Long, ts: java.sql.Timestamp, us: Long,
+    isFact: Boolean, value: Double, attr: String)
+  /** Per-key buffers: facts awaiting the watermark, dim versions
+    * within the lookback horizon. */
+  final case class AsOfBuf(facts: List[(Long, Double)], dims: List[(Long, String)])
+  /** Output: each fact enriched with the dim version valid at its
+    * timestamp (None = no version within the band — the batch twin's
+    * unmatched-left row). */
+  final case class AsOfEnriched(k: Long, fact_us: Long, value: Double,
+    attr: Option[String])
+
+  /** STREAM-STREAM AS-OF enrichment — the streaming twin of
+    * [[graft.ops.Temporal.pointInTime]] / backward-inclusive
+    * [[graft.ops.AsOfJoin]] with a tolerance: each fact row is matched
+    * to the LATEST dim row of its key at or before the fact's event
+    * time, looking back at most `bandSeconds` (the mandatory band —
+    * like [[bandedStreamJoin]], an unbounded lookback would pin every
+    * dim version in state forever).
+    *
+    * Why a banded stream-stream JOIN can't express this: "latest at or
+    * before" is an ARGMAX over the matched set, and chaining an
+    * aggregation after a stream-stream join puts two watermark-driven
+    * stateful operators in sequence with append-mode emission rules
+    * that delay results by a full extra watermark pass. One
+    * `flatMapGroupsWithState` holds both sides' buffers and resolves
+    * the argmax at emission time instead.
+    *
+    * Emission discipline: a fact emits only once the watermark passes
+    * its event time — a dim version with an earlier timestamp may
+    * arrive out of order until then, and emitting early would fix the
+    * wrong version (the same reason the batch operator sorts before
+    * `last_value`). The `watermark` delay is therefore the operator's
+    * correctness horizon in BOTH directions: it sets emission latency,
+    * and rows (either side) arriving later than it are dropped before
+    * the operator by the engine's stateful late-row filter — the A9
+    * drop-metrics listener counts them. State is bounded on BOTH sides: facts live until
+    * the watermark passes them (≤ lateness horizon), dims until
+    * `watermark − band` passes them (unmatchable afterwards — every
+    * future emittable fact has ts > watermark, so its lookback floor
+    * sits above watermark − band). Per-key state is O(facts in flight
+    * + dim churn within band + lateness), independent of stream length.
+    *
+    * Tie/dup rules match the batch twin: inclusive boundary (a dim AT
+    * the fact's timestamp wins); among equal dim timestamps the
+    * greatest `attr` (SCD2 inputs never produce equal-ts versions per
+    * key, so the rule only disambiguates malformed inputs
+    * deterministically). Facts with equal timestamps each emit.
+    *
+    * Input shape is fixed (long key, timestamp, one double fact
+    * payload, one string dim attribute) — the concrete-encoder
+    * convention of [[sessionizeWithState]]; widen by struct-packing
+    * payloads into `value`/`attr` upstream.
+    */
+  def asOfEnrichStream(
+      facts: DataFrame,
+      dims: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      attrCol: String = "event_type",
+      bandSeconds: Long = 3600,
+      watermark: String = "1 hour"): Dataset[AsOfEnriched] = {
+    val spark = facts.sparkSession
+    import spark.implicits._
+    val bandUs = bandSeconds * 1000000L
+    // project FIRST, watermark the projected column (see
+    // sessionizeWithState: derived attributes lose the event-time tag)
+    val f = facts.select(col(keyCol).cast("long").as("k"),
+      col(tsCol).cast("timestamp").as("ts"), unix_micros(col(tsCol)).as("us"),
+      lit(true).as("isFact"), col(valueCol).cast("double").as("value"),
+      lit("").as("attr"))
+    val d = dims.select(col(keyCol).cast("long").as("k"),
+      col(tsCol).cast("timestamp").as("ts"), unix_micros(col(tsCol)).as("us"),
+      lit(false).as("isFact"), lit(0.0).as("value"),
+      col(attrCol).cast("string").as("attr"))
+    val ds = f.unionByName(d).withWatermark("ts", watermark).as[AsOfEvent]
+    ds.groupByKey(_.k)
+      .flatMapGroupsWithState[AsOfBuf, AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[AsOfEvent], state: GroupState[AsOfBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(AsOfBuf(Nil, Nil))
+          val arrivals = it.toList
+          val facts0 = prev.facts ++ arrivals.filter(_.isFact).map(e => (e.us, e.value))
+          val dims0 = prev.dims ++ arrivals.filterNot(_.isFact).map(e => (e.us, e.attr))
+          // resolve facts the watermark has passed — their dim set is final
+          val (ripe, green) = facts0.partition(_._1 <= wmUs)
+          val out = ripe.sortBy(_._1).map { case (fus, v) =>
+            val m = dims0.filter(dv => dv._1 <= fus && fus - dv._1 <= bandUs)
+            AsOfEnriched(key, fus, v,
+              if (m.isEmpty) None else Some(m.max._2))
+          }
+          // dims below every future fact's lookback floor are unmatchable
+          val dimsKept = dims0.filter(_._1 >= wmUs - bandUs)
+          if (green.isEmpty && dimsKept.isEmpty) state.remove()
+          else {
+            state.update(AsOfBuf(green, dimsKept))
+            // wake at the earliest pending fact (to emit it) or at the
+            // oldest dim's expiry (to garbage-collect); both are > wm
+            val wakeUs =
+              if (green.nonEmpty) green.map(_._1).min
+              else dimsKept.map(_._1).min + bandUs
+            state.setTimeoutTimestamp(wakeUs / 1000L + 1L)
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming dedup with BOUNDED state: duplicates of a key arriving
     * within the watermark horizon are dropped, and the key's state is
     * evicted once the watermark passes — the streaming twin of
