@@ -1769,6 +1769,92 @@ object Curation {
       .coalesce(1).orderBy(col("c_mktsegment"))
   }
 
+  // ------------------------------------------------------ q244-q246
+
+  /** q244 — inverted-index COST MODEL for the near-dup pair family
+    * (oracle-checked): 3-gram shingle document frequencies bucketed on
+    * a log2 scale (`length(bin(df)) − 1` — pure integer/string
+    * arithmetic, the q128 trick, so no float log at a power-of-two
+    * boundary), with per-bucket shingle count, posting volume (Σdf)
+    * and CANDIDATE-PAIR volume (ΣC(df,2)) plus each bucket's share of
+    * total candidates. This is the "measure before you join" readout:
+    * the q25/q140/q143 inverted-index join costs exactly Σdf² and this
+    * query shows which df decades carry it — the evidence behind df
+    * caps (q25-capped), prefix filtering (q177), and this round's
+    * exact-twin collapse. One shingle-keyed aggregate + one ≤64-row
+    * bucket aggregate; the candidate total attaches as a broadcast
+    * scalar.
+    */
+  def dedupCostModel(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleTable(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", 3)
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val buckets = sh
+      .withColumn("df_bucket", length(bin(col("__df"))) - 1)
+      .groupBy(col("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("__df")).as("postings"),
+        sum(shiftright(col("__df") * (col("__df") - 1), 1)).as("cand_pairs"))
+    val tot = buckets.agg(sum(col("cand_pairs")).as("__t"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("df_bucket"), col("n_shingles"), col("postings"),
+        col("cand_pairs"),
+        round(col("cand_pairs") / col("__t").cast("double"), 6)
+          .as("cand_share"))
+      .coalesce(1).orderBy(col("df_bucket"))
+  }
+
+  /** q245 — exact-twin compression audit per source (oracle-checked):
+    * documents vs distinct-text classes, the duplication factor, and
+    * the REDUNDANT bytes a [[Dedup.withExactClasses]] collapse saves
+    * (Σ over classes of (m−1)·len(text), exact integers). The storage
+    * and pair-join-cost rationale for running exact dedup FIRST —
+    * companion to q244's candidate-volume readout. One (source, text)
+    * aggregate, then a per-source rollup.
+    */
+  def twinCompression(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"), col("text"))
+      .agg(count(lit(1)).as("__m"))
+      .withColumn("__len", length(col("text")).cast("long"))
+    cls.groupBy(col("source"))
+      .agg(sum(col("__m")).as("n_docs"),
+        count(lit(1)).as("n_classes"),
+        round(sum(col("__m")) / count(lit(1)).cast("double"), 4)
+          .as("dup_factor"),
+        sum(col("__m") * col("__len")).as("total_chars"),
+        sum((col("__m") - 1) * col("__len")).as("redundant_chars"),
+        round(sum((col("__m") - 1) * col("__len")) /
+          sum(col("__m") * col("__len")).cast("double"), 6)
+          .as("redundant_share"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
+  /** q246 — near-dup THRESHOLD SWEEP (oracle-checked): q25's exact
+    * 3-gram Jaccard pairs at floor 0.5, bucketed by Jaccard decile
+    * (pairs at exactly 1.0 keep their own bucket) with count and mean.
+    * The curve a dedup owner reads to place the production threshold:
+    * a fat 0.5–0.6 bucket means the threshold sits on a cliff; a
+    * bimodal curve separates true twins from boilerplate cousins.
+    * Decile and mean run on exact integers: jaccard is 4-dp-rounded in
+    * both engines, so e4 = round(j·10⁴) is the identical integer and
+    * the bucket is `e4 div 1000` — no float-boundary flip at 0.6.
+    */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", 3, 0.5)
+    pairs
+      .withColumn("__e4", round(col("jaccard") * 10000).cast("long"))
+      .withColumn("j_decile",
+        (expr("__e4 div 1000") / lit(10.0)).cast("double"))
+      .groupBy(col("j_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round((sum(col("__e4")) / count(lit(1))) / lit(10000.0), 4)
+          .as("mean_jaccard"))
+      .coalesce(1).orderBy(col("j_decile"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -1831,7 +1917,10 @@ object Curation {
     "q231_detector_audit" -> (detectorAudit _),
     "q233_unigram_kl" -> (unigramKlQuery _),
     "q240_standardized_rate" -> (standardizedRateQuery _),
-    "q243_detector_kappa" -> (kappaQuery _))
+    "q243_detector_kappa" -> (kappaQuery _),
+    "q244_dedup_cost_model" -> (dedupCostModel _),
+    "q245_twin_compression" -> (twinCompression _),
+    "q246_threshold_sweep" -> (thresholdSweep _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -1301,5 +1301,63 @@ object CurationOracle {
         |                   + CAST(c + d AS DECIMAL(38,0)) * (b + d) AS DOUBLE)
         |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
         |         AS kappa
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    // same distinct 3-gram shingle algebra as q25; log2 bucket via
+    // length(bin(df))-1 (integer/string, the q128 trick); C(df,2) in
+    // exact integer division
+    "q244_dedup_cost_model" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(sh) s FROM t),
+        |d AS (SELECT s, count(*) AS df FROM e GROUP BY s),
+        |b AS (
+        |  SELECT length(bin(df)) - 1 AS df_bucket,
+        |         CAST(count(*) AS BIGINT) AS n_shingles,
+        |         CAST(sum(df) AS BIGINT) AS postings,
+        |         CAST(sum(df * (df - 1) // 2) AS BIGINT) AS cand_pairs
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT sum(cand_pairs) AS t FROM b)
+        |SELECT df_bucket, n_shingles, postings, cand_pairs,
+        |       round(cand_pairs / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+        |         AS cand_share
+        |FROM b ORDER BY df_bucket""".stripMargin,
+
+    "q245_twin_compression" ->
+      """WITH cls AS (
+        |  SELECT source, count(*) AS m, length(text) AS len
+        |  FROM documents GROUP BY source, text)
+        |SELECT source,
+        |       CAST(sum(m) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_classes,
+        |       round(sum(m) / CAST(count(*) AS DOUBLE), 4) AS dup_factor,
+        |       CAST(sum(m * len) AS BIGINT) AS total_chars,
+        |       CAST(sum((m - 1) * len) AS BIGINT) AS redundant_chars,
+        |       round(sum((m - 1) * len) / CAST(sum(m * len) AS DOUBLE), 6)
+        |         AS redundant_share
+        |FROM cls GROUP BY source ORDER BY source""".stripMargin,
+
+    // q25's pair algebra verbatim (filter on the UNROUNDED jaccard,
+    // round to 4 after); decile and mean run on the exact e4 integer
+    "q246_threshold_sweep" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM documents),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT CAST(round(round(CAST(inter AS DOUBLE)/(na + nb - inter), 4)
+        |              * 10000) AS BIGINT) AS e4
+        |  FROM p WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5)
+        |SELECT (e4 // 1000) / 10.0 AS j_decile,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       round((sum(e4) / count(*)) / 10000.0, 4) AS mean_jaccard
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
 }
