@@ -1840,17 +1840,35 @@ object Curation {
     * Decile and mean run on exact integers: jaccard is 4-dp-rounded in
     * both engines, so e4 = round(j·10⁴) is the identical integer and
     * the bucket is `e4 div 1000` — no float-boundary flip at 0.6.
+    *
+    * Same class-collapse scale shape as q140/q143: identical texts
+    * pair at exactly J = 1 (e4 = 10000, C(m,2) pairs straight from the
+    * multiplicity), cross-class pairs take their representatives' J
+    * with weight m₁·m₂ — so the inverted index sees one row per
+    * distinct text and the sweep stays runnable on the exact-twins
+    * amplified corpus.
     */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccard(
-      Tables.load(spark, dir, "documents"), "doc_id", "text", 3, 0.5)
-    pairs
+    val m = Dedup.withExactClasses(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val cls = m.groupBy(col("__cls")).agg(count(lit(1)).as("__m"))
+    val reps = m.filter(col("doc_id") === col("__cls"))
+      .select(col("doc_id"), col("text"))
+    val cross = Dedup.ngramJaccard(reps, "doc_id", "text", 3, 0.5)
       .withColumn("__e4", round(col("jaccard") * 10000).cast("long"))
+      .join(cls.select(col("__cls").as("id_a"), col("__m").as("__m1")), "id_a")
+      .join(cls.select(col("__cls").as("id_b"), col("__m").as("__m2")), "id_b")
+      .select(col("__e4"), (col("__m1") * col("__m2")).as("__n"))
+    val within = cls.filter(col("__m") >= 2)
+      .select(lit(10000L).as("__e4"),
+        shiftright(col("__m") * (col("__m") - 1), 1).as("__n"))
+    cross.unionByName(within)
       .withColumn("j_decile",
         (expr("__e4 div 1000") / lit(10.0)).cast("double"))
       .groupBy(col("j_decile"))
-      .agg(count(lit(1)).as("n_pairs"),
-        round((sum(col("__e4")) / count(lit(1))) / lit(10000.0), 4)
+      .agg(sum(col("__n")).as("n_pairs"),
+        round((sum(col("__e4") * col("__n")) / sum(col("__n"))) / lit(10000.0), 4)
           .as("mean_jaccard"))
       .coalesce(1).orderBy(col("j_decile"))
   }

@@ -180,7 +180,11 @@ object ScaleCheck {
       "q233_unigram_kl", "q234_markov_predictor", "q235_auc",
       "q236_ece", "q237_gains", "q238_price_dispersion",
       "q239_multi_test", "q240_standardized_rate",
-      "q241_seasonality_strength", "q242_ending_inventory")
+      "q241_seasonality_strength", "q242_ending_inventory",
+      // round-7 additions; q246 is class-collapsed like q140/q143 so
+      // the sweep is runnable on the exact-twins amplified corpus
+      "q244_dedup_cost_model", "q245_twin_compression",
+      "q246_threshold_sweep")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)
