@@ -1873,6 +1873,27 @@ object Curation {
       .coalesce(1).orderBy(col("j_decile"))
   }
 
+  /** q247 — language-ID CONFUSION MATRIX (oracle-checked): q27 reports
+    * the predicted-language distribution; this is its accuracy audit
+    * against the corpus' ground-truth `lang` label — one row per
+    * (actual, predicted) cell with count and within-actual share (the
+    * per-language recall readout on the diagonal). The gate a mix
+    * owner runs before trusting a language filter: a detector that
+    * routes 30% of German to English silently skews any
+    * language-conditioned sampling. One ≤|langs|²-cell aggregate; the
+    * share is a single division of exact integers over a
+    * lang-partitioned window on the tiny cell table.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("share", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("lang"))).cast("double"), 6))
+      .coalesce(1).orderBy(col("lang"), col("pred_lang"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -1938,7 +1959,8 @@ object Curation {
     "q243_detector_kappa" -> (kappaQuery _),
     "q244_dedup_cost_model" -> (dedupCostModel _),
     "q245_twin_compression" -> (twinCompression _),
-    "q246_threshold_sweep" -> (thresholdSweep _))
+    "q246_threshold_sweep" -> (thresholdSweep _),
+    "q247_langid_confusion" -> (langIdConfusion _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -1359,5 +1359,26 @@ object CurationOracle {
         |SELECT (e4 // 1000) / 10.0 AS j_decile,
         |       CAST(count(*) AS BIGINT) AS n_pairs,
         |       round((sum(e4) / count(*)) / 10000.0, 4) AS mean_jaccard
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q27's stopword-profile argmax verbatim, kept per ground-truth lang
+    "q247_langid_confusion" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |         len(list_filter(string_split(lower(text),' '), x -> x IN ('the','and','of','to','is'))) s_en,
+        |         len(list_filter(string_split(lower(text),' '), x -> x IN ('el','la','de','que','y'))) s_es,
+        |         len(list_filter(string_split(lower(text),' '), x -> x IN ('le','la','les','et','des'))) s_fr,
+        |         len(list_filter(string_split(lower(text),' '), x -> x IN ('der','die','und','das','ist'))) s_de,
+        |         len(list_filter(string_split(lower(text),' '), x -> x IN ('的','是','了','在','我'))) s_zh
+        |  FROM documents),
+        |p AS (SELECT lang, CASE
+        |  WHEN s_zh >= greatest(s_en,s_es,s_fr,s_de) THEN 'zh'
+        |  WHEN s_fr >= greatest(s_en,s_es,s_de) THEN 'fr'
+        |  WHEN s_es >= greatest(s_en,s_de) THEN 'es'
+        |  WHEN s_en >= s_de THEN 'en' ELSE 'de' END pred_lang FROM s),
+        |c AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+        |       round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+        |         AS share
+        |FROM c ORDER BY lang, pred_lang""".stripMargin)
 }

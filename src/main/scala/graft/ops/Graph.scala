@@ -40,12 +40,14 @@ object Graph {
   /** Directed association rules over (basket, item) pairs: for every
     * co-occurring item pair, support count, confidence
     * P(consequent | antecedent) and lift. Items are deduplicated
-    * within a basket first; pair enumeration joins the basket table
-    * to itself on the basket key with `item_a < item_b`, so the
-    * fan-out per basket is C(|basket|, 2) — bounded by basket size,
-    * never by corpus size. Counts are exact integers; conf/lift are
-    * single IEEE divisions of those integers, identical in any
-    * engine.
+    * within a basket first; pair enumeration aggregates each basket to
+    * a sorted item array and explodes its C(|basket|, 2) ordered pairs
+    * from an array HOF — bounded by basket size, never by corpus size,
+    * and ONE basket-key shuffle (round-7: the previous self-join form
+    * shuffled the basket relation twice and equi-joined it against
+    * itself for the same pair multiset). Counts are exact integers;
+    * conf/lift are single IEEE divisions of those integers, identical
+    * in any engine.
     *
     * Apriori pre-pruning (LOSSLESS): co(a,c) ≤ min(supp(a), supp(c)),
     * so an item with support < `minCo` can never reach a qualifying
@@ -67,8 +69,14 @@ object Graph {
   def assocRules(
       df: DataFrame, basketCol: String, itemCol: String,
       minCo: Long = 1L, maxBasketSize: Option[Int] = None): DataFrame = {
+    // persisted: the dedup'd basket relation is the expensive shuffle
+    // (distinct over the raw fact join) and FOUR consumers read it
+    // (supp, basket count, and the pair stage) — without the cache
+    // Spark re-derives the whole upstream per consumer (measured: the
+    // dominant cost of q107 at 100×). ContextCleaner reclaims the
+    // blocks when the returned plan is garbage-collected.
     val baskets = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct()
+      .distinct().persist()
     val nBaskets = baskets.agg(countDistinct(col("__b")).as("__n"))
     // supp is the FULL per-item support — conf/lift denominators are
     // defined over the whole corpus, independent of any pruning below
@@ -81,18 +89,26 @@ object Graph {
       else baskets.join(
         broadcast(supp.filter(col("__s") >= minCo).select(col("__i"))),
         Seq("__i"), "left_semi")
+    // pair enumeration WITHOUT a self-join: one basket-key aggregate
+    // to a sorted item array, then the C(k,2) ordered pairs explode
+    // from an array HOF — the previous basket⋈basket equi-join
+    // shuffled the relation twice and joined 50M×50M rows at 100× for
+    // the same pair multiset. The sorted array makes `item_a < item_b`
+    // positional (i < j ⇒ xs[i] < xs[j], items are basket-distinct).
+    val grouped = pruned.groupBy(col("__b"))
+      .agg(sort_array(collect_list(col("__i"))).as("__xs"))
     val capped = maxBasketSize match {
-      case None => pruned
+      case None => grouped
       case Some(cap) =>
         require(cap >= 2, s"maxBasketSize must be >= 2: $cap")
-        pruned.withColumn("__rn",
-            row_number().over(Window.partitionBy(col("__b")).orderBy(col("__i"))))
-          .filter(col("__rn") <= cap).drop("__rn")
+        grouped.withColumn("__xs", slice(col("__xs"), 1, cap))
     }
-    val co = capped.as("l")
-      .join(capped.as("r"), col("l.__b") === col("r.__b") &&
-        col("l.__i") < col("r.__i"))
-      .groupBy(col("l.__i").as("__a"), col("r.__i").as("__c"))
+    val pairs = capped.select(explode(flatten(transform(col("__xs"),
+      (x, i) => transform(
+        slice(col("__xs"), i + lit(2), size(col("__xs"))),
+        y => struct(x.as("a"), y.as("c")))))).as("__p"))
+    val co = pairs
+      .groupBy(col("__p.a").as("__a"), col("__p.c").as("__c"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
     val directed = co.union(co.select(col("__c"), col("__a"), col("co")))
@@ -119,7 +135,13 @@ object Graph {
     * wedge fan-out concentrates on low-degree vertices.
     */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // materialize the edge relation once: the wedge + closing joins
+    // read it THREE times, and an expensive upstream (q108 derives
+    // edges from a basket co-count aggregate) would otherwise be
+    // re-derived per read (see kHopDistances for the cluster
+    // checkpoint note)
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint()
     val tri = e
       .join(e.select(col("a").as("b"), col("b").as("c")), "b")
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -315,12 +337,20 @@ object Graph {
     * — both engines compute the identical double mean from exact
     * integer counts). */
   private def brandEdges(spark: SparkSession, dir: String): DataFrame = {
-    val b = brandBaskets(spark, dir).distinct()
-    val co = b.as("l")
-      .join(b.as("r"), col("l.bid") === col("r.bid") &&
-        col("l.item") < col("r.item"))
-      .groupBy(col("l.item").as("a"), col("r.item").as("b"))
+    // same no-self-join pair enumeration as assocRules: one basket-key
+    // aggregate to a sorted array, C(k,2) pairs from an array HOF. The
+    // |items|²-bounded co table is persisted — the cut scalar and the
+    // edge filter both read it, and each read would otherwise re-run
+    // the whole basket build.
+    val grouped = brandBaskets(spark, dir).distinct()
+      .groupBy(col("bid")).agg(sort_array(collect_list(col("item"))).as("__xs"))
+    val co = grouped.select(explode(flatten(transform(col("__xs"),
+        (x, i) => transform(
+          slice(col("__xs"), i + lit(2), size(col("__xs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
       .agg(count(lit(1)).as("co"))
+      .persist()
     val cut = co.agg(avg(col("co")).as("__cut"))
     co.crossJoin(broadcast(cut)).filter(col("co") >= col("__cut"))
       .select(col("a"), col("b"))

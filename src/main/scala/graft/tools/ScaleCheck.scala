@@ -74,8 +74,10 @@ object ScaleCheck {
     // (the class-collapse expansion cutoff); q55 the ONE-row bloom word
     // map (the q196 pattern, now the only bloom probe path) — all
     // single-row by construction.
+    // q244 attaches the single-row candidate-pair total the same way.
     val scalarBroadcastOk = Set("q90_tfidf_pairs", "q111_winnowing",
-      "q55_bloom_join", "q13_cosine_topk", "q76_heavy_hitters",
+      "q55_bloom_join", "q244_dedup_cost_model",
+      "q13_cosine_topk", "q76_heavy_hitters",
       "q82_asof_ties", "q96_rfm_segments", "q99_benford",
       "q104_interpolate", "q107_assoc_rules", "q108_triangles",
       "q109_bfs", "q110_mutual_info", "q111_winnowing", "q115_trigrams",
