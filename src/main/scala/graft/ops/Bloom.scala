@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * The semi-join reduction a 100 TB fact scan wants when the dim key
   * set is too large to ship as an exact hash set but fits as bits: an
   * m-bit Bloom filter over the build-side keys travels to the fact
-  * side as ONE broadcast row (a map of non-zero 64-bit words, so a
-  * sparse filter costs only its set words), and the fact stream is
-  * pre-filtered by k codegen'd hash probes BEFORE the join shuffle.
+  * side as ONE broadcast row — a DENSE `array<long>` of all m/64
+  * words, so each probe is an O(1) positional `element_at` (round-7:
+  * the previous non-zero-words MAP cost a LINEAR scan per probe —
+  * Spark's map element_at walks the entries — which at 550 k words ×
+  * 7 hashes × 60 M fact rows turned q55's 100× run into a hang; the
+  * dense 35 M-bit array is 4.4 MB, broadcast-trivial) — and the fact
+  * stream is pre-filtered by k codegen'd hash probes BEFORE the join
+  * shuffle.
   * Bloom filters have no false negatives, so prefilter + exact join
   * is result-identical to the plain join — q196 puts that equivalence
   * under the driver's oracle gate (the DuckDB twin is the PLAIN join,
@@ -28,14 +33,19 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   /** The `mBits`-bit, `k`-hash Bloom filter over `keyDf[keyCol]` as a
-    * one-row DataFrame with a single `map<int, long>` column `bf`
-    * holding the non-zero 64-bit words (word index → word). Hash i of
-    * key x is `pmod(xxhash64(x, i), mBits)`. `mBits` must be a
-    * multiple of 64.
+    * one-row DataFrame with a single DENSE `array<long>` column `bf`
+    * of all mBits/64 words in order (unset words zero-filled — O(1)
+    * positional probe access; a sparse word MAP costs a linear entry
+    * scan per `element_at`, measured as a scale hang on q55). Hash i
+    * of key x is `pmod(xxhash64(x, i), mBits)`. `mBits` must be a
+    * multiple of 64. The densify step is one |non-zero words|-row
+    * left join against an mBits/64-row range spine — trivial next to
+    * the key scan.
     */
   def build(keyDf: DataFrame, keyCol: String, mBits: Int, k: Int): DataFrame = {
     require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
-    keyDf.select(col(keyCol).as("__key"))
+    val nWords = mBits / 64
+    val words = keyDf.select(col(keyCol).as("__key"))
       .select(explode(array((0 until k).map(lit): _*)).as("__seed"),
         col("__key"))
       .select(pmod(xxhash64(col("__key"), col("__seed")), lit(mBits.toLong))
@@ -43,19 +53,26 @@ object Bloom {
       .groupBy((col("__h") / 64).cast("int").as("__w"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__h % 64 AS INT)))")
         .as("__word"))
-      .agg(map_from_entries(collect_list(struct(col("__w"), col("__word"))))
-        .as("bf"))
+    keyDf.sparkSession.range(nWords)
+      .select(col("id").cast("int").as("__w"))
+      .join(words, Seq("__w"), "left")
+      .select(col("__w"), coalesce(col("__word"), lit(0L)).as("__word"))
+      .agg(sort_array(collect_list(struct(col("__w"), col("__word"))))
+        .as("__sw"))
+      .select(transform(col("__sw"), s => s.getField("__word")).as("bf"))
   }
 
   /** Membership probe: true whenever `key` was in the build set
     * (never a false negative; false positives at the (1−e^(−kn/m))^k
-    * textbook rate). `bf` is the map column from [[build]].
+    * textbook rate). `bf` is the dense word array from [[build]] —
+    * each probe is one O(1) `element_at` (1-based) plus a mask test,
+    * all inside codegen.
     */
   def mightContain(bf: Column, key: Column, mBits: Int, k: Int): Column =
     (0 until k).map { i =>
       val h = pmod(xxhash64(key, lit(i)), lit(mBits.toLong))
       val mask = call_function("shiftleft", lit(1L), (h % 64).cast("int"))
-      coalesce(element_at(bf, (h / 64).cast("int")), lit(0L))
+      element_at(bf, (h / 64).cast("int") + 1)
         .bitwiseAND(mask) === mask
     }.reduce(_ && _)
 

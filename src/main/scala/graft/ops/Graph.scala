@@ -69,39 +69,49 @@ object Graph {
   def assocRules(
       df: DataFrame, basketCol: String, itemCol: String,
       minCo: Long = 1L, maxBasketSize: Option[Int] = None): DataFrame = {
-    // persisted: the dedup'd basket relation is the expensive shuffle
-    // (distinct over the raw fact join) and FOUR consumers read it
-    // (supp, basket count, and the pair stage) — without the cache
-    // Spark re-derives the whole upstream per consumer (measured: the
-    // dominant cost of q107 at 100×). ContextCleaner reclaims the
-    // blocks when the returned plan is garbage-collected.
-    val baskets = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .distinct().persist()
-    val nBaskets = baskets.agg(countDistinct(col("__b")).as("__n"))
+    // ONE basket-key shuffle builds everything: collect_set dedups
+    // items WITHIN the aggregation (the previous distinct() + groupBy
+    // pair shuffled the 60M-row relation twice at 100×), and the
+    // persisted per-basket array table then feeds basket count,
+    // support, and the pair stage — without the cache Spark re-derives
+    // the whole upstream per consumer (measured: the dominant cost of
+    // q107 at 100×). ContextCleaner reclaims the blocks when the
+    // returned plan is garbage-collected.
+    val grouped0 = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__xs"))
+      .persist()
+    val nBaskets = grouped0.agg(count(lit(1)).as("__n"))
     // supp is the FULL per-item support — conf/lift denominators are
-    // defined over the whole corpus, independent of any pruning below
-    val supp = baskets.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
-    // the frequent-item set has ≤ |item-occurrences|/minCo rows of one
-    // key column — at any minCo that makes rule mining meaningful this
-    // is a small dim, so the semi-join broadcasts (no basket shuffle)
+    // defined over the whole corpus, independent of any pruning below.
+    // Derived from the cached arrays: a narrow explode + a tiny
+    // map-side-combined aggregate, never a re-scan of the fact.
+    val supp = grouped0.select(explode(col("__xs")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+    // apriori prune at ARRAY level: the frequent-item set rides in as
+    // one broadcast row (≤ |item-occurrences|/minCo entries — small at
+    // any minCo that makes rule mining meaningful) and array_intersect
+    // keeps the left argument's (sorted) order
     val pruned =
-      if (minCo <= 1L) baskets
-      else baskets.join(
-        broadcast(supp.filter(col("__s") >= minCo).select(col("__i"))),
-        Seq("__i"), "left_semi")
-    // pair enumeration WITHOUT a self-join: one basket-key aggregate
-    // to a sorted item array, then the C(k,2) ordered pairs explode
-    // from an array HOF — the previous basket⋈basket equi-join
+      if (minCo <= 1L) grouped0
+      else {
+        val freq = supp.filter(col("__s") >= minCo)
+          .agg(sort_array(collect_list(col("__i"))).as("__freq"))
+        grouped0.crossJoin(broadcast(freq))
+          .withColumn("__xs", array_intersect(col("__xs"), col("__freq")))
+          .drop("__freq")
+      }
+    // pair enumeration WITHOUT a self-join: the C(k,2) ordered pairs
+    // explode from an array HOF — the original basket⋈basket equi-join
     // shuffled the relation twice and joined 50M×50M rows at 100× for
     // the same pair multiset. The sorted array makes `item_a < item_b`
     // positional (i < j ⇒ xs[i] < xs[j], items are basket-distinct).
-    val grouped = pruned.groupBy(col("__b"))
-      .agg(sort_array(collect_list(col("__i"))).as("__xs"))
     val capped = maxBasketSize match {
-      case None => grouped
+      case None => pruned
       case Some(cap) =>
         require(cap >= 2, s"maxBasketSize must be >= 2: $cap")
-        grouped.withColumn("__xs", slice(col("__xs"), 1, cap))
+        pruned.withColumn("__xs", slice(col("__xs"), 1, cap))
     }
     val pairs = capped.select(explode(flatten(transform(col("__xs"),
       (x, i) => transform(
@@ -342,8 +352,8 @@ object Graph {
     // |items|²-bounded co table is persisted — the cut scalar and the
     // edge filter both read it, and each read would otherwise re-run
     // the whole basket build.
-    val grouped = brandBaskets(spark, dir).distinct()
-      .groupBy(col("bid")).agg(sort_array(collect_list(col("item"))).as("__xs"))
+    val grouped = brandBaskets(spark, dir)
+      .groupBy(col("bid")).agg(sort_array(collect_set(col("item"))).as("__xs"))
     val co = grouped.select(explode(flatten(transform(col("__xs"),
         (x, i) => transform(
           slice(col("__xs"), i + lit(2), size(col("__xs"))),

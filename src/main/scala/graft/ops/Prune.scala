@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   *
   * Mechanics (shared with [[Bloom]], q196's oracle-gated path): the
   * filter is DATA, not driver state — a one-row DataFrame holding the
-  * non-zero 64-bit words as `map<int,long>`, built distributedly by one
+  * m/64 64-bit words as a dense `array<long>`, built distributedly by one
   * aggregate over the key set, attached to the fact side as a broadcast
   * single-row cross join, and probed by k codegen'd `xxhash64`
   * expressions. No scalar UDF anywhere (round-7 change: the previous
@@ -75,14 +75,21 @@ object Prune {
 
   /** Textbook geometry for `n` distinct keys at false-positive rate
     * `fpp`: m = ⌈−n·ln(fpp)/ln²2⌉ rounded up to a multiple of 64,
-    * k = round(m/n·ln 2) clamped to [1, 8]. */
+    * k = round(m/n·ln 2) clamped to [1, 8]. m is capped at 2²⁷ bits
+    * (a 16 MB dense word array — comfortably broadcastable); past the
+    * cap (≈ 14 M keys at fpp 1%) the REALIZED fpp degrades gracefully
+    * rather than the broadcast growing unbounded — false positives
+    * only cost join work, never correctness. Far beyond that, a
+    * shuffled semi-join beats any bloom (the filter itself becomes the
+    * shuffle).
+    */
   private[ops] def sizing(n: Long, fpp: Double): (Int, Int) = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val ln2 = math.log(2)
     val mRaw = math.ceil(-n.toDouble * math.log(fpp) / (ln2 * ln2)).toLong
-    val m = math.min(((mRaw + 63) / 64) * 64, 1L << 31).toInt
+    val m = math.max(64L, math.min(((mRaw + 63) / 64) * 64, 1L << 27)).toInt
     val k = math.max(1, math.min(8, math.round(m.toDouble / n * ln2).toInt))
-    (math.max(m, 64), k)
+    (m, k)
   }
 
   /** Build a [[KeyFilter]] over the DISTINCT values of `keyCol`

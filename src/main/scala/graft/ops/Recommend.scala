@@ -31,16 +31,29 @@ object Recommend {
   def itemCosine(
       df: DataFrame, entityCol: String, itemCol: String, countCol: String,
       minEntities: Long = 1L): DataFrame = {
+    // persisted: norms and the pair stage both read it, and the
+    // upstream is typically a multi-join aggregate (q126: lineitem ⋈
+    // orders ⋈ part) that would otherwise re-derive per consumer
     val base = df.select(col(entityCol).as("__e"), col(itemCol).as("__i"),
-      col(countCol).as("__n"))
+      col(countCol).as("__n")).persist()
     val norms = base.groupBy(col("__i"))
       .agg(sum(col("__n") * col("__n")).as("__n2"))
-    val pairs = base.as("l")
-      .join(base.as("r"),
-        col("l.__e") === col("r.__e") && col("l.__i") < col("r.__i"))
-      .groupBy(col("l.__i").as("item_a"), col("r.__i").as("item_b"))
+    // pair enumeration without a self-join (the q107 round-7 form):
+    // one entity-key aggregate to an item-sorted struct array, then
+    // the C(k,2) ordered pairs explode from an array HOF carrying the
+    // per-pair dot term — items are entity-distinct, so positional
+    // i < j is exactly item_a < item_b
+    val grouped = base.groupBy(col("__e"))
+      .agg(sort_array(collect_list(struct(col("__i"), col("__n")))).as("__xs"))
+    val pairs = grouped.select(explode(flatten(transform(col("__xs"),
+        (x, i) => transform(
+          slice(col("__xs"), i + lit(2), size(col("__xs"))),
+          y => struct(
+            x.getField("__i").as("a"), y.getField("__i").as("c"),
+            (x.getField("__n") * y.getField("__n")).as("d")))))).as("__p"))
+      .groupBy(col("__p.a").as("item_a"), col("__p.c").as("item_b"))
       .agg(count(lit(1)).as("n_common"),
-        sum(col("l.__n") * col("r.__n")).as("dot"))
+        sum(col("__p.d")).as("dot"))
       .filter(col("n_common") >= minEntities)
     pairs
       .join(broadcast(norms).withColumnRenamed("__i", "item_a")

@@ -51,11 +51,17 @@ class BloomSpec extends SparkSpec {
     assert(viaBloom.toSeq === plain.toSeq)
   }
 
-  test("bloom filter is sparse-map encoded: word count <= mBits/64") {
+  test("bloom filter is a dense word array: exactly mBits/64 longs, <=150 set") {
     initQuiet()
-    val bf = Bloom.build((1L to 50L).toDF("k"), "k", M, K)
-      .select(size(map_keys(col("bf")))).as[Int].head()
+    // round-7: dense array<long> (O(1) positional probes) replaced the
+    // sparse map (whose element_at is a linear entry scan — a measured
+    // scale hang at 550k words x 7 probes x 60M rows on q55)
+    val row = Bloom.build((1L to 50L).toDF("k"), "k", M, K)
+      .select(size(col("bf")).as("n"),
+        size(filter(col("bf"), w => w =!= 0L)).as("set"))
+      .head()
+    assert(row.getInt(0) == M / 64, s"array must be dense: ${row.getInt(0)}")
     // 50 keys x 3 hashes set at most 150 distinct words
-    assert(bf <= 150 && bf > 0)
+    assert(row.getInt(1) <= 150 && row.getInt(1) > 0)
   }
 }
