@@ -186,7 +186,7 @@ object ScaleCheck {
       // round-7 additions; q246 is class-collapsed like q140/q143 so
       // the sweep is runnable on the exact-twins amplified corpus
       "q244_dedup_cost_model", "q245_twin_compression",
-      "q246_threshold_sweep")
+      "q246_threshold_sweep", "q247_langid_confusion")
     val names =
       (graft.Bench.headlineNames ++ NoBroadcastVerify.queries ++ round56)
         .distinct.sorted.filterNot(skip)
