@@ -53,9 +53,13 @@ object Bloom {
       .groupBy((col("__h") / 64).cast("int").as("__w"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__h % 64 AS INT)))")
         .as("__word"))
+    // the non-zero word set is bounded by the FILTER GEOMETRY
+    // (≤ mBits/64 rows ≤ 2M at Prune's cap), never by the data — an
+    // explicitly-declared broadcast, legal even in the no-broadcast
+    // regime (same class as the nation/region bounded dims)
     keyDf.sparkSession.range(nWords)
       .select(col("id").cast("int").as("__w"))
-      .join(words, Seq("__w"), "left")
+      .join(broadcast(words), Seq("__w"), "left")
       .select(col("__w"), coalesce(col("__word"), lit(0L)).as("__word"))
       .agg(sort_array(collect_list(struct(col("__w"), col("__word"))))
         .as("__sw"))
