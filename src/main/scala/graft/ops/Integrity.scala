@@ -141,17 +141,36 @@ object Integrity {
 
   // ---------------------------------------------------------------- q84
 
-  /** q84 — portable replication checksum of lineitem in 16 key-range
+  /** Size-derived bucket count honoring [[bucketChecksum]]'s sizing
+    * rule ("pick `bucket` so a bucket is row-group-sized"): with
+    * `target` rows per bucket, B = max(16, ⌈n/target⌉) — pure integer
+    * arithmetic so ANY engine recomputing the digest derives the
+    * identical geometry from the identical row count (the DuckDB twin
+    * evaluates the same formula in SQL). The 16-bucket floor keeps the
+    * historical geometry (and hashes) at every oracle scale; past
+    * 16·target rows the count grows linearly, so per-bucket sorted
+    * state stays O(target) and the digest aggregation never goes
+    * superlinear (round-7 scale finding: a PINNED 16 buckets put
+    * 3.75 M rows per bucket at 100× — 14.8× time for 10× data).
+    */
+  def checksumBuckets(n: Long, target: Long = 65536L): Long =
+    math.max(16L, (n + target - 1) / target)
+
+  /** q84 — portable replication checksum of lineitem in key-range
     * buckets. The row rendering sticks to integers and strings (price
     * scaled to cents — `round` yields an integral double in both
     * engines, so the long cast is exact); the digest is engine-portable
-    * md5, which is exactly what the DuckDB oracle recomputes.
+    * md5, which is exactly what the DuckDB oracle recomputes. The
+    * bucket count is [[checksumBuckets]] of the exact row count (one
+    * cheap columnar count job) — row-group-sized buckets at any scale,
+    * same formula the oracle SQL evaluates.
     */
   def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
+    val b = checksumBuckets(li.count())
     bucketChecksum(
       li,
-      bucket = col("l_orderkey") % 16,
+      bucket = col("l_orderkey") % b,
       sortKeys = Seq(col("l_orderkey"), col("l_linenumber")),
       rowStr = concat_ws("|",
         col("l_orderkey"), col("l_linenumber"),
@@ -706,10 +725,15 @@ object IntegrityOracle {
 
   val all: Seq[(String, String)] = Seq(
     // portable digest twin: same rendering (ints + strings only), same
-    // per-bucket ordering, same newline join, same md5
+    // per-bucket ordering, same newline join, same md5 — and the SAME
+    // size-derived bucket count (integer max(16, ceil(n/65536)), see
+    // Integrity.checksumBuckets), so both engines derive the identical
+    // geometry from the identical row count
     "q84_table_checksum" ->
-      """WITH r AS (
-        |  SELECT l_orderkey % 16 AS bucket,
+      """WITH nb AS (
+        |  SELECT greatest(16, (count(*) + 65535) // 65536) AS b FROM lineitem),
+        |r AS (
+        |  SELECT l_orderkey % (SELECT b FROM nb) AS bucket,
         |         concat_ws('|', l_orderkey, l_linenumber,
         |           CAST(round(l_extendedprice*100) AS BIGINT), l_returnflag) AS rs,
         |         l_orderkey, l_linenumber
