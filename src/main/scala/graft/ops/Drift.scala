@@ -64,7 +64,11 @@ object Drift {
   }
 
   /** Resolve [[PercentileMode.Auto]] against the observed data: true =
-    * take the exact holistic path. One approx_count_distinct guard job. */
+    * take the exact holistic path. One approx_count_distinct guard job.
+    * The threshold is shaded to 90% of the bound: the sketch carries
+    * ~2–5% relative error and this check exists purely as an OOM
+    * guard, so a group moderately over the memory bound must never be
+    * routed to the unbounded holistic path by under-estimation. */
   private def exactIsSafe(
       pairs: DataFrame, keyCol: String, valueCol: String, bound: Long): Boolean = {
     val worst = pairs
@@ -72,7 +76,7 @@ object Drift {
       .agg(approx_count_distinct(col(valueCol)).as("__d"))
       .agg(max(col("__d")).as("__m"))
       .head()
-    worst.isNullAt(0) || worst.getLong(0) <= bound
+    worst.isNullAt(0) || worst.getLong(0) <= bound - bound / 10
   }
 
   private def orderedSmall(df: DataFrame, cols: Column*): DataFrame =
@@ -98,13 +102,18 @@ object Drift {
       sum(col(valueCol)).as("__s"),
       sum(col(valueCol) * col(valueCol)).as("__s2"))
     val w = Window.partitionBy(k).orderBy(col(periodCol))
+    // per-series stats/top are one row per key — broadcast only while
+    // the measured key cardinality stays bounded (unbounded in
+    // general); one guard job decides both hints
+    val bounded = Hints.keyIsBounded(df, k)
+    def hinted(d: DataFrame): DataFrame = if (bounded) broadcast(d) else d
     val cus = df
-      .join(broadcast(stats), keyCol)
+      .join(hinted(stats), keyCol)
       .withColumn("__mu", col("__s") / col("__n"))
       .withColumn("__cusum",
         abs(sum(col(valueCol)).over(w) - row_number().over(w) * col("__mu")))
     val top = cus.groupBy(k).agg(max(col("__cusum")).as("__m"))
-    cus.join(broadcast(top), keyCol)
+    cus.join(hinted(top), keyCol)
       .filter(col("__cusum") === col("__m"))
       .groupBy(k, col("__n"), col("__s"), col("__s2"), col("__m"))
       .agg(min(col(periodCol)).as("cp_period"))
@@ -149,7 +158,9 @@ object Drift {
         sum(col("__xa") * col("__xb")).as("__sxy"),
         sum(col("__xa")).as("__sx"),
         sum(col("__xb")).as("__sy"))
-      .join(broadcast(stats), keyCol)
+      // per-series stats: cardinality-guarded hint, as in
+      // [[cusumChangepoints]]
+      .join(Hints.broadcastIfBounded(stats, df, k), keyCol)
       .withColumn("__mu", col("__s") / col("__n"))
       .select(k, col("lag"), col("__m").as("n_pairs"),
         round(

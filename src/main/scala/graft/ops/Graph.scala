@@ -59,6 +59,14 @@ object Graph {
     * Identical output by the support bound (round-7 fix: the unpruned
     * form was the single most expensive query at 100× — 127.5 s).
     *
+    * Caching lifecycle: the per-basket array relation is `persist()`ed
+    * (basket count, support and the pair stage all read it); the
+    * blocks are released by Spark's ContextCleaner when the returned
+    * plan is garbage-collected. A long-lived session issuing MANY such
+    * plans should hold few references or `spark.catalog.clearCache()`
+    * between batches, or the accumulated blocks can evict more useful
+    * cache. Same lifecycle: [[triangles]], [[Recommend.itemCosine]].
+    *
     * `maxBasketSize`: optional LOSSY guard for adversarial baskets
     * (a basket with 10⁵ frequent items still fans out C(10⁵,2) pairs).
     * When set, each basket keeps only its `maxBasketSize` smallest
@@ -122,10 +130,18 @@ object Graph {
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
     val directed = co.union(co.select(col("__c"), col("__a"), col("co")))
+    // supp is one row per distinct item — broadcast-sized for any real
+    // basket vocabulary, but NOT by construction: the hint is guarded
+    // on the measured item cardinality (Hints.broadcastIfBounded, one
+    // approx_count_distinct over the cached basket arrays) so a
+    // catalog-scale item universe demotes to a shuffled join instead
+    // of forcing an executor OOM
+    val suppH = Hints.broadcastIfBounded(
+      supp, grouped0.select(explode(col("__xs")).as("__i")), col("__i"))
     directed
-      .join(broadcast(supp).withColumnRenamed("__i", "__a")
+      .join(suppH.withColumnRenamed("__i", "__a")
         .withColumnRenamed("__s", "__sa"), "__a")
-      .join(broadcast(supp).withColumnRenamed("__i", "__c")
+      .join(suppH.withColumnRenamed("__i", "__c")
         .withColumnRenamed("__s", "__sc"), "__c")
       .crossJoin(broadcast(nBaskets))
       .select(
@@ -535,10 +551,12 @@ object Graph {
       .groupBy(col("l.__i").as("__a"), col("r.__i").as("__c2"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
+    // item-vocabulary attach, cardinality-guarded like assocRules'
+    val suppH = Hints.broadcastIfBounded(supp, baskets, col("__i"))
     co
-      .join(broadcast(supp).withColumnRenamed("__i", "__a")
+      .join(suppH.withColumnRenamed("__i", "__a")
         .withColumnRenamed("__s", "__sa"), "__a")
-      .join(broadcast(supp).withColumnRenamed("__i", "__c2")
+      .join(suppH.withColumnRenamed("__i", "__c2")
         .withColumnRenamed("__s", "__sc"), "__c2")
       .crossJoin(broadcast(nBaskets))
       .select(

@@ -43,8 +43,16 @@ object Prune {
 
   /** A built filter: the one-row words DataFrame plus its geometry.
     * Apply with [[KeyFilter.prune]]; reuse across any number of scans.
+    * The words row is `persist()`ed by [[bloomFor]] so rebuilds never
+    * recompute the key aggregate — call [[release]] when a long-lived
+    * session is done with the filter (otherwise the block lives until
+    * the KeyFilter is garbage-collected).
     */
   final case class KeyFilter(bf: DataFrame, mBits: Int, k: Int, keyType: DataType) {
+
+    /** Drop the cached words block (idempotent; the filter remains
+      * usable — the words just recompute on next use). */
+    def release(): Unit = { bf.unpersist(); () }
 
     /** `df` with the rows whose `key` cannot be in the build set
       * removed (nulls never pass — a null never equi-joins). One

@@ -27,15 +27,26 @@ object Recommend {
     * sums are exact integers; the final expression — CAST(dot) /
     * sqrt(CAST(na2)·CAST(nb2)) — is one closed double form both
     * engines evaluate identically. Pairs require `minEntities` common
-    * entities (support floor). */
+    * entities (support floor). Duplicate (entity, item) rows are
+    * summed into one interaction first (round-8: the array-HOF pair
+    * stage otherwise emits self-pairs and inflated dots on duplicate
+    * input, where the historical strict-< self-join silently didn't) —
+    * callers need no uniqueness precondition.
+    *
+    * Caching lifecycle: the pre-aggregated interaction relation is
+    * `persist()`ed (norms and the pair stage both read it, and the
+    * upstream is typically a multi-join aggregate that would otherwise
+    * re-derive per consumer); the blocks are released by Spark's
+    * ContextCleaner when the returned plan is garbage-collected, so a
+    * long-lived session issuing many such plans should either hold few
+    * references or `spark.catalog.clearCache()` between batches. */
   def itemCosine(
       df: DataFrame, entityCol: String, itemCol: String, countCol: String,
       minEntities: Long = 1L): DataFrame = {
-    // persisted: norms and the pair stage both read it, and the
-    // upstream is typically a multi-join aggregate (q126: lineitem ⋈
-    // orders ⋈ part) that would otherwise re-derive per consumer
     val base = df.select(col(entityCol).as("__e"), col(itemCol).as("__i"),
-      col(countCol).as("__n")).persist()
+      col(countCol).as("__n"))
+      .groupBy(col("__e"), col("__i")).agg(sum(col("__n")).as("__n"))
+      .persist()
     val norms = base.groupBy(col("__i"))
       .agg(sum(col("__n") * col("__n")).as("__n2"))
     // pair enumeration without a self-join (the q107 round-7 form):
@@ -55,10 +66,13 @@ object Recommend {
       .agg(count(lit(1)).as("n_common"),
         sum(col("__p.d")).as("dot"))
       .filter(col("n_common") >= minEntities)
+    // item-vocabulary attach: broadcast only while the measured item
+    // cardinality stays bounded (the q107/q138 guard — reads the cache)
+    val normsH = Hints.broadcastIfBounded(norms, base, col("__i"))
     pairs
-      .join(broadcast(norms).withColumnRenamed("__i", "item_a")
+      .join(normsH.withColumnRenamed("__i", "item_a")
         .withColumnRenamed("__n2", "__na2"), "item_a")
-      .join(broadcast(norms).withColumnRenamed("__i", "item_b")
+      .join(normsH.withColumnRenamed("__i", "item_b")
         .withColumnRenamed("__n2", "__nb2"), "item_b")
       .select(col("item_a"), col("item_b"), col("n_common"), col("dot"),
         round(col("dot").cast("double") /

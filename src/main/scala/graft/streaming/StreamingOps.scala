@@ -218,8 +218,13 @@ object StreamingOps {
           val arrivals = it.toList
           val facts0 = prev.facts ++ arrivals.filter(_.isFact).map(e => (e.us, e.value))
           val dims0 = prev.dims ++ arrivals.filterNot(_.isFact).map(e => (e.us, e.attr))
-          // resolve facts the watermark has passed — their dim set is final
-          val (ripe, green) = facts0.partition(_._1 <= wmUs)
+          // resolve facts the watermark has STRICTLY passed — their dim
+          // set is final. Strict (<) mirrors the engine's late-row
+          // filter, which only drops rows strictly older than the
+          // watermark: a fact AT the boundary must stay pending, since
+          // a dim version with the same boundary timestamp can still
+          // legally arrive in a later micro-batch.
+          val (ripe, green) = facts0.partition(_._1 < wmUs)
           val out = ripe.sortBy(_._1).map { case (fus, v) =>
             val m = dims0.filter(dv => dv._1 <= fus && fus - dv._1 <= bandUs)
             AsOfEnriched(key, fus, v,
