@@ -17,10 +17,19 @@ import org.apache.spark.sql.functions._
   * Every step is a deterministic, shuffle-frugal operator documented for
   * 100 TB in its own scaladoc; this example is the composition proof —
   * the pipeline a user of the engine actually runs before pretraining.
+  * [[runDetailed]] additionally reports per-stage surviving tokens and
+  * wall seconds (the PIPELINE_r08 artifact; round-8, VERDICT r7
+  * stretch #7).
   *
   * Run: `sbt "runMain graft.examples.PretrainPipeline"`.
   */
 object PretrainPipeline {
+
+  /** One pipeline stage's outcome: rows surviving, tokens surviving
+    * (−1 where the stage has no token column — raw input, audit flag
+    * counts, packing metadata), and wall seconds spent since the
+    * previous stage (includes the stage's own count/sum action). */
+  final case class Stage(name: String, rows: Long, tokens: Long, sec: Double)
 
   /** The ingest contract: rows violating ANY rule are quarantined to a
     * dead-letter sink with their violation names, never silently
@@ -36,6 +45,11 @@ object PretrainPipeline {
   def run(spark: SparkSession, dir: String): Seq[(String, Long)] =
     runOn(spark, Tables.load(spark, dir, "documents"))
 
+  /** Legacy shape of [[runDetailed]]: (stage → row count) in order. */
+  def runOn(spark: SparkSession, rawDocs: DataFrame,
+      deadLetterDir: Option[String] = None): Seq[(String, Long)] =
+    runDetailed(spark, rawDocs, deadLetterDir).map(s => s.name -> s.rows)
+
   /** Runs the pipeline on an already-loaded documents table (tests
     * inject malformed rows here to drive the dead-letter path).
     *
@@ -46,10 +60,22 @@ object PretrainPipeline {
     *        to a temp dir only for the local example/test runs, and is
     *        always announced on stdout so the rows are findable.
     */
-  def runOn(spark: SparkSession, rawDocs: DataFrame,
-      deadLetterDir: Option[String] = None): Seq[(String, Long)] = {
-    val stats = Seq.newBuilder[(String, Long)]
-    stats += "raw" -> rawDocs.count()
+  def runDetailed(spark: SparkSession, rawDocs: DataFrame,
+      deadLetterDir: Option[String] = None): Seq[Stage] = {
+    val stats = Seq.newBuilder[Stage]
+    var t0 = System.nanoTime()
+    def rec(name: String, rows: Long, tokens: Long = -1L): Unit = {
+      val now = System.nanoTime()
+      stats += Stage(name, rows, tokens, (now - t0) / 1e9); t0 = now
+    }
+    // one combined action per stage: row count + surviving token sum
+    def recDf(name: String, df: DataFrame): Unit =
+      if (df.columns.contains("n_tok")) {
+        val r = df.agg(count(lit(1)), sum(col("n_tok"))).head()
+        rec(name, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      } else rec(name, df.count())
+
+    recDf("raw", rawDocs)
 
     // 0. validation gate: quarantine malformed rows to the dead-letter
     //    sink BEFORE any operator assumes non-null ids/text (the
@@ -66,11 +92,11 @@ object PretrainPipeline {
       .persist()
     q.write.mode("append").parquet(dl)
     println(s"[pretrain] dead-letter sink: $dl")
-    stats += "quarantined" -> q.count()
+    rec("quarantined", q.count())
     q.unpersist(blocking = false)
     val docs = validDocs
       .withColumn("n_tok", TextAnalysis.tokenCount(col("text")).cast("long"))
-    stats += "validated" -> docs.count()
+    recDf("validated", docs)
 
     // 1. quality: token-count band + within-doc repetition cap
     val toks = split(col("text"), " ")
@@ -78,16 +104,16 @@ object PretrainPipeline {
       .filter(col("n_tok").between(10, 1000))
       .filter(size(toks) < 3 ||
         TextAnalysis.repetitionRatioOfTokens(toks, 3) <= 0.2)
-    stats += "quality" -> quality.count()
+    recDf("quality", quality)
 
     // 2. outlier trim: drop the length tails (truncation / concat accidents)
     val trimmed = Curation.quantileBand(quality, "n_chars", 0.05, 0.95)
-    stats += "trimmed" -> trimmed.count()
+    recDf("trimmed", trimmed)
 
     // 3. near-dup cluster dedup: transitive chains collapse, best doc wins
     val pairs = Dedup.ngramJaccard(trimmed, "doc_id", "text", 3, 0.5)
     val deduped = Dedup.dedupByCluster(trimmed, pairs, "doc_id", "n_chars")
-    stats += "deduped" -> deduped.count()
+    recDf("deduped", deduped)
 
     // 4. decontaminate against the held-out benchmark slice — exact
     //    8-gram containment first, then the fuzzy MinHash pass that
@@ -96,14 +122,14 @@ object PretrainPipeline {
     val exactClean = Dedup.decontaminate(
       deduped.filter(pmod(col("doc_id"), lit(7)) =!= 0), bench,
       "doc_id", "text", n = 8)
-    stats += "decontaminated" -> exactClean.count()
+    recDf("decontaminated", exactClean)
     val clean = Dedup.decontaminateFuzzy(exactClean, bench,
       "doc_id", "text", shingleLen = 3, b = 16, r = 4, threshold = 0.8)
-    stats += "decontaminated_fuzzy" -> clean.count()
+    recDf("decontaminated_fuzzy", clean)
 
     // 4b. domain cap: no source may dominate what the mixer sees
     val capped = Curation.capPerSource(clean, "source", "doc_id", cap = 20)
-    stats += "capped" -> capped.count()
+    recDf("capped", capped)
 
     // 5. resample surviving sources to a uniform token mixture
     val srcs = capped.select("source").distinct()
@@ -111,7 +137,7 @@ object PretrainPipeline {
     val weights = srcs.map(_ -> 1.0 / srcs.length).toMap
     val u = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
     val mixed = Curation.sourceMix(capped, "source", "n_tok", weights, u)
-    stats += "mixed" -> mixed.count()
+    recDf("mixed", mixed)
 
     // 5b. mix audit: before committing the blend, score each surviving
     //     source's length distribution against the rest (exact
@@ -123,36 +149,36 @@ object PretrainPipeline {
     //     large on small per-source samples by pure noise, which is
     //     exactly what the normalization prices in. Flag counts land
     //     in the stats; the per-source tables are a .show() away.
-    stats += "audit_ks_flagged" ->
+    rec("audit_ks_flagged",
       Drift.ksLeaveOneOut(mixed, "source", "n_chars")
-        .filter(col("ks_stat") > 1.95).count()
-    stats += "audit_jsd_flagged" ->
+        .filter(col("ks_stat") > 1.95).count())
+    rec("audit_jsd_flagged",
       Drift.jsDivergence(mixed, "source", "lang")
-        .filter(col("jsd_norm") > 0.5).count()
+        .filter(col("jsd_norm") > 0.5).count())
 
     // 6. deterministic 90/5/5 split; train continues down the pipe
     val Seq(train, valF, testF) =
       Curation.hashSplit(mixed, "doc_id", Seq(0.9, 0.05, 0.05))
-    stats += "train" -> train.count()
-    stats += "val" -> valF.count()
-    stats += "test" -> testF.count()
+    recDf("train", train)
+    recDf("val", valF)
+    recDf("test", testF)
 
     // 7. epoch-1 shuffle, then pack into 128-token sequences
     val shuffled = Curation.epochShuffle(train, "doc_id", epoch = 1, partitions = 4)
     val packed = Curation.packSequences(shuffled, "doc_id", "n_tok",
       seqLen = 128, docsPerBucket = 64)
-    stats += "packed_docs" -> packed.count()
+    recDf("packed_docs", packed)
     val seqStats = packed.agg(
       (max(col("seq_last")) + 1).as("n_seqs"),
       sum(when(col("n_seqs") > 1, 1L).otherwise(0L)).as("boundary_docs")).head()
-    stats += "sequences" -> seqStats.getLong(0)
-    stats += "boundary_docs" -> seqStats.getLong(1)
+    rec("sequences", seqStats.getLong(0))
+    rec("boundary_docs", seqStats.getLong(1))
 
     // 8. sharded write: one file per range shard, order preserved
     val out = java.nio.file.Files.createTempDirectory("pretrain_shards").toString
     shuffled.write.mode("overwrite").parquet(out)
-    stats += "shard_files" -> new java.io.File(out).listFiles()
-      .count(_.getName.endsWith(".parquet")).toLong
+    rec("shard_files", new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet")).toLong)
     stats.result()
   }
 

@@ -30,15 +30,30 @@ object Concentration {
     * (2·Σr·x − (n+1)·Σx) / (n·Σx). Rank-weighted sums are carried in
     * DECIMAL(38,0) — exact far past BIGINT at fact scale — and the
     * final expression is evaluated on doubles identically in both
-    * engines. One group-key shuffle (rollup + ranked window). */
+    * engines.
+    *
+    * Computed WITHOUT the ranked window (round-8 rewrite, the q146
+    * family fix): Σr·x is tie-invariant — entities sharing a value
+    * occupy a contiguous rank run, and the run's rank-sum
+    * w·c − w(w−1)/2 (c = inclusive cumulative count, w = multiplicity)
+    * is independent of how ties order — so the whole statistic reads
+    * off [[groupedCumCounts]]'s block-parallel exact cumulative
+    * counts. A low-cardinality group key (5 market segments) no longer
+    * caps sort parallelism at |keys| tasks. `tieCol` is retained for
+    * API stability; it cannot affect the output. (w(w−1)/2 is computed
+    * in long — exact up to ~3·10⁹ entities sharing ONE value in one
+    * group.) */
   def gini(df: DataFrame, keyCol: String, valueCol: String,
       tieCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
-    df.withColumn("__r", row_number().over(w))
-      .groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(38,0)")).as("__s"),
-        sum((col("__r") * col(valueCol)).cast("decimal(38,0)")).as("__src"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = groupedCumCounts(df, keyCol, valueCol)
+    // ranks of value v's run are (c-w+1 .. c): rank-sum = w·c − w(w−1)/2
+    val rankSum = dec(col("__w")) * dec(col("__cum")) -
+      dec(col("__w") * (col("__w") - lit(1L)) / lit(2L))
+    cum.groupBy(col(keyCol))
+      .agg(first(col("__n")).as("n"),
+        sum(dec(col("__v")) * dec(col("__w"))).as("__s"),
+        sum(dec(col("__v")) * rankSum).as("__src"))
       .select(col(keyCol), col("n"),
         round(
           (lit(2.0) * col("__src").cast("double") -
@@ -52,26 +67,45 @@ object Concentration {
     * `num/den` of the group total. The crossing test is pure integer
     * arithmetic (cum·den ≥ total·num) — no floating-point compare can
     * disagree between engines. Returns k, k/n and the share actually
-    * covered at k. */
+    * covered at k.
+    *
+    * Computed WITHOUT the desc-ranked window (round-8 rewrite, the
+    * q146 family fix): k is tie-invariant — entities sharing a value
+    * contribute identically, so the crossing lands inside exactly one
+    * value run, located from [[groupedCumCounts]]'s block-parallel
+    * exact count + value cumulatives. With strictly-greater sum
+    * A = T − S(v) and count B = N − c(v) above the run of v, the
+    * crossing is in v's run iff A·den < T·num ≤ (A + w·v)·den; then
+    * m = ⌈(T·num − A·den)/(v·den)⌉ entities of the run are needed and
+    * k = B + m, covered = A + m·v. Requires POSITIVE values (the
+    * cumulative must be strictly increasing through every run for the
+    * bracket to be unique — entity totals in cents are). `tieCol` is
+    * retained for API stability; it cannot affect the output. */
   def paretoThreshold(df: DataFrame, keyCol: String, valueCol: String,
       tieCol: String, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"need 0<num<=den: $num/$den")
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(valueCol).desc, col(tieCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = df
-      .withColumn("__cum", sum(col(valueCol).cast("decimal(38,0)")).over(w))
-      .withColumn("__k",
-        row_number().over(Window.partitionBy(col(keyCol))
-          .orderBy(col(valueCol).desc, col(tieCol))))
-    val stats = df.groupBy(col(keyCol)).agg(
-      count(lit(1)).as("n"),
-      sum(col(valueCol).cast("decimal(38,0)")).as("__t"))
-    cum.join(broadcast(stats), keyCol)
-      .filter(col("__cum") * den >= col("__t") * num)
-      .groupBy(col(keyCol), col("n"), col("__t"))
-      .agg(min(col("__k")).as("k"),
-        min_by(col("__cum"), col("__k")).as("__ck"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = groupedCumCounts(df, keyCol, valueCol, withValueCum = true)
+    val t = col("__vtot")
+    val above = t - col("__vcum") // strictly-greater value sum A
+    val target = t * lit(num)
+    val inRun = above * lit(den) < target &&
+      (above + dec(col("__w")) * dec(col("__v"))) * lit(den) >= target
+    val hit = cum.filter(inRun)
+      .select(col(keyCol), col("__v"), col("__w"), col("__cum"),
+        col("__n").as("n"), above.as("__a"), t.as("__t"))
+    // m = ceil(R / D), R = T·num − A·den, D = v·den — decimal floor at
+    // scale 6 plus an exact ±1 correction (the division is rational;
+    // the correction makes any round-off harmless)
+    val r = col("__t") * lit(num) - col("__a") * lit(den)
+    val dv = dec(col("__v")) * lit(den)
+    val q = floor(r / dv).cast("decimal(38,0)")
+    val m = when(q * dv >= r, q).otherwise(q + lit(1))
+    hit
+      .withColumn("__m", m)
+      // int like the historical row_number-based k (schema stability)
+      .withColumn("k", (col("n") - col("__cum") + col("__m")).cast("int"))
+      .withColumn("__ck", col("__a") + col("__m") * dec(col("__v")))
       .select(col(keyCol), col("n"), col("k"),
         round(col("k") / col("n").cast("double"), 6).as("frac_entities"),
         round(col("__ck").cast("double") / col("__t").cast("double"), 6)
@@ -303,21 +337,28 @@ object Concentration {
     *     global cumulative count.
     * Output: one row per (key, distinct value): `__v`, `__w` (its
     * multiplicity), `__cum` (inclusive cumulative count in ascending
-    * value order), `__n` (group total). Non-numeric values degrade
+    * value order), `__n` (group total); with `withValueCum` also
+    * `__vcum` — the inclusive cumulative VALUE-weighted sum
+    * Σ_{u≤v} u·w_u in decimal(38,0) (numeric values only) — and
+    * `__vtot`, its group total. Non-numeric values degrade
     * to one block per group (still exact, just group-parallel only);
     * null values are not supported (nulls sort before the block
     * machinery's min — filter them upstream).
     */
   private[graft] def groupedCumCounts(
       df: DataFrame, keyCol: String, valueCol: String,
-      blocks: Int = 256): DataFrame = {
+      blocks: Int = 256, withValueCum: Boolean = false): DataFrame = {
     val g = col(keyCol)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val vw = df.groupBy(g, col(valueCol).as("__v"))
       .agg(count(lit(1)).as("__w"))
+      .withColumn("__vw", if (withValueCum) dec(col("__v")) * dec(col("__w"))
+        else lit(null).cast("decimal(38,0)"))
     val stats = vw.groupBy(g)
       .agg(min(col("__v").cast("double")).as("__mn"),
         max(col("__v").cast("double")).as("__mx"),
-        sum(col("__w")).as("__n"))
+        sum(col("__w")).as("__n"),
+        sum(col("__vw")).as("__vtot"))
     val blkRaw = when(col("__mn") === col("__mx"), lit(1L))
       .otherwise(greatest(lit(1L), least(
         width_bucket(col("__v").cast("double"), col("__mn"), col("__mx"),
@@ -328,14 +369,20 @@ object Concentration {
     val wOff = Window.partitionBy(g).orderBy(col("__blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = withBlk.groupBy(g, col("__blk"))
-      .agg(sum(col("__w")).as("__bw"))
+      .agg(sum(col("__w")).as("__bw"), sum(col("__vw")).as("__bvw"))
       .withColumn("__off", coalesce(sum(col("__bw")).over(wOff), lit(0L)))
-      .select(g, col("__blk"), col("__off"))
+      .withColumn("__voff", coalesce(sum(col("__bvw")).over(wOff),
+        lit(0).cast("decimal(38,0)")))
+      .select(g, col("__blk"), col("__off"), col("__voff"))
     val wLoc = Window.partitionBy(g, col("__blk")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withBlk.join(offs, Seq(keyCol, "__blk"))
+    val out = withBlk.join(offs, Seq(keyCol, "__blk"))
       .withColumn("__cum", col("__off") + sum(col("__w")).over(wLoc))
-      .select(g, col("__v"), col("__w"), col("__cum"), col("__n"))
+    if (withValueCum)
+      out.withColumn("__vcum", col("__voff") + sum(col("__vw")).over(wLoc))
+        .select(g, col("__v"), col("__w"), col("__cum"), col("__n"),
+          col("__vcum"), col("__vtot"))
+    else out.select(g, col("__v"), col("__w"), col("__cum"), col("__n"))
   }
 
   /** Equi-depth (equal-count) histogram per group: `buckets` ntile
@@ -418,26 +465,53 @@ object Concentration {
     * bins; per bin the exact decimal(38,0) value sum, its share of the
     * group total and the cumulative share — the curve whose area gap
     * is q121's Gini, readable bin by bin ("the bottom half of
-    * customers carries x% of revenue"). Group-parallel sort like
-    * [[gini]]; the decile rollup and the two share divisions are
+    * customers carries x% of revenue"). Block-parallel like [[gini]]
+    * (see the round-8 note in the body); the two share divisions are
     * 10-rows-per-group cheap. */
   def lorenzDeciles(df: DataFrame, keyCol: String, valueCol: String,
       tieCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(valueCol), col(tieCol))
-    val bins = df.withColumn("decile", ntile(10).over(w))
-      .groupBy(col(keyCol), col("decile"))
-      .agg(count(lit(1)).as("n"),
-        sum(col(valueCol).cast("decimal(38,0)")).as("__s"))
-    val wt = Window.partitionBy(col(keyCol))
-    val wc = Window.partitionBy(col(keyCol)).orderBy(col("decile"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bins
-      .withColumn("__t", sum(col("__s")).over(wt))
-      .withColumn("__c", sum(col("__s")).over(wc))
-      .select(col(keyCol), col("decile"), col("n"),
-        round(col("__s").cast("double") / col("__t").cast("double"), 6)
+    // round-8 rewrite (the q146 family fix): decile sums are
+    // tie-invariant — a value run spanning a decile boundary splits
+    // proportionally by COUNT regardless of tie order, since every
+    // entity in the run carries the same value — so each decile's
+    // exact decimal sum is Σ_v v·overlap(v's rank run, decile range)
+    // over groupedCumCounts' block-parallel cumulative counts; no
+    // |keys|-task ntile sort. tieCol is retained for API stability;
+    // it cannot affect any output column.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cum = groupedCumCounts(df, keyCol, valueCol)
+    val k = lit(10L)
+    val rIn = pmod(col("__n"), k)
+    val qIn = ((col("__n") - rIn) / k).cast("long")
+    val aggs = (1 to 10).flatMap { b =>
+      val nb = qIn + when(lit(b.toLong) <= rIn, lit(1L)).otherwise(lit(0L))
+      val sb = lit((b - 1).toLong) * qIn + least(lit((b - 1).toLong), rIn) + lit(1L)
+      val eb = sb + nb - lit(1L)
+      // overlap of v's rank run (cum-w+1 .. cum) with [sb, eb]
+      val overlap = greatest(lit(0L),
+        least(col("__cum"), eb) - greatest(col("__cum") - col("__w") + 1L, sb)
+          + lit(1L))
+      Seq(sum(dec(col("__v")) * dec(overlap)).as(s"__s$b"))
+    }
+    val agged = cum.groupBy(col(keyCol))
+      .agg(first(col("__n")).as("__N"), aggs: _*)
+    val rN = pmod(col("__N"), k)
+    val qN = ((col("__N") - rN) / k).cast("long")
+    val total = (1 to 10).map(b => col(s"__s$b")).reduce(_ + _)
+    val entries = (1 to 10).map { b =>
+      val nb = qN + when(lit(b.toLong) <= rN, lit(1L)).otherwise(lit(0L))
+      val cumS = (1 to b).map(j => col(s"__s$j")).reduce(_ + _)
+      struct(lit(b).as("decile"), nb.as("n"),
+        col(s"__s$b").as("__s"), cumS.as("__c"))
+    }
+    agged
+      .withColumn("__t", total)
+      .select(col(keyCol), col("__t"), explode(array(entries: _*)).as("__e"))
+      .filter(col("__e.n") > 0)
+      .select(col(keyCol), col("__e.decile").as("decile"), col("__e.n").as("n"),
+        round(col("__e.__s").cast("double") / col("__t").cast("double"), 6)
           .as("share"),
-        round(col("__c").cast("double") / col("__t").cast("double"), 6)
+        round(col("__e.__c").cast("double") / col("__t").cast("double"), 6)
           .as("cum_share"))
   }
 

