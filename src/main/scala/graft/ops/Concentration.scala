@@ -385,6 +385,52 @@ object Concentration {
     else out.select(g, col("__v"), col("__w"), col("__cum"), col("__n"))
   }
 
+  /** Exact inclusive cumulative WEIGHT sums per group over the total
+    * order (`orderCol` asc, `tieCol` asc), computed with the same
+    * block-parallel two-level scheme as [[groupedCumCounts]] but at ROW
+    * granularity (no reduction to distinct values — each input row
+    * keeps its own running total). The per-group sort never runs in a
+    * single |keys|-task window: rows are range-blocked on `orderCol`
+    * (`width_bucket` over the group's min/max), block totals are
+    * prefix-summed per group (|keys|·blocks tiny rows), and only
+    * (key, block) partitions sort locally. Output: the input columns
+    * plus `__cumw` — the inclusive cumulative Σweight in
+    * decimal(38,0) — and `__wtot`, the group total. `orderCol` must be
+    * numeric and non-null (negate it upstream for descending order);
+    * ties beyond (`orderCol`, `tieCol`) must not exist (supply a
+    * unique tiebreak), or the cumulative is order-dependent.
+    */
+  private[graft] def groupedCumSum(
+      df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+      weightCol: String, blocks: Int = 256): DataFrame = {
+    val g = col(keyCol)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val stats = df.groupBy(g)
+      .agg(min(col(orderCol).cast("double")).as("__mn"),
+        max(col(orderCol).cast("double")).as("__mx"),
+        dec(sum(dec(col(weightCol)))).as("__wtot"))
+    val blkRaw = when(col("__mn") === col("__mx"), lit(1L))
+      .otherwise(greatest(lit(1L), least(
+        width_bucket(col(orderCol).cast("double"), col("__mn"), col("__mx"),
+          lit(blocks)),
+        lit(blocks.toLong))))
+    val withBlk = df.join(stats, Seq(keyCol))
+      .withColumn("__blk", coalesce(blkRaw, lit(1L)).cast("int"))
+    val wOff = Window.partitionBy(g).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withBlk.groupBy(g, col("__blk"))
+      .agg(dec(sum(dec(col(weightCol)))).as("__bw"))
+      .withColumn("__off", coalesce(sum(col("__bw")).over(wOff),
+        lit(0).cast("decimal(38,0)")))
+      .select(g, col("__blk"), col("__off"))
+    val wLoc = Window.partitionBy(g, col("__blk"))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBlk.join(offs, Seq(keyCol, "__blk"))
+      .withColumn("__cumw", col("__off") + sum(dec(col(weightCol))).over(wLoc))
+      .drop("__mn", "__mx", "__blk", "__off")
+  }
+
   /** Equi-depth (equal-count) histogram per group: `buckets` ntile
     * buckets over a TOTAL order (value, then unique tiebreak — both
     * engines assign identical bucket ids, standard ntile remainder

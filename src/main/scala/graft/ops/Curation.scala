@@ -1945,6 +1945,225 @@ object Curation {
       .coalesce(1).orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** q248 — Heaps'-law vocabulary growth curve (oracle-checked): how
+    * fast the corpus' distinct-token vocabulary V grows with its total
+    * token count T, measured at 10 exact prefix points of the doc_id
+    * order plus the fitted log-log slope β of V ≈ K·T^β. The
+    * scaling-law readout a data owner checks before extrapolating
+    * tokenizer vocab coverage or dedup gain from a sample: β near 1
+    * means the corpus keeps minting new tokens (noisy/ID-heavy text),
+    * β ≪ 1 means the vocabulary is saturating.
+    *
+    * Scale shape — nothing here ranks the corpus in one task:
+    *  1. decile boundary doc_ids come from [[Concentration.groupedCumCounts]]'
+    *     block-parallel exact cumulative counts (rank r_b = ⌊N·b/10⌋,
+    *     boundary = first doc_id whose cumulative count reaches r_b);
+    *  2. a token's FIRST occurrence is one (token → min doc_id)
+    *     aggregate — cumulative distinct-type counts at each boundary
+    *     are then conditional sums, never a distinct per prefix;
+    *  3. both prefix aggregates read the 10 boundaries from one
+    *     broadcast single-row attach and make ONE pass each.
+    * β is the closed-form least-squares slope over the 10 (ln T, ln V)
+    * points — exact integer inputs, one double expression per engine.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("__nt", size(col("__toks")).cast("long"))
+    val cum = Concentration.groupedCumCounts(
+      docs.withColumn("__k", lit(1)), "__k", "doc_id")
+    // one row: N plus the 10 boundary doc_ids (rank max(⌊N·b/10⌋, 1))
+    val bounds = cum.groupBy().agg(
+      max(col("__n")).as("__N"),
+      (1 to 10).map { b =>
+        min(when(col("__cum") >= greatest(
+          expr(s"(__n * $b) DIV 10"), lit(1L)), col("__v")))
+          .as(s"__bd$b")
+      }: _*)
+    val docExprs = (1 to 10).flatMap { b =>
+      Seq(sum(when(col("doc_id") <= col(s"__bd$b"), 1L)).as(s"__d$b"),
+        sum(when(col("doc_id") <= col(s"__bd$b"), col("__nt")))
+          .as(s"__t$b"))
+    }
+    val docAgg = docs.crossJoin(broadcast(bounds)).groupBy()
+      .agg(docExprs.head, docExprs.tail: _*)
+    val firstOcc = docs
+      .select(col("doc_id"), explode(col("__toks")).as("__tok"))
+      .groupBy(col("__tok")).agg(min(col("doc_id")).as("__fd"))
+    val typeExprs = (1 to 10).map { b =>
+      sum(when(col("__fd") <= col(s"__bd$b"), 1L)).as(s"__v$b")
+    }
+    val typeAgg = firstOcc.crossJoin(broadcast(bounds)).groupBy()
+      .agg(typeExprs.head, typeExprs.tail: _*)
+    val pts = docAgg.crossJoin(typeAgg)
+      .select(expr("stack(10, " + (1 to 10).map(b =>
+        s"${b}L, __d$b, __t$b, __v$b").mkString(", ") +
+        ") as (decile, cum_docs, cum_tokens, cum_types)"))
+    val fit = pts.agg(
+      ((count(lit(1)) * sum(log(col("cum_tokens")) * log(col("cum_types"))) -
+        sum(log(col("cum_tokens"))) * sum(log(col("cum_types")))) /
+        (count(lit(1)) * sum(log(col("cum_tokens")) * log(col("cum_tokens"))) -
+          sum(log(col("cum_tokens"))) * sum(log(col("cum_tokens")))))
+        .as("__beta"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("decile"), col("cum_docs"), col("cum_tokens"),
+        col("cum_types"),
+        // + 0.0 normalizes IEEE −0.0 (a saturated vocabulary gives a
+        // slope of −ε that rounds to negative zero, which the pandas
+        // comparator renders as "-0.0")
+        (round(col("__beta"), 6) + lit(0.0)).as("heaps_beta"))
+      .coalesce(1).orderBy(col("decile"))
+  }
+
+  /** q249 — token-budget selection per source (oracle-checked): give
+    * each source a budget of half its total whitespace tokens and keep
+    * its docs in (token count DESC, doc_id ASC) priority order while
+    * the inclusive running total fits the budget — the deterministic
+    * "fill each mix bucket to its token quota" primitive behind any
+    * fixed-token-budget pretraining mix. Reports per source: the
+    * budget, docs/tokens kept, and the budget utilization.
+    *
+    * Scale shape: the running total comes from
+    * [[Concentration.groupedCumSum]]' block-parallel exact prefix sums
+    * — a 5-value source key never caps the sort at 5 tasks (the q146
+    * lesson applied to the selection path); one final per-source
+    * aggregate. Budgets are exact integer halves; utilization is one
+    * closed-form double.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"))
+      .withColumn("__ord", -col("__nt"))
+    val cum = Concentration.groupedCumSum(
+      docs, "source", "__ord", "doc_id", "__nt")
+    cum
+      .withColumn("__budget", expr("CAST(__wtot AS BIGINT) DIV 2"))
+      .groupBy(col("source"))
+      .agg(max(col("__budget")).as("budget_tokens"),
+        sum(when(col("__cumw") <= col("__budget"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("__cumw") <= col("__budget"), col("__nt"))
+          .otherwise(0L)).cast("long").as("tokens_kept"))
+      .withColumn("utilization",
+        round(col("tokens_kept") / col("budget_tokens").cast("double"), 6))
+      .coalesce(1).orderBy(col("source"))
+  }
+
+  /** q250 — embedding outlier pruning per label (oracle-checked): for
+    * each label, the Euclidean distance of every vector to its label
+    * centroid, the exact 95th-percentile distance (rank ⌈0.95·n⌉ of
+    * the distance order), and how many vectors sit strictly above it —
+    * the "drop the far tail before training a head" quality gate,
+    * complementing q152's cosine-accuracy audit.
+    *
+    * Determinism at scale: embeddings are quantized to ×1e6 longs (the
+    * q152 convention); the distance to the centroid S/n is compared via
+    * the EXACT integer squared norm ‖n·v − S‖² carried in
+    * decimal(38,0) (n·v ≤ 1e6·3.2e5 and the 64-dim squared sum stays
+    * ≤ ~6e23 per vector, ~6e29 summed at 1M vectors — inside
+    * decimal(38,0)), so the percentile rank orders exact integers and
+    * every reported distance is ONE closed-form double
+    * (√num / (n·1e6)). The percentile itself reads off
+    * [[Concentration.groupedCumCounts]]' block-parallel cumulative
+    * counts — never a per-label single-task sort. Centroid sums ride a
+    * |labels|-row broadcast.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("__q"))
+    val cent = emb
+      .select(col("label").as("__cl"), posexplode(col("__q")))
+      .groupBy(col("__cl"), col("pos"))
+      .agg(sum(col("col")).as("__s"))
+      .groupBy(col("__cl"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("__s")))),
+        st => st.getField("__s")).as("__c"),
+        count(lit(1)).as("__dim"))
+    val n = emb.groupBy(col("label").as("__cl")).agg(count(lit(1)).as("__n"))
+    val cents = cent.join(n, Seq("__cl"))
+    val num = emb.join(broadcast(cents), col("label") === col("__cl"))
+      .withColumn("__num",
+        aggregate(zip_with(col("__q"), col("__c"),
+          (v, s) => dec(col("__n") * v - s) * dec(col("__n") * v - s)),
+          lit(0).cast("decimal(38,0)"), (a, x) => a + x))
+      .select(col("label"), col("__n"), col("__num"))
+    val cum = Concentration.groupedCumCounts(num, "label", "__num")
+    // p95 threshold: first num whose cumulative count reaches ⌈0.95·n⌉
+    val thr = cum.groupBy(col("label"))
+      .agg(min(when(col("__cum") >= expr("(19 * __n + 19) DIV 20"),
+        col("__v"))).as("__thr"))
+    num.join(broadcast(thr), Seq("label"))
+      .groupBy(col("label"))
+      .agg(max(col("__n")).as("n"),
+        sum(when(col("__num") > col("__thr"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(sqrt(sum(col("__num")).cast("double") / max(col("__n"))) /
+          (max(col("__n")).cast("double") * lit(1000000.0)), 6)
+          .as("rms_dist"),
+        round(sqrt(max(col("__thr")).cast("double")) /
+          (max(col("__n")).cast("double") * lit(1000000.0)), 6)
+          .as("p95_dist"))
+      .coalesce(1).orderBy(col("label"))
+  }
+
+  /** q251 — length-bucketed padding-waste curve (oracle-checked): if
+    * docs are batched by sorting on token length into B equi-depth
+    * buckets (ntile sizing rule) and every doc in a bucket pads to the
+    * bucket's max length, how many pad tokens does each choice of
+    * B ∈ {1,2,4,8,16} burn? B=1 is naive global padding; the curve's
+    * knee tells a training-batch owner how many length buckets buy
+    * most of the waste back — the dynamic-batching sizing readout
+    * that complements q52's concatenation packing (which avoids pad
+    * entirely but splits docs).
+    *
+    * Scale shape: ONE block-parallel
+    * [[Concentration.groupedCumCounts]] pass over the length
+    * distribution (the q146 machinery — never a corpus-wide
+    * single-task sort); every bucket boundary is then `value at rank
+    * r_{B,j} = j·⌊N/B⌋ + min(j, N mod B)` read off the tiny
+    * distinct-length frame by conditional aggregation, and all 31
+    * (B, j) bucket maxima come from one aggregate row. Padded totals
+    * are exact integer products; the share is one closed-form double.
+    */
+  def padWaste(spark: SparkSession, dir: String): DataFrame = {
+    val bs = Seq(1, 2, 4, 8, 16)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("__len"))
+    val cum = Concentration.groupedCumCounts(
+      docs.withColumn("__k", lit(1)), "__k", "__len")
+    // bucket j of B ends at rank r = j·⌊N/B⌋ + min(j, N mod B) (the
+    // ntile remainder rule); its pad target is the value at that rank
+    val hiExprs = for (b <- bs; j <- 1 to b) yield
+      min(when(col("__cum") >=
+        expr(s"$j * (__n DIV $b) + least(${j}L, __n % $b)"), col("__v")))
+        .as(s"__hi_${b}_$j")
+    val one = cum.groupBy().agg(max(col("__n")).as("__N"),
+      hiExprs: _*)
+    val tot = docs.agg(sum(col("__len")).as("__T"))
+    def rank(b: Int, j: Int) =
+      s"($j * (__N DIV $b) + least(${j}L, __N % $b))"
+    val stackParts = bs.map { b =>
+      val padded = (1 to b).map { j =>
+        s"__hi_${b}_$j * (${rank(b, j)} - ${rank(b, j - 1)})"
+      }.mkString(" + ")
+      s"${b}L, ($padded)"
+    }
+    one.crossJoin(broadcast(tot))
+      .select(expr(s"stack(5, ${stackParts.mkString(", ")})" +
+        " as (n_buckets, padded_tokens)"), col("__T"))
+      .select(col("n_buckets"), col("padded_tokens"),
+        col("__T").as("real_tokens"),
+        (col("padded_tokens") - col("__T")).as("pad_tokens"),
+        round((col("padded_tokens") - col("__T")) /
+          col("padded_tokens").cast("double"), 6).as("pad_share"))
+      .coalesce(1).orderBy(col("n_buckets"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q21_doc_tokens" -> (docTokens _),
     "q22_doc_quality" -> (docQuality _),
@@ -2011,7 +2230,11 @@ object Curation {
     "q244_dedup_cost_model" -> (dedupCostModel _),
     "q245_twin_compression" -> (twinCompression _),
     "q246_threshold_sweep" -> (thresholdSweep _),
-    "q247_langid_confusion" -> (langIdConfusion _))
+    "q247_langid_confusion" -> (langIdConfusion _),
+    "q248_heaps_law" -> (heapsLaw _),
+    "q249_token_budget" -> (tokenBudget _),
+    "q250_embed_outliers" -> (embedOutliers _),
+    "q251_pad_waste" -> (padWaste _))
 
   val allNames: Seq[String] = all.map(_._1)
 }

@@ -1380,5 +1380,132 @@ object CurationOracle {
         |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
         |       round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
         |         AS share
-        |FROM c ORDER BY lang, pred_lang""".stripMargin)
+        |FROM c ORDER BY lang, pred_lang""".stripMargin,
+
+    // q248: decile boundary doc_ids at ranks max(⌊N·b/10⌋,1) of the
+    // doc_id order; prefix token/doc counts and first-occurrence type
+    // counts at each boundary; β = least-squares slope of ln V on ln T
+    // over the 10 points (regr_slope ≡ the Spark closed form).
+    "q248_heaps_law" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) nt,
+        |         string_split(text,' ') toks
+        |  FROM documents),
+        |r AS (SELECT doc_id, nt,
+        |             row_number() OVER (ORDER BY doc_id) rn,
+        |             count(*) OVER () n
+        |      FROM d),
+        |bd AS (SELECT t.b, r.doc_id bdid
+        |       FROM range(1, 11) t(b)
+        |       JOIN r ON r.rn = greatest((r.n * t.b) // 10, 1)),
+        |agg AS (SELECT bd.b, CAST(count(*) AS BIGINT) cum_docs,
+        |               CAST(sum(d.nt) AS BIGINT) cum_tokens
+        |        FROM d JOIN bd ON d.doc_id <= bd.bdid GROUP BY bd.b),
+        |fo AS (SELECT tok, min(doc_id) fd
+        |       FROM (SELECT doc_id, unnest(toks) tok FROM d)
+        |       GROUP BY tok),
+        |ty AS (SELECT bd.b, CAST(count(*) AS BIGINT) cum_types
+        |       FROM fo JOIN bd ON fo.fd <= bd.bdid GROUP BY bd.b),
+        |pts AS (SELECT agg.b, cum_docs, cum_tokens, cum_types
+        |        FROM agg JOIN ty ON agg.b = ty.b),
+        |fit AS (SELECT regr_slope(ln(cum_types), ln(cum_tokens)) s FROM pts)
+        |SELECT CAST(b AS BIGINT) decile, cum_docs, cum_tokens, cum_types,
+        |       round((SELECT s FROM fit), 6) + 0.0 heaps_beta
+        |FROM pts ORDER BY decile""".stripMargin,
+
+    // q249: inclusive running token total per source in (nt DESC,
+    // doc_id ASC) order; budget = ⌊source total / 2⌋; keep while the
+    // running total fits.
+    "q249_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text,' ')) AS BIGINT) nt
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, nt,
+        |             sum(nt) OVER (PARTITION BY source
+        |               ORDER BY nt DESC, doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               cumw,
+        |             sum(nt) OVER (PARTITION BY source) tot
+        |      FROM d)
+        |SELECT source,
+        |       CAST(max(tot) // 2 AS BIGINT) budget_tokens,
+        |       CAST(sum(CASE WHEN cumw <= tot // 2 THEN 1 ELSE 0 END)
+        |            AS BIGINT) n_kept,
+        |       CAST(sum(CASE WHEN cumw <= tot // 2 THEN nt ELSE 0 END)
+        |            AS BIGINT) tokens_kept,
+        |       round(sum(CASE WHEN cumw <= tot // 2 THEN nt ELSE 0 END) /
+        |             CAST(max(tot) // 2 AS DOUBLE), 6) utilization
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // q250: q152's ×1e6 long quantization; per-vector EXACT integer
+    // squared norm ‖n·v − S‖² (centroid = S/n held divisionless);
+    // p95 = the num value at rank ⌈0.95·n⌉ of the per-label order
+    // (row_number over ties ≡ cumulative-count rank at the value);
+    // distances are single closed-form doubles √num/(n·1e6).
+    "q250_embed_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+        |           qv
+        |  FROM embeddings),
+        |s0 AS (SELECT label,
+        |              unnest(list_transform(qv, (x, i) -> {'pos': i, 'v': x}),
+        |                     recursive := true)
+        |       FROM q),
+        |s AS (SELECT label, pos, CAST(sum(v) AS BIGINT) sv
+        |      FROM s0 GROUP BY label, pos),
+        |cent AS (SELECT label, list(sv ORDER BY pos) c FROM s GROUP BY label),
+        |n AS (SELECT label, count(*) n FROM q GROUP BY label),
+        |num AS (SELECT q.vec_id, q.label, n.n,
+        |               list_sum(list_transform(q.qv,
+        |                 (x, i) -> CAST(n.n * x - cent.c[i] AS HUGEINT) *
+        |                           CAST(n.n * x - cent.c[i] AS HUGEINT))) num
+        |        FROM q JOIN cent ON q.label = cent.label
+        |               JOIN n ON q.label = n.label),
+        |r AS (SELECT label, n, num,
+        |             row_number() OVER (PARTITION BY label ORDER BY num) rn
+        |      FROM num),
+        |thr AS (SELECT label,
+        |               min(CASE WHEN rn >= (19 * n + 19) // 20 THEN num END)
+        |                 thr
+        |        FROM r GROUP BY label)
+        |SELECT num.label, CAST(max(num.n) AS BIGINT) n,
+        |       CAST(sum(CASE WHEN num.num > thr.thr THEN 1 ELSE 0 END)
+        |            AS BIGINT) n_outliers,
+        |       round(sqrt(CAST(sum(num.num) AS DOUBLE) / max(num.n)) /
+        |             (max(num.n) * 1000000.0), 6) rms_dist,
+        |       round(sqrt(CAST(max(thr.thr) AS DOUBLE)) /
+        |             (max(num.n) * 1000000.0), 6) p95_dist
+        |FROM num JOIN thr ON num.label = thr.label
+        |GROUP BY num.label ORDER BY num.label""".stripMargin,
+
+    // q251: ntile(B) over the token-length order for B in {1,2,4,8,16}
+    // (explicit remainder-rule bucket arithmetic so the CROSS JOIN can
+    // vary B); pad target per bucket = its max length.
+    "q251_pad_waste" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text,' ')) AS BIGINT) len
+        |  FROM documents),
+        |r AS (SELECT len, row_number() OVER (ORDER BY len) rn,
+        |             count(*) OVER () n
+        |      FROM d),
+        |x AS (SELECT b, len, rn, n, n // b AS q, n % b AS m
+        |      FROM r CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16]) b) t),
+        |bk AS (SELECT b, len,
+        |              CASE WHEN rn <= (q + 1) * m
+        |                   THEN (rn - 1) // (q + 1) + 1
+        |                   ELSE m + (rn - (q + 1) * m - 1) //
+        |                            greatest(q, 1) + 1 END bucket
+        |       FROM x),
+        |g AS (SELECT b, bucket, max(len) hi, count(*) sz, sum(len) s
+        |      FROM bk GROUP BY b, bucket)
+        |SELECT CAST(b AS BIGINT) n_buckets,
+        |       CAST(sum(hi * sz) AS BIGINT) padded_tokens,
+        |       CAST(sum(s) AS BIGINT) real_tokens,
+        |       CAST(sum(hi * sz) - sum(s) AS BIGINT) pad_tokens,
+        |       round((sum(hi * sz) - sum(s)) /
+        |             CAST(sum(hi * sz) AS DOUBLE), 6) pad_share
+        |FROM g GROUP BY b ORDER BY n_buckets""".stripMargin)
 }

@@ -144,7 +144,11 @@ object ScaleCheck {
       // weight-total single rows — all bounded attaches
       "q217_burrows_delta", "q218_did_placebo", "q228_mixture_drift",
       "q230_eb_shrinkage", "q233_unigram_kl", "q239_multi_test",
-      "q240_standardized_rate")
+      "q240_standardized_rate",
+      // q248 attaches the single-row decile-boundary struct and the
+      // single-row fitted-β row (both IdentityBroadcastMode one-row
+      // attaches; the 10-point stack frame is bounded by construction)
+      "q248_heaps_law")
 
     // the FULL registry, derived from SparkEntry.families (round-8:
     // the hand-listed inventory left 57 queries without scale rows)

@@ -316,4 +316,26 @@ class ConcentrationSpec extends SparkSpec {
       .distinct.map(_._2)
     assert(math.abs(regionShares.sum - 1.0) < 1e-4)
   }
+
+  test("groupedCumSum: equals the single-window prefix sum, any blocking") {
+    initQuiet()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("ord", -col("nt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val expect = docs.withColumn("cum", sum(col("nt")).over(w))
+      .select(col("doc_id"), col("cum").cast("decimal(38,0)"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    for (blocks <- Seq(1, 7, 256)) {
+      val got = Concentration.groupedCumSum(
+        docs, "source", "ord", "doc_id", "nt", blocks)
+        .select(col("doc_id"), col("__cumw"))
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      assert(got === expect, s"blocks=$blocks")
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing + mixture resampling semantics. */
@@ -541,5 +542,94 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("n_words") <= 50L)
       assert(r.getAs[Double]("delta") >= 0.0)
     }
+  }
+
+  test("heapsLaw: monotone prefixes; decile 10 equals the corpus totals") {
+    initQuiet()
+    val rows = Curation.heapsLaw(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cum_docs") <= b.getAs[Long]("cum_docs"))
+      assert(a.getAs[Long]("cum_tokens") <= b.getAs[Long]("cum_tokens"))
+      assert(a.getAs[Long]("cum_types") <= b.getAs[Long]("cum_types"))
+    }
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val last = rows.last
+    assert(last.getAs[Long]("cum_docs") === docs.count())
+    assert(last.getAs[Long]("cum_tokens") ===
+      docs.select(sum(size(split(col("text"), " ")))).collect()
+        .head.getLong(0))
+    assert(last.getAs[Long]("cum_types") ===
+      docs.select(explode(split(col("text"), " "))).distinct().count())
+    // the same fitted β on every row
+    assert(rows.map(_.getAs[Double]("heaps_beta")).distinct.length === 1)
+  }
+
+  test("tokenBudget: equals the single-window greedy selection; fits budget") {
+    initQuiet()
+    val out = Curation.tokenBudget(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("nt").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val oracle = docs
+      .withColumn("cumw", sum(col("nt")).over(w))
+      .withColumn("tot", sum(col("nt")).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(expr("max(tot) DIV 2").as("budget_tokens"),
+        sum(when(col("cumw") <= expr("tot DIV 2"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("cumw") <= expr("tot DIV 2"), col("nt")).otherwise(0L))
+          .as("tokens_kept"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    val got = out.map(r => (r.getString(0), r.getAs[Long]("budget_tokens"),
+      r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_kept"))).sortBy(_._1)
+    assert(got.toSeq === oracle.toSeq)
+    out.foreach { r =>
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("budget_tokens"))
+      assert(r.getAs[Double]("utilization") <= 1.0)
+    }
+  }
+
+  test("embedOutliers: outlier fraction bounded by the p95 rank rule") {
+    initQuiet()
+    val rows = Curation.embedOutliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val out = r.getAs[Long]("n_outliers")
+      // strictly-above-p95 leaves at most n - ceil(0.95 n) rows
+      assert(out <= n - (19 * n + 19) / 20)
+      assert(r.getAs[Double]("p95_dist") >= 0.0)
+      assert(r.getAs[Double]("rms_dist") > 0.0)
+    }
+  }
+
+  test("padWaste: equals the ntile-window formulation; monotone in B") {
+    initQuiet()
+    val rows = Curation.padWaste(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_buckets"), r.getAs[Long]("padded_tokens"),
+        r.getAs[Long]("real_tokens"), r.getAs[Long]("pad_tokens")))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L, 16L))
+    // brute-force twin: literal ntile window at test scale
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+    val expect = Seq(1, 2, 4, 8, 16).map { b =>
+      val g = docs
+        .withColumn("bucket",
+          ntile(b).over(Window.orderBy(col("len"))))
+        .groupBy("bucket")
+        .agg(max(col("len")).as("hi"), count(lit(1)).as("sz"),
+          sum(col("len")).as("s"))
+        .agg(sum(col("hi") * col("sz")).as("padded"), sum(col("s")).as("real"))
+        .collect().head
+      (b.toLong, g.getLong(0), g.getLong(1), g.getLong(0) - g.getLong(1))
+    }
+    assert(rows.toSeq === expect)
+    // more buckets never pad more
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._4 <= a._4) }
   }
 }
