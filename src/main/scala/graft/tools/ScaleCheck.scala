@@ -52,7 +52,26 @@ object ScaleCheck {
     "q44_overlap_pairs" -> ("output quadratic in the twin factor at 100x" +
       " (pair list per twin class); measured at 10x"),
     "q45_dup_spans" -> ("output quadratic in the twin factor at 100x" +
-      " (span pair list per twin class); measured at 10x"))
+      " (span pair list per twin class); measured at 10x"),
+    // round-8: first registry-wide 100x attempt measured these three —
+    // q154 aborted the sweep with >78 GB of shuffle spill (posting-list
+    // self-join pairs scale with the SQUARE of the twin factor: 10^4x
+    // for the 100-way-twins corpus), and q177/q42 share the raw
+    // pair-enumeration intermediate. Real pipelines run exact dedup
+    // (q12) / class collapse BEFORE any of these, which removes the
+    // twin blow-up by construction; their class-collapsed relatives
+    // (q90/q111/q140/q143/q149) ARE measured at 100x.
+    "q154_weighted_jaccard" -> ("pair enumeration quadratic in the twin" +
+      " factor at 100x (aborted the r8 sweep at >78 GB spill);" +
+      " measured at 10x (29.6 s); at-scale path = exact dedup first," +
+      " then the capped/PPJoin family on distinct content"),
+    "q177_prefix_jaccard" -> ("pair list quadratic in the twin factor" +
+      " at 100x (same posting-list self-join intermediate as q154);" +
+      " measured at 10x (41.6 s)"),
+    "q42_dedup_clusters" -> ("candidate edges quadratic in the twin" +
+      " factor at 100x (C(100,2) per twin class before the CC" +
+      " collapse); measured at 10x (41.0 s); the 100x-measured dup" +
+      " readout on this corpus is q149's class spectrum"))
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)
@@ -84,6 +103,12 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("ERROR")
 
     Tables.names.foreach(n => Tables.load(spark, dir, n).persist().count())
+    // burn-in: at 100x the ~20 GB cache materialization leaves several
+    // seconds of eviction/GC churn that lands on whichever queries run
+    // first (r8: the alphabetically-first q03/q05/q09 read 17-58x
+    // ratios that re-measured standalone at 2-10x). A second full-scan
+    // pass over the cached tables absorbs it before anything is timed.
+    Tables.names.foreach(n => Tables.load(spark, dir, n).count())
 
     // BNLJ is a scale-killer only when BOTH sides scale with the data.
     // q13 crossJoins a broadcast SINGLE-ROW query vector — the standard
@@ -148,7 +173,23 @@ object ScaleCheck {
       // q248 attaches the single-row decile-boundary struct and the
       // single-row fitted-β row (both IdentityBroadcastMode one-row
       // attaches; the 10-point stack frame is bounded by construction)
-      "q248_heaps_law")
+      "q248_heaps_law",
+      // round-8 registry-derived sweep first covers the q21–q74 wave;
+      // their attaches audited this round: q48 band-joins n_chars
+      // against the BOUNDED quantile-band boundary table (rows =
+      // #bands); q69 attaches the single-row corpus vocab/token totals;
+      // q231 crosses its two single-row confusion-total aggregates;
+      // q251 crosses its single-row bucket-boundary aggregate with the
+      // single-row token total
+      "q48_quantile_band", "q69_unigram_nll", "q231_detector_audit",
+      "q251_pad_waste")
+
+    // BNLJ allowed because the query IS the documented exact all-pairs
+    // baseline (brute-force verify twin of a banded/bucketed at-scale
+    // operator) — quadratic by CONTRACT, not by accident. These are
+    // 100×-excluded via knownSkipReasons; at 10× they time the exact
+    // baseline the banded paths are judged against (q26 ≈ 6.3 s).
+    val exactBaselineBnljOk = Set("q26_embed_neardup")
 
     // the FULL registry, derived from SparkEntry.families (round-8:
     // the hand-listed inventory left 57 queries without scale rows)
@@ -169,7 +210,8 @@ object ScaleCheck {
       val sec = (System.nanoTime() - t0) / 1e9
       val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
       val bad = p.contains("CartesianProduct") ||
-        (p.contains("BroadcastNestedLoopJoin") && !scalarBroadcastOk(name))
+        (p.contains("BroadcastNestedLoopJoin") && !scalarBroadcastOk(name) &&
+          !exactBaselineBnljOk(name))
       if (bad) {
         System.err.println(s"SCALE-KILLER in $name:\n$p")
         killers += name
