@@ -123,23 +123,65 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, L: Int = 32, bucketTarget: Int = 128,
-      pOverride: Option[Int] = None, seed: Long = 42L): DataFrame = {
+      pOverride: Option[Int] = None, seed: Long = 42L): DataFrame =
+    annTopKIndexed(
+      lshIndex(corpus, idCol, vecCol, L, bucketTarget, pOverride, seed),
+      queries, queryIdCol, queryVecCol, k)
+
+  /** Prebuilt banded LSH index: the corpus' (id, v, table, code) rows
+    * plus the hashing geometry a probe needs to code queries
+    * identically. The serving-path split of [[annTopK]]: at corpus
+    * scale the banding pass (L·p hyperplane dot products per vector —
+    * the dominant per-row cost, ~16k multiplies per 64-dim vector at
+    * the defaults) is paid ONCE at build; persist `banded` (or write
+    * it bucketed by (table, code) to a table) and every query batch
+    * pays only its own coding plus the bucket equi-join. The inline
+    * [[annTopK]] repays the full banding per call — fine for one-shot
+    * analytics, wrong for index-once/probe-many serving. */
+  final case class LshIndex(
+      banded: DataFrame, dim: Int, p: Int, L: Int, seed: Long)
+
+  /** Build the [[LshIndex]] for [[annTopKIndexed]]. Same defaults and
+    * p auto-sizing as [[annTopK]] (p = log2(n / bucketTarget), so mean
+    * bucket occupancy — and so per-query candidate volume — stays
+    * ≈ bucketTarget at any corpus size). */
+  def lshIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      L: Int = 32, bucketTarget: Int = 128,
+      pOverride: Option[Int] = None, seed: Long = 42L): LshIndex = {
     GraftFunctions.register(corpus.sparkSession)
     val dim = vecDim(corpus, vecCol)
     val p = pOverride.getOrElse {
       val n = corpus.count()
       math.max(2, (math.log(math.max(n / bucketTarget, 2).toDouble) / math.log(2)).ceil.toInt)
     }
-    def codes(vec: Column): Column =
-      array((0 until L).map(t => bucketCode(vec, dim, p, seed + t * 7919L)): _*)
-
-    val data = corpus.select(
+    val banded = corpus.select(
         col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
-      .select(col("id"), col("v"), posexplode(codes(col("v"))).as(Seq("table", "code")))
+      .select(col("id"), col("v"),
+        posexplode(bucketCodes(col("v"), dim, p, L, seed))
+          .as(Seq("table", "code")))
+    LshIndex(banded, dim, p, L, seed)
+  }
+
+  private def bucketCodes(
+      vec: Column, dim: Int, p: Int, L: Int, seed: Long): Column =
+    array((0 until L).map(t => bucketCode(vec, dim, p, seed + t * 7919L)): _*)
+
+  /** Probe a prebuilt [[LshIndex]]: code the queries with the index's
+    * geometry, equi-join on (table, code), exact-cosine re-rank, top-k
+    * per query (ties break on id). Output shape identical to
+    * [[annTopK]] / [[bruteForceTopK]]. */
+  def annTopKIndexed(
+      index: LshIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val q = queries.select(
-        col(queryIdCol).as("query_id"), requireDim(asDouble(col(queryVecCol)), dim).as("qv"))
-      .select(col("query_id"), col("qv"), posexplode(codes(col("qv"))).as(Seq("table", "code")))
-    val cand = data.join(q, Seq("table", "code"))
+        col(queryIdCol).as("query_id"),
+        requireDim(asDouble(col(queryVecCol)), index.dim).as("qv"))
+      .select(col("query_id"), col("qv"),
+        posexplode(bucketCodes(col("qv"), index.dim, index.p, index.L,
+          index.seed)).as(Seq("table", "code")))
+    val cand = index.banded.join(q, Seq("table", "code"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id"), col("v"))
       .dropDuplicates("query_id", "id")

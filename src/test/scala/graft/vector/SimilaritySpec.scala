@@ -150,4 +150,26 @@ class SimilaritySpec extends SparkSpec {
     assert(zr.getAs[Seq[Byte]]("q").forall(_ == 0))
     assert(zr.getAs[Seq[Float]]("d").forall(_ == 0.0f))
   }
+
+  test("lshIndex + annTopKIndexed: one index serves many batches, equals inline annTopK") {
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val batch1 = emb.filter(col("vec_id") < 10)
+    val batch2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rk"))).toSet
+    // build ONCE, persist, probe twice — the serving shape
+    val idx = Similarity.lshIndex(corpus, "vec_id", "embedding")
+    idx.banded.persist().count()
+    try {
+      for (batch <- Seq(batch1, batch2)) {
+        val direct = rows(Similarity.annTopK(corpus, "vec_id", "embedding",
+          batch, "vec_id", "embedding", k = 5))
+        val probed = rows(Similarity.annTopKIndexed(idx, batch,
+          "vec_id", "embedding", k = 5))
+        assert(probed === direct)
+        assert(probed.nonEmpty)
+      }
+    } finally idx.banded.unpersist()
+  }
 }
