@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.Tables
+import graft.vector.Similarity
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the [[Similarity.lshIndex]] amortization claim: at corpus
+  * scale the banding pass dominates [[Similarity.annTopK]], so an
+  * index built once and persisted (pre-partitioned by (table, code))
+  * should serve query batches at a small fraction of the inline cost.
+  * Times index build, two successive probe batches, and the inline
+  * call on the same batch, and prints one JSON line.
+  *
+  * Run: `tools/runjvm.sh graft.tools.AnnServe <dir> [outJson]`.
+  */
+object AnnServe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val outJson = if (args.length > 1) args(1) else "/tmp/ann_serve.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.ScaleConfig.cluster(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.load(spark, dir, "embeddings").persist()
+    val n = emb.count()
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val batch1 = emb.filter(col("vec_id") < 10)
+    val batch2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // build once: banded rows pre-partitioned on the probe join key so
+    // a probe never reshuffles the big side
+    val (idx, buildSec) = timed {
+      val i = Similarity.lshIndex(corpus, "vec_id", "embedding")
+      val banded = i.banded.repartition(64, col("table"), col("code"))
+        .persist()
+      banded.count()
+      i.copy(banded = banded)
+    }
+    val (r1, probe1Sec) = timed {
+      Similarity.annTopKIndexed(idx, batch1, "vec_id", "embedding", 10)
+        .collect().length
+    }
+    val (r2, probe2Sec) = timed {
+      Similarity.annTopKIndexed(idx, batch2, "vec_id", "embedding", 10)
+        .collect().length
+    }
+    val (r3, inlineSec) = timed {
+      Similarity.annTopK(corpus, "vec_id", "embedding",
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
+    val json =
+      s"""{"note": "LSH serving split: index built once (banded rows persisted, pre-partitioned by (table, code)) vs the inline annTopK that repays the full corpus banding per call. Probe batches are 10 queries each at defaults (L=32, bucketTarget=128).",
+         | "dir": "$dir", "corpus_vectors": ${n - 20},
+         | "index_build_sec": ${f"$buildSec%.2f"},
+         | "probe_batch1_sec": ${f"$probe1Sec%.2f"}, "probe_batch1_rows": $r1,
+         | "probe_batch2_sec": ${f"$probe2Sec%.2f"}, "probe_batch2_rows": $r2,
+         | "inline_annTopK_sec": ${f"$inlineSec%.2f"}, "inline_rows": $r3}""".stripMargin
+    Files.writeString(Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -175,12 +175,18 @@ object Similarity {
       index: LshIndex, queries: DataFrame,
       queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
-    val q = queries.select(
+    val q0 = queries.select(
         col(queryIdCol).as("query_id"),
         requireDim(asDouble(col(queryVecCol)), index.dim).as("qv"))
       .select(col("query_id"), col("qv"),
         posexplode(bucketCodes(col("qv"), index.dim, index.p, index.L,
           index.seed)).as(Seq("table", "code")))
+    // serving batches are small by construction but caller-controlled —
+    // guard the hint (q116 pattern) so a bulk self-join-sized "batch"
+    // degrades to a planner-chosen shuffle join instead of an OOM. A
+    // broadcast probe never reshuffles the banded side: the index scans
+    // in place (the amortization ANNSERVE_r* measures).
+    val q = graft.ops.Hints.broadcastIfBounded(q0, q0, col("query_id"))
     val cand = index.banded.join(q, Seq("table", "code"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id"), col("v"))
