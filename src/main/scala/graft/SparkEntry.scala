@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Behavior, BehaviorOracle, Bloom, BloomOracle, Concentration, ConcentrationOracle, Curation, CurationOracle, Drift, DriftOracle, Graph, GraphOracle, Integrity, IntegrityOracle, Ledger, LedgerOracle, OracleSql, Recommend, RecommendOracle, Relational, Spans, SpansOracle, TimeSeries, TimeSeriesOracle}
+import graft.ops.{Behavior, BehaviorOracle, Bloom, BloomOracle, Concentration, ConcentrationOracle, Curation, CurationOracle, Drift, DriftOracle, Graph, GraphOracle, Integrity, IntegrityOracle, Ledger, LedgerOracle, OracleSql, Recommend, RecommendOracle, Relational, Selection, SelectionOracle, Spans, SpansOracle, TimeSeries, TimeSeriesOracle}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,7 +34,8 @@ object SparkEntry {
     ("concentration", Concentration.all, ConcentrationOracle.all),
     ("recommend", Recommend.all, RecommendOracle.all),
     ("ledger", Ledger.all, LedgerOracle.all),
-    ("bloom", Bloom.all, BloomOracle.all)
+    ("bloom", Bloom.all, BloomOracle.all),
+    ("selection", Selection.all, SelectionOracle.all)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,368 @@
+package graft.ops
+
+import graft.Tables
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for pretraining corpora — the published
+  * quality-scoring / importance-resampling / mixing-policy family that
+  * sits between raw curation (dedup, filtering) and the training mix:
+  *
+  *  - q252 CCNet-style reference-LM quality scoring (Wenzek et al.
+  *    2020): train a smoothed bigram LM on a trusted slice, score every
+  *    document's perplexity against it, flag the high-ppl tail.
+  *  - q253 DSIR importance resampling (Xie et al. 2023): hashed-free
+  *    unigram importance weights log(p_target/p_raw), top-quantile
+  *    selection per source.
+  *  - q254 temperature-scaled mixing audit (multilingual sampling,
+  *    Arivazhagan et al. 2019 / UNIMAX): per-language tempered shares
+  *    and effective-epoch readout across a temperature sweep.
+  *  - q255 memorization-risk audit (Carlini et al. 2021 flavor): the
+  *    fraction of a document's 5-gram shingles unique to it corpus-wide.
+  *  - q256 embedding class-separation audit: within-class centroid
+  *    cosine vs nearest-other-centroid cosine, per label.
+  *  - q257 output-shard balance audit: doc/token/byte skew of the
+  *    md5-sharded write layout before it is committed.
+  *
+  * Determinism contract (the q152/q183 convention used across the
+  * registry): every cross-engine comparison and every selection
+  * decision is made on EXACT INTEGERS — log-ratio terms are quantized
+  * to a ×1e6 integer grid per DISTINCT (a,b)/token (one `ln` of an
+  * exact integer ratio each, so both engines see identical doubles),
+  * per-document scores are integer SUMS of those terms (aggregation-
+  * order-proof), and thresholds/rank cuts compare integers. Floats
+  * appear only in final closed-form readout columns, rounded 4–6 dp.
+  */
+object Selection {
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Adjacent-token bigrams of `t` (an array column) as (a, b) structs;
+    * callers filter `size(t) >= 2` upstream. */
+  private def bigrams(t: Column): Column =
+    transform(sequence(lit(1), size(t) - 1),
+      i => struct(element_at(t, i).as("a"), element_at(t, i + 1).as("b")))
+
+  /** q252 — reference-LM perplexity quality gate (oracle-checked):
+    * train an add-one-smoothed token-bigram LM on the `lang = 'en'`
+    * slice (the "trusted reference" in CCNet terms), score EVERY ≥2-
+    * token document's per-bigram negative log-likelihood against it,
+    * and report per language: scored docs, mean perplexity, and the
+    * count/share of docs past ppl 31 (the high-tail cut calibrated so
+    * the reference language sits mostly under it). P(b|a) =
+    * (c_ab + 1) / (c_a + V) with c_a the LM's prefix total and V its
+    * distinct-continuation count; unseen prefixes degrade to uniform
+    * 1/V — the standard Laplace backstop.
+    *
+    * Determinism: each distinct (a, b) contributes ONE quantized term
+    * round(ln((c_a + V) / (c_ab + 1)) · 1e6) — an exact-integer-ratio
+    * ln, identical in both engines — and a document's NLL is the exact
+    * integer Σ m·term, so the ppl-31 flag is the integer comparison
+    * nll > 3434000·n_bigrams (3434000 ≈ ln(31)·1e6, hardcoded). Mean
+    * ppl is a per-doc closed form exp(nll / (1e6·n)) averaged and
+    * rounded 4 dp.
+    *
+    * Scale shape: the LM is a vocab²-bounded (a, b) aggregate; scoring
+    * is two equi-joins of the doc-bigram aggregate against the LM and
+    * its prefix totals (shuffle-safe at any corpus size — the LM side
+    * is NOT blindly broadcast; [[Hints.broadcastIfBounded]] guards it),
+    * then one per-doc and one per-lang aggregate, all map-side
+    * combinable. V attaches as a one-row broadcast.
+    */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val docBi = docs
+      .select(col("doc_id"), col("lang"), explode(bigrams(col("__t"))).as("__bg"))
+      .groupBy(col("doc_id"), col("lang"),
+        col("__bg.a").as("a"), col("__bg.b").as("b"))
+      .agg(count(lit(1)).as("m"))
+    val lm = docBi.filter(col("lang") === "en")
+      .groupBy(col("a").as("__la"), col("b").as("__lb"))
+      .agg(sum(col("m")).as("cab"))
+    val pref = lm.groupBy(col("__la").as("__pa"))
+      .agg(sum(col("cab")).as("ca"))
+    val vDf = lm.agg(countDistinct(col("__lb")).as("__v"))
+    val lmB = Hints.broadcastIfBounded(lm, lm,
+      struct(col("__la"), col("__lb")))
+    val prefB = Hints.broadcastIfBounded(pref, pref, col("__pa"))
+    val scored = docBi
+      .join(lmB, col("a") === col("__la") && col("b") === col("__lb"), "left")
+      .join(prefB, col("a") === col("__pa"), "left")
+      .crossJoin(broadcast(vDf))
+      .withColumn("__term",
+        round(log((coalesce(col("ca"), lit(0L)) + col("__v")).cast("double") /
+          (coalesce(col("cab"), lit(0L)) + lit(1L))) * lit(1000000.0))
+          .cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("m") * col("__term")).as("__nll"),
+        sum(col("m")).as("__nb"))
+    scored
+      .withColumn("__ppl",
+        exp(col("__nll") / (lit(1000000.0) * col("__nb"))))
+      .withColumn("__high",
+        when(col("__nll") > lit(3434000L) * col("__nb"), 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("__ppl")), 4).as("mean_ppl"),
+        sum(col("__high")).as("n_high_ppl"),
+        round(sum(col("__high")) / count(lit(1)).cast("double"), 6)
+          .as("high_share"))
+      .coalesce(1).orderBy(col("lang"))
+  }
+
+  /** q253 — DSIR importance selection (oracle-checked): per-token
+    * importance log-ratio λ(w) = ln(p̂_target(w) / p̂_raw(w)) between the
+    * `lang = 'en'` target slice and the full corpus (both add-one-
+    * smoothed over the FULL-corpus vocabulary so they share support),
+    * per-document weight W = Σ counts·λ, and per source the top-⌈n/4⌉
+    * selection by (W desc, doc_id) with kept doc/token mass and the
+    * mean selected weight — the "resample raw data toward a target
+    * distribution" primitive of DSIR, minus the feature hashing this
+    * vocabulary does not need.
+    *
+    * Determinism: λ(w) is quantized per DISTINCT token as ONE ln of an
+    * exact integer ratio, round(ln((t_w+1)(R+V) / ((r_w+1)(T+V)))·1e6)
+    * (every factor exact in a double at any tested scale; the PRODUCT
+    * is correctly rounded identically in both engines), W is an exact
+    * integer sum, and the rank cut compares exact block-parallel
+    * cumulative counts against the integer ⌈n/4⌉ = (n+3) DIV 4.
+    *
+    * Scale shape: raw/target counts are one token aggregate each; the
+    * λ table is vocab-bounded and joins the per-(doc, token) aggregate
+    * on the token key (cardinality-guarded broadcast — over the bound
+    * it demotes to a shuffle join); the per-source rank comes from
+    * [[Concentration.groupedCumSum]]'s block-parallel prefix sums, so
+    * a 5-value source key never caps the sort at 5 tasks.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(toks(col("text"))).as("w"))
+    val perDoc = tk.groupBy(col("doc_id"), col("source"), col("lang"),
+      col("w")).agg(count(lit(1)).as("m"))
+    val raw = perDoc.groupBy(col("w").as("__rw")).agg(sum(col("m")).as("rw"))
+    val tots = raw.agg(sum(col("rw")).as("__r0"),
+      count(lit(1)).as("__vv"))
+    val tgt = perDoc.filter(col("lang") === "en")
+      .groupBy(col("w").as("__tw")).agg(sum(col("m")).as("tw"))
+    val t0 = tgt.agg(sum(col("tw")).as("__t0"))
+    val lam = raw
+      .join(tgt, col("__rw") === col("__tw"), "left")
+      .crossJoin(broadcast(tots)).crossJoin(broadcast(t0))
+      .select(col("__rw").as("__lw"),
+        round(log((coalesce(col("tw"), lit(0L)) + lit(1L)).cast("double") *
+          (col("__r0") + col("__vv")) /
+          ((col("rw") + lit(1L)).cast("double") * (col("__t0") + col("__vv"))))
+          * lit(1000000.0)).cast("long").as("lam"))
+    val lamB = Hints.broadcastIfBounded(lam, lam, col("__lw"))
+    val doc = perDoc.join(lamB, col("w") === col("__lw"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("m") * col("lam")).as("__wgt"),
+        sum(col("m")).cast("long").as("__nt"))
+      .withColumn("__negw", -col("__wgt"))
+      .withColumn("__one", lit(1L))
+    val ranked = Concentration.groupedCumSum(
+      doc, "source", "__negw", "doc_id", "__one")
+    val sel = expr(
+      "CAST(__cumw AS BIGINT) <= (CAST(__wtot AS BIGINT) + 3) DIV 4")
+    ranked
+      .withColumn("__sel", when(sel, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__sel")).as("n_selected"),
+        sum(when(col("__sel") === 1L, col("__nt")).otherwise(0L))
+          .cast("long").as("tokens_selected"),
+        round(avg(when(col("__sel") === 1L,
+          col("__wgt") / lit(1000000.0))), 4).as("mean_w_sel"),
+        round(avg(col("__wgt") / lit(1000000.0)), 4).as("mean_w_all"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
+  /** q254 — temperature-scaled language-mixing audit (oracle-checked):
+    * for α ∈ {0.3, 0.5, 0.7, 1.0}, the tempered sampling share
+    * p_l(α) = n_l^α / Σ_m n_m^α over per-language token masses, the
+    * effective epochs over each language's data were the total budget
+    * one corpus pass (share·T / n_l — the over-sampling multiplier
+    * low-resource languages pay for at low α), and the effective
+    * language count exp(H(p(α))) — the standard "how many languages
+    * does this mix really train on" diversity readout.
+    *
+    * Scale shape: ONE per-language token aggregate (map-side
+    * combinable); everything after runs on the |langs|-row frame
+    * crossed with a 4-row α literal — broadcast by construction.
+    * Token masses are exact longs; shares/epochs are closed-form
+    * doubles rounded 6/4 dp.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val alphas = Seq(0.3, 0.5, 0.7, 1.0)
+    val byLang = Tables.load(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("tokens"))
+    val aDf = alphas.toDF("alpha")
+    val g = byLang.crossJoin(broadcast(aDf))
+      .withColumn("__p", pow(col("tokens").cast("double"), col("alpha")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("alpha"))
+    val shares = g
+      .withColumn("__ps", sum(col("__p")).over(w))
+      .withColumn("__tt", sum(col("tokens")).over(w))
+      .withColumn("temp_share", col("__p") / col("__ps"))
+    shares
+      .withColumn("eff_langs", exp(-sum(col("temp_share") *
+        log(col("temp_share"))).over(w)))
+      .select(col("alpha"), col("lang"), col("tokens"),
+        round(col("tokens") / col("__tt").cast("double"), 6).as("raw_share"),
+        round(col("temp_share"), 6).as("temp_share"),
+        round(col("temp_share") * col("__tt") / col("tokens").cast("double"),
+          4).as("eff_epochs"),
+        round(col("eff_langs"), 4).as("eff_langs"))
+      .coalesce(1).orderBy(col("alpha"), col("lang"))
+  }
+
+  /** q255 — memorization-risk audit (oracle-checked): per document the
+    * fraction of its DISTINCT 5-token shingles that occur in no other
+    * document; per source the scored-doc count, the mean unique
+    * fraction, how many docs are high-risk (fraction ≥ 0.8 — the
+    * integer comparison 5·unique ≥ 4·total, no float boundary), and
+    * the total corpus-unique shingle mass. High unique-shingle
+    * fraction marks content a model can only learn by memorizing —
+    * the inverse readout of the boilerplate/near-dup family.
+    *
+    * Scale shape: the inverted-index pattern — per-doc distinct
+    * shingles (one dedup aggregate), shingle document frequencies (one
+    * aggregate), one equi-join back on the shingle key, then per-doc
+    * and per-source aggregates. Linear in corpus size; never all-pairs.
+    */
+  def memorizationRisk(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), toks(col("text")).as("__t"))
+      .filter(size(col("__t")) >= 5)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(sequence(lit(1), size(col("__t")) - 4),
+          i => concat_ws(" ", slice(col("__t"), i, lit(5)))))).as("s"))
+    val df = sh.groupBy(col("s").as("__s")).agg(count(lit(1)).as("df"))
+    val doc = sh.join(df, col("s") === col("__s"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("nu"))
+    doc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nu") / col("ns").cast("double")), 4)
+          .as("mean_unique_frac"),
+        sum(when(col("nu") * 5L >= col("ns") * 4L, 1L).otherwise(0L))
+          .as("n_high_risk"),
+        sum(col("nu")).as("n_unique_shingles"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
+  /** q256 — embedding class-separation audit (oracle-checked): per
+    * label, the mean cosine of its vectors to their own centroid
+    * (within-class cohesion), the max cosine between its centroid and
+    * any OTHER label's centroid (nearest-confusable separation), and
+    * the margin between the two — the "are these labels trainable"
+    * gate run before fitting a head, complementing q250's outlier
+    * prune and q152's retrieval-accuracy audit.
+    *
+    * Determinism: the q152/q250 convention — embeddings quantize to
+    * ×1e6 longs; centroids are exact integer coordinate SUMS (cosine
+    * is scale-invariant, so S works in place of S/n); every dot
+    * product and squared norm is exact in decimal(38,0); each cosine
+    * is ONE closed-form double num/(√·√); means round 4 dp.
+    *
+    * Scale shape: one posexplode centroid aggregate (|labels|·dim
+    * rows), vectors join their own centroid on a |labels|-row
+    * broadcast, and the centroid-pair grid is |labels|² — tiny at any
+    * corpus size. Per-vector work is one zip_with fold; everything
+    * aggregates map-side.
+    */
+  def classSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("__q"))
+    val cent = emb
+      .select(col("label").as("__cl"), posexplode(col("__q")))
+      .groupBy(col("__cl"), col("pos"))
+      .agg(sum(col("col")).as("__s"))
+      .groupBy(col("__cl"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("__s")))),
+        st => st.getField("__s")).as("__c"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
+        lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+    val within = emb.join(broadcast(cent), col("label") === col("__cl"))
+      .withColumn("__cos",
+        dot(col("__q"), col("__c")).cast("double") /
+          (sqrt(dot(col("__q"), col("__q")).cast("double")) *
+            sqrt(dot(col("__c"), col("__c")).cast("double"))))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), avg(col("__cos")).as("__within"))
+    val other = cent.as("a")
+      .crossJoin(broadcast(cent.select(col("__cl").as("__cl2"),
+        col("__c").as("__c2"))))
+      .filter(col("__cl") =!= col("__cl2"))
+      .withColumn("__cos",
+        dot(col("__c"), col("__c2")).cast("double") /
+          (sqrt(dot(col("__c"), col("__c")).cast("double")) *
+            sqrt(dot(col("__c2"), col("__c2")).cast("double"))))
+      .groupBy(col("__cl"))
+      .agg(max(col("__cos")).as("__maxOther"))
+    within.join(broadcast(other), col("label") === col("__cl"))
+      .select(col("label"), col("n"),
+        round(col("__within"), 4).as("within_cos"),
+        round(col("__maxOther"), 4).as("max_other_cos"),
+        round(col("__within") - col("__maxOther"), 4).as("margin"))
+      .coalesce(1).orderBy(col("label"))
+  }
+
+  /** q257 — output-shard balance audit (oracle-checked): assign every
+    * document to one of 16 output shards by the engine-independent
+    * md5 low-64 mixer (the q188 digest recipe — never rand(), never an
+    * engine-private hash) and report per shard its doc/token/char mass
+    * and share — the skew check a sharded writer runs BEFORE
+    * committing a layout, where one hot shard becomes the straggler
+    * task of every downstream consumer.
+    *
+    * Scale shape: one map-side-combinable aggregate over a stateless
+    * per-row hash; 16 rows out. Shares are closed-form doubles off
+    * exact integer masses, rounded 6 dp.
+    */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    val hex = md5(col("doc_id").cast("string").cast("binary"))
+    val h = (0 to 7)
+      .map(i => shiftleft(
+        conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i))
+      .reduce(_ + _)
+    Tables.load(spark, dir, "documents")
+      .select(pmod(h, lit(16L)).as("shard"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__nt"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("tokens"),
+        sum(col("n_chars")).as("chars"))
+      .withColumn("doc_share",
+        round(col("n_docs") / sum(col("n_docs"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double"), 6))
+      .withColumn("char_share",
+        round(col("chars") / sum(col("chars"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double"), 6))
+      .coalesce(1).orderBy(col("shard"))
+  }
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q252_lm_quality" -> (lmQuality _),
+    "q253_dsir_select" -> (dsirSelect _),
+    "q254_temperature_mix" -> (temperatureMix _),
+    "q255_memorization_risk" -> (memorizationRisk _),
+    "q256_class_separation" -> (classSeparation _),
+    "q257_shard_balance" -> (shardBalance _))
+}

@@ -182,7 +182,14 @@ object ScaleCheck {
       // q251 crosses its single-row bucket-boundary aggregate with the
       // single-row token total
       "q48_quantile_band", "q69_unigram_nll", "q231_detector_audit",
-      "q251_pad_waste")
+      "q251_pad_waste",
+      // selection family (round-8 second wave): q252 attaches the
+      // single-row LM continuation-count V; q253 the single-row raw/
+      // target token totals; q254 the 4-row temperature literal; q256
+      // crosses the |labels|-row centroid frame with itself (bounded by
+      // label cardinality — the classic small-dims grid)
+      "q252_lm_quality", "q253_dsir_select", "q254_temperature_mix",
+      "q256_class_separation")
 
     // BNLJ allowed because the query IS the documented exact all-pairs
     // baseline (brute-force verify twin of a banded/bucketed at-scale
