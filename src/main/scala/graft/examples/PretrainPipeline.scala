@@ -1,7 +1,7 @@
 package graft.examples
 
 import graft.Tables
-import graft.ops.{Curation, Drift, Validate}
+import graft.ops.{Curation, Drift, Selection, Validate}
 import graft.text.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -106,8 +106,23 @@ object PretrainPipeline {
         TextAnalysis.repetitionRatioOfTokens(toks, 3) <= 0.2)
     recDf("quality", quality)
 
+    // 1b. reference-LM perplexity gate (the CCNet shape, self-trained:
+    //     the LM is fit on the surviving corpus itself, so the gate is
+    //     language-neutral and drops only the least-predictable tail —
+    //     docs past ppl 33 against a corpus whose self-perplexity runs
+    //     ≈ 29–31). The cut is Selection.lmScore's exact-integer
+    //     comparison (nll > round(ln 33 ·1e6)·n_bigrams), so the stage
+    //     is deterministic at any parallelism.
+    val lmScores = Selection.lmScore(quality, Seq("doc_id"), "text",
+      refFilter = lit(true))
+    val lmKept = quality.join(
+      lmScores.filter(col("__nll") <= lit(3496508L) * col("__nb"))
+        .select("doc_id"),
+      Seq("doc_id"))
+    recDf("lm_quality", lmKept)
+
     // 2. outlier trim: drop the length tails (truncation / concat accidents)
-    val trimmed = Curation.quantileBand(quality, "n_chars", 0.05, 0.95)
+    val trimmed = Curation.quantileBand(lmKept, "n_chars", 0.05, 0.95)
     recDf("trimmed", trimmed)
 
     // 3. near-dup cluster dedup: transitive chains collapse, best doc wins
@@ -155,6 +170,14 @@ object PretrainPipeline {
     rec("audit_jsd_flagged",
       Drift.jsDivergence(mixed, "source", "lang")
         .filter(col("jsd_norm") > 0.5).count())
+    //     ... and the DSIR readout: how much of the blend is more
+    //     en-target-like than the raw mix (integer weight > 0 under
+    //     Selection.dsirWeights) — the importance-resampling dial a
+    //     mix owner would turn next if the share runs low.
+    rec("audit_dsir_enlike",
+      Selection.dsirWeights(mixed, Seq("doc_id"), "text",
+        targetFilter = col("lang") === "en")
+        .filter(col("__wgt") > 0L).count())
 
     // 6. deterministic 90/5/5 split; train continues down the pipe
     val Seq(train, valF, testF) =

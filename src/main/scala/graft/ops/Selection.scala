@@ -71,34 +71,8 @@ object Selection {
     * combinable. V attaches as a one-row broadcast.
     */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), toks(col("text")).as("__t"))
-      .filter(size(col("__t")) >= 2)
-    val docBi = docs
-      .select(col("doc_id"), col("lang"), explode(bigrams(col("__t"))).as("__bg"))
-      .groupBy(col("doc_id"), col("lang"),
-        col("__bg.a").as("a"), col("__bg.b").as("b"))
-      .agg(count(lit(1)).as("m"))
-    val lm = docBi.filter(col("lang") === "en")
-      .groupBy(col("a").as("__la"), col("b").as("__lb"))
-      .agg(sum(col("m")).as("cab"))
-    val pref = lm.groupBy(col("__la").as("__pa"))
-      .agg(sum(col("cab")).as("ca"))
-    val vDf = lm.agg(countDistinct(col("__lb")).as("__v"))
-    val lmB = Hints.broadcastIfBounded(lm, lm,
-      struct(col("__la"), col("__lb")))
-    val prefB = Hints.broadcastIfBounded(pref, pref, col("__pa"))
-    val scored = docBi
-      .join(lmB, col("a") === col("__la") && col("b") === col("__lb"), "left")
-      .join(prefB, col("a") === col("__pa"), "left")
-      .crossJoin(broadcast(vDf))
-      .withColumn("__term",
-        round(log((coalesce(col("ca"), lit(0L)) + col("__v")).cast("double") /
-          (coalesce(col("cab"), lit(0L)) + lit(1L))) * lit(1000000.0))
-          .cast("long"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("m") * col("__term")).as("__nll"),
-        sum(col("m")).as("__nb"))
+    val scored = lmScore(Tables.load(spark, dir, "documents"),
+      Seq("doc_id", "lang"), "text", col("lang") === "en")
     scored
       .withColumn("__ppl",
         exp(col("__nll") / (lit(1000000.0) * col("__nb"))))
@@ -111,6 +85,50 @@ object Selection {
         round(sum(col("__high")) / count(lit(1)).cast("double"), 6)
           .as("high_share"))
       .coalesce(1).orderBy(col("lang"))
+  }
+
+  /** The operator core under [[lmQuality]], reusable on any document
+    * frame (the pipeline's LM quality gate): train the add-one bigram
+    * LM on the rows matching `refFilter`, score every ≥2-token row.
+    * Returns one row per input doc carrying `idCols` plus the exact
+    * integer `__nll` (Σ m·round(ln((c_a+V)/(c_ab+1))·1e6)) and `__nb`
+    * (its bigram count) — callers threshold with integer comparisons
+    * (e.g. ppl ≤ P ⇔ __nll ≤ round(ln(P)·1e6)·__nb) or read the
+    * closed-form ppl exp(__nll/(1e6·__nb)). `idCols` must functionally
+    * determine the document (they ride the per-doc aggregate key).
+    */
+  def lmScore(docs0: DataFrame, idCols: Seq[String], textCol: String,
+      refFilter: Column): DataFrame = {
+    val ids = idCols.map(col)
+    val docs = docs0
+      .withColumn("__ref", refFilter)
+      .select(ids :+ col("__ref") :+ toks(col(textCol)).as("__t"): _*)
+      .filter(size(col("__t")) >= 2)
+    val docBi = docs
+      .select(ids :+ col("__ref") :+ explode(bigrams(col("__t"))).as("__bg"): _*)
+      .groupBy(ids :+ col("__ref") :+ col("__bg.a").as("a") :+
+        col("__bg.b").as("b"): _*)
+      .agg(count(lit(1)).as("m"))
+    val lm = docBi.filter(col("__ref"))
+      .groupBy(col("a").as("__la"), col("b").as("__lb"))
+      .agg(sum(col("m")).as("cab"))
+    val pref = lm.groupBy(col("__la").as("__pa"))
+      .agg(sum(col("cab")).as("ca"))
+    val vDf = lm.agg(countDistinct(col("__lb")).as("__v"))
+    val lmB = Hints.broadcastIfBounded(lm, lm,
+      struct(col("__la"), col("__lb")))
+    val prefB = Hints.broadcastIfBounded(pref, pref, col("__pa"))
+    docBi
+      .join(lmB, col("a") === col("__la") && col("b") === col("__lb"), "left")
+      .join(prefB, col("a") === col("__pa"), "left")
+      .crossJoin(broadcast(vDf))
+      .withColumn("__term",
+        round(log((coalesce(col("ca"), lit(0L)) + col("__v")).cast("double") /
+          (coalesce(col("cab"), lit(0L)) + lit(1L))) * lit(1000000.0))
+          .cast("long"))
+      .groupBy(ids: _*)
+      .agg(sum(col("m") * col("__term")).as("__nll"),
+        sum(col("m")).as("__nb"))
   }
 
   /** q253 — DSIR importance selection (oracle-checked): per-token
@@ -138,30 +156,8 @@ object Selection {
     * a 5-value source key never caps the sort at 5 tasks.
     */
   def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val tk = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("lang"),
-        explode(toks(col("text"))).as("w"))
-    val perDoc = tk.groupBy(col("doc_id"), col("source"), col("lang"),
-      col("w")).agg(count(lit(1)).as("m"))
-    val raw = perDoc.groupBy(col("w").as("__rw")).agg(sum(col("m")).as("rw"))
-    val tots = raw.agg(sum(col("rw")).as("__r0"),
-      count(lit(1)).as("__vv"))
-    val tgt = perDoc.filter(col("lang") === "en")
-      .groupBy(col("w").as("__tw")).agg(sum(col("m")).as("tw"))
-    val t0 = tgt.agg(sum(col("tw")).as("__t0"))
-    val lam = raw
-      .join(tgt, col("__rw") === col("__tw"), "left")
-      .crossJoin(broadcast(tots)).crossJoin(broadcast(t0))
-      .select(col("__rw").as("__lw"),
-        round(log((coalesce(col("tw"), lit(0L)) + lit(1L)).cast("double") *
-          (col("__r0") + col("__vv")) /
-          ((col("rw") + lit(1L)).cast("double") * (col("__t0") + col("__vv"))))
-          * lit(1000000.0)).cast("long").as("lam"))
-    val lamB = Hints.broadcastIfBounded(lam, lam, col("__lw"))
-    val doc = perDoc.join(lamB, col("w") === col("__lw"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(sum(col("m") * col("lam")).as("__wgt"),
-        sum(col("m")).cast("long").as("__nt"))
+    val doc = dsirWeights(Tables.load(spark, dir, "documents"),
+      Seq("doc_id", "source"), "text", col("lang") === "en")
       .withColumn("__negw", -col("__wgt"))
       .withColumn("__one", lit(1L))
     val ranked = Concentration.groupedCumSum(
@@ -179,6 +175,48 @@ object Selection {
           col("__wgt") / lit(1000000.0))), 4).as("mean_w_sel"),
         round(avg(col("__wgt") / lit(1000000.0)), 4).as("mean_w_all"))
       .coalesce(1).orderBy(col("source"))
+  }
+
+  /** The operator core under [[dsirSelect]], reusable on any document
+    * frame: per-token importance log-ratio between the rows matching
+    * `targetFilter` and the whole of `docs0` (shared add-one support
+    * over the full vocabulary), quantized per distinct token to the
+    * ×1e6 integer grid. Returns one row per doc carrying `idCols` plus
+    * the exact integer weight `__wgt` (Σ m·λ) and its token count
+    * `__nt` — callers rank-cut per group (the [[dsirSelect]] quartile)
+    * or threshold (`__wgt > 0` = more target-like than raw).
+    */
+  def dsirWeights(docs0: DataFrame, idCols: Seq[String], textCol: String,
+      targetFilter: Column): DataFrame = {
+    val ids = idCols.map(col)
+    val tk = docs0
+      .withColumn("__tgt", targetFilter)
+      .select(ids :+ col("__tgt") :+ explode(toks(col(textCol))).as("w"): _*)
+    // raw/target counts straight off the token stream (map-side
+    // combinable, vocab-sized results) — never materializing a
+    // (doc, token) grain the weight path doesn't need
+    val raw = tk.groupBy(col("w").as("__rw")).agg(count(lit(1)).as("rw"))
+    val tots = raw.agg(sum(col("rw")).as("__r0"),
+      count(lit(1)).as("__vv"))
+    val tgt = tk.filter(col("__tgt"))
+      .groupBy(col("w").as("__tw")).agg(count(lit(1)).as("tw"))
+    val t0 = tgt.agg(sum(col("tw")).as("__t0"))
+    val lam = raw
+      .join(tgt, col("__rw") === col("__tw"), "left")
+      .crossJoin(broadcast(tots)).crossJoin(broadcast(t0))
+      .select(col("__rw").as("__lw"),
+        round(log((coalesce(col("tw"), lit(0L)) + lit(1L)).cast("double") *
+          (col("__r0") + col("__vv")) /
+          ((col("rw") + lit(1L)).cast("double") * (col("__t0") + col("__vv"))))
+          * lit(1000000.0)).cast("long").as("lam"))
+    val lamB = Hints.broadcastIfBounded(lam, lam, col("__lw"))
+    // per-instance λ sum ≡ Σ_w m·λ(w) — one narrow join on the token
+    // key, one per-doc aggregate; the exact integer weight is
+    // aggregation-order-proof either way
+    tk.join(lamB, col("w") === col("__lw"))
+      .groupBy(ids: _*)
+      .agg(sum(col("lam")).as("__wgt"),
+        count(lit(1)).cast("long").as("__nt"))
   }
 
   /** q254 — temperature-scaled language-mixing audit (oracle-checked):

@@ -59,13 +59,38 @@ object AnnServe {
       Similarity.annTopK(corpus, "vec_id", "embedding",
         batch1, "vec_id", "embedding", 10).collect().length
     }
+
+    // IVF twin: train + cell-assign once (data persisted, pre-
+    // partitioned on the probe join key), probe twice, vs inline
+    val (ividx, ivBuildSec) = timed {
+      val i = Similarity.ivfIndex(corpus, "vec_id", "embedding")
+      val data = i.data.repartition(64, col("cell")).persist()
+      data.count()
+      i.copy(data = data)
+    }
+    val (iv1, ivProbe1Sec) = timed {
+      Similarity.ivfTopKIndexed(ividx, batch1, "vec_id", "embedding", 10)
+        .collect().length
+    }
+    val (iv2, ivProbe2Sec) = timed {
+      Similarity.ivfTopKIndexed(ividx, batch2, "vec_id", "embedding", 10)
+        .collect().length
+    }
+    val (iv3, ivInlineSec) = timed {
+      Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
     val json =
-      s"""{"note": "LSH serving split: index built once (banded rows persisted, pre-partitioned by (table, code)) vs the inline annTopK that repays the full corpus banding per call. Probe batches are 10 queries each at defaults (L=32, bucketTarget=128).",
+      s"""{"note": "ANN serving splits, both paths. LSH: index built once (banded rows persisted, pre-partitioned by (table, code)) vs the inline annTopK that repays the full corpus banding per call; probe batches are 10 queries each at defaults (L=32, bucketTarget=128). IVF: centroids trained + cells assigned once (data persisted, pre-partitioned by cell) vs the inline ivfTopK that retrains and reassigns per call; defaults (numCells=64, nProbe=32).",
          | "dir": "$dir", "corpus_vectors": ${n - 20},
          | "index_build_sec": ${f"$buildSec%.2f"},
          | "probe_batch1_sec": ${f"$probe1Sec%.2f"}, "probe_batch1_rows": $r1,
          | "probe_batch2_sec": ${f"$probe2Sec%.2f"}, "probe_batch2_rows": $r2,
-         | "inline_annTopK_sec": ${f"$inlineSec%.2f"}, "inline_rows": $r3}""".stripMargin
+         | "inline_annTopK_sec": ${f"$inlineSec%.2f"}, "inline_rows": $r3,
+         | "ivf_index_build_sec": ${f"$ivBuildSec%.2f"},
+         | "ivf_probe_batch1_sec": ${f"$ivProbe1Sec%.2f"}, "ivf_probe_batch1_rows": $iv1,
+         | "ivf_probe_batch2_sec": ${f"$ivProbe2Sec%.2f"}, "ivf_probe_batch2_rows": $iv2,
+         | "inline_ivfTopK_sec": ${f"$ivInlineSec%.2f"}, "ivf_inline_rows": $iv3}""".stripMargin
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()

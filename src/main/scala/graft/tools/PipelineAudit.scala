@@ -6,9 +6,11 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** The brief's actual user journey as ONE measured artifact (round-8,
-  * VERDICT r7 stretch #7): docs in → validate → quality → trim →
+  * VERDICT r7 stretch #7): docs in → validate → quality → LM-perplexity
+  * gate (self-trained bigram LM, exact-integer ppl-33 cut) → trim →
   * near-dup cluster dedup → decontaminate (exact + fuzzy) → cap → mix
-  * (+ drift audit) → split → shuffle → pack → sharded write, with
+  * (+ drift audit incl. the DSIR en-like share) → split → shuffle →
+  * pack → sharded write, with
   * per-stage surviving rows, surviving tokens and wall seconds at the
   * given corpus. Everything runs on the public operators
   * ([[graft.examples.PretrainPipeline]] is the composition, unit-tested

@@ -302,18 +302,58 @@ object Similarity {
       k: Int, numCells: Int = 64, nProbe: Int = 32, lloydIters: Int = 2,
       trainFraction: Double = 1.0): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCells, s"nProbe must be in [1, $numCells]")
+    ivfTopKIndexed(
+      ivfIndex(corpus, idCol, vecCol, numCells, lloydIters, trainFraction),
+      queries, queryIdCol, queryVecCol, k, nProbe)
+  }
+
+  /** Prebuilt IVF index: the cell-assigned corpus plus the trained
+    * centroids a probe needs to pick its cells. The serving-path split
+    * of [[ivfTopK]] (the IVF twin of [[LshIndex]]): at corpus scale the
+    * Lloyd training AND the per-vector max-cosine cell assignment (a
+    * numCells-way argmax per row — the dominant per-row cost) are paid
+    * ONCE at build; persist `data` (or write it `cell`-partitioned via
+    * the [[graft.sources.IO]] writers) and every query batch pays only
+    * its own nProbe cell picks plus the cell equi-join over the probed
+    * fraction of the corpus. The inline [[ivfTopK]] retrains and
+    * reassigns per call — fine for one-shot analytics, wrong for
+    * index-once/probe-many serving. */
+  final case class IvfIndex(
+      data: DataFrame, centroids: IndexedSeq[Seq[Double]], dim: Int)
+
+  /** Build the [[IvfIndex]] for [[ivfTopKIndexed]]. Same training and
+    * assignment as [[ivfTopK]] (deterministic xxhash64 seeding, empty
+    * cells keep their previous centroid). */
+  def ivfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int = 64, lloydIters: Int = 2,
+      trainFraction: Double = 1.0): IvfIndex = {
     GraftFunctions.register(corpus.sparkSession)
     val dim = vecDim(corpus, vecCol)
     val base = corpus.select(
       col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
-
     val centroids = trainOnBase(base, numCells, lloydIters, trainFraction)
+    IvfIndex(
+      base.withColumn("cell", cellAssignment(col("v"), centroids)),
+      centroids, dim)
+  }
+
+  /** Probe a prebuilt [[IvfIndex]]: each query explodes to its nProbe
+    * nearest cells (centroids are index-side literals — no model state
+    * shipped), the cell equi-join pulls only those cells' vectors, and
+    * exact cosine re-ranks. Output shape identical to [[ivfTopK]] /
+    * [[bruteForceTopK]]. */
+  def ivfTopKIndexed(
+      index: IvfIndex, queries: DataFrame,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      nProbe: Int = 32): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    GraftFunctions.register(queries.sparkSession)
+    val centroids = index.centroids
     // the training sample may yield FEWER centroids than numCells (tiny
     // corpus or aggressive trainFraction) — probe count follows the
     // actual centroid count, not the requested one
     val probes = math.min(nProbe, centroids.size)
-
-    val data = base.withColumn("cell", cellAssignment(col("v"), centroids))
     // nProbe nearest cells per query: sort (−sim, cell) structs, take nProbe
     val probeArr = slice(array_sort(array(centroids.zipWithIndex.map {
       case (c, i) =>
@@ -322,11 +362,12 @@ object Similarity {
           lit(i).as("cell"))
     }: _*)), 1, probes)
     val q = queries.select(
-        col(queryIdCol).as("query_id"), requireDim(asDouble(col(queryVecCol)), dim).as("qv"))
+        col(queryIdCol).as("query_id"),
+        requireDim(asDouble(col(queryVecCol)), index.dim).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(probeArr.getField("cell")).as("cell"))
 
-    val cand = data.join(q, Seq("cell"))
+    val cand = index.data.join(q, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         round(GraftFunctions.cosineSim(col("v"), col("qv")), 6).as("sim"))

@@ -21,7 +21,8 @@ class ExamplesSpec extends SparkSpec {
     assert(stats("validated") == stats("raw"))
     // filters only remove
     assert(stats("quality") <= stats("raw"))
-    assert(stats("trimmed") <= stats("quality"))
+    assert(stats("lm_quality") <= stats("quality"))
+    assert(stats("trimmed") <= stats("lm_quality"))
     assert(stats("deduped") <= stats("trimmed"))
     assert(stats("decontaminated") <= stats("deduped"))
     assert(stats("decontaminated_fuzzy") <= stats("decontaminated"))

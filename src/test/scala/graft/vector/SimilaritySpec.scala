@@ -172,4 +172,34 @@ class SimilaritySpec extends SparkSpec {
       }
     } finally idx.banded.unpersist()
   }
+
+  test("ivfIndex + ivfTopKIndexed: one index serves many batches, equals inline ivfTopK") {
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val batch1 = emb.filter(col("vec_id") < 10)
+    val batch2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+        r.getAs[Double]("sim"), r.getAs[Int]("rk"))).toSet
+    // train + assign ONCE, persist, probe twice — the serving shape
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      numCells = 16)
+    idx.data.persist().count()
+    try {
+      assert(idx.centroids.nonEmpty && idx.centroids.size <= 16)
+      for (batch <- Seq(batch1, batch2)) {
+        val direct = rows(Similarity.ivfTopK(corpus, "vec_id", "embedding",
+          batch, "vec_id", "embedding", k = 5, numCells = 16, nProbe = 8))
+        val probed = rows(Similarity.ivfTopKIndexed(idx, batch,
+          "vec_id", "embedding", k = 5, nProbe = 8))
+        assert(probed === direct)
+        assert(probed.nonEmpty)
+      }
+      // probing every cell = exact over the assigned corpus
+      val allProbe = rows(Similarity.ivfTopKIndexed(idx, batch1,
+        "vec_id", "embedding", k = 5, nProbe = idx.centroids.size))
+      val exact = rows(Similarity.bruteForceTopK(corpus, "vec_id",
+        "embedding", batch1, "vec_id", "embedding", k = 5))
+      assert(allProbe === exact)
+    } finally idx.data.unpersist()
+  }
 }
