@@ -396,11 +396,185 @@ object Selection {
       .coalesce(1).orderBy(col("shard"))
   }
 
+  /** q258 — Zipf rank-frequency audit (oracle-checked): per source,
+    * the log-log slope of frequency against rank over the top-100
+    * tokens (rank by count desc, token asc — a total order both
+    * engines share). Natural text runs ≈ −1; a flat slope marks
+    * template/generated feeds and a cliff marks keyword stuffing —
+    * the rank-spectrum companion to q248's Heaps growth and q215's
+    * bigram entropy.
+    *
+    * Scale shape: one (source, token) aggregate (map-side combinable);
+    * the ranking window runs over that VOCAB-BOUNDED aggregate — the
+    * q217 posture: sorting |vocab_source| rows per source, never the
+    * corpus. Counts exact; the regression is one bounded 100-term
+    * float fold rounded 4 dp.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(toks(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("c").desc, col("w"))
+    f.withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_ranks"),
+        round((count(lit(1)) * sum(log(col("rk")) * log(col("c"))) -
+          sum(log(col("rk"))) * sum(log(col("c")))) /
+          (count(lit(1)) * sum(log(col("rk")) * log(col("rk"))) -
+            sum(log(col("rk"))) * sum(log(col("rk")))), 4).as("zipf_slope"),
+        max(col("c")).as("top_freq"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
+  /** q259 — cross-source 8-gram containment matrix (oracle-checked):
+    * for every ordered source pair (a ≠ b), |grams(a) ∩ grams(b)| /
+    * |grams(a)| over DISTINCT 8-token shingles — the provenance-
+    * leakage audit between sources (a high row says a's content is
+    * substantially contained in b: syndication, scraping overlap, or
+    * a shared boilerplate feed), the cross-SOURCE twin of q51's
+    * doc-level benchmark decontamination.
+    *
+    * Scale shape: the inverted-index pattern — one distinct
+    * (source, shingle) aggregate, one self-equi-join on the shingle
+    * key (per-shingle fan-out bounded by |sources|² — postings are
+    * source-grain, NOT doc-grain), |sources|² output rows. The gram
+    * sizes attach via a cardinality-guarded broadcast.
+    */
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(spark, dir, "documents")
+      .select(col("source"), toks(col("text")).as("__t"))
+      .filter(size(col("__t")) >= 8)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 7),
+          i => concat_ws(" ", slice(col("__t"), i, lit(8))))).as("s"))
+      .distinct()
+    val sz = g.groupBy(col("source").as("__szs"))
+      .agg(count(lit(1)).as("n_grams"))
+    val inter = g.select(col("source").as("source_a"), col("s"))
+      .join(g.select(col("source").as("source_b"), col("s")), Seq("s"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(Hints.broadcastIfBounded(sz, sz, col("__szs")),
+        col("source_a") === col("__szs"))
+      .select(col("source_a"), col("source_b"), col("shared"),
+        col("n_grams").as("n_grams_a"),
+        round(col("shared") / col("n_grams").cast("double"), 6)
+          .as("containment"))
+      .coalesce(1).orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** q260 — embedding hubness audit (oracle-checked): on a
+    * deterministic fixed-size sample (the 1000 smallest md5-mixed
+    * vec_ids — the q188 recipe, engine-independent), each vector's
+    * top-10 cosine neighbors are computed exactly, and the audit
+    * reports the k-occurrence distribution — how many vectors are
+    * cited 0 / 1–2 / 3–5 / 6–10 / 11+ times as someone's neighbor.
+    * High-dimensional embedding spaces concentrate citations on hub
+    * vectors (hubness), which silently skews k-NN dedup and retrieval;
+    * this is the gate that says whether cosine k-NN is trustworthy on
+    * this embedding model at all.
+    *
+    * Scale shape: the all-pairs step is SAMPLE-BOUNDED by construction
+    * (≤ 1000 × 1000 pairs at any corpus size — the bounded-broadcast
+    * audit posture, like q26's contract but with a hard cap); the
+    * sample selection is one TakeOrdered over the corpus. Neighbor
+    * order is (cosine rounded 6 desc, vec_id) on the q152/q256
+    * exact-integer dot machinery; all bucket counts are exact
+    * integers.
+    */
+  def hubness(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val hex = md5(col("vec_id").cast("string").cast("binary"))
+    val h = (0 to 7)
+      .map(i => shiftleft(
+        conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i))
+      .reduce(_ + _)
+    val sample = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+          .as("__q"),
+        h.as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(1000)
+      .drop("__h")
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
+        lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+    val pairs = sample
+      .crossJoin(broadcast(sample.select(col("vec_id").as("__nid"),
+        col("__q").as("__nq"))))
+      .filter(col("vec_id") =!= col("__nid"))
+      .select(col("vec_id"), col("__nid"),
+        round(dot(col("__q"), col("__nq")).cast("double") /
+          (sqrt(dot(col("__q"), col("__q")).cast("double")) *
+            sqrt(dot(col("__nq"), col("__nq")).cast("double"))), 6)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("__nid"))
+    val cited = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .groupBy(col("__nid").as("vec_id")).agg(count(lit(1)).as("occ"))
+    val occ = sample.select(col("vec_id"))
+      .join(cited, Seq("vec_id"), "left")
+      .select(coalesce(col("occ"), lit(0L)).as("occ"))
+    val bucket = when(col("occ") === 0, "0")
+      .when(col("occ") <= 2, "1-2")
+      .when(col("occ") <= 5, "3-5")
+      .when(col("occ") <= 10, "6-10")
+      .otherwise("11+")
+    val tot = occ.agg(count(lit(1)).as("__n"))
+    occ.groupBy(bucket.as("occ_bucket"))
+      .agg(count(lit(1)).as("n_vectors"), max(col("occ")).as("max_occ"))
+      .crossJoin(broadcast(tot))
+      .select(col("occ_bucket"), col("n_vectors"), col("max_occ"),
+        round(col("n_vectors") / col("__n").cast("double"), 6)
+          .as("occ_share"))
+      .coalesce(1).orderBy(col("occ_bucket"))
+  }
+
+  /** q261 — quasi-identifier k-anonymity audit (oracle-checked): treat
+    * (lang, ⌊n_chars/50⌋) as the quasi-identifier and count, per
+    * source, how many documents sit in an equivalence class smaller
+    * than k = 5 — the re-identification-risk readout a privacy review
+    * runs before releasing a corpus (small classes are linkable; the
+    * PII scrub (q73) removes direct identifiers, this audits the
+    * indirect ones).
+    *
+    * Scale shape: one class-size aggregate (bounded by |langs| ×
+    * length bands), joined back on the class key via a cardinality-
+    * guarded broadcast, one per-source aggregate. All counts exact;
+    * the share is one closed-form double.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        expr("n_chars DIV 50").as("len_band"))
+    val cls = q.groupBy(col("lang").as("__cl"), col("len_band").as("__cb"))
+      .agg(count(lit(1)).as("sz"))
+    q.join(Hints.broadcastIfBounded(cls, cls,
+        struct(col("__cl"), col("__cb"))),
+        col("lang") === col("__cl") && col("len_band") === col("__cb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_risky"),
+        round(sum(when(col("sz") < 5, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("risky_share"))
+      .coalesce(1).orderBy(col("source"))
+  }
+
   val all: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q252_lm_quality" -> (lmQuality _),
     "q253_dsir_select" -> (dsirSelect _),
     "q254_temperature_mix" -> (temperatureMix _),
     "q255_memorization_risk" -> (memorizationRisk _),
     "q256_class_separation" -> (classSeparation _),
-    "q257_shard_balance" -> (shardBalance _))
+    "q257_shard_balance" -> (shardBalance _),
+    "q258_zipf_slope" -> (zipfSlope _),
+    "q259_ngram_containment" -> (ngramContainment _),
+    "q260_hubness" -> (hubness _),
+    "q261_k_anonymity" -> (kAnonymity _))
 }

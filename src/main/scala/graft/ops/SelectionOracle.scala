@@ -180,6 +180,109 @@ object SelectionOracle {
         |       round(w.wc - o.mo, 4) margin
         |FROM w JOIN o ON w.label = o.label ORDER BY w.label""".stripMargin,
 
+    // same (count desc, token) rank order, same 100-term log-log
+    // regression AST
+    "q258_zipf_slope" ->
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents),
+        |f AS (SELECT source, w, count(*) c FROM tk GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, c,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY c DESC, w) rk
+        |  FROM f),
+        |top AS (SELECT * FROM r WHERE rk <= 100)
+        |SELECT source, CAST(count(*) AS BIGINT) n_ranks,
+        |       round((count(*) * sum(ln(rk) * ln(c)) -
+        |              sum(ln(rk)) * sum(ln(c))) /
+        |             (count(*) * sum(ln(rk) * ln(rk)) -
+        |              sum(ln(rk)) * sum(ln(rk))), 4) zipf_slope,
+        |       CAST(max(c) AS BIGINT) top_freq
+        |FROM top GROUP BY source ORDER BY source""".stripMargin,
+
+    // same distinct source-grain 8-gram postings, same ordered-pair
+    // containment
+    "q259_ngram_containment" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 8),
+        |g AS (
+        |  SELECT DISTINCT source, array_to_string(t[i:i + 7], ' ') AS s
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)),
+        |sz AS (SELECT source, count(*) n_grams FROM g GROUP BY source),
+        |inter AS (
+        |  SELECT a.source source_a, b.source source_b, count(*) shared
+        |  FROM g a JOIN g b ON a.s = b.s AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(shared AS BIGINT) shared,
+        |       CAST(sz.n_grams AS BIGINT) n_grams_a,
+        |       round(shared / CAST(sz.n_grams AS DOUBLE), 6) containment
+        |FROM inter JOIN sz ON sz.source = source_a
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // same md5-mixed fixed-size sample, same exact-integer dots, same
+    // (sim rounded 6 desc, id) neighbor order and occurrence buckets
+    "q260_hubness" ->
+      """WITH s0 AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+        |           qv,
+        |         CASE WHEN md5_number_lower(CAST(vec_id AS VARCHAR))
+        |                   >= 9223372036854775808
+        |              THEN CAST(md5_number_lower(CAST(vec_id AS VARCHAR))
+        |                        AS HUGEINT) - 18446744073709551616
+        |              ELSE CAST(md5_number_lower(CAST(vec_id AS VARCHAR))
+        |                        AS HUGEINT) END AS hv
+        |  FROM embeddings),
+        |smp AS (SELECT vec_id, qv FROM s0 ORDER BY hv, vec_id LIMIT 1000),
+        |pairs AS (
+        |  SELECT a.vec_id, b.vec_id nid,
+        |         round(CAST(list_sum(list_transform(a.qv,
+        |                 (x, i) -> CAST(x AS HUGEINT) * b.qv[i])) AS DOUBLE) /
+        |               (sqrt(CAST(list_sum(list_transform(a.qv,
+        |                  x -> CAST(x AS HUGEINT) * x)) AS DOUBLE)) *
+        |                sqrt(CAST(list_sum(list_transform(b.qv,
+        |                  x -> CAST(x AS HUGEINT) * x)) AS DOUBLE))), 6) sim
+        |  FROM smp a CROSS JOIN smp b WHERE a.vec_id <> b.vec_id),
+        |top AS (
+        |  SELECT nid FROM (
+        |    SELECT nid, row_number() OVER (PARTITION BY vec_id
+        |                                   ORDER BY sim DESC, nid) rk
+        |    FROM pairs) WHERE rk <= 10),
+        |cited AS (SELECT nid vec_id, count(*) occ FROM top GROUP BY nid),
+        |occ AS (
+        |  SELECT coalesce(cited.occ, 0) occ
+        |  FROM smp LEFT JOIN cited ON smp.vec_id = cited.vec_id),
+        |b AS (
+        |  SELECT CASE WHEN occ = 0 THEN '0'
+        |              WHEN occ <= 2 THEN '1-2'
+        |              WHEN occ <= 5 THEN '3-5'
+        |              WHEN occ <= 10 THEN '6-10'
+        |              ELSE '11+' END occ_bucket, occ
+        |  FROM occ),
+        |tot AS (SELECT count(*) n FROM b)
+        |SELECT occ_bucket, CAST(count(*) AS BIGINT) n_vectors,
+        |       CAST(max(occ) AS BIGINT) max_occ,
+        |       round(count(*) / CAST(tot.n AS DOUBLE), 6) occ_share
+        |FROM b CROSS JOIN tot GROUP BY occ_bucket, tot.n
+        |ORDER BY occ_bucket""".stripMargin,
+
+    // same (lang, n_chars DIV 50) quasi-identifier classes, same k = 5
+    "q261_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, lang, n_chars // 50 AS len_band
+        |  FROM documents),
+        |cls AS (SELECT lang, len_band, count(*) sz FROM q GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+        |       CAST(sum(CASE WHEN cls.sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |         n_risky,
+        |       round(sum(CASE WHEN cls.sz < 5 THEN 1 ELSE 0 END) /
+        |             CAST(count(*) AS DOUBLE), 6) risky_share
+        |FROM q JOIN cls USING (lang, len_band)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     // same md5 low-64 little-endian mixer as q188, signed + pmod 16
     "q257_shard_balance" ->
       """WITH h AS (

@@ -189,7 +189,11 @@ object ScaleCheck {
       // crosses the |labels|-row centroid frame with itself (bounded by
       // label cardinality — the classic small-dims grid)
       "q252_lm_quality", "q253_dsir_select", "q254_temperature_mix",
-      "q256_class_separation")
+      "q256_class_separation",
+      // q260 crosses the FIXED-SIZE (<= 1000-row) md5-sampled vector
+      // set with itself — the sample-bounded audit posture: the pair
+      // volume is capped by construction at any corpus size
+      "q260_hubness")
 
     // BNLJ allowed because the query IS the documented exact all-pairs
     // baseline (brute-force verify twin of a banded/bucketed at-scale

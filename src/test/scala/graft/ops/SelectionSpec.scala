@@ -117,6 +117,72 @@ class SelectionSpec extends SparkSpec {
       docs.agg(sum(col("n_chars"))).collect().head.getLong(0))
   }
 
+  test("zipfSlope: frequency falls with rank; rank count bounded") {
+    initQuiet()
+    val rows = Selection.zipfSlope(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vocab = graft.Tables.load(spark, sf, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy("source").agg(countDistinct(col("w")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("zipf_slope") < 0.0,
+        s"non-falling spectrum for ${r.getString(0)}")
+      assert(r.getAs[Long]("n_ranks") ===
+        math.min(100L, vocab(r.getString(0))))
+      assert(r.getAs[Long]("top_freq") > 0L)
+    }
+  }
+
+  test("ngramContainment: shared counts symmetric; containment bounded") {
+    initQuiet()
+    val rows = Selection.ngramContainment(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("shared"), r.getAs[Long]("n_grams_a"),
+          r.getAs[Double]("containment")))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((a, b), (shared, nA, cont)) =>
+      assert(a != b)
+      assert(shared <= nA)
+      assert(cont >= 0.0 && cont <= 1.0)
+      // intersection is symmetric even though containment is not
+      assert(rows((b, a))._1 === shared, s"asym shared for ($a,$b)")
+    }
+  }
+
+  test("hubness: buckets partition the sample; bucket bounds respected") {
+    initQuiet()
+    val rows = Selection.hubness(spark, sf).collect()
+    val n = math.min(1000L,
+      graft.Tables.load(spark, sf, "embeddings").count())
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum === n)
+    assert(math.abs(rows.map(_.getAs[Double]("occ_share")).sum - 1.0) < 1e-3)
+    val bounds = Map("0" -> (0L, 0L), "1-2" -> (1L, 2L), "3-5" -> (3L, 5L),
+      "6-10" -> (6L, 10L), "11+" -> (11L, Long.MaxValue))
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      val m = r.getAs[Long]("max_occ")
+      assert(m >= lo && m <= hi, s"bucket ${r.getString(0)} max_occ $m")
+    }
+  }
+
+  test("kAnonymity: risky mass equals the direct class-size count") {
+    initQuiet()
+    val rows = Selection.kAnonymity(spark, sf).collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("lang"), expr("n_chars DIV 50").as("b"))
+    val direct = docs.groupBy("lang", "b").count()
+      .filter(col("count") < 5)
+      .agg(sum(col("count"))).collect().head
+    val expected = if (direct.isNullAt(0)) 0L else direct.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_risky")).sum === expected)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("risky_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
   test("dsir-style rank cut: groupedCumSum rank equals row_number " +
     "over (weight desc, id) on an adversarial tie-heavy frame") {
     initQuiet()
