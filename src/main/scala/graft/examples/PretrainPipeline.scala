@@ -115,10 +115,14 @@ object PretrainPipeline {
     //     is deterministic at any parallelism.
     val lmScores = Selection.lmScore(quality, Seq("doc_id"), "text",
       refFilter = lit(true))
+    // persisted: every downstream stage action replays its lineage, and
+    // replaying the LM build + scoring join per stage would multiply the
+    // whole pipeline's cost ~7x (measured). Unpersisted at the end.
     val lmKept = quality.join(
       lmScores.filter(col("__nll") <= lit(3496508L) * col("__nb"))
         .select("doc_id"),
       Seq("doc_id"))
+      .persist()
     recDf("lm_quality", lmKept)
 
     // 2. outlier trim: drop the length tails (truncation / concat accidents)
@@ -151,7 +155,9 @@ object PretrainPipeline {
       .collect().map(_.getString(0)).sorted
     val weights = srcs.map(_ -> 1.0 / srcs.length).toMap
     val u = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+    // persisted: consumed by three audits, three folds, and packing
     val mixed = Curation.sourceMix(capped, "source", "n_tok", weights, u)
+      .persist()
     recDf("mixed", mixed)
 
     // 5b. mix audit: before committing the blend, score each surviving
@@ -202,6 +208,8 @@ object PretrainPipeline {
     shuffled.write.mode("overwrite").parquet(out)
     rec("shard_files", new java.io.File(out).listFiles()
       .count(_.getName.endsWith(".parquet")).toLong)
+    lmKept.unpersist(blocking = false)
+    mixed.unpersist(blocking = false)
     stats.result()
   }
 

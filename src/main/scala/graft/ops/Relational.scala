@@ -520,14 +520,35 @@ object Relational {
     * per-priority re-aggregation keeps the output group-bounded.
     * Ordering includes the unique o_orderkey so rank ties cannot exist
     * and every function is deterministic.
+    *
+    * SIZE-GUARDED (the q116/q133 pattern; r8 100× sweep measured the
+    * window form 12.8× for 10× data): o_orderpriority has 5 values, so
+    * the window sort runs in 5 tasks no matter the cluster — above
+    * [[WindowBatteryMaxRows]] the SAME five outputs are read off
+    * [[Concentration.groupedCumCounts]]' block-parallel cumulative
+    * counts instead. Every output is tie-invariant closed form under
+    * the unique (price, orderkey) order: first = group min, last =
+    * group max, nth_value(10) = the value whose inclusive cumulative
+    * count first reaches 10 (null when N < 10, like the window), avg
+    * percent_rank = Σ(i−1)/(N−1)/N = 1/2 exactly (0 when N = 1), avg
+    * cume_dist = Σ(i/N)/N = (N+1)/(2N) — so both paths agree at the
+    * 2/4-dp rounding the query reports (spec-pinned equivalence).
     */
+  val WindowBatteryMaxRows = 2000000L
+
   def q62(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    if (orders.count() <= WindowBatteryMaxRows) q62Window(orders)
+    else q62Scalable(orders)
+  }
+
+  private[ops] def q62Window(orders: DataFrame): DataFrame = {
     val full = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val rank = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.load(spark, dir, "orders")
+    orders
       .select(col("o_orderpriority"),
         first(col("o_totalprice")).over(full).as("fv"),
         last(col("o_totalprice")).over(full).as("lv"),
@@ -540,6 +561,22 @@ object Relational {
         round(min(col("nth")), 2).as("nth10"),
         round(avg(col("pr")), 4).as("avg_pr"),
         round(avg(col("cd")), 4).as("avg_cd"))
+      .transform(orderedSmall(_, col("o_orderpriority")))
+  }
+
+  private[ops] def q62Scalable(orders: DataFrame): DataFrame = {
+    val cum = Concentration.groupedCumCounts(
+      orders.select(col("o_orderpriority"), col("o_totalprice")),
+      "o_orderpriority", "o_totalprice")
+    cum.groupBy(col("o_orderpriority"))
+      .agg(round(min(col("__v")), 2).as("min_first"),
+        round(max(col("__v")), 2).as("max_last"),
+        round(min(when(col("__cum") >= 10, col("__v"))), 2).as("nth10"),
+        max(col("__n")).as("__N"))
+      .select(col("o_orderpriority"), col("min_first"), col("max_last"),
+        col("nth10"),
+        when(col("__N") > 1, lit(0.5)).otherwise(lit(0.0)).as("avg_pr"),
+        round((col("__N") + 1) / (col("__N") * 2.0), 4).as("avg_cd"))
       .transform(orderedSmall(_, col("o_orderpriority")))
   }
 

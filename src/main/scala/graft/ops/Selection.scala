@@ -493,6 +493,12 @@ object Selection {
       .map(i => shiftleft(
         conv(substring(hex, 17 + 2 * i, 2), 16, 10).cast("long"), 8 * i))
       .reduce(_ + _)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
+        lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+    // per-vector norm computed ONCE here, not per pair — the pair step
+    // then does one cross dot instead of three folds (same exact
+    // decimal → double values, 3x less decimal arithmetic)
     val sample = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -501,17 +507,14 @@ object Selection {
         h.as("__h"))
       .orderBy(col("__h"), col("vec_id")).limit(1000)
       .drop("__h")
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => dec(x) * dec(y)),
-        lit(0).cast("decimal(38,0)"), (acc, x) => acc + x)
+      .withColumn("__nrm", sqrt(dot(col("__q"), col("__q")).cast("double")))
     val pairs = sample
       .crossJoin(broadcast(sample.select(col("vec_id").as("__nid"),
-        col("__q").as("__nq"))))
+        col("__q").as("__nq"), col("__nrm").as("__nnrm"))))
       .filter(col("vec_id") =!= col("__nid"))
       .select(col("vec_id"), col("__nid"),
         round(dot(col("__q"), col("__nq")).cast("double") /
-          (sqrt(dot(col("__q"), col("__q")).cast("double")) *
-            sqrt(dot(col("__nq"), col("__nq")).cast("double"))), 6)
+          (col("__nrm") * col("__nnrm")), 6)
           .as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("__nid"))

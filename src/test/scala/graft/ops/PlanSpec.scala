@@ -294,6 +294,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges(p83) <= 4, s"q83 gained extra shuffles:\n$p83")
   }
 
+  test("q62 window and scalable forms agree at reporting precision") {
+    // the size guard swaps the 5-task window for block-parallel
+    // cumulative counts above WindowBatteryMaxRows — the two paths
+    // must render identical rows (tie-invariant closed forms)
+    val orders = graft.Tables.load(spark, sf, "orders")
+    val a = Relational.q62Window(orders).collect().map(_.toString).toSeq
+    val b = Relational.q62Scalable(orders).collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("whole-stage codegen covers the relational inventory hot paths") {
     // codegen'd operators print as "*(n) Op" in the plan string
     Seq("q01_pricing_summary", "q02_filter_revenue", "q13_cosine_topk").foreach { q =>
