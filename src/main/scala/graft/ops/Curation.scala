@@ -85,19 +85,34 @@ object Curation {
     * against q25's SQL verbatim): [[Dedup.ngramJaccardPrefix]] indexes
     * only each document's rare-first prefix (PPJoin principle) yet
     * must emit EXACTLY q25's pairs — the candidate-reduction
-    * losslessness theorem sits under the driver's gate. */
+    * losslessness theorem sits under the driver's gate. Round-9: runs
+    * collapse-first ([[Dedup.collapsedDocPairs]]) so the prefix
+    * inverted index holds one entry set per DISTINCT text — the
+    * posting-list self-join no longer scales with the square of the
+    * exact-twin factor; doc-grain pairs are recovered by the exact
+    * class expansion (value identity pinned in
+    * CollapseEquivalenceSpec, and the unchanged q25-verbatim oracle
+    * hash re-proves it per run). */
   def dedupNgramPrefix(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPrefix(Tables.load(spark, dir, "documents"),
-        "doc_id", "text", shingleLen = 3, threshold = 0.5)
+    Dedup.collapsedDocPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", "jaccard")(reps =>
+      Dedup.ngramJaccardPrefix(reps, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5))
       .orderBy(col("id_a"), col("id_b"))
 
   /** q154 — weighted (multiset) 3-gram Jaccard near-dup pairs
     * (oracle-checked): [[Dedup.weightedNgramJaccard]] — q25's
     * inverted-index candidates with multiplicities carried, so
-    * repetition-heavy boilerplate twins score on their full mass. */
+    * repetition-heavy boilerplate twins score on their full mass.
+    * Round-9: collapse-first via [[Dedup.collapsedDocPairs]] (weighted
+    * Jaccard is text-functional and scores identical texts exactly
+    * 1.0), which removed the r8 100×-sweep abort (>78 GB spill in the
+    * uncollapsed posting-list self-join). */
   def weightedNgramPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.weightedNgramJaccard(Tables.load(spark, dir, "documents"),
-        "doc_id", "text", shingleLen = 3, threshold = 0.5)
+    Dedup.collapsedDocPairs(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", "wjaccard")(reps =>
+      Dedup.weightedNgramJaccard(reps, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5))
       .orderBy(col("id_a"), col("id_b"))
 
   /** q26 — embedding cosine near-dup pairs above 0.35 (oracle-checked). */

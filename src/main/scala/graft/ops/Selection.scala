@@ -69,6 +69,18 @@ object Selection {
     * is NOT blindly broadcast; [[Hints.broadcastIfBounded]] guards it),
     * then one per-doc and one per-lang aggregate, all map-side
     * combinable. V attaches as a one-row broadcast.
+    *
+    * Tolerance note (the q250 convention, adjudicated round-9): the
+    * per-LANGUAGE `mean_ppl` is an avg of per-doc doubles, whose
+    * partition accumulation order differs between engines — the ONE
+    * float aggregate in this family that is not an exact-integer sum.
+    * Quantizing each per-doc exp(nll/(1e6·nb)) to an integer grid
+    * would make the SUM order-invariant but replace one 4-dp rounding
+    * boundary per group with one LIBM boundary per document (exp is
+    * not correctly rounded and Spark/DuckDB use different libm) —
+    * strictly more cross-engine flip opportunities. Accepted as-is:
+    * same-sign bounded terms, readout rounded 4 dp, stable across
+    * both comparator paths at all gate scales every round since r8.
     */
   def lmQuality(spark: SparkSession, dir: String): DataFrame = {
     val scored = lmScore(Tables.load(spark, dir, "documents"),
@@ -104,6 +116,12 @@ object Selection {
       .withColumn("__ref", refFilter)
       .select(ids :+ col("__ref") :+ toks(col(textCol)).as("__t"): _*)
       .filter(size(col("__t")) >= 2)
+    // an empty reference slice degenerates the Laplace LM to ln(0/1):
+    // Spark's log yields NULL where DuckDB's ln raises — fail loudly
+    // instead of diverging silently (one limit-1 job; ADVICE r8)
+    require(!docs.filter(col("__ref")).isEmpty,
+      "lmScore: refFilter matched no >=2-token document — the reference " +
+        "LM is empty; pass a nonempty reference slice")
     val docBi = docs
       .select(ids :+ col("__ref") :+ explode(bigrams(col("__t"))).as("__bg"): _*)
       .groupBy(ids :+ col("__ref") :+ col("__bg.a").as("a") :+
@@ -192,6 +210,11 @@ object Selection {
     val tk = docs0
       .withColumn("__tgt", targetFilter)
       .select(ids :+ col("__tgt") :+ explode(toks(col(textCol))).as("w"): _*)
+    // empty target slice ⇒ t0 aggregates to NULL and every λ becomes
+    // engine-dependent ln-of-degenerate — fail loudly (ADVICE r8)
+    require(!tk.filter(col("__tgt")).isEmpty,
+      "dsirWeights: targetFilter matched no token — the target " +
+        "distribution is empty; pass a nonempty target slice")
     // raw/target counts straight off the token stream (map-side
     // combinable, vocab-sized results) — never materializing a
     // (doc, token) grain the weight path doesn't need
@@ -316,6 +339,13 @@ object Selection {
     * broadcast, and the centroid-pair grid is |labels|² — tiny at any
     * corpus size. Per-vector work is one zip_with fold; everything
     * aggregates map-side.
+    *
+    * Tolerance note: `within_cos` averages per-vector closed-form
+    * double cosines, so the sum's accumulation order differs between
+    * engines — accepted under the same adjudication as q252's
+    * mean_ppl (see [[lmQuality]]): per-vector integer quantization
+    * would trade one 4-dp boundary per label for one sqrt/division
+    * libm boundary per vector.
     */
   def classSeparation(spark: SparkSession, dir: String): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -416,14 +446,19 @@ object Selection {
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("c").desc, col("w"))
+    // a single-distinct-token source has n_ranks = 1 and ln(1) = 0, so
+    // the regression denominator is 0 — guard to NULL instead of an
+    // engine-dependent NaN rendering (ADVICE r8; mirrored in the oracle)
     f.withColumn("rk", row_number().over(win))
       .filter(col("rk") <= 100)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_ranks"),
-        round((count(lit(1)) * sum(log(col("rk")) * log(col("c"))) -
-          sum(log(col("rk"))) * sum(log(col("c")))) /
-          (count(lit(1)) * sum(log(col("rk")) * log(col("rk"))) -
-            sum(log(col("rk"))) * sum(log(col("rk")))), 4).as("zipf_slope"),
+        when(count(lit(1)) > 1,
+          round((count(lit(1)) * sum(log(col("rk")) * log(col("c"))) -
+            sum(log(col("rk"))) * sum(log(col("c")))) /
+            (count(lit(1)) * sum(log(col("rk")) * log(col("rk"))) -
+              sum(log(col("rk"))) * sum(log(col("rk")))), 4))
+          .otherwise(lit(null).cast("double")).as("zipf_slope"),
         max(col("c")).as("top_freq"))
       .coalesce(1).orderBy(col("source"))
   }

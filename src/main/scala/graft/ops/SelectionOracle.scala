@@ -194,10 +194,12 @@ object SelectionOracle {
         |  FROM f),
         |top AS (SELECT * FROM r WHERE rk <= 100)
         |SELECT source, CAST(count(*) AS BIGINT) n_ranks,
-        |       round((count(*) * sum(ln(rk) * ln(c)) -
-        |              sum(ln(rk)) * sum(ln(c))) /
-        |             (count(*) * sum(ln(rk) * ln(rk)) -
-        |              sum(ln(rk)) * sum(ln(rk))), 4) zipf_slope,
+        |       CASE WHEN count(*) > 1 THEN
+        |         round((count(*) * sum(ln(rk) * ln(c)) -
+        |                sum(ln(rk)) * sum(ln(c))) /
+        |               (count(*) * sum(ln(rk) * ln(rk)) -
+        |                sum(ln(rk)) * sum(ln(rk))), 4)
+        |       ELSE NULL END zipf_slope,
         |       CAST(max(c) AS BIGINT) top_freq
         |FROM top GROUP BY source ORDER BY source""".stripMargin,
 

@@ -87,6 +87,63 @@ object Dedup {
       .withColumn(mCol, count(lit(1)).over(w))
   }
 
+  /** Collapse-then-expand wrapper for doc-grain pair enumerators —
+    * the at-scale form of any "all pairs with text-similarity ≥ t"
+    * operator (q154/q177 shape). `pairFn` (which must be a pure
+    * function of the two texts, emitting `(id_a, id_b, simCol)` with
+    * id_a < id_b and only pairs ≥ its threshold) runs over ONE
+    * representative per exact-duplicate class, so its posting-list /
+    * banding intermediates track DISTINCT content; doc-grain pairs are
+    * then recovered exactly:
+    *  - across classes, sim(memberA, memberB) = sim(repA, repB)
+    *    (text-functional), so each qualifying rep pair expands to the
+    *    m_a·m_b member pairs via two member joins;
+    *  - within a class, the texts are identical ⇒ sim = 1 ≥ t for any
+    *    t ≤ 1, so all C(m,2) member pairs qualify with sim 1.0 —
+    *    closed form, no similarity evaluation at all.
+    * Output is provably row-identical to `pairFn(df)` (pinned in
+    * CollapseEquivalenceSpec). The expansion joins materialize only
+    * QUALIFYING pairs — output-sized work — where the uncollapsed
+    * operator's candidate stage pays the twin-factor² blowup on every
+    * colliding shingle (the r8 100× sweep aborted q154 at >78 GB of
+    * spill exactly there).
+    *
+    * `simCol` must be the similarity column name `pairFn` emits, and
+    * identical texts must score exactly 1.0 under its measure after
+    * its own rounding (true for the Jaccard family at round(·,4)).
+    */
+  def collapsedDocPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      simCol: String)(
+      pairFn: DataFrame => DataFrame): DataFrame = {
+    val mem = withExactClasses(
+      df.select(col(idCol).as("__did"), col(textCol).as("__txt")),
+      "__did", "__txt")
+    // two longs per row — corpus-row-count but payload-free; persisted
+    // because it feeds three joins below (query-scoped lifecycle: the
+    // registered wrappers run once per invocation)
+    val members = mem.select(col("__cls"), col("__did")).persist()
+    val reps = mem.filter(col("__did") === col("__cls"))
+      .select(col("__did").as(idCol), col("__txt").as(textCol))
+    val repPairs = pairFn(reps)
+    // class pair → member pairs; least/greatest because class min-ids
+    // don't order the members (a member of the smaller class can carry
+    // a larger doc id than a member of the bigger one)
+    val cross = repPairs
+      .join(members.select(col("__cls").as("id_a"), col("__did").as("__da")), Seq("id_a"))
+      .join(members.select(col("__cls").as("id_b"), col("__did").as("__db")), Seq("id_b"))
+      .select(least(col("__da"), col("__db")).as("id_a"),
+        greatest(col("__da"), col("__db")).as("id_b"), col(simCol))
+    val within = members.as("x")
+      .join(members.as("y"),
+        col("x.__cls") === col("y.__cls") && col("x.__did") < col("y.__did"))
+      .select(col("x.__did").as("id_a"), col("y.__did").as("id_b"),
+        lit(1.0).as(simCol))
+    cross.unionByName(within)
+  }
+
   /** Word-level shingles (n-gram tokens joined by space), distinct.
     *
     * ⚠ Evaluation hazard: `text` should be a plain column reference, and
@@ -148,7 +205,7 @@ object Dedup {
     * MinHash signature. THE banding definition — [[nearMinhash]] and
     * [[decontaminateFuzzy]] must band identically or their collision
     * guarantees silently diverge, so both call this. */
-  private def bandHashes(sig: Column, b: Int, r: Int): Column =
+  private[graft] def bandHashes(sig: Column, b: Int, r: Int): Column =
     transform(sequence(lit(0), lit(b - 1)),
       j => hash(slice(sig, j * r + 1, lit(r))))
 

@@ -32,6 +32,11 @@ object AnnServe {
     val corpus = emb.filter(col("vec_id") >= 20)
     val batch1 = emb.filter(col("vec_id") < 10)
     val batch2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    // r9 index-append measurement: a ~10% growth slice appended to an
+    // index built over the other ~90% — the growing-corpus serving shape
+    val growth = corpus.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val base90 = corpus.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val nGrowth = growth.count()
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f
@@ -80,6 +85,43 @@ object AnnServe {
       Similarity.ivfTopK(corpus, "vec_id", "embedding",
         batch1, "vec_id", "embedding", 10).collect().length
     }
+
+    // append cadence: index the 90% base once, then grow it by the 10%
+    // slice — append pays only the new rows' banding/assignment (the old
+    // banded/assigned rows are already persisted), vs the full-corpus
+    // rebuild the inline path repays
+    val (baseIdx, lshBase90Sec) = timed {
+      val i = Similarity.lshIndex(base90, "vec_id", "embedding")
+      val banded = i.banded.repartition(64, col("table"), col("code")).persist()
+      banded.count()
+      i.copy(banded = banded)
+    }
+    val (grown, lshAppendSec) = timed {
+      val i = Similarity.lshIndexAppend(baseIdx, growth, "vec_id", "embedding")
+      val banded = i.banded.persist()
+      banded.count()
+      i.copy(banded = banded)
+    }
+    val (ga, lshProbeGrownSec) = timed {
+      Similarity.annTopKIndexed(grown, batch1, "vec_id", "embedding", 10)
+        .collect().length
+    }
+    val (ivBase, ivfBase90Sec) = timed {
+      val i = Similarity.ivfIndex(base90, "vec_id", "embedding")
+      val data = i.data.repartition(64, col("cell")).persist()
+      data.count()
+      i.copy(data = data)
+    }
+    val (ivGrown, ivfAppendSec) = timed {
+      val i = Similarity.ivfIndexAppend(ivBase, growth, "vec_id", "embedding")
+      val data = i.data.persist()
+      data.count()
+      i.copy(data = data)
+    }
+    val (gb, ivfProbeGrownSec) = timed {
+      Similarity.ivfTopKIndexed(ivGrown, batch1, "vec_id", "embedding", 10)
+        .collect().length
+    }
     val json =
       s"""{"note": "ANN serving splits, both paths. LSH: index built once (banded rows persisted, pre-partitioned by (table, code)) vs the inline annTopK that repays the full corpus banding per call; probe batches are 10 queries each at defaults (L=32, bucketTarget=128). IVF: centroids trained + cells assigned once (data persisted, pre-partitioned by cell) vs the inline ivfTopK that retrains and reassigns per call; defaults (numCells=64, nProbe=32).",
          | "dir": "$dir", "corpus_vectors": ${n - 20},
@@ -90,7 +132,15 @@ object AnnServe {
          | "ivf_index_build_sec": ${f"$ivBuildSec%.2f"},
          | "ivf_probe_batch1_sec": ${f"$ivProbe1Sec%.2f"}, "ivf_probe_batch1_rows": $iv1,
          | "ivf_probe_batch2_sec": ${f"$ivProbe2Sec%.2f"}, "ivf_probe_batch2_rows": $iv2,
-         | "inline_ivfTopK_sec": ${f"$ivInlineSec%.2f"}, "ivf_inline_rows": $iv3}""".stripMargin
+         | "inline_ivfTopK_sec": ${f"$ivInlineSec%.2f"}, "ivf_inline_rows": $iv3,
+         | "append_note": "index-append cadence (r9): a 90%-corpus index grown by the 10% slice via lshIndexAppend/ivfIndexAppend — append pays only the new rows' banding/assignment vs the full rebuild; probe-after-append re-verifies the grown index serves.",
+         | "append_rows": $nGrowth,
+         | "lsh_base90_build_sec": ${f"$lshBase90Sec%.2f"},
+         | "lsh_append_sec": ${f"$lshAppendSec%.2f"},
+         | "lsh_probe_after_append_sec": ${f"$lshProbeGrownSec%.2f"}, "lsh_probe_after_append_rows": $ga,
+         | "ivf_base90_build_sec": ${f"$ivfBase90Sec%.2f"},
+         | "ivf_append_sec": ${f"$ivfAppendSec%.2f"},
+         | "ivf_probe_after_append_sec": ${f"$ivfProbeGrownSec%.2f"}, "ivf_probe_after_append_rows": $gb}""".stripMargin
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()

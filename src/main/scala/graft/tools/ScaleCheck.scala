@@ -53,21 +53,12 @@ object ScaleCheck {
       " (pair list per twin class); measured at 10x"),
     "q45_dup_spans" -> ("output quadratic in the twin factor at 100x" +
       " (span pair list per twin class); measured at 10x"),
-    // round-8: first registry-wide 100x attempt measured these three —
-    // q154 aborted the sweep with >78 GB of shuffle spill (posting-list
-    // self-join pairs scale with the SQUARE of the twin factor: 10^4x
-    // for the 100-way-twins corpus), and q177/q42 share the raw
-    // pair-enumeration intermediate. Real pipelines run exact dedup
-    // (q12) / class collapse BEFORE any of these, which removes the
-    // twin blow-up by construction; their class-collapsed relatives
-    // (q90/q111/q140/q143/q149) ARE measured at 100x.
-    "q154_weighted_jaccard" -> ("pair enumeration quadratic in the twin" +
-      " factor at 100x (aborted the r8 sweep at >78 GB spill);" +
-      " measured at 10x (29.6 s); at-scale path = exact dedup first," +
-      " then the capped/PPJoin family on distinct content"),
-    "q177_prefix_jaccard" -> ("pair list quadratic in the twin factor" +
-      " at 100x (same posting-list self-join intermediate as q154);" +
-      " measured at 10x (41.6 s)"),
+    // round-9: q154/q177 left this list — their registered wrappers now
+    // run collapse-first (Dedup.collapsedDocPairs), so the posting-list
+    // self-join intermediate tracks distinct content and only the
+    // OUTPUT pair list (unavoidably C(100,2) per twin class) is
+    // twin-quadratic; both are measured at 100x. q42 remains: its
+    // candidate-edge ENUMERATION is the operator under test.
     "q42_dedup_clusters" -> ("candidate edges quadratic in the twin" +
       " factor at 100x (C(100,2) per twin class before the CC" +
       " collapse); measured at 10x (41.0 s); the 100x-measured dup" +

@@ -167,6 +167,37 @@ object Similarity {
       vec: Column, dim: Int, p: Int, L: Int, seed: Long): Column =
     array((0 until L).map(t => bucketCode(vec, dim, p, seed + t * 7919L)): _*)
 
+  /** Incremental maintenance of a serving [[LshIndex]]: band ONLY the
+    * `newRows` with the index's frozen geometry (dim, p, L, seed) and
+    * union them onto the existing banded rows — a growing corpus never
+    * repays the full-corpus banding pass (70 s once at the r8 100×
+    * corpus vs seconds for a batch). Provably equal to rebuilding over
+    * corpus ∪ newRows at the SAME geometry (banding is a pure per-row
+    * map — pinned in SimilaritySpec), so probes are oblivious to how
+    * the index grew.
+    *
+    * The one thing append freezes is `p`: [[lshIndex]] auto-sizes it
+    * as log2(n / bucketTarget), so after the corpus roughly doubles,
+    * mean bucket occupancy (and so per-query candidate volume) has
+    * doubled too — the standard serving cadence is append between
+    * rebuilds and rebuild when occupancy drifts past ~2× target.
+    * Callers persist the union themselves (the old banded rows are
+    * typically already persisted/bucketed; persisting here would
+    * double-cache them).
+    */
+  def lshIndexAppend(
+      index: LshIndex, newRows: DataFrame,
+      idCol: String, vecCol: String): LshIndex = {
+    GraftFunctions.register(newRows.sparkSession)
+    val banded = newRows.select(
+        col(idCol).as("id"),
+        requireDim(asDouble(col(vecCol)), index.dim).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(bucketCodes(col("v"), index.dim, index.p, index.L,
+          index.seed)).as(Seq("table", "code")))
+    index.copy(banded = index.banded.unionByName(banded))
+  }
+
   /** Probe a prebuilt [[LshIndex]]: code the queries with the index's
     * geometry, equi-join on (table, code), exact-cosine re-rank, top-k
     * per query (ties break on id). Output shape identical to
@@ -336,6 +367,31 @@ object Similarity {
     IvfIndex(
       base.withColumn("cell", cellAssignment(col("v"), centroids)),
       centroids, dim)
+  }
+
+  /** Incremental maintenance of a serving [[IvfIndex]]: assign ONLY
+    * the `newRows` to the index's FROZEN centroids ([[cellAssignment]]
+    * — a pure per-row argmax, no retrain) and union them onto the
+    * cell-assigned corpus. Provably equal to assigning corpus ∪
+    * newRows against the same centroids (pinned in SimilaritySpec);
+    * the Lloyd training is never repaid.
+    *
+    * What append freezes is the centroid set: appended data that
+    * drifts from the training distribution degrades cell balance (hot
+    * cells ⇒ probe cost creep) and recall — the serving cadence is
+    * append between rebuilds and retrain when the appended fraction or
+    * the cell-occupancy skew (q257-style audit over `data`) crosses
+    * the operator's threshold. Callers persist the union themselves.
+    */
+  def ivfIndexAppend(
+      index: IvfIndex, newRows: DataFrame,
+      idCol: String, vecCol: String): IvfIndex = {
+    GraftFunctions.register(newRows.sparkSession)
+    val assigned = newRows.select(
+        col(idCol).as("id"),
+        requireDim(asDouble(col(vecCol)), index.dim).as("v"))
+      .withColumn("cell", cellAssignment(col("v"), index.centroids))
+    index.copy(data = index.data.unionByName(assigned))
   }
 
   /** Probe a prebuilt [[IvfIndex]]: each query explodes to its nProbe

@@ -104,6 +104,29 @@ class CollapseEquivalenceSpec extends SparkSpec {
     assert(got.head._3 == 1.0)
   }
 
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("q154-shape: collapsedDocPairs(weightedNgramJaccard) == uncollapsed pairs") {
+    val ref = pairSet(Dedup.weightedNgramJaccard(corpus, "doc_id", "text", 3, 0.5))
+    val got = pairSet(Dedup.collapsedDocPairs(corpus, "doc_id", "text", "wjaccard")(
+      reps => Dedup.weightedNgramJaccard(reps, "doc_id", "text", 3, 0.5)))
+    assert(got == ref,
+      s"pair sets diverged: only-ref=${(ref -- got).take(5)} only-got=${(got -- ref).take(5)}")
+    // twins guarantee within-class pairs at sim 1.0 AND the corpus has
+    // genuine cross-class qualifiers — both expansion arms exercised
+    assert(got.exists(_._3 == 1.0) && got.exists(_._3 < 1.0))
+  }
+
+  test("q177-shape: collapsedDocPairs(ngramJaccardPrefix) == uncollapsed pairs") {
+    val ref = pairSet(Dedup.ngramJaccardPrefix(corpus, "doc_id", "text", 3, 0.5))
+    val got = pairSet(Dedup.collapsedDocPairs(corpus, "doc_id", "text", "jaccard")(
+      reps => Dedup.ngramJaccardPrefix(reps, "doc_id", "text", 3, 0.5)))
+    assert(got == ref,
+      s"pair sets diverged: only-ref=${(ref -- got).take(5)} only-got=${(got -- ref).take(5)}")
+    assert(got.exists(_._3 == 1.0) && got.exists(_._3 < 1.0))
+  }
+
   test("q111-shape: winnowTopPairs == uncollapsed sharedFingerprints rollup") {
     val ref = Graph.sharedFingerprints(
         Graph.winnowFingerprints(corpus, "doc_id", "text", k = 4, w = 8),

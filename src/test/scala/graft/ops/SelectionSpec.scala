@@ -30,6 +30,19 @@ class SelectionSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === expected)
   }
 
+  test("lmScore / dsirWeights: empty reference/target slice fails fast") {
+    initQuiet()
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val e1 = intercept[IllegalArgumentException] {
+      Selection.lmScore(docs, Seq("doc_id"), "text", lit(false))
+    }
+    assert(e1.getMessage.contains("refFilter matched no"))
+    val e2 = intercept[IllegalArgumentException] {
+      Selection.dsirWeights(docs, Seq("doc_id"), "text", lit(false))
+    }
+    assert(e2.getMessage.contains("targetFilter matched no"))
+  }
+
   test("dsirSelect: exact quarter cut; selected quartile outranks the rest") {
     initQuiet()
     val rows = Selection.dsirSelect(spark, sf).collect()

@@ -202,4 +202,57 @@ class SimilaritySpec extends SparkSpec {
       assert(allProbe === exact)
     } finally idx.data.unpersist()
   }
+
+  private def topkRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("id"),
+      r.getAs[Double]("sim"), r.getAs[Int]("rk"))).toSet
+
+  test("lshIndexAppend == full rebuild at the same geometry (r9 index append)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val oldCorpus = emb.filter(col("vec_id") >= 20 && col("vec_id") < 300)
+    val newRows = emb.filter(col("vec_id") >= 300)
+    val base = Similarity.lshIndex(oldCorpus, "vec_id", "embedding")
+    val appended = Similarity.lshIndexAppend(base, newRows, "vec_id", "embedding")
+    // geometry frozen: banding is a pure per-row map, so appending must
+    // equal rebuilding over the union AT THE SAME p
+    val rebuilt = Similarity.lshIndex(
+      oldCorpus.unionByName(newRows), "vec_id", "embedding",
+      pOverride = Some(base.p))
+    assert(appended.p === rebuilt.p && appended.dim === rebuilt.dim)
+    val a = appended.banded.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("table"), r.getAs[Long]("code"))).toSet
+    val b = rebuilt.banded.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("table"), r.getAs[Long]("code"))).toSet
+    assert(a === b, s"banded rows diverged: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+    // and the probe sees the appended rows
+    val probed = topkRows(Similarity.annTopKIndexed(appended, queries,
+      "vec_id", "embedding", k = 5))
+    val direct = topkRows(Similarity.annTopKIndexed(rebuilt, queries,
+      "vec_id", "embedding", k = 5))
+    assert(probed === direct && probed.nonEmpty)
+    assert(probed.exists(_._2 >= 300), "appended vectors never surfaced as neighbors")
+  }
+
+  test("ivfIndexAppend == assignment of the union against frozen centroids (r9)") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val oldCorpus = emb.filter(col("vec_id") >= 20 && col("vec_id") < 300)
+    val newRows = emb.filter(col("vec_id") >= 300)
+    val base = Similarity.ivfIndex(oldCorpus, "vec_id", "embedding", numCells = 16)
+    val appended = Similarity.ivfIndexAppend(base, newRows, "vec_id", "embedding")
+    assert(appended.centroids === base.centroids) // frozen, no retrain
+    // appended.data must equal assigning the UNION against the frozen
+    // centroids (cellAssignment is the same pure per-row argmax)
+    val expectedCells = oldCorpus.unionByName(newRows)
+      .select(col("vec_id").as("id"),
+        Similarity.cellAssignment(
+          col("embedding").cast("array<double>"), base.centroids).as("cell"))
+    def cells(df: org.apache.spark.sql.DataFrame) = df.select("id", "cell").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("cell"))).toSet
+    assert(cells(appended.data) === cells(expectedCells))
+    // a probe over the appended index sees the new vectors
+    val probed = topkRows(Similarity.ivfTopKIndexed(appended, queries,
+      "vec_id", "embedding", k = 5, nProbe = 8))
+    assert(probed.nonEmpty)
+    assert(probed.exists(_._2 >= 300), "appended vectors never surfaced as neighbors")
+  }
 }
