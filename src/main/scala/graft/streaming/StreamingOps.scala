@@ -261,6 +261,150 @@ object StreamingOps {
       watermark: String = "1 hour"): DataFrame =
     df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keys)
 
+  /** Typed-state layer for [[dedupStreamFuzzy]]. One banded arrival:
+    * the doc's id/event time plus its FULL band-hash array (so any
+    * bucket can decide whether an earlier band already owns a pair)
+    * and its xxhash64'd distinct shingle set (so verification is
+    * exact without shipping shingle strings into state). */
+  final case class BandedDoc(band: Int, bh: Int, id: Long,
+    ts: java.sql.Timestamp, us: Long, bands: Seq[Int], shh: Seq[Long])
+  private[streaming] final case class BucketDoc(
+    us: Long, id: Long, bands: Seq[Int], shh: Seq[Long])
+  private[streaming] final case class DupBucket(docs: List[BucketDoc])
+  /** One verified near-dup pair: (id_a < id_b, exact Jaccard), plus the
+    * gate verdict — `keep_id` is the EARLIER doc (ties: smaller id),
+    * `dup_id` the later one, `dup_us` its event time (for downstream
+    * watermarking). */
+  final case class FuzzyDupPair(id_a: Long, id_b: Long, jaccard: Double,
+    keep_id: Long, dup_id: Long, dup_us: Long)
+
+  /** Streaming FUZZY dedup — the near-dup twin of [[dedupStream]] and
+    * the streaming form of [[graft.text.Dedup.nearMinhash]] +
+    * `Dedup.incremental`: as documents arrive, emit every verified
+    * near-duplicate pair (exact shingle-Jaccard ≥ `threshold`) between
+    * the new doc and any doc seen within `horizonSeconds` of it —
+    * immediately, on the later doc's arrival. Consumers drop `dup_id`s
+    * (first-wins gate) or cluster the pairs downstream.
+    *
+    * Mechanics — identical algebra to the batch operator, re-keyed for
+    * state: each doc shingles (distinct word `shingleLen`-grams),
+    * MinHash-signs (the SAME native signature and [[graft.text.Dedup
+    * .bandHashes]] banding as batch — collision guarantees must not
+    * silently diverge), and explodes to its `b` band buckets; state
+    * lives per (band, bandHash) bucket and holds the docs that hashed
+    * there. A new arrival verifies against its bucket's residents with
+    * EXACT Jaccard over xxhash64'd shingle sets (hashed 8-byte tokens,
+    * not strings — an order of magnitude less state; a collision can
+    * only perturb a Jaccard at ~2⁻⁶⁴ per shingle pair).
+    *
+    * Exactly-once pair emission WITHOUT a second stateful operator:
+    * a pair colliding in several bands is emitted only by its LOWEST
+    * colliding band — every resident carries its full band-hash array,
+    * so bucket j checks bands 0..j−1 for an earlier collision and
+    * stays silent if one exists. Purely local, no cross-bucket
+    * coordination, no downstream dropDuplicates.
+    *
+    * Bounded state (the A9 discipline): `horizonSeconds` is the
+    * MANDATORY pairing band — a doc only pairs with docs within the
+    * horizon of its event time (the [[bandedStreamJoin]] rule: an
+    * unbounded lookback would pin every doc in state forever). A
+    * resident is unmatchable once `watermark − horizon` passes its
+    * event time (every future non-late arrival has ts ≥ watermark), so
+    * the bucket evicts it then; per-bucket state is O(docs within
+    * horizon + lateness), independent of stream length — b× that
+    * per doc across its buckets (the standard LSH replication cost).
+    * Late docs beyond the watermark are dropped by the engine's
+    * stateful late-row filter (countable via [[DropMetricsListener]]).
+    *
+    * Stream-batch equivalence (spec-pinned on the documents replay):
+    * with horizon ≥ the corpus' time span, the emitted (id_a, id_b,
+    * jaccard) set equals batch `nearMinhash` exactly.
+    */
+  def dedupStreamFuzzy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String = "ts",
+      shingleLen: Int = 3,
+      b: Int = 16,
+      r: Int = 4,
+      threshold: Double = 0.8,
+      horizonSeconds: Long = 86400,
+      watermark: String = "1 hour"): Dataset[FuzzyDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    val k = b * r
+    val horizonUs = horizonSeconds * 1000000L
+    // project FIRST (tokens → shingles as a bound attribute — the
+    // shingleTable evaluation-shape rule), watermark the projected ts,
+    // THEN explode to band buckets so the event-time tag rides through
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        unix_micros(col(tsCol)).as("us"),
+        split(col(textCol), " ").as("toks"))
+      .select(col("id"), col("ts"), col("us"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("toks")) - (shingleLen - 1), lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(shingleLen))))).as("sh"))
+      .select(col("id"), col("ts"), col("us"),
+        graft.text.Dedup.bandHashes(
+          graft.text.Dedup.minhashSignature(col("sh"), k), b, r).as("bands"),
+        transform(col("sh"), s => xxhash64(s)).as("shh"))
+      .withWatermark("ts", watermark)
+      .select(posexplode(col("bands")).as(Seq("band", "bh")),
+        col("id"), col("ts"), col("us"), col("bands"), col("shh"))
+      .as[BandedDoc]
+    banded.groupByKey(e => (e.band, e.bh))
+      .flatMapGroupsWithState[DupBucket, FuzzyDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Int), it: Iterator[BandedDoc], state: GroupState[DupBucket]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val myBand = key._1
+          def jaccard4(a: Seq[Long], bSh: Seq[Long]): Double = {
+            val as = a.toSet; val bs = bSh.toSet
+            val inter = as.intersect(bs).size
+            val j = inter.toDouble / (as.size + bs.size - inter)
+            BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          var docs0 = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FuzzyDupPair]
+          // same-batch arrivals process in deterministic event order and
+          // see each other (the batch operator pairs them too)
+          it.toSeq.sortBy(e => (e.us, e.id)).foreach { e =>
+            docs0.foreach { s =>
+              if (s.id != e.id && math.abs(e.us - s.us) <= horizonUs &&
+                  (0 until myBand).forall(j => s.bands(j) != e.bands(j))) {
+                val as = s.shh.toSet; val bs = e.shh.toSet
+                val inter = as.intersect(bs).size
+                // threshold on the unrounded Jaccard (the batch rule)
+                if (inter.toDouble / (as.size + bs.size - inter) >= threshold) {
+                  val (keep, dup, dupUs) =
+                    if (s.us < e.us || (s.us == e.us && s.id < e.id))
+                      (s.id, e.id, e.us)
+                    else (e.id, s.id, s.us)
+                  out += FuzzyDupPair(math.min(s.id, e.id), math.max(s.id, e.id),
+                    jaccard4(s.shh, e.shh), keep, dup, dupUs)
+                }
+              }
+            }
+            docs0 = BucketDoc(e.us, e.id, e.bands, e.shh) :: docs0
+          }
+          // unmatchable once watermark − horizon passes the doc: every
+          // future non-late arrival carries ts ≥ watermark
+          val kept = docs0.filter(_.us + horizonUs >= wmUs)
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(DupBucket(kept))
+            // wake at the oldest resident's expiry to garbage-collect
+            state.setTimeoutTimestamp(
+              (kept.map(_.us).min + horizonUs) / 1000L + 1L)
+          }
+          out.iterator
+      }
+  }
+
   /** Typed-state layer for [[sessionizeWithState]]. Times are µs since
     * epoch (the corpus' native resolution — java.sql.Timestamp getters
     * would truncate). */
