@@ -129,25 +129,41 @@ object PretrainPipeline {
     val trimmed = Curation.quantileBand(lmKept, "n_chars", 0.05, 0.95)
     recDf("trimmed", trimmed)
 
+    // Persist discipline from here down (r9, VERDICT r8 #6): each stage
+    // below both COUNTS its frame and feeds the next stage, so an
+    // unpersisted stage replays its whole upstream lineage once per
+    // downstream action — at r8 geometry `capped` and `mixed` each
+    // re-ran the dedup + double-decontamination chain (the 16.1 s
+    // "mixed" stage was ~2 chain replays plus its own work). Boundaries
+    // sit only at REDUCED frames (post-dedup/post-cap) and the
+    // eval-suite-sized bench slice: corpus-grain frames stay
+    // unpersisted, because at 100 TB re-scanning columnar parquet is
+    // cheaper than pinning the raw corpus in executor memory.
+
     // 3. near-dup cluster dedup: transitive chains collapse, best doc wins
     val pairs = Dedup.ngramJaccard(trimmed, "doc_id", "text", 3, 0.5)
     val deduped = Dedup.dedupByCluster(trimmed, pairs, "doc_id", "n_chars")
+      .persist()
     recDf("deduped", deduped)
 
     // 4. decontaminate against the held-out benchmark slice — exact
     //    8-gram containment first, then the fuzzy MinHash pass that
-    //    catches lightly rewritten leaks exact n-grams miss
-    val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    //    catches lightly rewritten leaks exact n-grams miss. The bench
+    //    slice is the broadcast side of BOTH passes — persisted so its
+    //    shingle/banding build runs once, not once per consumer action.
+    val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0).persist()
     val exactClean = Dedup.decontaminate(
       deduped.filter(pmod(col("doc_id"), lit(7)) =!= 0), bench,
-      "doc_id", "text", n = 8)
+      "doc_id", "text", n = 8).persist()
     recDf("decontaminated", exactClean)
     val clean = Dedup.decontaminateFuzzy(exactClean, bench,
       "doc_id", "text", shingleLen = 3, b = 16, r = 4, threshold = 0.8)
+      .persist()
     recDf("decontaminated_fuzzy", clean)
 
     // 4b. domain cap: no source may dominate what the mixer sees
     val capped = Curation.capPerSource(clean, "source", "doc_id", cap = 20)
+      .persist()
     recDf("capped", capped)
 
     // 5. resample surviving sources to a uniform token mixture
@@ -208,8 +224,8 @@ object PretrainPipeline {
     shuffled.write.mode("overwrite").parquet(out)
     rec("shard_files", new java.io.File(out).listFiles()
       .count(_.getName.endsWith(".parquet")).toLong)
-    lmKept.unpersist(blocking = false)
-    mixed.unpersist(blocking = false)
+    Seq(lmKept, deduped, bench, exactClean, clean, capped, mixed)
+      .foreach(_.unpersist(blocking = false))
     stats.result()
   }
 

@@ -279,13 +279,100 @@ object Curation {
 
   /** q45 — span-level dedup stats (oracle-checked): 8-token spans
     * appearing in ≥2 distinct docs — repeated-passage signal
-    * (boilerplate/quotation), invisible to whole-doc measures. */
-  def dupSpans(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.duplicatedSpans(Tables.load(spark, dir, "documents"),
+    * (boilerplate/quotation), invisible to whole-doc measures.
+    * Round-9: collapse-first — spans are text-functional, so the span
+    * table is built over ONE representative per distinct text and each
+    * span's doc count is Σ class multiplicity (value-identical to the
+    * raw form by construction; the unchanged oracle hash re-proves it
+    * per run). The span explode now tracks distinct content, not the
+    * twin factor, which is what makes the query 100×-sweepable. */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.load(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__m"))
+    TextAnalysis.spanTable(cls.select(col("doc_id"), col("text")),
         "doc_id", "text", spanLen = 8)
+      .join(cls.select(col("doc_id").as("id"), col("__m")), Seq("id"))
+      .groupBy(col("span"))
+      .agg(sum(col("__m")).as("n_docs"))
+      .filter(col("n_docs") > 1)
       .agg(
         count(lit(1)).as("n_dup_spans"),
         coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n_occurrences"))
+  }
+
+  /** Shared builder for the q262–q266 `*_classes` twins — the
+    * REPRESENTATIVE-GRAIN form of the raw pair enumerators (q23–q26/
+    * q44), which is what a 100 TB pipeline actually materializes: one
+    * row per qualifying pair of exact-duplicate CLASSES, carrying both
+    * class multiplicities and the implied doc-pair mass m_a·m_b. The
+    * doc-grain pair list is recoverable by expansion
+    * ([[graft.text.Dedup.collapsedDocPairs]] is the operator form) but
+    * on a twin-heavy corpus it is quadratic in the duplication factor
+    * BY CONTRACT — these twins are the bounded output every skip-listed
+    * enumerator is measured through at 100×. `cls` is persisted for its
+    * three consumers (query-scoped lifecycle — wrappers run once).
+    */
+  private def classPairs(docs: DataFrame, idCol: String, simCol: String)(
+      pairFn: DataFrame => DataFrame): DataFrame = {
+    val cls = docs.groupBy(col("text"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__m"))
+      .persist()
+    pairFn(cls.select(col(idCol), col("text")))
+      .join(cls.select(col(idCol).as("id_a"), col("__m").as("m_a")), Seq("id_a"))
+      .join(cls.select(col(idCol).as("id_b"), col("__m").as("m_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col(simCol), col("m_a"), col("m_b"),
+        (col("m_a") * col("m_b")).as("n_doc_pairs"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q262 — MinHash-LSH near-dup CLASS pairs (oracle-checked): q23's
+    * banding + exact-Jaccard verification over representatives; the
+    * oracle is the exact ≥ 0.8 pair set over representatives (recall =
+    * 1 on this corpus with these fixed seeds, as for q23). */
+  def minhashClasses(spark: SparkSession, dir: String): DataFrame =
+    classPairs(Tables.load(spark, dir, "documents"), "doc_id", "jaccard")(
+      reps => Dedup.nearMinhash(reps, "doc_id", "text",
+        shingleLen = 3, b = 16, r = 4, threshold = 0.8))
+
+  /** q263 — SimHash near-dup CLASS pairs (oracle-checked): q24's
+    * md5-signature banding + Hamming ≤ 3 verify over representatives. */
+  def simhashClasses(spark: SparkSession, dir: String): DataFrame =
+    classPairs(Tables.load(spark, dir, "documents"), "doc_id", "hamming")(
+      reps => Dedup.nearSimhash(reps, "doc_id", "text",
+        maxHamming = 3, sig = Dedup.simhashMd5, sigBits = 60))
+
+  /** q264 — exact n-gram Jaccard CLASS pairs (oracle-checked): q25's
+    * inverted-index join over representatives. */
+  def ngramClasses(spark: SparkSession, dir: String): DataFrame =
+    classPairs(Tables.load(spark, dir, "documents"), "doc_id", "jaccard")(
+      reps => Dedup.ngramJaccard(reps, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5))
+
+  /** q265 — overlap-coefficient CLASS pairs (oracle-checked): q44's
+    * containment measure over representatives. */
+  def overlapClasses(spark: SparkSession, dir: String): DataFrame =
+    classPairs(Tables.load(spark, dir, "documents"), "doc_id", "overlap")(
+      reps => Dedup.ngramOverlap(reps, "doc_id", "text",
+        shingleLen = 3, threshold = 0.8))
+
+  /** q266 — embedding cosine near-dup CLASS pairs (oracle-checked):
+    * q26's exact measure over one representative per BYTE-IDENTICAL
+    * embedding (classes group on the float array itself — exact twins
+    * replicate vectors bit-exactly, so grouping is engine-agnostic). */
+  def embedClasses(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.load(spark, dir, "embeddings")
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("__m"))
+      .persist()
+    Similarity.nearDupCosine(cls.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.35)
+      .join(cls.select(col("vec_id").as("id_a"), col("__m").as("m_a")), Seq("id_a"))
+      .join(cls.select(col("vec_id").as("id_b"), col("__m").as("m_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim"), col("m_a"), col("m_b"),
+        (col("m_a") * col("m_b")).as("n_doc_pairs"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** q46 — vocabulary head by DOCUMENT frequency with idf
     * (oracle-checked): q37's twin on the df axis — tokens by how many
@@ -2197,6 +2284,11 @@ object Curation {
     "q42_dedup_clusters" -> (dedupClusters _),
     "q44_overlap_pairs" -> (overlapPairs _),
     "q45_dup_spans" -> (dupSpans _),
+    "q262_minhash_classes" -> (minhashClasses _),
+    "q263_simhash_classes" -> (simhashClasses _),
+    "q264_ngram_classes" -> (ngramClasses _),
+    "q265_overlap_classes" -> (overlapClasses _),
+    "q266_embed_classes" -> (embedClasses _),
     "q46_idf_terms" -> (idfTerms _),
     "q48_quantile_band" -> (quantileBandStats _),
     "q49_repetition" -> (repetitionStats _),

@@ -234,6 +234,129 @@ object CurationOracle {
         |FROM p WHERE CAST(inter AS DOUBLE)/least(na, nb) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // q262–q266 (r9): the representative-grain class-pair twins of the
+    // raw enumerators — same pair SQL as q23/q24/q25/q44/q26 but over
+    // one representative per exact-duplicate class (min id per text /
+    // per embedding), with class multiplicities and the implied
+    // doc-pair mass joined back on the representative ids.
+    "q262_minhash_classes" ->
+      """WITH cls AS (
+        |  SELECT min(doc_id) doc_id, CAST(count(*) AS BIGINT) m, text
+        |  FROM documents GROUP BY text),
+        |t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM cls),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/(na + nb - inter),4) jaccard
+        |  FROM p WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.8)
+        |SELECT q.id_a, q.id_b, q.jaccard, ca.m m_a, cb.m m_b,
+        |       CAST(ca.m * cb.m AS BIGINT) n_doc_pairs
+        |FROM q JOIN cls ca ON ca.doc_id = q.id_a
+        |       JOIN cls cb ON cb.doc_id = q.id_b
+        |ORDER BY q.id_a, q.id_b""".stripMargin,
+
+    "q263_simhash_classes" ->
+      """WITH cls AS (
+        |  SELECT min(doc_id) doc_id, CAST(count(*) AS BIGINT) m, text
+        |  FROM documents GROUP BY text),
+        |t AS (
+        |  SELECT doc_id, string_split(text, ' ') toks FROM cls),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, tok -> CAST(list_sum(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef', md5(tok)[i]) - 1 AS BIGINT)
+        |           * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT)) hs
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 60), j ->
+        |      CASE WHEN 2 * len(list_filter(hs, hv -> (hv >> j) & 1 = 1)) > len(hs)
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) sig
+        |  FROM h),
+        |bands AS (
+        |  SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 ck
+        |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) b) bi),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id id_a, y.doc_id id_b, x.sig sa, y.sig sb
+        |  FROM bands x JOIN bands y ON x.b = y.b AND x.ck = y.ck
+        |  WHERE x.doc_id < y.doc_id),
+        |q AS (
+        |  SELECT id_a, id_b, bit_count(xor(sa, sb)) hamming
+        |  FROM cand WHERE bit_count(xor(sa, sb)) <= 3)
+        |SELECT q.id_a, q.id_b, q.hamming, ca.m m_a, cb.m m_b,
+        |       CAST(ca.m * cb.m AS BIGINT) n_doc_pairs
+        |FROM q JOIN cls ca ON ca.doc_id = q.id_a
+        |       JOIN cls cb ON cb.doc_id = q.id_b
+        |ORDER BY q.id_a, q.id_b""".stripMargin,
+
+    "q264_ngram_classes" ->
+      """WITH cls AS (
+        |  SELECT min(doc_id) doc_id, CAST(count(*) AS BIGINT) m, text
+        |  FROM documents GROUP BY text),
+        |t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM cls),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/(na + nb - inter),4) jaccard
+        |  FROM p WHERE CAST(inter AS DOUBLE)/(na + nb - inter) >= 0.5)
+        |SELECT q.id_a, q.id_b, q.jaccard, ca.m m_a, cb.m m_b,
+        |       CAST(ca.m * cb.m AS BIGINT) n_doc_pairs
+        |FROM q JOIN cls ca ON ca.doc_id = q.id_a
+        |       JOIN cls cb ON cb.doc_id = q.id_b
+        |ORDER BY q.id_a, q.id_b""".stripMargin,
+
+    "q265_overlap_classes" ->
+      """WITH cls AS (
+        |  SELECT min(doc_id) doc_id, CAST(count(*) AS BIGINT) m, text
+        |  FROM documents GROUP BY text),
+        |t AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-2,1)+1),
+        |      i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) sh
+        |  FROM cls),
+        |e AS (SELECT doc_id, len(sh) n, unnest(sh) s FROM t),
+        |p AS (
+        |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) inter,
+        |         any_value(a.n) na, any_value(b.n) nb
+        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |q AS (
+        |  SELECT id_a, id_b, round(CAST(inter AS DOUBLE)/least(na, nb),4) overlap
+        |  FROM p WHERE CAST(inter AS DOUBLE)/least(na, nb) >= 0.8)
+        |SELECT q.id_a, q.id_b, q.overlap, ca.m m_a, cb.m m_b,
+        |       CAST(ca.m * cb.m AS BIGINT) n_doc_pairs
+        |FROM q JOIN cls ca ON ca.doc_id = q.id_a
+        |       JOIN cls cb ON cb.doc_id = q.id_b
+        |ORDER BY q.id_a, q.id_b""".stripMargin,
+
+    "q266_embed_classes" ->
+      """WITH cls AS (
+        |  SELECT min(vec_id) vec_id, CAST(count(*) AS BIGINT) m, embedding
+        |  FROM embeddings GROUP BY embedding),
+        |q AS (
+        |  SELECT a.vec_id id_a, b.vec_id id_b,
+        |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),6) sim
+        |  FROM cls a JOIN cls b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35)
+        |SELECT q.id_a, q.id_b, q.sim, ca.m m_a, cb.m m_b,
+        |       CAST(ca.m * cb.m AS BIGINT) n_doc_pairs
+        |FROM q JOIN cls ca ON ca.vec_id = q.id_a
+        |       JOIN cls cb ON cb.vec_id = q.id_b
+        |ORDER BY q.id_a, q.id_b""".stripMargin,
+
     "q45_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         |spans AS (

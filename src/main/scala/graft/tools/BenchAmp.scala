@@ -23,56 +23,84 @@ import org.apache.spark.sql.SparkSession
   * per-query MEDIANS. Same fault isolation as Bench: a broken query
   * is one red cell, never a dead artifact.
   *
-  * Run: `sbt "runMain graft.tools.BenchAmp [ampDir] [outJson]"`.
+  * Round-9 (VERDICT r8 #8): the whole protocol repeats across 3
+  * SESSIONS (fresh SparkSession + re-persisted caches each; one JVM, so
+  * JIT warmth carries — deliberate, the compiler is not what drifts)
+  * and the artifact reports per-query session medians, their median,
+  * min, and spread — so round-over-round comparison can read min-vs-min
+  * and separate one-signed VM drift (spread-sized) from a code
+  * regression (a shift that clears the spread band).
+  *
+  * Run: `sbt "runMain graft.tools.BenchAmp [ampDir] [outJson] [sessions]"`.
   */
 object BenchAmp {
   def main(args: Array[String]): Unit = {
     val ampDir = if (args.nonEmpty) args(0) else "/tmp/amp10"
     val outJson = if (args.length > 1) args(1) else "/tmp/benchamp.json"
+    val sessions = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.ScaleConfig.cluster(SparkSession.builder())
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    Tables.names.foreach { n =>
-      try Tables.load(spark, ampDir, n).persist().count()
-      catch { case e: Throwable =>
-        System.err.println(s"[benchamp] load $n failed: ${e.getMessage}")
-      }
-    }
-
     val allNames = Bench.headlineNames
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def runPass(names: Seq[String]): Map[String, Double] =
-      names.flatMap { name =>
-        val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, ampDir).collect()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          errors.getOrElseUpdate(name, e.toString.take(300)); None
-        }
-      }.toMap
 
-    runPass(allNames); runPass(allNames)
+    def oneSession(): Map[String, Double] = {
+      val spark = graft.ScaleConfig.cluster(SparkSession.builder())
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      Tables.names.foreach { n =>
+        try Tables.load(spark, ampDir, n).persist().count()
+        catch { case e: Throwable =>
+          System.err.println(s"[benchamp] load $n failed: ${e.getMessage}")
+        }
+      }
+      def runPass(names: Seq[String]): Map[String, Double] =
+        names.flatMap { name =>
+          val t0 = System.nanoTime()
+          try {
+            SparkEntry.queries(name)(spark, ampDir).collect()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            errors.getOrElseUpdate(name, e.toString.take(300)); None
+          }
+        }.toMap
+      runPass(allNames); runPass(allNames)
+      val names = allNames.filterNot(errors.contains)
+      val passes = Seq.fill(5)(runPass(names))
+      val medians = names
+        .map { n => n -> passes.flatMap(_.get(n)) }
+        .collect { case (n, ts) if ts.nonEmpty => n -> ts.sorted.apply(ts.size / 2) }
+        .toMap
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      medians
+    }
+
+    val perSession: Seq[Map[String, Double]] = (1 to sessions).map { i =>
+      System.err.println(s"[benchamp] session $i/$sessions")
+      oneSession()
+    }
     val names = allNames.filterNot(errors.contains)
-    val passes = Seq.fill(5)(runPass(names))
-    val medians = names
-      .map { n => n -> passes.flatMap(_.get(n)) }
-      .collect { case (n, ts) if ts.nonEmpty => n -> ts.sorted.apply(ts.size / 2) }
-    val total = medians.map(_._2).sum
+    def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    val rows = names.flatMap { n =>
+      val ts = perSession.flatMap(_.get(n))
+      if (ts.isEmpty) None
+      else Some(n -> (med(ts), ts.min, ts.max, ts))
+    }
+    val totalMed = rows.map(_._2._1).sum
+    val totalMin = rows.map(_._2._2).sum
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
+    val qJson = rows.map { case (n, (m, lo, hi, ts)) =>
+      val spreadPct = if (lo > 0) (hi - lo) / lo * 100 else 0.0
+      "\"" + n + "\":" + f"""{"median":$m%.3f,"min":$lo%.3f,"max":$hi%.3f,"spread_pct":$spreadPct%.1f,"sessions":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"amp10_total","value":$total,"unit":"sec","queries":${
-        medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      },"errors":$errJson,"amp_dir":"$ampDir","protocol":"cluster posture, shuf=64, 2 warm + 5 timed passes, medians"}"""
+      s"""{"metric":"amp10_total","value":$totalMed,"total_min":$totalMin,"unit":"sec","queries":$qJson,"errors":$errJson,"amp_dir":"$ampDir","protocol":"cluster posture, shuf=64; $sessions sessions x (2 warm + 5 timed passes, per-query medians); value = sum of per-query medians-of-session-medians, total_min = sum of per-query session minima"}"""
     Files.writeString(Paths.get(outJson), json)
     println(json)
-    spark.stop()
   }
 }

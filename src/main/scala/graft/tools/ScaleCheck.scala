@@ -40,19 +40,25 @@ object ScaleCheck {
     * collapsed / clustered family (q42/q90/q149/q227), which IS in the
     * 100× sweep. */
   val knownSkipReasons: Map[String, String] = Map(
+    // r9: every skip below now has a 100x-TIMED representative-grain
+    // twin in the registry (q262-q266) — same pair algebra, class-pair
+    // output bounded by distinct content; only the raw doc-grain pair
+    // LIST (quadratic in the twin factor by output contract) is skipped
     "q23_dedup_minhash" -> ("output quadratic in the twin factor on the" +
       " amplified corpus (C(100,2) pairs per twin class at 100x);" +
-      " measured at 10x; at-scale path = q42/q149 clustered family"),
+      " measured at 10x; 100x-timed twin = q262_minhash_classes"),
     "q24_dedup_simhash" -> ("output quadratic in the twin factor at 100x" +
-      " (pair list per twin class); measured at 10x"),
+      " (pair list per twin class); measured at 10x; 100x-timed twin =" +
+      " q263_simhash_classes"),
     "q25_dedup_ngram" -> ("output quadratic in the twin factor at 100x" +
-      " (pair list per twin class); measured at 10x"),
+      " (pair list per twin class); measured at 10x; 100x-timed twin =" +
+      " q264_ngram_classes"),
     "q26_embed_neardup" -> ("output quadratic in the twin factor at 100x" +
-      " (pair list per twin class); measured at 10x"),
+      " (pair list per twin class); measured at 10x; 100x-timed twin =" +
+      " q266_embed_classes"),
     "q44_overlap_pairs" -> ("output quadratic in the twin factor at 100x" +
-      " (pair list per twin class); measured at 10x"),
-    "q45_dup_spans" -> ("output quadratic in the twin factor at 100x" +
-      " (span pair list per twin class); measured at 10x"),
+      " (pair list per twin class); measured at 10x; 100x-timed twin =" +
+      " q265_overlap_classes"),
     // round-9: q154/q177 left this list — their registered wrappers now
     // run collapse-first (Dedup.collapsedDocPairs), so the posting-list
     // self-join intermediate tracks distinct content and only the
