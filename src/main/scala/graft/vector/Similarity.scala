@@ -283,9 +283,16 @@ object Similarity {
 
     for (_ <- 0 until lloydIters) {
       // element-wise mean per cell: posexplode + (cell, pos) aggregate —
-      // numCells × dim result rows, driver-small at any corpus size
-      val means = train.select(cellAssignment(col("v"), centroids).as("cell"),
-          posexplode(col("v")).as(Seq("pos", "x")))
+      // numCells × dim result rows, driver-small at any corpus size.
+      // The cell assignment is projected in its OWN select BELOW the
+      // generator: a non-generator expression in the same select as
+      // posexplode lands in the Project ABOVE Generate and re-evaluates
+      // per exploded element — numCells cosines × dim per VECTOR
+      // (measured r9: one Lloyd pass at 200k×64d ran 44 CPU-min/task
+      // before this split; seconds after)
+      val means = train
+        .select(cellAssignment(col("v"), centroids).as("cell"), col("v"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
         .collect().groupBy(_.getInt(0))
         .map { case (cell, rows) =>
