@@ -103,11 +103,12 @@ object AnnAudit {
         case None => Similarity.lshIndex(emb, "vec_id", "embedding")
       }
       val banded = idx.banded.persist()
-      banded.count()
-      val pinned = idx.copy(banded = banded)
+      val vectors = idx.vectors.persist()
+      banded.count(); vectors.count()
+      val pinned = idx.copy(banded = banded, vectors = vectors)
       val (m, t) = topSets(run(
         Similarity.annTopKIndexed(pinned, queries, "qid", "qv", k)))
-      banded.unpersist()
+      banded.unpersist(); vectors.unpersist()
       f""""lsh_indexed_$tag": {"recall_at_k": ${recallOf(m, exact)}%.4f, "probe_sec": $t%.3f}"""
     }
     val ivfIdxRows = {

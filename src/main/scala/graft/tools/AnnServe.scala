@@ -43,14 +43,16 @@ object AnnServe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    // build once: banded rows pre-partitioned on the probe join key so
-    // a probe never reshuffles the big side
+    // build once: postings pre-partitioned on the probe join key and the
+    // vector table on the re-attach key, so a probe never reshuffles
+    // either big side
     val (idx, buildSec) = timed {
       val i = Similarity.lshIndex(corpus, "vec_id", "embedding")
       val banded = i.banded.repartition(64, col("table"), col("code"))
         .persist()
-      banded.count()
-      i.copy(banded = banded)
+      val vectors = i.vectors.repartition(64, col("id")).persist()
+      banded.count(); vectors.count()
+      i.copy(banded = banded, vectors = vectors)
     }
     val (r1, probe1Sec) = timed {
       Similarity.annTopKIndexed(idx, batch1, "vec_id", "embedding", 10)
@@ -93,14 +95,19 @@ object AnnServe {
     val (baseIdx, lshBase90Sec) = timed {
       val i = Similarity.lshIndex(base90, "vec_id", "embedding")
       val banded = i.banded.repartition(64, col("table"), col("code")).persist()
-      banded.count()
-      i.copy(banded = banded)
+      val vectors = i.vectors.repartition(64, col("id")).persist()
+      banded.count(); vectors.count()
+      i.copy(banded = banded, vectors = vectors)
     }
+    // append materializes ONLY the new segment (the base segments stay
+    // cached); the grown index unions cached base + cached segment
     val (grown, lshAppendSec) = timed {
-      val i = Similarity.lshIndexAppend(baseIdx, growth, "vec_id", "embedding")
-      val banded = i.banded.persist()
-      banded.count()
-      i.copy(banded = banded)
+      val (segB, segV) = Similarity.lshSegment(baseIdx, growth, "vec_id", "embedding")
+      val sb = segB.persist(); val sv = segV.persist()
+      sb.count(); sv.count()
+      baseIdx.copy(
+        banded = baseIdx.banded.unionByName(sb),
+        vectors = baseIdx.vectors.unionByName(sv))
     }
     val (ga, lshProbeGrownSec) = timed {
       Similarity.annTopKIndexed(grown, batch1, "vec_id", "embedding", 10)
@@ -113,10 +120,10 @@ object AnnServe {
       i.copy(data = data)
     }
     val (ivGrown, ivfAppendSec) = timed {
-      val i = Similarity.ivfIndexAppend(ivBase, growth, "vec_id", "embedding")
-      val data = i.data.persist()
-      data.count()
-      i.copy(data = data)
+      val seg = Similarity.ivfSegment(ivBase, growth, "vec_id", "embedding")
+        .persist()
+      seg.count()
+      ivBase.copy(data = ivBase.data.unionByName(seg))
     }
     val (gb, ivfProbeGrownSec) = timed {
       Similarity.ivfTopKIndexed(ivGrown, batch1, "vec_id", "embedding", 10)

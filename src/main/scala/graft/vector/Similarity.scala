@@ -128,18 +128,27 @@ object Similarity {
       lshIndex(corpus, idCol, vecCol, L, bucketTarget, pOverride, seed),
       queries, queryIdCol, queryVecCol, k)
 
-  /** Prebuilt banded LSH index: the corpus' (id, v, table, code) rows
-    * plus the hashing geometry a probe needs to code queries
+  /** Prebuilt banded LSH index: POSTINGS (id, table, code) — three
+    * narrow columns, never the vector — plus the (id, v) vector table
+    * and the hashing geometry a probe needs to code queries
     * identically. The serving-path split of [[annTopK]]: at corpus
     * scale the banding pass (L·p hyperplane dot products per vector —
     * the dominant per-row cost, ~16k multiplies per 64-dim vector at
-    * the defaults) is paid ONCE at build; persist `banded` (or write
-    * it bucketed by (table, code) to a table) and every query batch
-    * pays only its own coding plus the bucket equi-join. The inline
-    * [[annTopK]] repays the full banding per call — fine for one-shot
-    * analytics, wrong for index-once/probe-many serving. */
+    * the defaults) is paid ONCE at build; persist `banded` bucketed by
+    * (table, code) and `vectors` by id, and every query batch pays its
+    * own coding, the bucket equi-join, and one id-join that re-attaches
+    * vectors to the CANDIDATE set only. Postings deliberately do NOT
+    * carry `v`: the explode replicates every row L× — at 64-dim floats
+    * that is a ~20× larger index (and, r9, made appending a 10% growth
+    * slice cost MORE than the 90% base build, because re-persisting the
+    * union re-copied 3 GB of duplicated vectors). Same principle as
+    * [[graft.text.Dedup.nearMinhash]], which never ships shingle arrays
+    * through its banding join. The inline [[annTopK]] repays the full
+    * banding per call — fine for one-shot analytics, wrong for
+    * index-once/probe-many serving. */
   final case class LshIndex(
-      banded: DataFrame, dim: Int, p: Int, L: Int, seed: Long)
+      banded: DataFrame, vectors: DataFrame,
+      dim: Int, p: Int, L: Int, seed: Long)
 
   /** Build the [[LshIndex]] for [[annTopKIndexed]]. Same defaults and
     * p auto-sizing as [[annTopK]] (p = log2(n / bucketTarget), so mean
@@ -155,53 +164,69 @@ object Similarity {
       val n = corpus.count()
       math.max(2, (math.log(math.max(n / bucketTarget, 2).toDouble) / math.log(2)).ceil.toInt)
     }
-    val banded = corpus.select(
-        col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
-      .select(col("id"), col("v"),
-        posexplode(bucketCodes(col("v"), dim, p, L, seed))
-          .as(Seq("table", "code")))
-    LshIndex(banded, dim, p, L, seed)
+    val vectors = corpus.select(
+      col(idCol).as("id"), requireDim(asDouble(col(vecCol)), dim).as("v"))
+    val banded = vectors.select(col("id"),
+      posexplode(bucketCodes(col("v"), dim, p, L, seed))
+        .as(Seq("table", "code")))
+    LshIndex(banded, vectors, dim, p, L, seed)
   }
 
   private def bucketCodes(
       vec: Column, dim: Int, p: Int, L: Int, seed: Long): Column =
     array((0 until L).map(t => bucketCode(vec, dim, p, seed + t * 7919L)): _*)
 
+  /** The new-segment half of [[lshIndexAppend]]: `newRows` projected to
+    * the index's (vectors, postings) pair at its frozen geometry —
+    * exposed so a serving layer can persist/write JUST the appended
+    * segment (the base segments are already cached/bucketed; repaying
+    * their materialization per append defeats the append). */
+  def lshSegment(
+      index: LshIndex, newRows: DataFrame,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    GraftFunctions.register(newRows.sparkSession)
+    val vectors = newRows.select(
+      col(idCol).as("id"),
+      requireDim(asDouble(col(vecCol)), index.dim).as("v"))
+    val banded = vectors.select(col("id"),
+      posexplode(bucketCodes(col("v"), index.dim, index.p, index.L,
+        index.seed)).as(Seq("table", "code")))
+    (banded, vectors)
+  }
+
   /** Incremental maintenance of a serving [[LshIndex]]: band ONLY the
     * `newRows` with the index's frozen geometry (dim, p, L, seed) and
-    * union them onto the existing banded rows — a growing corpus never
-    * repays the full-corpus banding pass (70 s once at the r8 100×
-    * corpus vs seconds for a batch). Provably equal to rebuilding over
-    * corpus ∪ newRows at the SAME geometry (banding is a pure per-row
-    * map — pinned in SimilaritySpec), so probes are oblivious to how
-    * the index grew.
+    * union them onto the existing postings/vectors — a growing corpus
+    * never repays the full-corpus banding pass (~60 s at the r9 100×
+    * corpus vs seconds for a 10% batch). Provably equal to rebuilding
+    * over corpus ∪ newRows at the SAME geometry (banding is a pure
+    * per-row map — pinned in SimilaritySpec), so probes are oblivious
+    * to how the index grew.
     *
     * The one thing append freezes is `p`: [[lshIndex]] auto-sizes it
     * as log2(n / bucketTarget), so after the corpus roughly doubles,
     * mean bucket occupancy (and so per-query candidate volume) has
     * doubled too — the standard serving cadence is append between
     * rebuilds and rebuild when occupancy drifts past ~2× target.
-    * Callers persist the union themselves (the old banded rows are
-    * typically already persisted/bucketed; persisting here would
-    * double-cache them).
+    * Callers persist the NEW segment themselves ([[lshSegment]] gives
+    * it to them directly); re-persisting the whole union would re-copy
+    * the already-cached base.
     */
   def lshIndexAppend(
       index: LshIndex, newRows: DataFrame,
       idCol: String, vecCol: String): LshIndex = {
-    GraftFunctions.register(newRows.sparkSession)
-    val banded = newRows.select(
-        col(idCol).as("id"),
-        requireDim(asDouble(col(vecCol)), index.dim).as("v"))
-      .select(col("id"), col("v"),
-        posexplode(bucketCodes(col("v"), index.dim, index.p, index.L,
-          index.seed)).as(Seq("table", "code")))
-    index.copy(banded = index.banded.unionByName(banded))
+    val (banded, vectors) = lshSegment(index, newRows, idCol, vecCol)
+    index.copy(
+      banded = index.banded.unionByName(banded),
+      vectors = index.vectors.unionByName(vectors))
   }
 
   /** Probe a prebuilt [[LshIndex]]: code the queries with the index's
-    * geometry, equi-join on (table, code), exact-cosine re-rank, top-k
-    * per query (ties break on id). Output shape identical to
-    * [[annTopK]] / [[bruteForceTopK]]. */
+    * geometry, equi-join the POSTINGS on (table, code), re-attach
+    * vectors to the collision-rate-sized candidate set by id (the
+    * nearMinhash shape — candidates ≈ L·bucketTarget per query, ≪
+    * corpus), exact-cosine re-rank, top-k per query (ties break on
+    * id). Output shape identical to [[annTopK]] / [[bruteForceTopK]]. */
   def annTopKIndexed(
       index: LshIndex, queries: DataFrame,
       queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
@@ -220,13 +245,14 @@ object Similarity {
     val q = graft.ops.Hints.broadcastIfBounded(q0, q0, col("query_id"))
     val cand = index.banded.join(q, Seq("table", "code"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("id"), col("v"))
+      .select(col("query_id"), col("qv"), col("id"))
       .dropDuplicates("query_id", "id")
+    val scored = cand.join(index.vectors, Seq("id"))
       .select(col("query_id"), col("id"),
         round(GraftFunctions.cosineSim(col("v"), col("qv")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
-    cand.withColumn("rk", row_number().over(w))
+    scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("id"), col("sim"), col("rk"))
   }
@@ -392,13 +418,21 @@ object Similarity {
     */
   def ivfIndexAppend(
       index: IvfIndex, newRows: DataFrame,
-      idCol: String, vecCol: String): IvfIndex = {
+      idCol: String, vecCol: String): IvfIndex =
+    index.copy(data = index.data.unionByName(
+      ivfSegment(index, newRows, idCol, vecCol)))
+
+  /** The new-segment half of [[ivfIndexAppend]]: `newRows` assigned to
+    * the index's frozen centroids — exposed so a serving layer can
+    * persist/write JUST the appended segment (see [[lshSegment]]). */
+  def ivfSegment(
+      index: IvfIndex, newRows: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(newRows.sparkSession)
-    val assigned = newRows.select(
+    newRows.select(
         col(idCol).as("id"),
         requireDim(asDouble(col(vecCol)), index.dim).as("v"))
       .withColumn("cell", cellAssignment(col("v"), index.centroids))
-    index.copy(data = index.data.unionByName(assigned))
   }
 
   /** Probe a prebuilt [[IvfIndex]]: each query explodes to its nProbe
