@@ -171,9 +171,20 @@ object PretrainPipeline {
       .collect().map(_.getString(0)).sorted
     val weights = srcs.map(_ -> 1.0 / srcs.length).toMap
     val u = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
-    // persisted: consumed by three audits, three folds, and packing
+    // localCheckpoint, not persist: `mixed` is consumed by three audits,
+    // three folds, packing and the shard write, and by this point the
+    // LOGICAL plan is the whole pipeline's lineage (hundreds of nodes,
+    // several joins/windows deep). Every downstream action would pay
+    // driver-side Catalyst work (analysis + CacheManager sameResult
+    // matching against every cached entry) on that full tree — measured
+    // r9: with 7 cache boundaries live, the three audit stages ran
+    // 24/46/73 s at sf0.1 where the DATA work is milliseconds. The
+    // checkpoint truncates lineage to a leaf scan, so downstream plans
+    // are tiny regardless of how deep the pipeline grew (the
+    // connectedComponents discipline). On a cluster, swap for a
+    // reliable checkpoint dir exactly as cc documents.
     val mixed = Curation.sourceMix(capped, "source", "n_tok", weights, u)
-      .persist()
+      .localCheckpoint()
     recDf("mixed", mixed)
 
     // 5b. mix audit: before committing the blend, score each surviving
@@ -224,7 +235,7 @@ object PretrainPipeline {
     shuffled.write.mode("overwrite").parquet(out)
     rec("shard_files", new java.io.File(out).listFiles()
       .count(_.getName.endsWith(".parquet")).toLong)
-    Seq(lmKept, deduped, bench, exactClean, clean, capped, mixed)
+    Seq(lmKept, deduped, bench, exactClean, clean, capped)
       .foreach(_.unpersist(blocking = false))
     stats.result()
   }

@@ -22,6 +22,10 @@ object QTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.names.foreach(n => Tables.load(spark, dir, n).persist().count())
+    // burn-in: absorb the cache-materialization eviction/GC churn before
+    // anything is timed (the ScaleCheck discipline — without it the
+    // first query reads 2-10x its steady-state time at 100x)
+    Tables.names.foreach(n => Tables.load(spark, dir, n).count())
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, dir).collect() // warm: codegen + cache
