@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, JaccardSimilarity, JaroWinkler, MinHashSignature, SimHash64}
+import graft.functions.expressions.{CellArgMax, CosineSimilarity, JaccardSimilarity, JaroWinkler, MinHashSignature, SimHash64}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.minhashSigDescriptor)
     e.injectFunction(GraftFunctions.simhash64Descriptor)
     e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
+    e.injectFunction(GraftFunctions.cellArgmaxDescriptor)
   }
 }
 
@@ -65,6 +66,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
     (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1)))
 
+  private[graft] val cellArgmaxDescriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cell_argmax"),
+    new ExpressionInfo(classOf[CellArgMax].getName, "cell_argmax"),
+    (exprs: Seq[Expression]) => CellArgMax(exprs(0), exprs(1)))
+
   /** Register on a live session (temp function, session-scoped). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -79,6 +86,8 @@ object GraftFunctions {
       "simhash64", exprs => SimHash64(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cell_argmax", exprs => CellArgMax(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column-API faces of the native expressions (require registration). */
@@ -89,4 +98,6 @@ object GraftFunctions {
   def simhash64(toks: Column): Column = call_function("simhash64", toks)
   def jaroWinkler(a: Column, b: Column): Column =
     call_function("jaro_winkler", a, b)
+  def cellArgmax(vec: Column, centroids: Column): Column =
+    call_function("cell_argmax", vec, centroids)
 }

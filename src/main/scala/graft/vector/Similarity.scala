@@ -261,10 +261,26 @@ object Similarity {
     * the shared primitive under [[ivfTopK]] and
     * [[SemanticDedup]]: centroids are KBs of driver-side doubles baked
     * into the expression, so assignment is one codegen'd narrow map with
-    * no model state to ship. Ties break by cell index (deterministic);
-    * a single centroid is special-cased (`greatest` requires ≥2 args).
+    * no model state to ship. Ties break to the LARGER cell index
+    * (deterministic); a single centroid short-circuits to 0.
+    *
+    * r9: runs on the fused native [[graft.functions.expressions
+    * .CellArgMax]] — one zero-allocation loop per row — instead of the
+    * `greatest(struct(cosine, i), ...)` composition
+    * ([[cellAssignmentComposed]], kept as the parity reference), which
+    * built numCells structs per row and dominated IVF index builds.
+    * Value identity is spec-pinned (CellArgMaxSpec) — same ordered
+    * cosine arithmetic, same tie rule.
     */
   def cellAssignment(vec: Column, cs: IndexedSeq[Seq[Double]]): Column =
+    if (cs.size == 1) lit(0)
+    else GraftFunctions.cellArgmax(vec, typedLit(cs.map(_.toSeq)))
+
+  /** The pure-composition formulation of [[cellAssignment]] — reference
+    * semantics for the native expression's equivalence test. Allocates
+    * numCells structs per row: do not use on hot paths. */
+  private[graft] def cellAssignmentComposed(
+      vec: Column, cs: IndexedSeq[Seq[Double]]): Column =
     if (cs.size == 1) lit(0)
     else greatest(cs.zipWithIndex.map { case (c, i) =>
       struct(
