@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * The centroid argument must be foldable (centroids are driver-side
   * literals by design — KBs of doubles baked into the plan, no model
-  * state shipped); vector/centroid dims are expected equal (callers
-  * dim-guard upstream), matching CosineSimilarity's min-length loop.
+  * state shipped); vector/centroid dims must be EQUAL — enforced per
+  * row in [[assign]] (r9 ADVICE: the old min-length loop truncated the
+  * dot but not the norms on mismatched widths, matching neither
+  * CosineSimilarity nor the composed reference). NaN handling is
+  * documented at the comparison site in [[assign]].
   */
 case class CellArgMax(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -39,8 +42,12 @@ case class CellArgMax(left: Expression, right: Expression)
   @transient private lazy val cents: Array[Array[Double]] = {
     require(right.foldable, "cell_argmax centroids must be a literal")
     val ad = right.eval(null).asInstanceOf[ArrayData]
-    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    val cs = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    require(cs.nonEmpty && cs.forall(_.length == cs(0).length),
+      "cell_argmax centroids must be non-empty and equal-length")
+    cs
   }
+  @transient private lazy val centDim: Int = cents(0).length
   // sqrt of the ordered element-square sum — bit-identical to the
   // per-eval accumulation CosineSimilarity would do for this operand
   @transient private lazy val sqrtNorms: Array[Double] = cents.map { c =>
@@ -53,6 +60,15 @@ case class CellArgMax(left: Expression, right: Expression)
     * generated code via the reference object). */
   def assign(x: ArrayData): Int = {
     val n = x.numElements()
+    // fail fast on a width-mismatched vector (r9 ADVICE): the old
+    // min-length loop silently computed a TRUNCATED dot against a
+    // full-length query norm — neither CosineSimilarity's semantics
+    // (min-length on ALL three accumulations) nor the composed
+    // greatest-struct reference. Callers dim-guard upstream
+    // (requireDim), so this is a one-int-compare backstop per row.
+    if (n != centDim)
+      throw new IllegalArgumentException(
+        s"cell_argmax: vector has $n elements, centroids have $centDim")
     var na = 0.0
     var i = 0
     while (i < n) { val xi = x.getDouble(i); na += xi * xi; i += 1 }
@@ -62,13 +78,22 @@ case class CellArgMax(left: Expression, right: Expression)
     var c = 0
     while (c < cents.length) {
       val cent = cents(c)
-      val m = math.min(n, cent.length)
       var dot = 0.0
       var j = 0
-      while (j < m) { dot += x.getDouble(j) * cent(j); j += 1 }
+      while (j < n) { dot += x.getDouble(j) * cent(j); j += 1 }
       val denom = sqrtNa * sqrtNorms(c)
       val sim = if (denom == 0.0) 0.0 else dot / denom
-      if (sim >= best) { best = sim; bestCell = c } // ties: larger index
+      // ties: larger index (the greatest-struct rule). NaN RULE: a NaN
+      // sim (NaN input coordinates) never wins under `>=` — every
+      // comparison with NaN is false — so the result is the last cell
+      // with a non-NaN sim (or cell 0 if all are NaN). The composed
+      // greatest-struct reference instead treats NaN as LARGEST; the
+      // two deliberately diverge there, and the divergence is
+      // unreachable through graft's entry points (requireDim'd finite
+      // embeddings). Documented rather than matched: matching would
+      // put a NaN check in the hot loop to reproduce behavior no
+      // caller wants.
+      if (sim >= best) { best = sim; bestCell = c }
       c += 1
     }
     bestCell

@@ -310,14 +310,16 @@ object Curation {
     * ([[graft.text.Dedup.collapsedDocPairs]] is the operator form) but
     * on a twin-heavy corpus it is quadratic in the duplication factor
     * BY CONTRACT — these twins are the bounded output every skip-listed
-    * enumerator is measured through at 100×. `cls` is persisted for its
-    * three consumers (query-scoped lifecycle — wrappers run once).
+    * enumerator is measured through at 100×. `cls` is NOT persisted
+    * despite its three consumers (r9 ADVICE — a lazy builder has no
+    * unpersist site): the class aggregate's exchange is runtime-reused
+    * across them, measured FLAT without the cache (q262 amp100:
+    * 10.2 s uncached vs 11.1 s cached).
     */
   private def classPairs(docs: DataFrame, idCol: String, simCol: String)(
       pairFn: DataFrame => DataFrame): DataFrame = {
     val cls = docs.groupBy(col("text"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__m"))
-      .persist()
     pairFn(cls.select(col(idCol), col("text")))
       .join(cls.select(col(idCol).as("id_a"), col("__m").as("m_a")), Seq("id_a"))
       .join(cls.select(col(idCol).as("id_b"), col("__m").as("m_b")), Seq("id_b"))
@@ -364,7 +366,6 @@ object Curation {
     val cls = Tables.load(spark, dir, "embeddings")
       .groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("__m"))
-      .persist()
     Similarity.nearDupCosine(cls.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", threshold = 0.35)
       .join(cls.select(col("vec_id").as("id_a"), col("__m").as("m_a")), Seq("id_a"))

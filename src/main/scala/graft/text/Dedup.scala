@@ -121,10 +121,14 @@ object Dedup {
     val mem = withExactClasses(
       df.select(col(idCol).as("__did"), col(textCol).as("__txt")),
       "__did", "__txt")
-    // two longs per row — corpus-row-count but payload-free; persisted
-    // because it feeds three joins below (query-scoped lifecycle: the
-    // registered wrappers run once per invocation)
-    val members = mem.select(col("__cls"), col("__did")).persist()
+    // two longs per row — corpus-row-count but payload-free. NOT
+    // persisted (r9 ADVICE): this is a lazy builder, so a persist here
+    // has no unpersist site and repeated invocations accumulate cache
+    // blocks until ContextCleaner runs; measured at amp10/amp100, the
+    // single-pass plan is FLAT vs the cached one (8.5 s vs 8.1 s at
+    // amp10 — the class window's exchange is runtime-reused across the
+    // three consumers, so "recompute" is a shuffle re-read, not re-work)
+    val members = mem.select(col("__cls"), col("__did"))
     val reps = mem.filter(col("__did") === col("__cls"))
       .select(col("__did").as(idCol), col("__txt").as(textCol))
     val repPairs = pairFn(reps)

@@ -211,6 +211,17 @@ object Similarity {
     * Callers persist the NEW segment themselves ([[lshSegment]] gives
     * it to them directly); re-persisting the whole union would re-copy
     * the already-cached base.
+    *
+    * ID CONTRACT (r9 ADVICE): `newRows` ids must be NEW — append never
+    * dedups against the base (an anti-join would rescan the whole
+    * vectors table per append, defeating the append). A re-appended id
+    * duplicates its postings AND its vector row; probes stay correct —
+    * [[annTopKIndexed]] dedups (query_id, id) after the vector join, so
+    * a duplicated id holds ONE rank — but the index carries dead weight.
+    * Streaming maintenance gets the guarantee for free from micro-batch
+    * idempotence ([[graft.streaming.StreamingOps]]' index sinks skip
+    * replayed batchIds); batch callers appending a possibly-overlapping
+    * slice should anti-join it on id against `index.vectors` first.
     */
   def lshIndexAppend(
       index: LshIndex, newRows: DataFrame,
@@ -246,10 +257,20 @@ object Similarity {
     val cand = index.banded.join(q, Seq("table", "code"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id"))
-      .dropDuplicates("query_id", "id")
+    // dedup AFTER the vectors join (r9 ADVICE): a duplicate id in
+    // index.vectors (an append that re-indexed an already-indexed row)
+    // would re-multiply a pre-join-deduped candidate through the id
+    // join, letting one id occupy several top-k ranks and displace true
+    // neighbors. Post-join the dedup collapses BOTH sources at once —
+    // multi-table bucket collisions and duplicate vector rows — for the
+    // same single exchange (the dedup shuffle moves after the join; its
+    // input inflation is the per-pair collision factor, ≤ L, typically
+    // ~1–2). Duplicate ids carry identical v by the append contract, so
+    // which row survives is value-irrelevant (sim is equal).
     val scored = cand.join(index.vectors, Seq("id"))
       .select(col("query_id"), col("id"),
         round(GraftFunctions.cosineSim(col("v"), col("qv")), 6).as("sim"))
+      .dropDuplicates("query_id", "id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("id"))
     scored.withColumn("rk", row_number().over(w))
@@ -431,6 +452,14 @@ object Similarity {
     * append between rebuilds and retrain when the appended fraction or
     * the cell-occupancy skew (q257-style audit over `data`) crosses
     * the operator's threshold. Callers persist the union themselves.
+    *
+    * ID CONTRACT (r9 ADVICE, same as [[lshIndexAppend]]): `newRows` ids
+    * must be NEW. IVF cells are disjoint, so with unique ids a
+    * (query_id, id) candidate appears at most once and the probe needs
+    * no dedup exchange; a re-appended id would occupy two ranks in
+    * [[ivfTopKIndexed]]'s top-k. Streaming maintenance enforces this by
+    * batchId idempotence; batch callers appending a possibly-
+    * overlapping slice anti-join on id against `index.data` first.
     */
   def ivfIndexAppend(
       index: IvfIndex, newRows: DataFrame,
