@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.text.{Boilerplate, Dedup, TextAnalysis}
-import graft.vector.Similarity
+import graft.vector.{SemanticDedup, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -255,18 +255,52 @@ object Curation {
     * cluster; per cluster, the survivor is the highest-quality doc
     * (max n_chars, tie → min doc_id). Output: one row per component
     * with ≥2 docs — (cluster_id = min member id, n_docs, keep_id).
+    *
+    * Round-10: COLLAPSE-FIRST (the q45/q154/q177 spine applied to the
+    * CC machinery itself — r9 VERDICT next-round #3). Edges are
+    * text-functional, so label propagation runs over ONE representative
+    * per exact-duplicate class and the doc-grain answer is recovered
+    * exactly, never materializing the C(m,2) within-class edges that
+    * made the raw form twin-quadratic on the amplified corpus:
+    *  - identical texts have Jaccard 1 ≥ 0.5, so a class's members are
+    *    always pairwise connected — the whole class joins whatever
+    *    component its representative lands in, and a class with m ≥ 2
+    *    and NO cross-class edge is a doc-grain component by itself;
+    *  - cluster_id (min member doc id) = min representative id, because
+    *    every representative is its class's min id;
+    *  - n_docs = Σ class multiplicity over member classes;
+    *  - keep_id: (max n_chars, tie min doc_id) over member docs =
+    *    min over member classes of the per-class (−n_chars, doc_id)
+    *    struct min — aggregated once at class formation.
+    * Value identity vs the raw doc-grain form is pinned in
+    * CollapseEquivalenceSpec; the unchanged oracle hash re-proves it
+    * per run.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", shingleLen = 3, threshold = 0.5)
-    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    cc.join(docs.select(col("doc_id"), col("n_chars")), cc("id") === col("doc_id"))
-      .groupBy(col("cluster_id"))
-      .agg(
-        count(lit(1)).as("n_docs"),
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOf(Tables.load(spark, dir, "documents"))
+
+  /** [[dedupClusters]] core over any (doc_id, text, n_chars) frame —
+    * exposed so CollapseEquivalenceSpec can pin it against the raw
+    * doc-grain formulation on a planted-twins corpus. */
+  def dedupClustersOf(docs: DataFrame): DataFrame = {
+    val cls = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__m"),
         min(struct((-col("n_chars")).as("negq"), col("doc_id").as("kid")))
-          .getField("kid").as("keep_id"))
-      .orderBy(col("cluster_id"))
+          .as("__keep"))
+    val pairs = Dedup.ngramJaccard(cls.select(col("doc_id"), col("text")),
+      "doc_id", "text", shingleLen = 3, threshold = 0.5)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val edgeClusters = cc.join(cls, cc("id") === cls("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("__m")).as("n_docs"),
+        min(col("__keep")).getField("kid").as("keep_id"))
+    // multi-member classes whose representative pairs with nothing:
+    // doc-grain components of their own (members interconnect at J=1)
+    val iso = cls.filter(col("__m") >= 2)
+      .join(cc.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("cluster_id"), col("__m").as("n_docs"),
+        col("__keep").getField("kid").as("keep_id"))
+    edgeClusters.unionByName(iso).orderBy(col("cluster_id"))
   }
 
   /** q44 — containment near-dup pairs (oracle-checked): n-gram OVERLAP
@@ -368,6 +402,71 @@ object Curation {
       .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("__m"))
     Similarity.nearDupCosine(cls.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", threshold = 0.35)
+      .join(cls.select(col("vec_id").as("id_a"), col("__m").as("m_a")), Seq("id_a"))
+      .join(cls.select(col("vec_id").as("id_b"), col("__m").as("m_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sim"), col("m_a"), col("m_b"),
+        (col("m_a") * col("m_b")).as("n_doc_pairs"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q268 — semantic dedup pairs at the CLASS grain (oracle-checked):
+    * SemDeDup's within-cell near-dup enumeration
+    * ([[graft.vector.SemanticDedup.semanticPairsWith]] — the production
+    * pairing machinery, steps 2–3 of the operator) under a
+    * DETERMINISTIC cell tiling, so the one LLM-pipeline component that
+    * was ScalaTest-pinned only (r9 VERDICT missing #2) gains the DuckDB
+    * hard gate. Cells are per-LABEL centroids on the q152/q256
+    * exact-integer convention, sized so EVERY arithmetic step is
+    * bit-deterministic cross-engine:
+    *  - vectors quantize to ×1e6 longs (float32→double exact, so both
+    *    engines derive identical integers ≤ 3.2e5);
+    *  - centroid_i = floor(S_i/N) over the per-label integer coordinate
+    *    sums — floor, not round (round-half rules differ per engine),
+    *    and |centroid_i| ≤ 3.2e5, so every dot term is ≤ ~1e11 and a
+    *    64-term dot sum stays ≤ ~6.6e12 ≪ 2⁵³: the double accumulation
+    *    is EXACT in any order, sqrt is IEEE-correctly-rounded, and the
+    *    argmax (ties → larger cell, [[graft.functions.expressions
+    *    .CellArgMax]]'s rule, mirrored in the oracle's ORDER BY) cannot
+    *    flip between engines;
+    *  - pair cosines run over the same quantized vectors, equally exact.
+    * Output is REPRESENTATIVE-grain (q266's shape — one row per
+    * qualifying pair of byte-identical-embedding classes with
+    * multiplicities and implied doc-pair mass), so the 100× sweep times
+    * it: the doc-grain pair list is twin-quadratic by contract, the
+    * class-grain output is bounded by distinct content.
+    *
+    * Scale shape: one posexplode shuffle for the |labels|·dim centroid
+    * sums (collected — labels are a fixed vocabulary, driver-small at
+    * any corpus size), one embedding-keyed class collapse, then the
+    * cell equi-join's Σ|cell|² pair work over REPRESENTATIVES — the
+    * SemDeDup n²/numCells term on distinct content only.
+    */
+  def semanticClasses(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = (c: Column) => transform(c,
+      x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+    // per-label floor(S/N) centroids over the FULL corpus (twins count
+    // toward their label's mass — scale-invariance is not assumed, the
+    // floor is taken on the true per-label mean of the quantized grid)
+    val cents: IndexedSeq[Seq[Double]] = emb
+      .select(col("label"), posexplode(q(col("embedding"))))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"),
+          // Spark's floor yields bigint — cast back so the collected
+          // centroid literal is the array<double> cellAssignment takes
+          floor(col("s").cast("double") / col("n")).cast("double").as("c")))),
+        st => st.getField("c")).as("cent"))
+      .orderBy(col("label"))
+      .collect().toIndexedSeq
+      .map(_.getSeq[Double](1).toArray.toSeq)
+    val cls = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("__m"))
+    val pairs = SemanticDedup.semanticPairsWith(
+      cls.select(col("vec_id"), q(col("embedding")).cast("array<double>").as("qv")),
+      "vec_id", "qv", tau = 0.35, cents)
+    pairs
       .join(cls.select(col("vec_id").as("id_a"), col("__m").as("m_a")), Seq("id_a"))
       .join(cls.select(col("vec_id").as("id_b"), col("__m").as("m_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("sim"), col("m_a"), col("m_b"),
@@ -2290,6 +2389,7 @@ object Curation {
     "q264_ngram_classes" -> (ngramClasses _),
     "q265_overlap_classes" -> (overlapClasses _),
     "q266_embed_classes" -> (embedClasses _),
+    "q268_semantic_classes" -> (semanticClasses _),
     "q46_idf_terms" -> (idfTerms _),
     "q48_quantile_band" -> (quantileBandStats _),
     "q49_repetition" -> (repetitionStats _),

@@ -63,12 +63,15 @@ object ScaleCheck {
     // run collapse-first (Dedup.collapsedDocPairs), so the posting-list
     // self-join intermediate tracks distinct content and only the
     // OUTPUT pair list (unavoidably C(100,2) per twin class) is
-    // twin-quadratic; both are measured at 100x. q42 remains: its
-    // candidate-edge ENUMERATION is the operator under test.
-    "q42_dedup_clusters" -> ("candidate edges quadratic in the twin" +
-      " factor at 100x (C(100,2) per twin class before the CC" +
-      " collapse); measured at 10x (41.0 s); the 100x-measured dup" +
-      " readout on this corpus is q149's class spectrum"))
+    // twin-quadratic; both are measured at 100x.
+    // round-10: q42 left too — dedupClusters now collapses to exact-
+    // duplicate class representatives BEFORE edge enumeration and label
+    // propagation (value identity pinned in CollapseEquivalenceSpec),
+    // so its candidate edges and CC label table track distinct content
+    // and the query is 100x-TIMED. Every remaining skip is a raw pair
+    // LIST whose output is twin-quadratic by contract, each naming its
+    // 100x-timed class-grain twin above.
+  )
 
   def main(args: Array[String]): Unit = {
     val dir = args(0)

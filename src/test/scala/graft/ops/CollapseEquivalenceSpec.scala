@@ -127,6 +127,43 @@ class CollapseEquivalenceSpec extends SparkSpec {
     assert(got.exists(_._3 == 1.0) && got.exists(_._3 < 1.0))
   }
 
+  test("q42-shape: collapse-first dedupClusters == raw doc-grain CC") {
+    // n_chars for the keep rule; plus a PLANTED ISOLATED twin class — a
+    // gibberish text duplicated 3× that Jaccard-matches nothing else —
+    // so the iso arm (multi-member class with no cross-class edge,
+    // a doc-grain component the class-grain CC never sees) is
+    // guaranteed exercised, not left to corpus luck
+    val iso = spark.range(1).select(
+      (lit(90000000L) + col("id")).as("doc_id"),
+      lit("zzqx vrgh plik wmburt snagl zzqx vrgh plik").as("text"),
+      lit("srcX").as("source"))
+    val isoTwins = (1 to 2).map(i =>
+      iso.withColumn("doc_id", col("doc_id") + lit(i.toLong)))
+    val docs = (iso +: isoTwins).foldLeft(corpus)(_ unionByName _)
+      .withColumn("n_chars", length(col("text")))
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    // raw doc-grain reference — the pre-round-10 dedupClusters body
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val ref = cc.join(docs.select(col("doc_id"), col("n_chars")),
+        cc("id") === col("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("n_chars")).as("negq"), col("doc_id").as("kid")))
+          .getField("kid").as("keep_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Curation.dedupClustersOf(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == ref,
+      s"clusters diverged: only-ref=${(ref -- got).take(5)} " +
+        s"only-got=${(got -- ref).take(5)}")
+    // the planted class must surface as its own 3-doc cluster via the
+    // iso arm, keeping its min id
+    assert(got.contains((90000000L, 3L, 90000000L)))
+    // and the twins corpus guarantees edge-clusters too
+    assert(got.exists(_._2 >= 4L))
+  }
+
   test("q111-shape: winnowTopPairs == uncollapsed sharedFingerprints rollup") {
     val ref = Graph.sharedFingerprints(
         Graph.winnowFingerprints(corpus, "doc_id", "text", k = 4, w = 8),
