@@ -357,6 +357,57 @@ object CurationOracle {
         |       JOIN cls cb ON cb.vec_id = q.id_b
         |ORDER BY q.id_a, q.id_b""".stripMargin,
 
+    // q268 (r10): SemDeDup within-cell pairs at the class grain under a
+    // deterministic cell tiling — per-label floor(S/N) centroids on the
+    // q152 integer grid (every dot/norm exact in double, sqrt correctly
+    // rounded, so assignment AND pair cosines are bit-identical to the
+    // Spark side); argmax tie → larger cell index (CellArgMax's rule).
+    "q268_semantic_classes" ->
+      """WITH qi AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) ql
+        |  FROM embeddings),
+        |cpos0 AS (
+        |  SELECT label, unnest(list_transform(ql, (x, i) -> {'pos': i, 'v': x}),
+        |                       recursive := true)
+        |  FROM qi),
+        |cent AS (
+        |  SELECT label, list(CAST(floor(CAST(s AS DOUBLE) / n) AS DOUBLE)
+        |                     ORDER BY pos) c
+        |  FROM (SELECT label, pos, CAST(sum(v) AS BIGINT) s, count(*) n
+        |        FROM cpos0 GROUP BY 1, 2)
+        |  GROUP BY label),
+        |cells AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY label) - 1 AS INT) cell
+        |  FROM cent),
+        |cls AS (
+        |  SELECT min(vec_id) vec_id, CAST(count(*) AS BIGINT) m, embedding
+        |  FROM embeddings GROUP BY embedding),
+        |clsq AS (
+        |  SELECT vec_id, m,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)) qv
+        |  FROM cls),
+        |assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT clsq.vec_id, cells.cell,
+        |           row_number() OVER (PARTITION BY clsq.vec_id
+        |             ORDER BY list_cosine_similarity(clsq.qv, cells.c) DESC,
+        |                      cells.cell DESC) rn
+        |    FROM clsq CROSS JOIN cells) WHERE rn = 1),
+        |base AS (
+        |  SELECT clsq.vec_id, clsq.m, clsq.qv, a.cell
+        |  FROM clsq JOIN assign a USING (vec_id)),
+        |p AS (
+        |  SELECT a.vec_id id_a, b.vec_id id_b,
+        |         round(list_cosine_similarity(a.qv, b.qv), 6) sim,
+        |         a.m m_a, b.m m_b
+        |  FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.qv, b.qv) >= 0.35)
+        |SELECT id_a, id_b, sim, m_a, m_b, CAST(m_a * m_b AS BIGINT) n_doc_pairs
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
+
     "q45_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         |spans AS (

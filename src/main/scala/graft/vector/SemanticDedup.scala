@@ -56,9 +56,41 @@ object SemanticDedup {
     val projected = df.select(col(idCol).as("id"),
       Similarity.requireDim(asDouble(col(vecCol)), dim).as("v"))
     val centroids = Similarity.trainOnBase(projected, numCells, lloydIters, trainFraction)
-    // persisted: the self-join scans `base` twice, and cellAssignment
-    // is numCells full-dim cosines per row — the dominant per-row cost.
-    // ContextCleaner reclaims the blocks once the plan is unreachable.
+    pairsWithin(projected, tau, centroids)
+  }
+
+  /** The PAIR stage of [[semanticPairs]] with PROVIDED centroids — the
+    * steps 2–3 machinery factored out so a caller can inject a
+    * deterministic cell tiling instead of the Lloyd-trained one. The
+    * oracle-checked q268 entry feeds per-label integer-grid centroids
+    * (the q152/q256 exact-integer convention), which makes the whole
+    * assignment cross-engine bit-deterministic; the default entry point
+    * injects its trained centroids through the same code path, so the
+    * oracle gate exercises exactly the production pairing machinery.
+    */
+  def semanticPairsWith(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      centroids: IndexedSeq[Seq[Double]]): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be a cosine in [-1,1]: $tau")
+    require(centroids.nonEmpty, "semanticPairsWith: empty centroid set")
+    GraftFunctions.register(df.sparkSession)
+    val dimOpt = Similarity.vecDimOpt(df, vecCol)
+    if (dimOpt.isEmpty)
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0d).as("sim")).limit(0)
+    val projected = df.select(col(idCol).as("id"),
+      Similarity.requireDim(asDouble(col(vecCol)), dimOpt.get).as("v"))
+    pairsWithin(projected, tau, centroids)
+  }
+
+  /** Within-cell enumeration over a dim-guarded (id, v) frame. The
+    * self-join scans `base` twice and cellAssignment is numCells
+    * full-dim cosines per row — the dominant per-row cost — so `base`
+    * is persisted; ContextCleaner reclaims the blocks once the plan is
+    * unreachable. */
+  private def pairsWithin(
+      projected: DataFrame, tau: Double,
+      centroids: IndexedSeq[Seq[Double]]): DataFrame = {
     val base = projected
       .withColumn("cell", Similarity.cellAssignment(col("v"), centroids))
       .persist()
