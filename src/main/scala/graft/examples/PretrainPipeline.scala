@@ -100,10 +100,15 @@ object PretrainPipeline {
 
     // 1. quality: token-count band + within-doc repetition cap
     val toks = split(col("text"), " ")
+    // persisted across the lm_quality stage (r10): lmScore's build-time
+    // stats action AND the lmKept join both replay this frame — without
+    // the cache the tokenize + repetition filters run twice more inside
+    // one stage. Unpersisted right after lmKept materializes.
     val quality = docs
       .filter(col("n_tok").between(10, 1000))
       .filter(size(toks) < 3 ||
         TextAnalysis.repetitionRatioOfTokens(toks, 3) <= 0.2)
+      .persist()
     recDf("quality", quality)
 
     // 1b. reference-LM perplexity gate (the CCNet shape, self-trained:
@@ -124,6 +129,7 @@ object PretrainPipeline {
       Seq("doc_id"))
       .persist()
     recDf("lm_quality", lmKept)
+    quality.unpersist(blocking = false)
 
     // 2. outlier trim: drop the length tails (truncation / concat accidents)
     val trimmed = Curation.quantileBand(lmKept, "n_chars", 0.05, 0.95)

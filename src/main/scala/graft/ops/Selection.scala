@@ -116,32 +116,49 @@ object Selection {
       .withColumn("__ref", refFilter)
       .select(ids :+ col("__ref") :+ toks(col(textCol)).as("__t"): _*)
       .filter(size(col("__t")) >= 2)
-    // an empty reference slice degenerates the Laplace LM to ln(0/1):
-    // Spark's log yields NULL where DuckDB's ln raises — fail loudly
-    // instead of diverging silently (one limit-1 job; ADVICE r8)
-    require(!docs.filter(col("__ref")).isEmpty,
-      "lmScore: refFilter matched no >=2-token document — the reference " +
-        "LM is empty; pass a nonempty reference slice")
+    // docBi feeds the LM build (lm → pref → V) AND the scoring join —
+    // r9 it recomputed for each, and the tokenize/explode/aggregate is
+    // the dominant per-row cost, so it is persisted (r9 VERDICT #5).
+    // It is the REDUCED (doc × distinct-bigram) frame, far below the
+    // exploded bigram stream; materialized eagerly by the V probe just
+    // below, reclaimed by ContextCleaner when the plan goes out of
+    // scope (the adjudicated lazy-builder lifecycle).
     val docBi = docs
       .select(ids :+ col("__ref") :+ explode(bigrams(col("__t"))).as("__bg"): _*)
       .groupBy(ids :+ col("__ref") :+ col("__bg.a").as("a") :+
         col("__bg.b").as("b"): _*)
       .agg(count(lit(1)).as("m"))
+      .persist()
     val lm = docBi.filter(col("__ref"))
       .groupBy(col("a").as("__la"), col("b").as("__lb"))
       .agg(sum(col("m")).as("cab"))
     val pref = lm.groupBy(col("__la").as("__pa"))
       .agg(sum(col("cab")).as("ca"))
-    val vDf = lm.agg(countDistinct(col("__lb")).as("__v"))
-    val lmB = Hints.broadcastIfBounded(lm, lm,
-      struct(col("__la"), col("__lb")))
-    val prefB = Hints.broadcastIfBounded(pref, pref, col("__pa"))
+    // ONE stats action over lm replaces r9's THREE build-time jobs
+    // (the tokenizing limit-1 empty probe + two approx_count_distinct
+    // broadcast guards) and also materializes the docBi cache:
+    //  - V = distinct continuations, the Laplace denominator — baked in
+    //    as a literal, dropping the crossJoin(broadcast(vDf)) from the
+    //    scoring plan; V = 0 ⇔ no ≥2-token reference doc, the
+    //    empty-slice fail-fast (an empty reference degenerates the LM
+    //    to ln(0/1), which Spark NULLs where DuckDB raises; ADVICE r8);
+    //  - lm's row count and distinct-prefix count are EXACT broadcast
+    //    guards for the two attach joins (same bound as
+    //    Hints.keyIsBounded, no approx-sketch shading needed).
+    val stats = lm.agg(count(lit(1)).as("__n"),
+      countDistinct(col("__lb")).as("__v"),
+      countDistinct(col("__la")).as("__p")).head()
+    val v = stats.getLong(1)
+    require(v > 0,
+      "lmScore: refFilter matched no >=2-token document — the reference " +
+        "LM is empty; pass a nonempty reference slice")
+    val lmB = if (stats.getLong(0) <= Hints.MaxBroadcastKeys) broadcast(lm) else lm
+    val prefB = if (stats.getLong(2) <= Hints.MaxBroadcastKeys) broadcast(pref) else pref
     docBi
       .join(lmB, col("a") === col("__la") && col("b") === col("__lb"), "left")
       .join(prefB, col("a") === col("__pa"), "left")
-      .crossJoin(broadcast(vDf))
       .withColumn("__term",
-        round(log((coalesce(col("ca"), lit(0L)) + col("__v")).cast("double") /
+        round(log((coalesce(col("ca"), lit(0L)) + lit(v)).cast("double") /
           (coalesce(col("cab"), lit(0L)) + lit(1L))) * lit(1000000.0))
           .cast("long"))
       .groupBy(ids: _*)
