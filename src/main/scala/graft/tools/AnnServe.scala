@@ -129,6 +129,50 @@ object AnnServe {
       Similarity.ivfTopKIndexed(ivGrown, batch1, "vec_id", "embedding", 10)
         .collect().length
     }
+
+    // r10 STREAMED append cadence: the same 10% growth slice arrives as
+    // a multi-micro-batch stream through the IndexStore sinks
+    // (StreamingOps.lshIndexSink/ivfIndexSink) — measures what a
+    // foreachBatch-maintained durable index costs per growth slice,
+    // including the per-segment parquet writes the in-memory append
+    // above does not pay. Probe parity with the in-memory grown index
+    // is asserted, not assumed.
+    import graft.streaming.StreamingOps
+    import graft.vector.IndexStore
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(tag).toString
+    val growthSrc = tmp("annserve_growth")
+    growth.repartition(4).write.mode("overwrite").parquet(growthSrc)
+    val growthSchema = spark.read.parquet(growthSrc).schema
+    def replay(sinkOf: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+      val q = sinkOf(spark.readStream.schema(growthSchema)
+          .option("maxFilesPerTrigger", 1).parquet(growthSrc))
+        .option("checkpointLocation", tmp("annserve_ckpt")).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val lshDir = tmp("annserve_lsh_store")
+    val (_, lshStoreWriteSec) = timed { IndexStore.writeLsh(baseIdx, lshDir) }
+    val (_, lshStreamSec) = timed {
+      replay(df => StreamingOps.lshIndexSink(df, lshDir, "vec_id", "embedding"))
+    }
+    val (sa, lshProbeStreamSec) = timed {
+      Similarity.annTopKIndexed(IndexStore.readLsh(spark, lshDir),
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
+    require(sa == ga,
+      s"streamed LSH store probe rows $sa != in-memory grown $ga")
+    val ivfDir = tmp("annserve_ivf_store")
+    val (_, ivfStoreWriteSec) = timed { IndexStore.writeIvf(ivBase, ivfDir) }
+    val (_, ivfStreamSec) = timed {
+      replay(df => StreamingOps.ivfIndexSink(df, ivfDir, "vec_id", "embedding"))
+    }
+    val (sb, ivfProbeStreamSec) = timed {
+      Similarity.ivfTopKIndexed(IndexStore.readIvf(spark, ivfDir),
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
+    require(sb == gb,
+      s"streamed IVF store probe rows $sb != in-memory grown $gb")
     val json =
       s"""{"note": "ANN serving splits, both paths. LSH: index built once (banded rows persisted, pre-partitioned by (table, code)) vs the inline annTopK that repays the full corpus banding per call; probe batches are 10 queries each at defaults (L=32, bucketTarget=128). IVF: centroids trained + cells assigned once (data persisted, pre-partitioned by cell) vs the inline ivfTopK that retrains and reassigns per call; defaults (numCells=64, nProbe=32).",
          | "dir": "$dir", "corpus_vectors": ${n - 20},
@@ -147,7 +191,14 @@ object AnnServe {
          | "lsh_probe_after_append_sec": ${f"$lshProbeGrownSec%.2f"}, "lsh_probe_after_append_rows": $ga,
          | "ivf_base90_build_sec": ${f"$ivfBase90Sec%.2f"},
          | "ivf_append_sec": ${f"$ivfAppendSec%.2f"},
-         | "ivf_probe_after_append_sec": ${f"$ivfProbeGrownSec%.2f"}, "ivf_probe_after_append_rows": $gb}""".stripMargin
+         | "ivf_probe_after_append_sec": ${f"$ivfProbeGrownSec%.2f"}, "ivf_probe_after_append_rows": $gb,
+         | "stream_note": "streamed index maintenance (r10): the same growth slice replayed as a 4-micro-batch file stream through StreamingOps.lshIndexSink/ivfIndexSink into a durable IndexStore (per-batch segment parquet, exactly-once by path); probe-row parity with the in-memory grown index is require()d.",
+         | "lsh_store_write_sec": ${f"$lshStoreWriteSec%.2f"},
+         | "lsh_stream_append_sec": ${f"$lshStreamSec%.2f"},
+         | "lsh_probe_after_stream_sec": ${f"$lshProbeStreamSec%.2f"},
+         | "ivf_store_write_sec": ${f"$ivfStoreWriteSec%.2f"},
+         | "ivf_stream_append_sec": ${f"$ivfStreamSec%.2f"},
+         | "ivf_probe_after_stream_sec": ${f"$ivfProbeStreamSec%.2f"}}""".stripMargin
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()
