@@ -42,7 +42,7 @@ object BenchAmp {
     val allNames = Bench.headlineNames
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    def oneSession(): Map[String, Double] = {
+    def oneSession(): (Map[String, Double], Double) = {
       val spark = graft.ScaleConfig.cluster(SparkSession.builder())
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", "64")
@@ -72,16 +72,35 @@ object BenchAmp {
         .map { n => n -> passes.flatMap(_.get(n)) }
         .collect { case (n, ts) if ts.nonEmpty => n -> ts.sorted.apply(ts.size / 2) }
         .toMap
+      // per-SESSION dispatch-floor probe (r9 VERDICT #6): the Bench
+      // floor shape — a fresh range(factRows) two-stage aggregate, ~1 ms
+      // of real compute, so the median is the session's fixed per-job
+      // cost. Run INSIDE each session, so a host-drift session move is
+      // attributable in-artifact (over-floor totals separate "the VM got
+      // slower at dispatching jobs" from "a query's compute regressed").
+      import org.apache.spark.sql.functions.{col, sum => fsum}
+      val factRows =
+        try Tables.load(spark, ampDir, "lineitem").count() catch { case _: Throwable => 6000000L }
+      def probe(): Unit =
+        { spark.range(0, factRows, 1, 3).agg(fsum(col("id"))).collect(); () }
+      probe(); probe()
+      val floorTs = Seq.fill(11) {
+        val t0 = System.nanoTime(); probe(); (System.nanoTime() - t0) / 1e9
+      }
+      val floor = floorTs.sorted.apply(floorTs.size / 2)
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      medians
+      (medians, floor)
     }
 
-    val perSession: Seq[Map[String, Double]] = (1 to sessions).map { i =>
-      System.err.println(s"[benchamp] session $i/$sessions")
-      oneSession()
-    }
+    val sessionResults: Seq[(Map[String, Double], Double)] =
+      (1 to sessions).map { i =>
+        System.err.println(s"[benchamp] session $i/$sessions")
+        oneSession()
+      }
+    val perSession: Seq[Map[String, Double]] = sessionResults.map(_._1)
+    val sessionFloors: Seq[Double] = sessionResults.map(_._2)
     val names = allNames.filterNot(errors.contains)
     def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     val rows = names.flatMap { n =>
@@ -91,6 +110,13 @@ object BenchAmp {
     }
     val totalMed = rows.map(_._2._1).sum
     val totalMin = rows.map(_._2._2).sum
+    // per-session suite totals and their over-floor forms: sessionTotal
+    // − nQueries × that session's own floor — the number to compare
+    // round-over-round (a host-drift move shifts the floor term, a code
+    // regression shifts over-floor)
+    val sessionTotals = perSession.map(s => names.flatMap(s.get).sum)
+    val sessionOverFloor = sessionTotals.zip(sessionFloors)
+      .map { case (t, f) => math.max(0.0, t - names.size * f) }
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
@@ -98,8 +124,14 @@ object BenchAmp {
       val spreadPct = if (lo > 0) (hi - lo) / lo * 100 else 0.0
       "\"" + n + "\":" + f"""{"median":$m%.3f,"min":$lo%.3f,"max":$hi%.3f,"spread_pct":$spreadPct%.1f,"sessions":[${ts.map(t => f"$t%.3f").mkString(",")}]}"""
     }.mkString("{", ",", "}")
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"amp10_total","value":$totalMed,"total_min":$totalMin,"unit":"sec","queries":$qJson,"errors":$errJson,"amp_dir":"$ampDir","protocol":"cluster posture, shuf=64; $sessions sessions x (2 warm + 5 timed passes, per-query medians); value = sum of per-query medians-of-session-medians, total_min = sum of per-query session minima"}"""
+      s"""{"metric":"amp10_total","value":$totalMed,"total_min":$totalMin,"unit":"sec","queries":$qJson,""" +
+        s""""session_floors_per_query":${arr(sessionFloors)},""" +
+        s""""session_totals":${arr(sessionTotals)},""" +
+        s""""session_totals_over_floor":${arr(sessionOverFloor)},""" +
+        s""""total_over_floor_min":${f"${if (sessionOverFloor.nonEmpty) sessionOverFloor.min else 0.0}%.3f"},""" +
+        s""""errors":$errJson,"amp_dir":"$ampDir","protocol":"cluster posture, shuf=64; $sessions sessions x (2 warm + 5 timed passes, per-query medians); value = sum of per-query medians-of-session-medians, total_min = sum of per-query session minima; session_floors_per_query = per-session median of 11 fresh range(factRows) two-stage aggregates (the Bench floor shape), session_totals_over_floor = sessionTotal - nQueries*sessionFloor — compare rounds on over-floor numbers"}"""
     Files.writeString(Paths.get(outJson), json)
     println(json)
   }
