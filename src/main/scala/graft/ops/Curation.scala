@@ -283,10 +283,14 @@ object Curation {
     * exposed so CollapseEquivalenceSpec can pin it against the raw
     * doc-grain formulation on a planted-twins corpus. */
   def dedupClustersOf(docs: DataFrame): DataFrame = {
+    // persisted: consumed by the edge enumerator's two self-join
+    // branches (the classPairs measurement — ~8x at 100× uncached),
+    // by the CC-side materialization, and by the two expansion joins
     val cls = docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("__m"),
         min(struct((-col("n_chars")).as("negq"), col("doc_id").as("kid")))
           .as("__keep"))
+      .persist()
     val pairs = Dedup.ngramJaccard(cls.select(col("doc_id"), col("text")),
       "doc_id", "text", shingleLen = 3, threshold = 0.5)
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -344,16 +348,23 @@ object Curation {
     * ([[graft.text.Dedup.collapsedDocPairs]] is the operator form) but
     * on a twin-heavy corpus it is quadratic in the duplication factor
     * BY CONTRACT — these twins are the bounded output every skip-listed
-    * enumerator is measured through at 100×. `cls` is NOT persisted
-    * despite its three consumers (r9 ADVICE — a lazy builder has no
-    * unpersist site): the class aggregate's exchange is runtime-reused
-    * across them, measured FLAT without the cache (q262 amp100:
-    * 10.2 s uncached vs 11.1 s cached).
+    * enumerator is measured through at 100×. `cls` IS persisted: the r9
+    * ADVICE lifecycle concern (no unpersist site on a lazy builder) was
+    * tried and REVERSED by measurement — the MinHash twin is flat
+    * uncached (exchange reuse covers its symmetric banding join), but
+    * the n-gram/overlap pairFns consume the representatives through two
+    * ASYMMETRIC self-join branches that each re-run the corpus text
+    * aggregate AND the shingle build (q264/q265 at 100×: ~3 s cached →
+    * ~25 s uncached, fresh-JVM confirmed). The frame is distinct-
+    * content-sized (MBs at any amp factor); ContextCleaner reclaims it
+    * when the plan goes unreachable — the adjudicated lazy-builder
+    * lifecycle.
     */
   private def classPairs(docs: DataFrame, idCol: String, simCol: String)(
       pairFn: DataFrame => DataFrame): DataFrame = {
     val cls = docs.groupBy(col("text"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("__m"))
+      .persist()
     pairFn(cls.select(col(idCol), col("text")))
       .join(cls.select(col(idCol).as("id_a"), col("__m").as("m_a")), Seq("id_a"))
       .join(cls.select(col(idCol).as("id_b"), col("__m").as("m_b")), Seq("id_b"))
@@ -397,9 +408,12 @@ object Curation {
     * embedding (classes group on the float array itself — exact twins
     * replicate vectors bit-exactly, so grouping is engine-agnostic). */
   def embedClasses(spark: SparkSession, dir: String): DataFrame = {
+    // persisted for the same measured reason as classPairs' cls (the
+    // broadcast self-join consumes the class frame on both sides)
     val cls = Tables.load(spark, dir, "embeddings")
       .groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("__m"))
+      .persist()
     Similarity.nearDupCosine(cls.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", threshold = 0.35)
       .join(cls.select(col("vec_id").as("id_a"), col("__m").as("m_a")), Seq("id_a"))
