@@ -26,6 +26,18 @@ object QTime {
     // anything is timed (the ScaleCheck discipline — without it the
     // first query reads 2-10x its steady-state time at 100x)
     Tables.names.foreach(n => Tables.load(spark, dir, n).count())
+    // per-SESSION dispatch-floor probe (the Bench/BenchAmp shape), so a
+    // flagged-row re-measure carries its own drift normalizer — the
+    // r9-verdict protocol for adjudicating ScaleCheck superlinear flags
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val factRows = Tables.load(spark, dir, "lineitem").count()
+    def probe(): Unit =
+      { spark.range(0, factRows, 1, 3).agg(fsum(col("id"))).collect(); () }
+    probe(); probe()
+    val floorTs = Seq.fill(11) {
+      val t0 = System.nanoTime(); probe(); (System.nanoTime() - t0) / 1e9
+    }
+    println(f"floor_per_query ${floorTs.sorted.apply(floorTs.size / 2)}%8.3f s")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       fn(spark, dir).collect() // warm: codegen + cache
