@@ -748,6 +748,21 @@ object StreamingOps {
     * What the frozen geometry means for recall/occupancy as the corpus
     * grows is the append-vs-rebuild cadence note on
     * [[graft.vector.Similarity.lshIndexAppend]].
+    *
+    * MAINTENANCE TRIGGER (r10 verdict #3): each micro-batch adds one
+    * `batch=<id>` segment directory per subtree; unbounded, that is a
+    * partition-discovery + file-open cost that grows with stream
+    * lifetime. Run [[graft.vector.IndexStore.compactLsh]] when
+    * [[graft.vector.IndexStore.segmentCount]] passes ~64 (pure segment
+    * merge — probe results provably unchanged, pinned in
+    * IndexStoreCompactionSpec), and
+    * [[graft.vector.IndexStore.rebuildLsh]] instead when bucket
+    * occupancy has drifted past ~2× target (corpus roughly doubled
+    * since `p` was sized) — that re-sizes the geometry and collapses
+    * segments as a side effect. Compact/rebuild from a maintenance
+    * process, not the sink itself: the sink's own writes stay
+    * per-batch idempotent either way (a replayed batch just recreates
+    * its segment beside the new base).
     */
   def lshIndexSink(
       df: DataFrame, indexDir: String, idCol: String, vecCol: String,
@@ -773,7 +788,12 @@ object StreamingOps {
     * (a literal-broadcast codegen'd map, no model state shipped),
     * one segment per micro-batch. Same store contract (base written
     * first, unique ids upstream); the retrain-when-drifted cadence is
-    * [[graft.vector.Similarity.ivfIndexAppend]]'s note. */
+    * [[graft.vector.Similarity.ivfIndexAppend]]'s note. Same
+    * MAINTENANCE TRIGGER as [[lshIndexSink]]:
+    * [[graft.vector.IndexStore.compactIvf]] at ~64 segments (merge
+    * only, centroids untouched), [[graft.vector.IndexStore.rebuildIvf]]
+    * when the centroids have gone stale (appended fraction /
+    * cell-occupancy skew past threshold). */
   def ivfIndexSink(
       df: DataFrame, indexDir: String, idCol: String, vecCol: String,
       name: String = "ivf_index_sink"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   * against the (corpus-sized) base. The base index occupies
   * `batch=-1`. Readers do one partition-discovery scan over the
   * segment tree; at cluster scale point `dir` at durable storage and
-  * compact segments on the rebuild cadence the append scaladoc
-  * prescribes (occupancy drift for LSH, centroid staleness for IVF).
+  * run the maintenance pair on the cadence the sink scaladocs
+  * prescribe: [[compactLsh]]/[[compactIvf]] (pure segment merge, ~64
+  * segments) and [[rebuildLsh]]/[[rebuildIvf]] (geometry re-size /
+  * centroid retrain when the append scaladoc's drift thresholds fire).
   */
 object IndexStore {
 
@@ -96,5 +98,149 @@ object IndexStore {
     val geom = readIvfGeometry(spark, dir)
     geom.copy(data = spark.read.parquet(s"$dir/data")
       .select(col("id"), col("v"), col("cell")))
+  }
+
+  /** Segments currently in a store subtree (`banded`/`vectors`/`data`)
+    * — the compaction trigger: each streamed micro-batch adds one
+    * `batch=<id>` directory, and while the read path merges them
+    * transparently, partition discovery + per-file open cost grows
+    * with the count. The sinks' scaladoc prescribes compacting on the
+    * order of every ~64 segments (or on the append-vs-rebuild cadence,
+    * whichever fires first). */
+  def segmentCount(spark: SparkSession, dir: String, sub: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) 0
+    else fs.listStatus(path).count(s =>
+      s.isDirectory && s.getPath.getName.startsWith("batch="))
+  }
+
+  /** Rewrite every `batch=*` segment of one subtree into a single new
+    * base segment (`batch=-1`), staged beside the live tree and swapped
+    * in by rename — the read path (plain partition discovery) sees
+    * either the old segment set or the compacted base, never a partial
+    * mix. Row content is untouched (pure segment merge), so probes are
+    * provably oblivious: reading `dir/<sub>` yields the same multiset
+    * of rows before and after (pinned in IndexStoreCompactionSpec).
+    *
+    * Crash story: the stage write is invisible until the first rename;
+    * a crash between the two renames leaves `<sub>.old` + `<sub>.compact`
+    * — both complete copies — and re-running compaction (or restoring
+    * `.old`) recovers. At cluster scale against an object store you'd
+    * swap a manifest pointer instead of renaming; the segment layout
+    * itself is unchanged.
+    *
+    * `targetPartitions` > 0 coalesces the merged scan so the compacted
+    * base lands in that many files (compaction exists to REDUCE file
+    * count; the default keeps the scan's natural partitioning, which at
+    * many-tiny-segments counts is already ≤ one file per segment). */
+  private def compactTree(
+      spark: SparkSession, root: String, targetPartitions: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    require(fs.exists(p(root)), s"no store subtree at $root")
+    val merged0 = spark.read.parquet(root)
+      .drop("batch") // discovery column; segment identity dies here
+    val merged =
+      if (targetPartitions > 0) merged0.coalesce(targetPartitions)
+      else merged0
+    fs.delete(p(s"$root.compact"), true)
+    merged.write.mode("overwrite").parquet(s"$root.compact/batch=-1")
+    fs.delete(p(s"$root.old"), true)
+    require(fs.rename(p(root), p(s"$root.old")), s"swap-out failed: $root")
+    require(fs.rename(p(s"$root.compact"), p(root)), s"swap-in failed: $root")
+    fs.delete(p(s"$root.old"), true)
+  }
+
+  /** Compact an LSH store: merge all postings segments and all vector
+    * segments into single `batch=-1` bases. Geometry is untouched —
+    * this is the cheap half of the maintenance cadence (file-count
+    * hygiene); when bucket OCCUPANCY has drifted past ~2× target
+    * (corpus roughly doubled since `p` was sized), use [[rebuildLsh]]
+    * instead, which re-sizes the geometry. */
+  def compactLsh(
+      spark: SparkSession, dir: String, targetPartitions: Int = 0): Unit = {
+    compactTree(spark, s"$dir/banded", targetPartitions)
+    compactTree(spark, s"$dir/vectors", targetPartitions)
+  }
+
+  /** Compact an IVF store: merge all assigned-data segments into a
+    * single `batch=-1` base. Centroids are untouched — when they have
+    * gone stale (appended fraction or cell-occupancy skew past the
+    * operator's threshold, see [[Similarity.ivfIndexAppend]]), use
+    * [[rebuildIvf]], which retrains. */
+  def compactIvf(
+      spark: SparkSession, dir: String, targetPartitions: Int = 0): Unit =
+    compactTree(spark, s"$dir/data", targetPartitions)
+
+  /** The rebuild half of the LSH cadence: re-band the full stored
+    * corpus at a FRESH auto-sized geometry (p re-sized to the corpus as
+    * it is now — the thing [[Similarity.lshIndexAppend]] freezes) and
+    * swap the store to it. One linear scan of the vectors tree + the
+    * banding map; segments collapse to `batch=-1` as a side effect.
+    * In-flight readers that loaded the OLD geometry must re-read it —
+    * codes from different seeds/p do not mix (same contract as any
+    * index rebuild). */
+  def rebuildLsh(
+      spark: SparkSession, dir: String, L: Int = 32,
+      bucketTarget: Int = 128, seed: Long = 42L): LshIndex = {
+    val vectors = spark.read.parquet(s"$dir/vectors")
+      .select(col("id"), col("v"))
+    val idx = Similarity.lshIndex(vectors, "id", "v",
+      L = L, bucketTarget = bucketTarget, seed = seed)
+    stageAndSwap(spark, dir, Seq(
+      "banded" -> idx.banded, "vectors" -> idx.vectors))
+    import spark.implicits._
+    Seq((idx.dim, idx.p, idx.L, idx.seed)).toDF("dim", "p", "L", "seed")
+      .write.mode("overwrite").parquet(s"$dir/geometry")
+    idx
+  }
+
+  /** The rebuild half of the IVF cadence: retrain centroids over the
+    * full stored corpus (Lloyd, same deterministic seeding as
+    * [[Similarity.ivfIndex]]), re-assign every vector, swap the store.
+    * This is what the append scaladoc's "retrain when drifted" points
+    * at. */
+  def rebuildIvf(
+      spark: SparkSession, dir: String, numCells: Int = 64,
+      lloydIters: Int = 2, trainFraction: Double = 1.0): IvfIndex = {
+    val data = spark.read.parquet(s"$dir/data").select(col("id"), col("v"))
+    val idx = Similarity.ivfIndex(data, "id", "v",
+      numCells, lloydIters, trainFraction)
+    stageAndSwap(spark, dir, Seq("data" -> idx.data))
+    import spark.implicits._
+    Seq(idx.dim).toDF("dim")
+      .write.mode("overwrite").parquet(s"$dir/geometry")
+    idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "c")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    idx
+  }
+
+  /** Write each frame (whose lineage READS the live tree) to a staged
+    * `<sub>.compact/batch=-1`, then swap all subtrees — the rebuild
+    * twin of [[compactTree]]'s stage-then-rename discipline (writing
+    * `overwrite` straight into a directory the plan is scanning would
+    * delete the input mid-read). Geometry/centroids are driver-side
+    * values by the time the caller overwrites them, so those writes
+    * need no staging. */
+  private def stageAndSwap(
+      spark: SparkSession, dir: String,
+      subs: Seq[(String, DataFrame)]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    subs.foreach { case (sub, df) =>
+      fs.delete(p(s"$dir/$sub.compact"), true)
+      df.write.mode("overwrite").parquet(s"$dir/$sub.compact/batch=-1")
+    }
+    subs.foreach { case (sub, _) =>
+      val root = s"$dir/$sub"
+      fs.delete(p(s"$root.old"), true)
+      require(fs.rename(p(root), p(s"$root.old")), s"swap-out failed: $root")
+      require(fs.rename(p(s"$root.compact"), p(root)), s"swap-in failed: $root")
+      fs.delete(p(s"$root.old"), true)
+    }
   }
 }

@@ -241,6 +241,11 @@ object Similarity {
   def annTopKIndexed(
       index: LshIndex, queries: DataFrame,
       queryIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    // geometry-only reads (IndexStore.readLshGeometry) carry null frames
+    // by contract — fail here with the cause, not an NPE in the planner
+    require(index.banded != null && index.vectors != null,
+      "probe needs a full index — this LshIndex is geometry-only " +
+        "(IndexStore.readLshGeometry); load it with IndexStore.readLsh")
     GraftFunctions.register(queries.sparkSession)
     val q0 = queries.select(
         col(queryIdCol).as("query_id"),
@@ -490,6 +495,10 @@ object Similarity {
       queryIdCol: String, queryVecCol: String, k: Int,
       nProbe: Int = 32): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    // same guard as annTopKIndexed: geometry-only reads carry data=null
+    require(index.data != null,
+      "probe needs a full index — this IvfIndex is geometry-only " +
+        "(IndexStore.readIvfGeometry); load it with IndexStore.readIvf")
     GraftFunctions.register(queries.sparkSession)
     val centroids = index.centroids
     // the training sample may yield FEWER centroids than numCells (tiny

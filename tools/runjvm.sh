@@ -2,7 +2,9 @@
 # Run a graft tools main on the compiled classpath with the same JDK17
 # add-opens set build.sbt gives forked runs (sbt-startup-free).
 MEM="${SPARK_DRIVER_MEM:-24g}"
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# GRAFT_CLASSES lets a long-running batch pin a snapshot of the compiled
+# classes so concurrent sbt compiles can't swap class files under it.
+CP="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}:/opt/spark/jars/*"
 exec java -cp "$CP" \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
