@@ -1575,23 +1575,69 @@ object Curation {
     * mass each side carries, with the cross-source subtlety that a
     * cluster's keeper may live in a different source than its drops
     * (kept + dropped = docs per source by construction — the keeper
-    * decision is global, the attribution is per-doc). One md5-key
-    * shuffle (32-char keys, never full text), one argmax window.
+    * decision is global, the attribution is per-doc).
+    *
+    * Round-11: COLLAPSE-FIRST (the q42 recipe — it carried the highest
+    * surviving fresh-JVM 100× ratio, 8.8×, because the old form ran
+    * the normalize regex cascade over the FULL raw text of every exact
+    * twin). Now the regex runs once per DISTINCT text: exact-text
+    * groups form first, (group, source) carries the doc counts / char
+    * masses / per-source keeper candidate, and the cluster grain —
+    * md5(normalize(text)) over one representative — is
+    * distinct-content-sized. The window keeper rule is preserved
+    * without assuming n_chars is text-functional: the per-(text,
+    * source) candidate is min(struct(−n_chars, doc_id)), the cluster
+    * keeper is the min of those structs (doc_id is unique, so the
+    * source rides along unambiguously), exactly the row the raw form's
+    * row_number-over-(n_chars desc, doc_id) ranks first. Value
+    * identity vs the raw form is pinned in CollapseEquivalenceSpec;
+    * the unchanged oracle hash re-proves it per run.
     */
-  def canonicalKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        md5(TextAnalysis.normalize(col("text"))).as("__ck"))
-    val w = Window.partitionBy(col("__ck"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    docs.withColumn("__rn", row_number().over(w))
+  def canonicalKeepBest(spark: SparkSession, dir: String): DataFrame =
+    canonicalKeepBestOf(Tables.load(spark, dir, "documents"))
+
+  /** [[canonicalKeepBest]] core over any (doc_id, source, n_chars,
+    * text) frame — exposed so CollapseEquivalenceSpec can pin it
+    * against the raw doc-grain window formulation on a planted-twins
+    * corpus (including twins whose n_chars DIFFER, the case where a
+    * "representatives share everything" shortcut would break). */
+  def canonicalKeepBestOf(docs: DataFrame): DataFrame = {
+    // (text, source) grain: counts, char mass, best-member candidate.
+    // Map-side partial agg already folds same-partition twins, so the
+    // text-keyed shuffle ships distinct (text, source) rows.
+    val bySrc = docs
+      .groupBy(col("text"), col("source"))
+      .agg(count(lit(1)).as("__cnt"),
+        sum(col("n_chars")).cast("long").as("__chars"),
+        min(struct((-col("n_chars")).as("negq"), col("doc_id").as("kid")))
+          .as("__cand"))
+    // text grain: ONE normalize+md5 per distinct text; keeper candidate
+    // = min over sources (kid unique ⇒ trailing source is untouched by
+    // the struct ordering, it just rides along for attribution)
+    val cls = bySrc.groupBy(col("text"))
+      .agg(min(struct(col("__cand.negq").as("negq"),
+        col("__cand.kid").as("kid"), col("source").as("ksrc")))
+        .as("__keep"))
+      .select(md5(TextAnalysis.normalize(col("text"))).as("__ck"),
+        col("__keep"))
+    // cluster grain (32-char keys, distinct-content row count): the
+    // global keeper per normalized cluster, attributed to its source
+    val keepers = cls.groupBy(col("__ck"))
+      .agg(min(col("__keep")).as("__k"))
+      .select(col("__k.ksrc").as("source"),
+        (-col("__k.negq")).cast("long").as("__kchars"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"),
-        sum(when(col("__rn") === 1, col("n_chars")).otherwise(0L))
-          .as("kept_chars"),
-        sum(when(col("__rn") =!= 1, col("n_chars")).otherwise(0L))
+      .agg(count(lit(1)).as("__n_kept"), sum(col("__kchars")).as("__kept_chars"))
+    val totals = bySrc.groupBy(col("source"))
+      .agg(sum(col("__cnt")).as("n_docs"), sum(col("__chars")).as("__tot"))
+    // a source whose every doc loses to another source's keeper has no
+    // keepers row — left join + coalesce keeps its scorecard exact
+    totals.join(keepers, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("__n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("__kept_chars"), lit(0L)).as("kept_chars"),
+        (col("__tot") - coalesce(col("__kept_chars"), lit(0L)))
           .as("dropped_chars"))
       .coalesce(1).orderBy(col("source"))
   }

@@ -142,7 +142,10 @@ object AnnServe {
     def tmp(tag: String) =
       java.nio.file.Files.createTempDirectory(tag).toString
     val growthSrc = tmp("annserve_growth")
-    growth.repartition(4).write.mode("overwrite").parquet(growthSrc)
+    // 16 files -> 16 micro-batches -> 16 `batch=` segments per subtree
+    // beside the base: a realistic streamed-store segment count, so the
+    // compaction rows below measure against real discovery/open cost
+    growth.repartition(16).write.mode("overwrite").parquet(growthSrc)
     val growthSchema = spark.read.parquet(growthSrc).schema
     def replay(sinkOf: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
@@ -173,6 +176,31 @@ object AnnServe {
     }
     require(sb == gb,
       s"streamed IVF store probe rows $sb != in-memory grown $gb")
+
+    // r11 compaction cadence (IndexStore.compactLsh/compactIvf): merge
+    // the streamed `batch=` segments into one base and re-probe — the
+    // spec pins result identity; this measures the maintenance cost and
+    // the probe latency either side of it at the segment count above
+    val lshSegsBefore = IndexStore.segmentCount(spark, lshDir, "banded")
+    val (_, lshCompactSec) = timed {
+      IndexStore.compactLsh(spark, lshDir, targetPartitions = 8)
+    }
+    val (ca, lshProbeCompactSec) = timed {
+      Similarity.annTopKIndexed(IndexStore.readLsh(spark, lshDir),
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
+    require(ca == sa,
+      s"compaction changed LSH probe rows: $ca != $sa")
+    val ivfSegsBefore = IndexStore.segmentCount(spark, ivfDir, "data")
+    val (_, ivfCompactSec) = timed {
+      IndexStore.compactIvf(spark, ivfDir, targetPartitions = 8)
+    }
+    val (cb, ivfProbeCompactSec) = timed {
+      Similarity.ivfTopKIndexed(IndexStore.readIvf(spark, ivfDir),
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
+    require(cb == sb,
+      s"compaction changed IVF probe rows: $cb != $sb")
     val json =
       s"""{"note": "ANN serving splits, both paths. LSH: index built once (banded rows persisted, pre-partitioned by (table, code)) vs the inline annTopK that repays the full corpus banding per call; probe batches are 10 queries each at defaults (L=32, bucketTarget=128). IVF: centroids trained + cells assigned once (data persisted, pre-partitioned by cell) vs the inline ivfTopK that retrains and reassigns per call; defaults (numCells=64, nProbe=32).",
          | "dir": "$dir", "corpus_vectors": ${n - 20},
@@ -198,7 +226,14 @@ object AnnServe {
          | "lsh_probe_after_stream_sec": ${f"$lshProbeStreamSec%.2f"},
          | "ivf_store_write_sec": ${f"$ivfStoreWriteSec%.2f"},
          | "ivf_stream_append_sec": ${f"$ivfStreamSec%.2f"},
-         | "ivf_probe_after_stream_sec": ${f"$ivfProbeStreamSec%.2f"}}""".stripMargin
+         | "ivf_probe_after_stream_sec": ${f"$ivfProbeStreamSec%.2f"},
+         | "compact_note": "compaction cadence (r11): IndexStore.compactLsh/compactIvf merge the stream's per-batch segments into one batch=-1 base (stage-then-rename); probe-row parity with the pre-compaction store is require()d, so these rows are pure file-count/latency deltas at the segment counts shown.",
+         | "lsh_segments_before_compact": $lshSegsBefore,
+         | "lsh_compact_sec": ${f"$lshCompactSec%.2f"},
+         | "lsh_probe_after_compact_sec": ${f"$lshProbeCompactSec%.2f"},
+         | "ivf_segments_before_compact": $ivfSegsBefore,
+         | "ivf_compact_sec": ${f"$ivfCompactSec%.2f"},
+         | "ivf_probe_after_compact_sec": ${f"$ivfProbeCompactSec%.2f"}}""".stripMargin
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()

@@ -164,6 +164,55 @@ class CollapseEquivalenceSpec extends SparkSpec {
     assert(got.exists(_._2 >= 4L))
   }
 
+  test("q227-shape: collapse-first canonicalKeepBest == raw window formulation") {
+    initQuiet()
+    import org.apache.spark.sql.expressions.Window
+    // twins corpus PLUS the two hostile cases the collapse must not
+    // assume away: (a) byte-identical texts whose n_chars DIFFER (the
+    // keeper candidate is per-doc, not per-class); (b) raw-distinct
+    // texts that normalize to the SAME cluster key (case/punct
+    // variants) with sources split across them, so a cluster's keeper
+    // lives in a different source than its drops
+    val variants = spark.createDataFrame(Seq(
+      (80000001L, "srcA", 40L, "The Quick! Brown Fox 77"),
+      (80000002L, "srcB", 22L, "the quick brown fox 77"),
+      (80000003L, "srcB", 23L, "the quick  brown fox 77"),
+      (80000004L, "srcA", 23L, "the quick brown fox 77"), // exact twin of 02, bigger n_chars
+      (80000005L, "srcC", 23L, "the quick brown fox 77")  // exact twin, 3rd source
+    )).toDF("doc_id", "source", "n_chars", "text")
+    val docs = corpus
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
+      .unionByName(variants)
+    // raw doc-grain reference — the pre-round-11 canonicalKeepBest body
+    val keyed = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      md5(TextAnalysis.normalize(col("text"))).as("__ck"))
+    val w = Window.partitionBy(col("__ck"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val ref = keyed.withColumn("__rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("__rn") === 1, col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sum(when(col("__rn") =!= 1, col("n_chars")).otherwise(0L)).as("dropped_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val got = Curation.canonicalKeepBestOf(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == ref,
+      s"scorecards diverged: only-ref=${ref -- got} only-got=${got -- ref}")
+    // the planted cluster: all five variants share one normalized key;
+    // keeper is 80000001 (n_chars 40) in srcA — srcB/srcC keep nothing
+    // from it, which only shows if the per-source attribution is exact
+    val bySrc = got.map(t => t._1 -> t).toMap
+    assert(bySrc("srcC")._3 == 0L, "srcC must keep nothing")
+    assert(bySrc("srcA")._3 >= 1L)
+  }
+
   test("q111-shape: winnowTopPairs == uncollapsed sharedFingerprints rollup") {
     val ref = Graph.sharedFingerprints(
         Graph.winnowFingerprints(corpus, "doc_id", "text", k = 4, w = 8),
