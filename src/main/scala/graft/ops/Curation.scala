@@ -299,7 +299,12 @@ object Curation {
       .agg(sum(col("__m")).as("n_docs"),
         min(col("__keep")).getField("kid").as("keep_id"))
     // multi-member classes whose representative pairs with nothing:
-    // doc-grain components of their own (members interconnect at J=1)
+    // doc-grain components of their own (members interconnect at J=1).
+    // "Interconnect at J=1" leans on shingleTable's >= 1-shingle
+    // whole-text fallback (the INVARIANT comment there): even a
+    // sub-shingle-length text self-pairs, so a multi-member class is
+    // NEVER edge-free at the doc grain. Pinned by the planted
+    // short-text twins in CollapseEquivalenceSpec's q42-shape test.
     val iso = cls.filter(col("__m") >= 2)
       .join(cc.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("cluster_id"), col("__m").as("n_docs"),
@@ -455,8 +460,14 @@ object Curation {
     * cell equi-join's Σ|cell|² pair work over REPRESENTATIVES — the
     * SemDeDup n²/numCells term on distinct content only.
     */
-  def semanticClasses(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+  def semanticClasses(spark: SparkSession, dir: String): DataFrame =
+    semanticClassesOf(Tables.load(spark, dir, "embeddings"))
+
+  /** [[semanticClasses]] core over any (vec_id, label, embedding)
+    * frame — exposed so SemanticDedupSpec can plant the cross-engine
+    * hazard rows (a zero-QUANTIZING vector, a tau-boundary pair) the
+    * corpus doesn't guarantee. */
+  def semanticClassesOf(emb: DataFrame): DataFrame = {
     val q = (c: Column) => transform(c,
       x => round(x.cast("double") * lit(1000000.0)).cast("long"))
     // per-label floor(S/N) centroids over the FULL corpus (twins count
@@ -477,8 +488,21 @@ object Curation {
       .map(_.getSeq[Double](1).toArray.toSeq)
     val cls = emb.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("__m"))
+    // zero-QUANTIZING reps are excluded STRUCTURALLY on both sides
+    // (r10 ADVICE): a vector of |x| < 5e-7 floats rounds to the zero
+    // grid vector, whose cosine is engine-defined (Spark CosineSim
+    // pins 0.0; DuckDB's list_cosine_similarity was measured returning
+    // -1.0 here, and NaN in other versions) — the symmetric filter
+    // makes the cross-engine hash independent of that convention
+    // instead of relying on the corpus never containing one. The
+    // remaining cross-engine surface — denominator composition — is
+    // MEASURED, not assumed: DuckDB's list_cosine_similarity composes
+    // sqrt(na)*sqrt(nb) exactly like CosineSimilarity.scala:49
+    // (200/200 agreement on probe pairs where sqrt(na)*sqrt(nb) and
+    // sqrt(na*nb) differ by ulps; tools/probe notes, r11).
     val pairs = SemanticDedup.semanticPairsWith(
-      cls.select(col("vec_id"), q(col("embedding")).cast("array<double>").as("qv")),
+      cls.select(col("vec_id"), q(col("embedding")).cast("array<double>").as("qv"))
+        .filter(exists(col("qv"), x => x =!= lit(0.0))),
       "vec_id", "qv", tau = 0.35, cents)
     pairs
       .join(cls.select(col("vec_id").as("id_a"), col("__m").as("m_a")), Seq("id_a"))

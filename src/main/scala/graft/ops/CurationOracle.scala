@@ -385,10 +385,16 @@ object CurationOracle {
         |  SELECT min(vec_id) vec_id, CAST(count(*) AS BIGINT) m, embedding
         |  FROM embeddings GROUP BY embedding),
         |clsq AS (
-        |  SELECT vec_id, m,
-        |         list_transform(embedding,
-        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)) qv
-        |  FROM cls),
+        |  SELECT vec_id, m, qv FROM (
+        |    SELECT vec_id, m,
+        |           list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)) qv
+        |    FROM cls)
+        |  -- zero-quantizing reps excluded on BOTH sides (the Spark
+        |  -- query filters them identically): zero-norm cosine is
+        |  -- engine-defined, so neither engine's convention may reach
+        |  -- the tau filter or the assignment argmax
+        |  WHERE len(list_filter(qv, x -> x <> 0.0)) > 0),
         |assign AS (
         |  SELECT vec_id, cell FROM (
         |    SELECT clsq.vec_id, cells.cell,

@@ -176,6 +176,17 @@ object Dedup {
   private[graft] def shingleTable(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // INVARIANT (load-bearing, r10 ADVICE): every doc emits >= 1
+    // shingle — the greatest(..., 1) arm degrades a sub-n-token text to
+    // one whole-text shingle rather than zero rows. Identical texts
+    // therefore ALWAYS self-pair at J = 1 in the enumerators built on
+    // this table, which is what lets Curation.dedupClustersOf's iso arm
+    // claim "multi-member class whose representative pairs with nothing
+    // ⇒ its members still interconnect": a zero-shingle short text
+    // would break that equivalence silently. Pinned by the
+    // sub-shingle-length planted twins in CollapseEquivalenceSpec's
+    // q42-shape test; change the fallback and that spec must change
+    // with it.
     df.repartition(parallelism, col(idCol))
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .select(col("id"),

@@ -42,7 +42,7 @@ object BenchAmp {
     val allNames = Bench.headlineNames
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    def oneSession(): (Map[String, Double], Double) = {
+    def oneSession(): (Map[String, Double], Double, Boolean) = {
       val spark = graft.ScaleConfig.cluster(SparkSession.builder())
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", "64")
@@ -79,8 +79,21 @@ object BenchAmp {
       // attributable in-artifact (over-floor totals separate "the VM got
       // slower at dispatching jobs" from "a query's compute regressed").
       import org.apache.spark.sql.functions.{col, sum => fsum}
+      // NonFatal only (r10 ADVICE): a fatal error (OOM) must crash the
+      // run, not silently masquerade as a default floor; and a defaulted
+      // factRows makes session floors cross-round incomparable, so the
+      // fallback is logged AND flagged in the artifact
+      var floorRowsDefaulted = false
       val factRows =
-        try Tables.load(spark, ampDir, "lineitem").count() catch { case _: Throwable => 6000000L }
+        try Tables.load(spark, ampDir, "lineitem").count()
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[benchamp] floor probe: lineitem count failed " +
+              s"(${e.getMessage}); defaulting factRows=6000000 — " +
+              "session floors are NOT cross-round comparable")
+          floorRowsDefaulted = true
+          6000000L
+        }
       def probe(): Unit =
         { spark.range(0, factRows, 1, 3).agg(fsum(col("id"))).collect(); () }
       probe(); probe()
@@ -91,16 +104,17 @@ object BenchAmp {
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      (medians, floor)
+      (medians, floor, floorRowsDefaulted)
     }
 
-    val sessionResults: Seq[(Map[String, Double], Double)] =
+    val sessionResults: Seq[(Map[String, Double], Double, Boolean)] =
       (1 to sessions).map { i =>
         System.err.println(s"[benchamp] session $i/$sessions")
         oneSession()
       }
     val perSession: Seq[Map[String, Double]] = sessionResults.map(_._1)
     val sessionFloors: Seq[Double] = sessionResults.map(_._2)
+    val floorRowsDefaulted = sessionResults.exists(_._3)
     val names = allNames.filterNot(errors.contains)
     def med(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
     val rows = names.flatMap { n =>
@@ -128,6 +142,7 @@ object BenchAmp {
     val json =
       s"""{"metric":"amp10_total","value":$totalMed,"total_min":$totalMin,"unit":"sec","queries":$qJson,""" +
         s""""session_floors_per_query":${arr(sessionFloors)},""" +
+        s""""floor_rows_defaulted":$floorRowsDefaulted,""" +
         s""""session_totals":${arr(sessionTotals)},""" +
         s""""session_totals_over_floor":${arr(sessionOverFloor)},""" +
         s""""total_over_floor_min":${f"${if (sessionOverFloor.nonEmpty) sessionOverFloor.min else 0.0}%.3f"},""" +

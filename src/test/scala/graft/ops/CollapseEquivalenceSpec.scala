@@ -139,7 +139,20 @@ class CollapseEquivalenceSpec extends SparkSpec {
       lit("srcX").as("source"))
     val isoTwins = (1 to 2).map(i =>
       iso.withColumn("doc_id", col("doc_id") + lit(i.toLong)))
-    val docs = (iso +: isoTwins).foldLeft(corpus)(_ unionByName _)
+    // plus a SUB-SHINGLE-LENGTH duplicated text (2 tokens < shingleLen
+    // 3): the iso arm's "members interconnect at J=1" claim leans on
+    // shingleTable's >= 1-shingle whole-text fallback (see the
+    // INVARIANT comment there) — with a zero-shingle fallback these
+    // twins would emit no rows and this planted class would vanish from
+    // got but not from ref
+    val shorty = spark.range(1).select(
+      (lit(95000000L) + col("id")).as("doc_id"),
+      lit("qvrp zzit").as("text"),
+      lit("srcX").as("source"))
+    val shortTwins = (1 to 2).map(i =>
+      shorty.withColumn("doc_id", col("doc_id") + lit(i.toLong)))
+    val docs = (Seq(iso) ++ isoTwins ++ Seq(shorty) ++ shortTwins)
+      .foldLeft(corpus)(_ unionByName _)
       .withColumn("n_chars", length(col("text")))
       .select(col("doc_id"), col("text"), col("n_chars"))
     // raw doc-grain reference — the pre-round-10 dedupClusters body
@@ -160,6 +173,12 @@ class CollapseEquivalenceSpec extends SparkSpec {
     // the planted class must surface as its own 3-doc cluster via the
     // iso arm, keeping its min id
     assert(got.contains((90000000L, 3L, 90000000L)))
+    // the sub-shingle-length twins must surface too — the >= 1-shingle
+    // invariant in action (either arm is acceptable; existence is the
+    // contract)
+    assert(got.exists(t => t._1 == 95000000L && t._2 == 3L),
+      "sub-shingle-length twin class lost — shingleTable's whole-text " +
+        "fallback invariant broken?")
     // and the twins corpus guarantees edge-clusters too
     assert(got.exists(_._2 >= 4L))
   }

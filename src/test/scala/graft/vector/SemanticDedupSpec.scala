@@ -48,6 +48,64 @@ class SemanticDedupSpec extends SparkSpec {
       "zero vector was deduped away")
   }
 
+  test("q268: zero-QUANTIZING vectors are structurally excluded on the Spark side") {
+    // |x| < 5e-7 floats round to the all-zero grid vector — its cosine
+    // is ENGINE-defined (Spark 0.0, DuckDB -1.0 here / NaN elsewhere),
+    // so q268 filters such reps before pairing on BOTH sides rather
+    // than letting either convention reach the tau filter. The corpus
+    // never contains one (embeddings are unit-scale floats), so this
+    // planted row is the only thing pinning the filter.
+    initQuiet()
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val tiny = Seq((999999L, 999L, Array.fill(dim)(1e-8f)))
+      .toDF("vec_id", "label", "embedding")
+    val corpus = emb.select(col("vec_id"), col("label"), col("embedding"))
+      .unionByName(tiny.withColumn("label",
+        col("label").cast(emb.schema("label").dataType)))
+    val out = graft.ops.Curation.semanticClassesOf(corpus)
+    assert(out.filter(col("id_a") === 999999L || col("id_b") === 999999L)
+      .count() == 0, "zero-quantizing vector reached the pair output")
+    assert(out.count() > 0) // the rest of the corpus still pairs
+  }
+
+  test("q268: the tau comparison is inclusive at an exactly-attained boundary") {
+    // the ADVICE tau-boundary concern: a pair whose cosine lands
+    // EXACTLY on tau must pass the >= filter, and one ulp above tau
+    // must not. Integer-grid vectors with tiny norms make the cosine
+    // arithmetic exact in double: a = 1 grid unit on axis 0 and
+    // b = (3, 4) grid units give dot 3, norms 1 and 5, cos = 3/5 = 0.6
+    // exactly (a representable double).
+    initQuiet()
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    def vec(xs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(dim)(0f); xs.foreach { case (i, v) => a(i) = v }; a
+    }
+    // quantized: a=(1e6·1e-6)=1 grid unit on axis 0; b=(3,4) grid units
+    // → cos = 3/(1·5) = 0.6 exactly (all terms tiny integers in double)
+    val rows = Seq(
+      (1L, "x", vec(0 -> 1e-6f)),
+      (2L, "x", vec(0 -> 3e-6f, 1 -> 4e-6f)))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = SemanticDedup.semanticPairsWith(
+      rows.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")
+            .cast("double")).as("qv")),
+      "vec_id", "qv", tau = 0.6, IndexedSeq(Seq.fill(dim)(0.0)))
+    val got = pairs.select("id_a", "id_b", "sim").collect()
+    assert(got.length == 1, s"boundary pair missed: ${got.toSeq}")
+    assert(got.head.getDouble(2) == 0.6)
+    // one ulp above tau excludes it — the comparison really is >= on
+    // the raw (pre-round) similarity
+    val pairsAbove = SemanticDedup.semanticPairsWith(
+      rows.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1000000.0)).cast("long")
+            .cast("double")).as("qv")),
+      "vec_id", "qv", tau = math.nextUp(0.6), IndexedSeq(Seq.fill(dim)(0.0)))
+    assert(pairsAbove.count() == 0)
+  }
+
   test("empty corpus dedups to empty, not a trainer error") {
     val empty = emb.limit(0)
     assert(SemanticDedup.semanticPairs(empty, "vec_id", "embedding", 0.35).count() == 0)
