@@ -499,7 +499,7 @@ object Curation {
     // MEASURED, not assumed: DuckDB's list_cosine_similarity composes
     // sqrt(na)*sqrt(nb) exactly like CosineSimilarity.scala:49
     // (200/200 agreement on probe pairs where sqrt(na)*sqrt(nb) and
-    // sqrt(na*nb) differ by ulps; tools/probe notes, r11).
+    // sqrt(na*nb) differ by ulps; tools/probe_cosine_composition.py).
     val pairs = SemanticDedup.semanticPairsWith(
       cls.select(col("vec_id"), q(col("embedding")).cast("array<double>").as("qv"))
         .filter(exists(col("qv"), x => x =!= lit(0.0))),
