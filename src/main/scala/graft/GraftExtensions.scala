@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CellArgMax, CosineSimilarity, JaccardSimilarity, JaroWinkler, MinHashSignature, SimHash64}
+import graft.functions.expressions.{CellArgMax, CosineSimilarity, JaccardSimilarity, JaroWinkler, MinHashSignature, PqEncode, PqLut, SimHash64}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.simhash64Descriptor)
     e.injectFunction(GraftFunctions.jaroWinklerDescriptor)
     e.injectFunction(GraftFunctions.cellArgmaxDescriptor)
+    e.injectFunction(GraftFunctions.pqEncodeDescriptor)
+    e.injectFunction(GraftFunctions.pqLutDescriptor)
   }
 }
 
@@ -72,6 +74,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CellArgMax].getName, "cell_argmax"),
     (exprs: Seq[Expression]) => CellArgMax(exprs(0), exprs(1)))
 
+  private[graft] val pqEncodeDescriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_encode"),
+    new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+    (exprs: Seq[Expression]) => PqEncode(exprs(0), exprs(1)))
+
+  private[graft] val pqLutDescriptor:
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pq_lut"),
+    new ExpressionInfo(classOf[PqLut].getName, "pq_lut"),
+    (exprs: Seq[Expression]) => PqLut(exprs(0), exprs(1)))
+
   /** Register on a live session (temp function, session-scoped). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -88,6 +102,10 @@ object GraftFunctions {
       "jaro_winkler", exprs => JaroWinkler(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cell_argmax", exprs => CellArgMax(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_lut", exprs => PqLut(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column-API faces of the native expressions (require registration). */
@@ -100,4 +118,8 @@ object GraftFunctions {
     call_function("jaro_winkler", a, b)
   def cellArgmax(vec: Column, centroids: Column): Column =
     call_function("cell_argmax", vec, centroids)
+  def pqEncode(vec: Column, books: Column): Column =
+    call_function("pq_encode", vec, books)
+  def pqLut(vec: Column, books: Column): Column =
+    call_function("pq_lut", vec, books)
 }

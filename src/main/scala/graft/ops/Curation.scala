@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.multimodal.Multimodal
 import graft.text.{Boilerplate, Dedup, TextAnalysis}
-import graft.vector.{SemanticDedup, Similarity}
+import graft.vector.{Pq, SemanticDedup, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -468,24 +468,8 @@ object Curation {
     * hazard rows (a zero-QUANTIZING vector, a tau-boundary pair) the
     * corpus doesn't guarantee. */
   def semanticClassesOf(emb: DataFrame): DataFrame = {
-    val q = (c: Column) => transform(c,
-      x => round(x.cast("double") * lit(1000000.0)).cast("long"))
-    // per-label floor(S/N) centroids over the FULL corpus (twins count
-    // toward their label's mass — scale-invariance is not assumed, the
-    // floor is taken on the true per-label mean of the quantized grid)
-    val cents: IndexedSeq[Seq[Double]] = emb
-      .select(col("label"), posexplode(q(col("embedding"))))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-      .groupBy(col("label"))
-      .agg(transform(sort_array(collect_list(struct(col("pos"),
-          // Spark's floor yields bigint — cast back so the collected
-          // centroid literal is the array<double> cellAssignment takes
-          floor(col("s").cast("double") / col("n")).cast("double").as("c")))),
-        st => st.getField("c")).as("cent"))
-      .orderBy(col("label"))
-      .collect().toIndexedSeq
-      .map(_.getSeq[Double](1).toArray.toSeq)
+    val q = gridQuantize _
+    val cents = labelGridCentroids(emb)
     val cls = emb.groupBy(col("embedding"))
       .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("__m"))
     // zero-QUANTIZING reps are excluded STRUCTURALLY on both sides
@@ -510,6 +494,129 @@ object Curation {
       .select(col("id_a"), col("id_b"), col("sim"), col("m_a"), col("m_b"),
         (col("m_a") * col("m_b")).as("n_doc_pairs"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** ×1e6 integer-grid quantizer shared by the exact-arithmetic vector
+    * queries (q268/q269/q270): float32→double is exact, so both engines
+    * derive identical ≤ 3.2e5-magnitude longs. */
+  private def gridQuantize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+
+  /** Per-label floor(S/N) centroids over the FULL corpus on the
+    * [[gridQuantize]] grid (twins count toward their label's mass —
+    * scale-invariance is not assumed, the floor is taken on the true
+    * per-label mean). Floor, not round: round-half rules differ per
+    * engine. |centroid_i| ≤ 3.2e5, so every downstream dot/distance
+    * term stays exact in double (the q268 scaladoc carries the bound
+    * arithmetic). Collected: labels are a fixed vocabulary, |labels|·dim
+    * doubles is driver-small at any corpus size. Ordered by label — the
+    * index IS the cross-engine cell/codeword id. */
+  private[graft] def labelGridCentroids(emb: DataFrame): IndexedSeq[Seq[Double]] = emb
+    .select(col("label"), posexplode(gridQuantize(col("embedding"))))
+    .groupBy(col("label"), col("pos"))
+    .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+    .groupBy(col("label"))
+    .agg(transform(sort_array(collect_list(struct(col("pos"),
+        // Spark's floor yields bigint — cast back so the collected
+        // centroid literal is the array<double> cellAssignment takes
+        floor(col("s").cast("double") / col("n")).cast("double").as("c")))),
+      st => st.getField("c")).as("cent"))
+    .orderBy(col("label"))
+    .collect().toIndexedSeq
+    .map(_.getSeq[Double](1).toArray.toSeq)
+
+  /** The deterministic PQ model q269/q270 share: m=2 subspaces whose
+    * codebooks are the HALVES of the [[labelGridCentroids]] (ksub =
+    * |labels| codewords each) — the q268 recipe extended to product
+    * quantization so the production PQ machinery ([[graft.functions
+    * .expressions.PqEncode]], [[Pq.pqEncodeFrame]], [[Pq.pqScanTopK]])
+    * gets a DuckDB hard gate: every encode distance, ADC dot,
+    * reconstruction norm and query norm is a sum of products of
+    * ≤ 6.4e5-magnitude integers over ≤ 64 terms — exact in double in
+    * ANY order on both engines, so codes, sims and ranks cannot flip.
+    * (The TRAINED path — [[Pq.pqTrain]]'s per-subspace Lloyd — is
+    * float-mean based and engine-specific by nature; it is pinned by
+    * PqSpec, the same split as IVF's trainCentroids vs q268.) */
+  private def labelPqModel(emb: DataFrame): Pq.PqModel = {
+    val cents = labelGridCentroids(emb)
+    val dim = cents.head.length
+    require(dim % 2 == 0, s"embedding dim $dim must split into 2 subspaces")
+    val dsub = dim / 2
+    Pq.PqModel(IndexedSeq(
+      cents.map(_.slice(0, dsub)).toIndexedSeq,
+      cents.map(_.slice(dsub, dim)).toIndexedSeq))
+  }
+
+  /** q269 — PQ quantization distortion by label (oracle-checked):
+    * encode every byte-identical-embedding class representative with
+    * the [[labelPqModel]] codebooks and report, per class label (min
+    * label in the class), the class count, the doc mass, and the TOTAL
+    * squared reconstruction error — the quantity PQ's Lloyd training
+    * minimizes and the first thing to audit before trusting ADC ranks
+    * on a new corpus. Representative grain keeps the output (and the
+    * error sum) bounded by distinct content: per-rep error ≤ 2.7e13
+    * fits a long exactly, and the per-label sum stays ≤ ~1e17 ≪ 2⁶³ at
+    * any amplification because twins collapse (doc mass is reported,
+    * not error-weighted — a doc-weighted sum would re-inflate with the
+    * twin factor).
+    *
+    * Scale shape: one posexplode shuffle for the centroids (collected,
+    * driver-small), one embedding-keyed class collapse, then a narrow
+    * per-rep encode map + a |labels|-row aggregate. No pair work at
+    * all. */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame =
+    pqDistortionOf(Tables.load(spark, dir, "embeddings"))
+
+  /** [[pqDistortion]] core over any (vec_id, label, embedding) frame. */
+  def pqDistortionOf(emb: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(emb.sparkSession)
+    val model = labelPqModel(emb)
+    val cls = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"), min(col("label")).as("label"),
+        count(lit(1)).as("m"))
+    val coded = cls
+      .select(col("label"), col("m"),
+        gridQuantize(col("embedding")).cast("array<double>").as("qv"))
+      .select(col("label"), col("m"), col("qv"),
+        graft.GraftFunctions.pqEncode(col("qv"), model.booksLit).as("codes"))
+    coded
+      .select(col("label"), col("m"),
+        aggregate(zip_with(col("qv"), Pq.pqDecode(col("codes"), model),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).cast("long").as("sq_err"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("m")).as("n_docs"),
+        sum(col("sq_err")).as("sum_sq_err"))
+      .orderBy(col("label"))
+  }
+
+  /** q270 — PQ ADC top-k (oracle-checked): the production ADC scan
+    * ([[Pq.pqEncodeFrame]] → [[Pq.pqScanTopK]] — LUT expression, m
+    * lookups per candidate, code-derived reconstruction norms, zero
+    * denominators pinned 0.0) under the [[labelPqModel]] deterministic
+    * codebooks, over class representatives, for a deterministic ~1%
+    * query slice (vec_id ≡ 0 mod 97). Every dot/norm is exact integer
+    * arithmetic and ranking uses the ROUNDED sim (ties → id) in both
+    * engines, so the top-5 lists are bit-stable cross-engine.
+    *
+    * Scale shape: centroid aggregate + class collapse as q269, then a
+    * broadcast-queries × representatives ADC scan — linear in distinct
+    * content with a ~|reps|/97-row broadcast side, the
+    * [[Similarity.bruteForceTopK]] shape at 1/8th the scan width. */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopKOf(Tables.load(spark, dir, "embeddings"))
+
+  /** [[pqAdcTopK]] core over any (vec_id, label, embedding) frame. */
+  def pqAdcTopKOf(emb: DataFrame): DataFrame = {
+    val model = labelPqModel(emb)
+    val reps = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"),
+        gridQuantize(col("embedding")).cast("array<double>").as("qv"))
+    val codes = Pq.pqEncodeFrame(reps, "vec_id", "qv", model)
+    val queries = reps.filter(pmod(col("vec_id"), lit(97)) === 0)
+    Pq.pqScanTopK(codes, model, queries, "vec_id", "qv", k = 5)
+      .orderBy(col("query_id"), col("rk"))
   }
 
   /** q46 — vocabulary head by DOCUMENT frequency with idf
@@ -2474,6 +2581,8 @@ object Curation {
     "q265_overlap_classes" -> (overlapClasses _),
     "q266_embed_classes" -> (embedClasses _),
     "q268_semantic_classes" -> (semanticClasses _),
+    "q269_pq_distortion" -> (pqDistortion _),
+    "q270_pq_adc" -> (pqAdcTopK _),
     "q46_idf_terms" -> (idfTerms _),
     "q48_quantile_band" -> (quantileBandStats _),
     "q49_repetition" -> (repetitionStats _),

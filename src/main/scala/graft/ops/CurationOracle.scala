@@ -414,6 +414,147 @@ object CurationOracle {
         |SELECT id_a, id_b, sim, m_a, m_b, CAST(m_a * m_b AS BIGINT) n_doc_pairs
         |FROM p ORDER BY id_a, id_b""".stripMargin,
 
+    // q269/q270 (r11): product quantization under the q268 recipe —
+    // codebooks are the HALVES of the per-label floor(S/N) grid
+    // centroids (m=2 subspaces, ksub=|labels| codewords), so encode
+    // distances, ADC dots, reconstruction norms and query norms are all
+    // sums of products of <=6.4e5-magnitude integers over <=64 terms:
+    // exact in double in any order on both engines. Encode ties ->
+    // smaller codeword index (PqEncode's strict-< rule, mirrored in
+    // ORDER BY dist, code); squared-L2 via the inner-product identity
+    // |a-b|^2 = a.a + b.b - 2 a.b (every term exact).
+    "q269_pq_distortion" ->
+      """WITH qi AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) ql
+        |  FROM embeddings),
+        |cpos0 AS (
+        |  SELECT label, unnest(list_transform(ql, (x, i) -> {'pos': i, 'v': x}),
+        |                       recursive := true)
+        |  FROM qi),
+        |cent AS (
+        |  SELECT label, list(CAST(floor(CAST(s AS DOUBLE) / n) AS DOUBLE)
+        |                     ORDER BY pos) c
+        |  FROM (SELECT label, pos, CAST(sum(v) AS BIGINT) s, count(*) n
+        |        FROM cpos0 GROUP BY 1, 2)
+        |  GROUP BY label),
+        |cells AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY label) - 1 AS INT) code
+        |  FROM cent),
+        |dims AS (SELECT len(c) dim, len(c) // 2 dsub FROM cells LIMIT 1),
+        |book AS (
+        |  SELECT code, 0 sub, c[1:(SELECT dsub FROM dims)] cw FROM cells
+        |  UNION ALL
+        |  SELECT code, 1 sub, c[(SELECT dsub FROM dims)+1:(SELECT dim FROM dims)] cw
+        |  FROM cells),
+        |cls AS (
+        |  SELECT min(vec_id) vec_id, min(label) AS label, count(*) m, embedding
+        |  FROM embeddings GROUP BY embedding),
+        |reps AS (
+        |  SELECT vec_id, label, m,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)) qv
+        |  FROM cls),
+        |rsub AS (
+        |  SELECT vec_id, 0 sub, qv[1:(SELECT dsub FROM dims)] sv FROM reps
+        |  UNION ALL
+        |  SELECT vec_id, 1 sub, qv[(SELECT dsub FROM dims)+1:(SELECT dim FROM dims)] sv
+        |  FROM reps),
+        |enc AS (
+        |  SELECT vec_id, sub, dist FROM (
+        |    SELECT r.vec_id, r.sub,
+        |           list_inner_product(r.sv, r.sv) + list_inner_product(b.cw, b.cw)
+        |             - 2 * list_inner_product(r.sv, b.cw) dist,
+        |           row_number() OVER (PARTITION BY r.vec_id, r.sub
+        |             ORDER BY list_inner_product(r.sv, r.sv)
+        |                      + list_inner_product(b.cw, b.cw)
+        |                      - 2 * list_inner_product(r.sv, b.cw),
+        |                      b.code) rn
+        |    FROM rsub r JOIN book b ON b.sub = r.sub) WHERE rn = 1),
+        |errs AS (
+        |  SELECT vec_id, CAST(sum(dist) AS BIGINT) sq_err
+        |  FROM enc GROUP BY vec_id)
+        |SELECT r.label, count(*) n_classes, CAST(sum(r.m) AS BIGINT) n_docs,
+        |       CAST(sum(e.sq_err) AS BIGINT) sum_sq_err
+        |FROM reps r JOIN errs e USING (vec_id)
+        |GROUP BY r.label ORDER BY r.label""".stripMargin,
+
+    "q270_pq_adc" ->
+      """WITH qi AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) ql
+        |  FROM embeddings),
+        |cpos0 AS (
+        |  SELECT label, unnest(list_transform(ql, (x, i) -> {'pos': i, 'v': x}),
+        |                       recursive := true)
+        |  FROM qi),
+        |cent AS (
+        |  SELECT label, list(CAST(floor(CAST(s AS DOUBLE) / n) AS DOUBLE)
+        |                     ORDER BY pos) c
+        |  FROM (SELECT label, pos, CAST(sum(v) AS BIGINT) s, count(*) n
+        |        FROM cpos0 GROUP BY 1, 2)
+        |  GROUP BY label),
+        |cells AS (
+        |  SELECT c, CAST(row_number() OVER (ORDER BY label) - 1 AS INT) code
+        |  FROM cent),
+        |dims AS (SELECT len(c) dim, len(c) // 2 dsub FROM cells LIMIT 1),
+        |book AS (
+        |  SELECT code, 0 sub, c[1:(SELECT dsub FROM dims)] cw FROM cells
+        |  UNION ALL
+        |  SELECT code, 1 sub, c[(SELECT dsub FROM dims)+1:(SELECT dim FROM dims)] cw
+        |  FROM cells),
+        |reps AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE)) qv
+        |  FROM (SELECT min(vec_id) vec_id, embedding
+        |        FROM embeddings GROUP BY embedding)),
+        |rsub AS (
+        |  SELECT vec_id, 0 sub, qv[1:(SELECT dsub FROM dims)] sv FROM reps
+        |  UNION ALL
+        |  SELECT vec_id, 1 sub, qv[(SELECT dsub FROM dims)+1:(SELECT dim FROM dims)] sv
+        |  FROM reps),
+        |enc AS (
+        |  SELECT vec_id, sub, cw FROM (
+        |    SELECT r.vec_id, r.sub, b.cw,
+        |           row_number() OVER (PARTITION BY r.vec_id, r.sub
+        |             ORDER BY list_inner_product(r.sv, r.sv)
+        |                      + list_inner_product(b.cw, b.cw)
+        |                      - 2 * list_inner_product(r.sv, b.cw),
+        |                      b.code) rn
+        |    FROM rsub r JOIN book b ON b.sub = r.sub) WHERE rn = 1),
+        |rnorm AS (
+        |  SELECT vec_id id, sqrt(sum(list_inner_product(cw, cw))) rn
+        |  FROM enc GROUP BY vec_id),
+        |q AS (SELECT vec_id, qv FROM reps WHERE vec_id % 97 = 0),
+        |qn AS (SELECT vec_id, sqrt(list_inner_product(qv, qv)) qn FROM q),
+        |qsub AS (
+        |  SELECT vec_id, 0 sub, qv[1:(SELECT dsub FROM dims)] sv FROM q
+        |  UNION ALL
+        |  SELECT vec_id, 1 sub, qv[(SELECT dsub FROM dims)+1:(SELECT dim FROM dims)] sv
+        |  FROM q),
+        |dots AS (
+        |  SELECT qs.vec_id query_id, e.vec_id id,
+        |         sum(list_inner_product(qs.sv, e.cw)) dot
+        |  FROM qsub qs JOIN enc e ON e.sub = qs.sub AND e.vec_id <> qs.vec_id
+        |  GROUP BY 1, 2),
+        |sims AS (
+        |  SELECT d.query_id, d.id,
+        |         round(CASE WHEN qn.qn * r.rn = 0 THEN 0.0
+        |                    ELSE d.dot / (qn.qn * r.rn) END, 6) sim
+        |  FROM dots d
+        |  JOIN qn ON qn.vec_id = d.query_id
+        |  JOIN rnorm r ON r.id = d.id),
+        |ranked AS (
+        |  SELECT query_id, id, sim,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim DESC, id) AS INT) rk
+        |  FROM sims)
+        |SELECT query_id, id, sim, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+
     "q45_dup_spans" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') toks FROM documents),
         |spans AS (

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.vector.Similarity
+import graft.vector.{Pq, Similarity}
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -128,15 +128,51 @@ object AnnAudit {
       rows
     }
 
+    // r11: the PQ paths ([[Pq]]) at the scaladoc defaults (m=8,
+    // ksub=64) — this artifact is the measured backing for the
+    // recall-contract numbers in the Pq scaladoc. Pure ADC (scan and
+    // IVF-PQ probe) is the bounded PRESELECTOR — on this worst-case
+    // corpus its recall is expected to sit far below the serving bar —
+    // and the two-stage rerank (default rerankFactor=16, sized ON this
+    // grid: rf=8 read 0.69@10) is the serving entry point the 0.8 bar
+    // applies to; its ceiling is the IVF cell-selection recall
+    // (ivf_indexed_default). The rf sweep documents the dial.
+    val pqRows = {
+      val idx = Pq.ivfPqIndex(emb, "vec_id", "embedding")
+      val data = idx.data.persist()
+      data.count()
+      val pinned = idx.copy(data = data)
+      val (mScan, tScan) = topSets(run(
+        Pq.pqScanTopK(data, idx.model, queries, "qid", "qv", k)))
+      val scanRow =
+        f""""pq_adc_scan": {"recall_at_k": ${recallOf(mScan, exact)}%.4f, "probe_sec": $tScan%.3f}"""
+      val (mAdc, tAdc) = topSets(run(
+        Pq.ivfPqTopK(pinned, queries, "qid", "qv", k)))
+      val adcRow =
+        f""""ivfpq_adc_default": {"recall_at_k": ${recallOf(mAdc, exact)}%.4f, "probe_sec": $tAdc%.3f}"""
+      val rrRows = Seq(("rf2", Some(2)), ("rf8", Some(8)), ("default", None))
+        .map { case (tag, rf) =>
+          val (m, t) = topSets(run(rf match {
+            case Some(r) => Pq.ivfPqTopKReranked(pinned, emb, "vec_id",
+              "embedding", queries, "qid", "qv", k, rerankFactor = r)
+            case None => Pq.ivfPqTopKReranked(pinned, emb, "vec_id",
+              "embedding", queries, "qid", "qv", k)
+          }))
+          f""""ivfpq_rerank_$tag": {"recall_at_k": ${recallOf(m, exact)}%.4f, "probe_sec": $t%.3f}"""
+        }
+      data.unpersist()
+      scanRow +: adcRow +: rrRows
+    }
+
     val json =
       f"""{
-         |  "note": "ANN recall/latency audit: ${nq} deterministic queries (lowest vec_ids) against the $n-vector corpus; ground truth = exact broadcast cosine top-$k; recall@$k averaged over queries. 'default' rows call annTopK/ivfTopK with NO knobs (the A4 contract is on defaults); 'fast' is the cheap end of the dial, other rows document the cost curve. The corpus' near-random embeddings are LSH's WORST case (no neighborhood structure), so these recalls lower-bound structured corpora. At 2k vectors brute force is one broadcast cross-join, so approximate times carry index overhead.",
+         |  "note": "ANN recall/latency audit: ${nq} deterministic queries (lowest vec_ids) against the $n-vector corpus; ground truth = exact broadcast cosine top-$k; recall@$k averaged over queries. 'default' rows call annTopK/ivfTopK with NO knobs (the A4 contract is on defaults); 'fast' is the cheap end of the dial, other rows document the cost curve. The corpus' near-random embeddings are LSH's WORST case (no neighborhood structure), so these recalls lower-bound structured corpora. At 2k vectors brute force is one broadcast cross-join, so approximate times carry index overhead. pq_* rows (r11): product quantization at the (m=8, ksub=64) defaults — pure-ADC rows are the bounded preselector (low recall here is the documented worst case), ivfpq_rerank_default is the PQ serving entry point the 0.8 bar applies to.",
          |  "sf_dir": "$sfDir",
          |  "corpus_vectors": $n,
          |  "queries": $nq,
          |  "k": $k,
          |  "exact_sec": $tExact%.3f,
-         |${(lshRows ++ ivfRows ++ lshIdxRows ++ ivfIdxRows).map("  " + _).mkString(",\n")}
+         |${(lshRows ++ ivfRows ++ lshIdxRows ++ ivfIdxRows ++ pqRows).map("  " + _).mkString(",\n")}
          |}""".stripMargin
     Files.writeString(Paths.get(outJson), json)
     println(json)
