@@ -800,4 +800,41 @@ object StreamingOps {
     foreachBatchSink(df, name) { (batch, bid) =>
       ivfIndexBatch(batch, bid, indexDir, idCol, vecCol)
     }
+
+  /** The per-micro-batch body of [[ivfPqIndexSink]] — assign + PQ-encode
+    * the batch at the store's FROZEN centroids and codebooks
+    * ([[graft.vector.Pq.ivfPqSegment]], a pure per-row map) and
+    * overwrite its `batch=<id>` segment. Same idempotence-by-path as
+    * [[lshIndexBatch]]. */
+  private[streaming] def ivfPqIndexBatch(
+      batch: DataFrame, batchId: Long, indexDir: String,
+      idCol: String, vecCol: String): Unit = {
+    val geom = graft.vector.IndexStore.readIvfPqGeometry(
+      batch.sparkSession, indexDir)
+    graft.vector.Pq.ivfPqSegment(geom, batch, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$indexDir/data/batch=$batchId")
+  }
+
+  /** Streaming IVF-PQ index maintenance (r11) — the [[ivfIndexSink]]
+    * twin at the CODED grain: each micro-batch's vectors are assigned
+    * to the store's frozen coarse centroids and product-quantized to
+    * `(id, cell, codes, rnorm)` — so the durable index a long-lived
+    * stream grows holds m small ints + one double per vector, never a
+    * float vector, and stays servable
+    * ([[graft.vector.Pq.ivfPqTopKReranked]] over
+    * [[graft.vector.IndexStore.readIvfPq]]) at corpus sizes where the
+    * float index cannot. Same store contract (base written first with
+    * [[graft.vector.IndexStore.writeIvfPq]], unique ids upstream) and
+    * the same MAINTENANCE TRIGGER as [[lshIndexSink]]:
+    * [[graft.vector.IndexStore.compactIvfPq]] at ~64 segments (merge
+    * only), [[graft.vector.IndexStore.rebuildIvfPq]] when centroids or
+    * codebooks have gone stale — the rebuild retrains BOTH quantizers
+    * from the at-rest float table the caller passes (the store itself
+    * is float-free by design). */
+  def ivfPqIndexSink(
+      df: DataFrame, indexDir: String, idCol: String, vecCol: String,
+      name: String = "ivfpq_index_sink"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    foreachBatchSink(df, name) { (batch, bid) =>
+      ivfPqIndexBatch(batch, bid, indexDir, idCol, vecCol)
+    }
 }

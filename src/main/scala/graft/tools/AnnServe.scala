@@ -201,6 +201,77 @@ object AnnServe {
     }
     require(cb == sb,
       s"compaction changed IVF probe rows: $cb != $sb")
+
+    // r11 IVF-PQ cadence: the memory-scale serving path. Build = coarse
+    // centroids + PQ codebooks + one assign/encode pass; probes are the
+    // two-stage reranked entry point (ADC preselect over codes, exact
+    // re-score of rerankFactor·k ids against the at-rest float table).
+    // The store rows measure what the coded grain buys: data-tree bytes
+    // vs the float IVF store's — the difference IS the reason this path
+    // exists at 100 TB.
+    import graft.vector.Pq
+    val (pqIdx, pqBuildSec) = timed {
+      val i = Pq.ivfPqIndex(corpus, "vec_id", "embedding")
+      val data = i.data.repartition(64, col("cell")).persist()
+      data.count()
+      i.copy(data = data)
+    }
+    val (pq1, pqProbe1Sec) = timed {
+      Pq.ivfPqTopKReranked(pqIdx, corpus, "vec_id", "embedding",
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
+    val (pq2, pqProbe2Sec) = timed {
+      Pq.ivfPqTopKReranked(pqIdx, corpus, "vec_id", "embedding",
+        batch2, "vec_id", "embedding", 10).collect().length
+    }
+    // streamed growth at the coded grain: base90 store + the growth
+    // slice through ivfPqIndexSink, probe parity vs in-memory grown
+    val (pqBase, pqBase90Sec) = timed {
+      val i = Pq.ivfPqIndex(base90, "vec_id", "embedding")
+      val data = i.data.repartition(64, col("cell")).persist()
+      data.count()
+      i.copy(data = data)
+    }
+    val pqDir = tmp("annserve_ivfpq_store")
+    val (_, pqStoreWriteSec) = timed { IndexStore.writeIvfPq(pqBase, pqDir) }
+    val (_, pqStreamSec) = timed {
+      replay(df => StreamingOps.ivfPqIndexSink(df, pqDir, "vec_id", "embedding"))
+    }
+    val (pqGrownMem, _) = timed {
+      val seg = Pq.ivfPqSegment(pqBase, growth, "vec_id", "embedding").persist()
+      seg.count()
+      pqBase.copy(data = pqBase.data.unionByName(seg))
+    }
+    val (pg, _) = timed {
+      Pq.ivfPqTopKReranked(pqGrownMem, corpus, "vec_id", "embedding",
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
+    val (ps, pqProbeStreamSec) = timed {
+      Pq.ivfPqTopKReranked(IndexStore.readIvfPq(spark, pqDir),
+        corpus, "vec_id", "embedding",
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
+    require(ps == pg,
+      s"streamed IVF-PQ store probe rows $ps != in-memory grown $pg")
+    val pqSegsBefore = IndexStore.segmentCount(spark, pqDir, "data")
+    val (_, pqCompactSec) = timed {
+      IndexStore.compactIvfPq(spark, pqDir, targetPartitions = 8)
+    }
+    val (pc, pqProbeCompactSec) = timed {
+      Pq.ivfPqTopKReranked(IndexStore.readIvfPq(spark, pqDir),
+        corpus, "vec_id", "embedding",
+        batch1, "vec_id", "embedding", 10).collect().length
+    }
+    require(pc == ps,
+      s"compaction changed IVF-PQ probe rows: $pc != $ps")
+    def treeBytes(root: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    val pqDataBytes = treeBytes(s"$pqDir/data")
+    val ivfDataBytes = treeBytes(s"$ivfDir/data")
+
     val json =
       s"""{"note": "ANN serving splits, both paths. LSH: index built once (banded rows persisted, pre-partitioned by (table, code)) vs the inline annTopK that repays the full corpus banding per call; probe batches are 10 queries each at defaults (L=32, bucketTarget=128). IVF: centroids trained + cells assigned once (data persisted, pre-partitioned by cell) vs the inline ivfTopK that retrains and reassigns per call; defaults (numCells=64, nProbe=32).",
          | "dir": "$dir", "corpus_vectors": ${n - 20},
@@ -233,7 +304,20 @@ object AnnServe {
          | "lsh_probe_after_compact_sec": ${f"$lshProbeCompactSec%.2f"},
          | "ivf_segments_before_compact": $ivfSegsBefore,
          | "ivf_compact_sec": ${f"$ivfCompactSec%.2f"},
-         | "ivf_probe_after_compact_sec": ${f"$ivfProbeCompactSec%.2f"}}""".stripMargin
+         | "ivf_probe_after_compact_sec": ${f"$ivfProbeCompactSec%.2f"},
+         | "ivfpq_note": "IVF-PQ cadence (r11): the memory-scale path — coarse cells over PQ codes (m=8, ksub=64: 8 small ints + 1 double per vector instead of 64 floats), probes are the two-stage reranked entry point (default rerankFactor=16; exact re-score reads only rerankFactor*k ids from the at-rest float table). Streamed growth through ivfPqIndexSink at the coded grain; probe-row parity require()d at every transition. ivfpq_data_bytes vs ivf_data_bytes is the at-rest footprint ratio the coded grain buys.",
+         | "ivfpq_index_build_sec": ${f"$pqBuildSec%.2f"},
+         | "ivfpq_probe_batch1_sec": ${f"$pqProbe1Sec%.2f"}, "ivfpq_probe_batch1_rows": $pq1,
+         | "ivfpq_probe_batch2_sec": ${f"$pqProbe2Sec%.2f"}, "ivfpq_probe_batch2_rows": $pq2,
+         | "ivfpq_base90_build_sec": ${f"$pqBase90Sec%.2f"},
+         | "ivfpq_store_write_sec": ${f"$pqStoreWriteSec%.2f"},
+         | "ivfpq_stream_append_sec": ${f"$pqStreamSec%.2f"},
+         | "ivfpq_probe_after_stream_sec": ${f"$pqProbeStreamSec%.2f"},
+         | "ivfpq_segments_before_compact": $pqSegsBefore,
+         | "ivfpq_compact_sec": ${f"$pqCompactSec%.2f"},
+         | "ivfpq_probe_after_compact_sec": ${f"$pqProbeCompactSec%.2f"},
+         | "ivfpq_data_bytes": $pqDataBytes,
+         | "ivf_data_bytes": $ivfDataBytes}""".stripMargin
     Files.writeString(Paths.get(outJson), json)
     println(json)
     spark.stop()

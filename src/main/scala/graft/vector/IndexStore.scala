@@ -1,5 +1,6 @@
 package graft.vector
 
+import graft.vector.Pq.{IvfPqIndex, PqModel}
 import graft.vector.Similarity.{IvfIndex, LshIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -13,11 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `dir`:
   * {{{
-  *   geometry/            one row — dim, p, L, seed (LSH) or dim (IVF)
-  *   centroids/           IVF only: (cell, c: array<double>)
+  *   geometry/            one row — dim, p, L, seed (LSH), dim (IVF),
+  *                        or dim, m, ksub (IVF-PQ)
+  *   centroids/           IVF / IVF-PQ: (cell, c: array<double>)
+  *   books/               IVF-PQ only: PQ codebooks (sub, code, cw)
   *   banded/batch=<id>/   LSH postings segments (id, table, code)
   *   vectors/batch=<id>/  LSH vector segments  (id, v)
-  *   data/batch=<id>/     IVF assigned segments (id, v, cell)
+  *   data/batch=<id>/     IVF assigned segments (id, v, cell); IVF-PQ
+  *                        coded segments (id, cell, codes, rnorm)
   * }}}
   *
   * Why per-batch SEGMENT directories rather than blind parquet append:
@@ -98,6 +102,93 @@ object IndexStore {
     val geom = readIvfGeometry(spark, dir)
     geom.copy(data = spark.read.parquet(s"$dir/data")
       .select(col("id"), col("v"), col("cell")))
+  }
+
+  /** Write a full [[Pq.IvfPqIndex]] as base segment + centroids +
+    * codebooks (r11). The data tree holds only `(id, cell, codes,
+    * rnorm)` — no float vectors, which is the point of the PQ store:
+    * at 100 TB of embeddings this is the index that still fits. The
+    * float table stays at rest in the lake; [[rebuildIvfPq]] and the
+    * rerank stage read it from there. */
+  def writeIvfPq(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.data.sparkSession
+    import spark.implicits._
+    Seq((index.dim, index.model.m, index.model.ksub)).toDF("dim", "m", "ksub")
+      .write.mode("overwrite").parquet(s"$dir/geometry")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "c")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    index.model.books.zipWithIndex
+      .flatMap { case (book, j) => book.zipWithIndex.map { case (cw, k) =>
+        (j, k, cw) } }
+      .toDF("sub", "code", "cw")
+      .write.mode("overwrite").parquet(s"$dir/books")
+    index.data.write.mode("overwrite").parquet(s"$dir/data/batch=-1")
+  }
+
+  /** Load frozen centroids + codebooks — what a sink/probe needs to
+    * assign and encode without the data tree. `data` is null; probe
+    * entry points require() a full index ([[Pq.ivfPqTopK]]). */
+  def readIvfPqGeometry(spark: SparkSession, dir: String): IvfPqIndex = {
+    val g = spark.read.parquet(s"$dir/geometry").head()
+    val (dim, m, ksub) =
+      (g.getAs[Int]("dim"), g.getAs[Int]("m"), g.getAs[Int]("ksub"))
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toArray.toSeq).toIndexedSeq
+    val bookRows = spark.read.parquet(s"$dir/books")
+      .orderBy(col("sub"), col("code")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray.toSeq))
+    val books = IndexedSeq.tabulate(m)(j =>
+      bookRows.filter(_._1 == j).sortBy(_._2).map(_._3).toIndexedSeq)
+    val model = PqModel(books)
+    require(model.ksub == ksub && model.dim == dim,
+      s"stored geometry ($dim, $m, $ksub) disagrees with books " +
+        s"(${model.dim}, ${model.m}, ${model.ksub}) at $dir")
+    IvfPqIndex(data = null, centroids = cents, model = model, dim = dim)
+  }
+
+  /** Load the whole store as a servable [[Pq.IvfPqIndex]]. */
+  def readIvfPq(spark: SparkSession, dir: String): IvfPqIndex = {
+    val geom = readIvfPqGeometry(spark, dir)
+    geom.copy(data = spark.read.parquet(s"$dir/data")
+      .select(col("id"), col("cell"), col("codes"), col("rnorm")))
+  }
+
+  /** Compact an IVF-PQ store: merge the coded-data segments into one
+    * `batch=-1` base. Centroids and codebooks untouched — the
+    * [[compactIvf]] twin at the coded grain. */
+  def compactIvfPq(
+      spark: SparkSession, dir: String, targetPartitions: Int = 0): Unit =
+    compactTree(spark, s"$dir/data", targetPartitions)
+
+  /** The rebuild half of the IVF-PQ cadence: retrain BOTH quantizers
+    * (coarse centroids + per-subspace codebooks) and re-encode. Unlike
+    * [[rebuildIvf]], the store itself holds no float vectors, so the
+    * caller passes the at-rest float table — the same one the rerank
+    * stage reads. The id alignment contract is the caller's: pass the
+    * corpus whose rows the stream landed (encode is a pure per-row map,
+    * so a superset simply widens the index). */
+  def rebuildIvfPq(
+      spark: SparkSession, dir: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      numCells: Int = 64, m: Int = 8, ksub: Int = 64,
+      lloydIters: Int = 2, trainFraction: Double = 1.0): IvfPqIndex = {
+    val idx = Pq.ivfPqIndex(vectors, idCol, vecCol,
+      numCells, m, ksub, lloydIters, trainFraction)
+    stageAndSwap(spark, dir, Seq("data" -> idx.data))
+    import spark.implicits._
+    Seq((idx.dim, idx.model.m, idx.model.ksub)).toDF("dim", "m", "ksub")
+      .write.mode("overwrite").parquet(s"$dir/geometry")
+    idx.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "c")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    idx.model.books.zipWithIndex
+      .flatMap { case (book, j) => book.zipWithIndex.map { case (cw, k) =>
+        (j, k, cw) } }
+      .toDF("sub", "code", "cw")
+      .write.mode("overwrite").parquet(s"$dir/books")
+    idx
   }
 
   /** Segments currently in a store subtree (`banded`/`vectors`/`data`)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{SparkSpec, Tables}
-import graft.vector.{IndexStore, Similarity}
+import graft.vector.{IndexStore, Pq, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -109,5 +109,51 @@ class StreamingAnnIndexSpec extends SparkSpec {
       s"probe diverged: only-rebuild=${(ref -- got).take(5)} " +
         s"only-stream=${(got -- ref).take(5)}")
     assert(got.nonEmpty)
+  }
+
+  test("stream-grown IVF-PQ store probes == full encode at the frozen model") {
+    initQuiet()
+    val queries = emb.filter(col("vec_id") < 10)
+    val base = emb.filter(col("vec_id") >= 10 && pmod(col("vec_id"), lit(2)) === 0)
+    val growth = emb.filter(col("vec_id") >= 10 && pmod(col("vec_id"), lit(2)) === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_store").toString
+    val baseIdx = Pq.ivfPqIndex(base, "vec_id", "embedding",
+      numCells = 8, m = 8, ksub = 16, lloydIters = 1)
+    IndexStore.writeIvfPq(baseIdx, dir)
+    val src = java.nio.file.Files.createTempDirectory("ivfpq_src").toString
+    growth.repartition(3).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = StreamingOps.ivfPqIndexSink(stream, dir, "vec_id", "embedding")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ivfpq_ckpt").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val grown = IndexStore.readIvfPq(spark, dir)
+    assert(grown.centroids === baseIdx.centroids) // frozen, not retrained
+    assert(grown.model.books === baseIdx.model.books)
+    // the coded store never carries float vectors
+    assert(!grown.data.columns.contains("v"))
+    val rebuilt = baseIdx.copy(data = Pq.ivfPqSegment(
+      baseIdx, base.unionByName(growth), "vec_id", "embedding"))
+    def probePq(idx: Pq.IvfPqIndex) =
+      Pq.ivfPqTopK(idx, queries, "vec_id", "embedding", 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val got = probePq(grown)
+    val ref = probePq(rebuilt)
+    assert(got === ref,
+      s"probe diverged: only-rebuild=${(ref -- got).take(5)} " +
+        s"only-stream=${(got -- ref).take(5)}")
+    assert(got.nonEmpty)
+    // replay idempotence at the coded grain: crash-replay a batch
+    // (same id, same rows) — the segment path overwrites, row count
+    // must not move
+    val extra = emb.filter(col("vec_id") < 10) // ids unused by the store
+    StreamingOps.ivfPqIndexBatch(extra, 99L, dir, "vec_id", "embedding")
+    val rowsBefore = IndexStore.readIvfPq(spark, dir).data.count()
+    StreamingOps.ivfPqIndexBatch(extra, 99L, dir, "vec_id", "embedding")
+    assert(IndexStore.readIvfPq(spark, dir).data.count() === rowsBefore,
+      "replayed batch duplicated coded rows")
   }
 }

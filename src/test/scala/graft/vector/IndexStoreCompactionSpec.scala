@@ -132,6 +132,65 @@ class IndexStoreCompactionSpec extends SparkSpec {
     storedData.unpersist()
   }
 
+  private def probePq(idx: Pq.IvfPqIndex, qs: DataFrame) =
+    Pq.ivfPqTopK(idx, qs, "vec_id", "embedding", 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSet
+
+  /** IVF-PQ store + segments written the sink's way (coded grain). */
+  private def ivfPqStoreWithSegments(n: Int): (String, DataFrame) = {
+    val base = emb.filter(col("vec_id") >= 10 && col("vec_id") < 40)
+    val dir = tmp("ivfpq_compact")
+    IndexStore.writeIvfPq(
+      Pq.ivfPqIndex(base, "vec_id", "embedding",
+        numCells = 8, m = 8, ksub = 16, lloydIters = 1), dir)
+    val geom = IndexStore.readIvfPqGeometry(spark, dir)
+    (0 until n).foreach { i =>
+      val slice = emb.filter(col("vec_id") >= 40 + i * 10 &&
+        col("vec_id") < 50 + i * 10)
+      Pq.ivfPqSegment(geom, slice, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/data/batch=$i")
+    }
+    (dir, emb.filter(col("vec_id") < 10))
+  }
+
+  test("compactIvfPq: segments collapse, model untouched, probes identical") {
+    initQuiet()
+    val (dir, queries) = ivfPqStoreWithSegments(3)
+    assert(IndexStore.segmentCount(spark, dir, "data") === 4)
+    val before = IndexStore.readIvfPq(spark, dir)
+    val probeBefore = probePq(before, queries)
+    val rowsBefore = before.data.count()
+    IndexStore.compactIvfPq(spark, dir)
+    assert(IndexStore.segmentCount(spark, dir, "data") === 1)
+    val after = IndexStore.readIvfPq(spark, dir)
+    assert(after.data.count() === rowsBefore)
+    assert(after.centroids === before.centroids)
+    assert(after.model.books === before.model.books)
+    val probeAfter = probePq(after, queries)
+    assert(probeAfter === probeBefore, "compaction changed probe results")
+    assert(probeAfter.nonEmpty)
+  }
+
+  test("rebuildIvfPq retrains both quantizers == fresh build over the given corpus") {
+    initQuiet()
+    val (dir, queries) = ivfPqStoreWithSegments(2)
+    // the PQ store is float-free by design — rebuild reads the at-rest
+    // float table, here the same slices the segments encoded
+    val vectors = emb.filter(col("vec_id") >= 10 && col("vec_id") < 60)
+    IndexStore.rebuildIvfPq(spark, dir, vectors, "vec_id", "embedding",
+      numCells = 8, m = 8, ksub = 16, lloydIters = 1)
+    assert(IndexStore.segmentCount(spark, dir, "data") === 1)
+    val rebuilt = IndexStore.readIvfPq(spark, dir)
+    val fresh = Pq.ivfPqIndex(vectors, "vec_id", "embedding",
+      numCells = 8, m = 8, ksub = 16, lloydIters = 1)
+    assert(rebuilt.centroids === fresh.centroids,
+      "rebuild must retrain coarse centroids (deterministic Lloyd)")
+    assert(rebuilt.model.books === fresh.model.books,
+      "rebuild must retrain the PQ codebooks (deterministic Lloyd)")
+    assert(probePq(rebuilt, queries) === probePq(fresh, queries))
+  }
+
   test("geometry-only reads fail probes with a message, not an NPE") {
     initQuiet()
     val (lshDir, queries) = lshStoreWithSegments(0)
@@ -147,5 +206,11 @@ class IndexStoreCompactionSpec extends SparkSpec {
         nProbe = 4)
     }
     assert(e2.getMessage.contains("geometry-only"))
+    val (pqDir, _) = ivfPqStoreWithSegments(0)
+    val pqGeom = IndexStore.readIvfPqGeometry(spark, pqDir)
+    val e3 = intercept[IllegalArgumentException] {
+      Pq.ivfPqTopK(pqGeom, queries, "vec_id", "embedding", 5, nProbe = 4)
+    }
+    assert(e3.getMessage.contains("geometry-only"))
   }
 }
