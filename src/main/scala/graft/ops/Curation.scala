@@ -1318,24 +1318,60 @@ object Curation {
   }
 
   /** q75 — corpus boilerplate n-gram coverage per source
-    * (oracle-checked): [[Boilerplate.coverage]] with 3-grams at
-    * document frequency ≥ 3; per-source doc count, n-gram position
-    * mass, boilerplate-position mass, mean per-doc coverage, and the
-    * count of docs more than ⅓ covered (the docs a scrub pass would
-    * rewrite hardest). The heavy-doc compare is integer
+    * (oracle-checked): [[Boilerplate.coverage]]'s semantics with
+    * 3-grams at document frequency ≥ 3; per-source doc count, n-gram
+    * position mass, boilerplate-position mass, mean per-doc coverage,
+    * and the count of docs more than ⅓ covered (the docs a scrub pass
+    * would rewrite hardest). The heavy-doc compare is integer
     * (`hits·3 > positions`) — no float boundary.
+    *
+    * COLLAPSE-FIRST (r11, the q227/q42 recipe): every per-doc quantity
+    * here is a pure function of (source, text), so the n-gram explodes
+    * — the whole cost of this query — run once per exact-duplicate
+    * class, not once per twin. Document frequency is recovered exactly
+    * as Σ multiplicity over classes containing the n-gram (df counts
+    * distinct DOCS, and twins each count), per-source masses as
+    * m-weighted sums, avg_cov as the m-weighted mean of the per-class
+    * ratio (same addend multiset as the doc-grain avg), heavy_docs as
+    * Σ m over heavy classes. Docs with < n tokens keep their coverage
+    * exclusion at the class grain. The class frame is persisted: the
+    * df build and the position scan are ASYMMETRIC consumers of the
+    * class aggregate (the q264/q265 lesson — exchange reuse does not
+    * cover them), and it is distinct-content-sized. 100× (twin factor
+    * 100): the explode mass drops by the duplication factor — the
+    * heaviest remaining linear-tail row in SCALE100_r10 (43.6 s,
+    * ratio 8.34) re-measured in SCALE100_r11.
     */
-  def boilerplateStats(spark: SparkSession, dir: String): DataFrame =
-    Boilerplate.coverage(Tables.load(spark, dir, "documents"),
-        "doc_id", "text", n = 3, minDf = 3, carryCols = Seq("source"))
+  def boilerplateStats(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.load(spark, dir, "documents")
+      .groupBy(col("source"), col("text"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("__m"))
+      .persist()
+    val bp = cls
+      .select(col("__m"),
+        explode(array_distinct(Boilerplate.ngrams(col("text"), 3))).as("ngram"))
+      .groupBy(col("ngram")).agg(sum(col("__m")).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("ngram"), lit(1).as("_isbp"))
+    val perClass = cls
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("rep_id"), col("source"), col("__m"),
+        explode(Boilerplate.ngrams(col("text"), 3)).as("ngram"))
+      .join(bp, Seq("ngram"), "left")
+      .groupBy(col("rep_id"), col("source"), col("__m"))
+      .agg(count(lit(1)).as("positions"), count(col("_isbp")).as("bp_positions"))
+    perClass
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("positions")).cast("long").as("positions"),
-        sum(col("bp_positions")).cast("long").as("bp_positions"),
-        round(avg(col("bp_positions").cast("double") /
-          col("positions").cast("double")), 6).as("avg_cov"),
-        count(when(col("bp_positions") * 3 > col("positions"), 1)).as("heavy_docs"))
+      .agg(sum(col("__m")).as("n_docs"),
+        sum(col("__m") * col("positions")).cast("long").as("positions"),
+        sum(col("__m") * col("bp_positions")).cast("long").as("bp_positions"),
+        round((sum(col("__m") * (col("bp_positions").cast("double") /
+            col("positions").cast("double"))) /
+          sum(col("__m"))).as("avg_cov0"), 6).as("avg_cov"),
+        sum(when(col("bp_positions") * 3 > col("positions"), col("__m"))
+          .otherwise(lit(0L))).as("heavy_docs"))
       .orderBy(col("source"))
+  }
 
   /** q76 — count-min heavy hitters (oracle-checked): tokens above
     * 3.35 % of total token mass with the CMS estimate's deterministic
