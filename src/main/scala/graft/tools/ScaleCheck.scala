@@ -208,7 +208,16 @@ object ScaleCheck {
     // scaladoc prescribes. (This entry landed one run late: the r9
     // SCALE sweeps flagged q266 on stderr before it was allowlisted —
     // the artifact rows themselves are unaffected.)
-    val exactBaselineBnljOk = Set("q26_embed_neardup", "q266_embed_classes")
+    // q270 (r11) is the same contract at the CODED grain: pqScanTopK is
+    // the PQ module's designed linear-scan baseline (the bruteForceTopK
+    // replacement — broadcast query batch × one pass over codes), run
+    // over class representatives with a deterministic ~1% query slice,
+    // so both sides are bounded by distinct content on this corpus. On
+    // a corpus whose distinct-vector count scales, the serving path is
+    // the cell-join ivfPqTopK/ivfPqTopKReranked (no BNLJ), as the Pq
+    // scaladoc prescribes.
+    val exactBaselineBnljOk = Set("q26_embed_neardup", "q266_embed_classes",
+      "q270_pq_adc")
 
     // r9: queries whose OUTPUT is a doc-grain pair list — on the
     // exact-twins amplified corpus the qualifying pair count itself
