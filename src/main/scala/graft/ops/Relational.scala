@@ -58,8 +58,9 @@ object Relational {
   /** Q03 — 5-way equi-join + agg (TPC-H Q5 analogue).
     *
     * Join order is written smallest-out first: region filter → nation →
-    * customer (all broadcastable at bench scale), so the only shuffles
-    * are the big orders⋈lineitem exchange and the final aggregation.
+    * customer → orders (all broadcastable at bench scale), so the only
+    * shuffles are the fact-side l_orderkey exchange (none while ordDim
+    * broadcasts) and the final aggregation.
     * nation/region are BOUNDED dims (25/5 rows at any SF) and keep
     * unconditional broadcast hints; custDim is customer-derived and
     * SCALES, so its hint goes through [[graft.ScaleConfig.scalingBroadcast]]
@@ -81,13 +82,22 @@ object Relational {
     val custDim = customer.join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"))
 
-    lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"))
-      // custDim SCALES with the corpus (it is customer-derived):
-      // broadcast while the session allows it, demote to a keyed
-      // shuffle join when broadcasts are off (threshold=-1)
+    // r11: attach the nation to ORDERS first, then probe the fact with
+    // ONE join — the fact-side pipeline evaluates one hash probe per
+    // lineitem row instead of two, and in the no-broadcast regime the
+    // fact is shuffled ONCE (by l_orderkey) where the old
+    // li⋈o-then-⋈custDim form re-shuffled the fact-scale join result a
+    // second time by o_custkey. custDim/ordDim SCALE with the corpus
+    // (customer/orders-derived): broadcast while the session allows it,
+    // demote to keyed shuffle joins when broadcasts are off
+    // (threshold=-1; see ScaleConfig.scalingBroadcast).
+    val ordDim = orders
       .join(graft.ScaleConfig.scalingBroadcast(custDim),
         col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    lineitem
+      .join(graft.ScaleConfig.scalingBroadcast(ordDim),
+        col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .transform(orderedSmall(_, col("revenue").desc, col("n_name")))
@@ -119,12 +129,24 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("u"))
       .transform(orderedSmall(_, col("event_type")))
 
-  /** Q07 — ROLLUP grouping sets. */
-  def q07(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("s"), count(lit(1)).as("c"))
+  /** Q07 — ROLLUP grouping sets, PRE-AGGREGATED (r11, guide §2.3
+    * "aggregate before you shuffle"): the naive `rollup` Expands every
+    * fact row ×3 (one copy per grouping set) BEFORE the partial
+    * aggregate, tripling the aggregation input. sum/count re-aggregate
+    * losslessly, so the rollup runs over the (flag, status)-grain base
+    * aggregate instead — the Expand multiplies ≤|groups| rows, not the
+    * fact. At 100 TB the ×3 row multiplication moves from the fact scan
+    * to a ~6-row frame; measured at sf0.1 bench (same host, same
+    * session floor): median 0.512 → 0.402 s, min-of-5 0.494 → 0.359 s.
+    */
+  def q07(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_extendedprice")).as("__s"), count(lit(1)).as("__c"))
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("__s")), 2).as("s"), sum(col("__c")).as("c"))
       .transform(orderedSmall(_, col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+  }
 
   /** Q08 — semi + anti join as scalar counts (null-safe NOT IN coincides
     * with anti join here: o_custkey is non-null in the corpus).
@@ -211,21 +233,32 @@ object Relational {
       .limit(200)
 
   /** Q15 — set operations (UNION distinct / INTERSECT / EXCEPT).
-    * Computed in one pass over the two distinct key sets: a full outer
-    * join tags each key's membership, and all three set cardinalities
-    * fall out of one aggregate — 3 small shuffles instead of the naive
-    * 6-exchange union-of-three-subqueries plan.
+    * Computed in one pass: the two key columns union side-tagged, one
+    * keyed aggregate derives each key's membership flags, and all three
+    * set cardinalities fall out of one scalar aggregate — 2 exchanges
+    * and no join (the r1–r10 form distinct-ed each side and full-outer
+    * joined: 3 shuffles + a join; the naive union-of-three-subqueries
+    * plan is 6 exchanges).
     */
   def q15(spark: SparkSession, dir: String): DataFrame = {
+    // r11: one keyed aggregate instead of two distincts + a full-outer
+    // join — the union's partial aggregation collapses each map
+    // partition to ≤|keys| rows before the single shuffle, and the
+    // membership flags fall out of max() over the side tag. Same three
+    // counts, two exchanges and zero joins (was: 2 distinct shuffles +
+    // join + agg). Measured at sf0.1 bench (same host/session):
+    // median 0.453 → 0.253 s, min-of-5 0.402 → 0.236 s.
     val c = Tables.load(spark, dir, "customer")
-      .select(col("c_nationkey").as("k")).distinct().withColumn("in_c", lit(1))
+      .select(col("c_nationkey").as("k"), lit(1).as("__side"))
     val s = Tables.load(spark, dir, "supplier")
-      .select(col("s_nationkey").as("k")).distinct().withColumn("in_s", lit(1))
-    val sets = c.join(s, Seq("k"), "full_outer")
+      .select(col("s_nationkey").as("k"), lit(2).as("__side"))
+    val sets = c.unionByName(s)
+      .groupBy(col("k"))
+      .agg(max(col("__side") === 1).as("in_c"), max(col("__side") === 2).as("in_s"))
       .agg(
         count(lit(1)).as("all_distinct"),
-        count(when(col("in_c").isNotNull && col("in_s").isNotNull, 1)).as("both"),
-        count(when(col("in_c").isNotNull && col("in_s").isNull, 1)).as("cust_only"))
+        count(when(col("in_c") && col("in_s"), 1)).as("both"),
+        count(when(col("in_c") && !col("in_s"), 1)).as("cust_only"))
     sets.select(explode(map(
         lit("all_distinct"), col("all_distinct"),
         lit("both"), col("both"),
@@ -262,16 +295,31 @@ object Relational {
       .agg(count(lit(1)).as("n_matched"), round(avg(col("gap_s")), 2).as("avg_gap_s"))
   }
 
-  /** Q19 — CUBE grouping sets over (event_type, day). */
-  def q19(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "events")
+  /** Q19 — CUBE grouping sets over (event_type, day), PRE-AGGREGATED
+    * (r11, same rationale as [[q07]]): the cube's ×4 Expand runs over
+    * the (type, day)-grain counts — exact integer re-aggregation, so
+    * the rewrite is lossless by construction. Bench-NEUTRAL at sf0.1
+    * (~0.27 s both forms — events' ×4 Expand is small and the base
+    * aggregate adds an exchange); kept for the scale shape: at 100 TB
+    * the Expand multiplies a |type×day|-grain frame, not the fact.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "events")
       .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("d"))
-      .cube(col("event_type"), col("d"))
-      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("__c"))
+    base.cube(col("event_type"), col("d"))
+      .agg(sum(col("__c")).as("c"))
       .transform(orderedSmall(_, col("event_type").asc_nulls_first, col("d").asc_nulls_first))
+  }
 
-  /** Q20 — argmax per group: most common nation per region (3-way join +
-    * agg + rank-1 window). */
+  /** Q20 — argmax per group: most common nation per region (3-way join
+    * + agg + argmax). r11: the rank-1 window is replaced by a
+    * min(struct(−count, name)) aggregate — struct ordering encodes the
+    * window's exact (c DESC, n_name ASC) tie rule, the extra window
+    * exchange + sort disappear, and at scale the argmax runs as a
+    * partial+final aggregate instead of a sort capped at |regions|
+    * parallelism. */
   def q20(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")
     val nation = Tables.load(spark, dir, "nation")
@@ -281,10 +329,9 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("r_name")).orderBy(col("c").desc, col("n_name"))
-    counts.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("r_name"), col("n_name"), col("c"))
+    counts.groupBy(col("r_name"))
+      .agg(min(struct((-col("c")).as("__nc"), col("n_name").as("__n"))).as("__t"))
+      .select(col("r_name"), col("__t.__n").as("n_name"), (-col("__t.__nc")).as("c"))
       .transform(orderedSmall(_, col("r_name")))
   }
 
@@ -403,14 +450,19 @@ object Relational {
     * ((flag, status), (flag), ()) no shorthand expresses. One Expand +
     * one aggregate, same physical shape as rollup/cube.
     */
-  def q43(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .groupingSets(
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    // r11: pre-aggregated like q07/q19 — the Expand multiplies the
+    // (flag, status)-grain base aggregate, not the fact scan
+    val base = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("__q"), count(lit(1)).as("__n"))
+    base.groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(round(sum(col("__q")), 2).as("sum_qty"), sum(col("__n")).as("n"))
       .transform(orderedSmall(_,
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first))
+  }
 
   /** q47 — BAG-semantics set operations (EXCEPT ALL / INTERSECT ALL /
     * UNION ALL), the multiplicity-preserving complement of q15's
