@@ -1861,8 +1861,12 @@ object Curation {
     // raw row count — and the output is provably byte-identical to the
     // uncollapsed form (oracle-gated).
     val docs = Tables.load(spark, dir, "documents")
-    val tagged = Dedup.withExactClasses(docs, "doc_id", "text")
-    val reps = tagged.filter(col("doc_id") === col("__cls")).persist()
+    // r11: class-grain aggregate frame (Dedup.exactClassAgg) — no
+    // member grain is needed anywhere below, and the old window form
+    // re-ran the corpus sort per consumer
+    val reps = Dedup.exactClassAgg(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+      .select(col("__cls").as("doc_id"), col("text"), col("__m"))
     val sizes = reps.select(col("doc_id").as("__id"), col("__m"))
     val truth = Dedup.ngramJaccard(reps, "doc_id", "text",
         shingleLen = 3, threshold = 0.5)
@@ -1998,8 +2002,13 @@ object Curation {
     // doc-level verdicts expand by class membership — byte-identical
     // output (oracle-gated), candidate volume tracks distinct content.
     val docs = Tables.load(spark, dir, "documents")
-    val tagged = Dedup.withExactClasses(docs, "doc_id", "text")
-    val reps = tagged.filter(col("doc_id") === col("__cls")).persist()
+    // r11: fully CLASS-grain (Dedup.exactClassAgg) — the verdict (g, s)
+    // is a class property, so the doc-level contingency counts are
+    // multiplicity-weighted class sums; the old form re-ran the
+    // withExactClasses window for the doc-grain join AND per consumer
+    val cls = Dedup.exactClassAgg(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    val reps = cls.select(col("__cls").as("doc_id"), col("text"))
     def flagged(pairs: DataFrame): DataFrame =
       pairs.select(col("id_a").as("__cls"))
         .union(pairs.select(col("id_b").as("__cls"))).distinct()
@@ -2008,18 +2017,18 @@ object Curation {
     val sh = flagged(Dedup.nearSimhash(reps, "doc_id", "text",
       maxHamming = 3, sig = Dedup.simhashMd5, sigBits = 60))
       .withColumn("__sh", lit(1L))
-    val j = tagged.select(col("doc_id"), col("__cls"), col("__m"))
+    val j = cls.select(col("__cls"), col("__m"))
       .join(ng, Seq("__cls"), "left").join(sh, Seq("__cls"), "left")
-      .select(
+      .select(col("__m"),
         when(col("__m") >= 2 || col("__ng").isNotNull, 1L).otherwise(0L)
           .as("g"),
         when(col("__m") >= 2 || col("__sh").isNotNull, 1L).otherwise(0L)
           .as("s"))
-    val c = j.agg(count(lit(1)).as("n"),
-      sum(when(col("g") === 1 && col("s") === 1, 1L).otherwise(0L)).as("a"),
-      sum(when(col("g") === 1 && col("s") === 0, 1L).otherwise(0L)).as("b"),
-      sum(when(col("g") === 0 && col("s") === 1, 1L).otherwise(0L)).as("c"),
-      sum(when(col("g") === 0 && col("s") === 0, 1L).otherwise(0L)).as("d"))
+    val c = j.agg(sum(col("__m")).as("n"),
+      sum(when(col("g") === 1 && col("s") === 1, col("__m")).otherwise(0L)).as("a"),
+      sum(when(col("g") === 1 && col("s") === 0, col("__m")).otherwise(0L)).as("b"),
+      sum(when(col("g") === 0 && col("s") === 1, col("__m")).otherwise(0L)).as("c"),
+      sum(when(col("g") === 0 && col("s") === 0, col("__m")).otherwise(0L)).as("d"))
     def d38(x: Column) = x.cast("decimal(38,0)")
     val n = col("n").cast("double")
     val po = (col("a") + col("d")).cast("double") / n
@@ -2109,9 +2118,34 @@ object Curation {
     */
   private def nearDupCellCounts(
       tagged: DataFrame, shingleLen: Int, threshold: Double): DataFrame = {
-    val m = Dedup.withExactClasses(tagged, "doc_id", "text")
-    val perClsTag = m.groupBy(col("__cls"), col("__tag"))
-      .agg(count(lit(1)).as("__mt"))
+    // r11 (guide §2.4 remove shuffles / §5 reuse): the r7–r10 form
+    // derived classes via withExactClasses — a text-partitioned WINDOW
+    // whose full-corpus sort re-executed once per CONSUMER, and this
+    // function has five (perClsTag feeds four broadcast builds, reps a
+    // fifth path). Measured at 100× fresh-JVM: four concurrent 16-task
+    // stages of ~670 s executor time each, q143 61–132 s wall. The
+    // replacement builds ONE corpus-pass frame — groupBy(text, tag) →
+    // (count, min id), the q12-calibrated shape (0.23 s at 100×) —
+    // persists it (distinct-content × tag sized), and derives classes,
+    // per-(class, tag) multiplicities AND representatives from the
+    // cached frame; the corpus is never touched again. Value-identical:
+    // class id is still min(doc_id) over byte-identical texts.
+    // Persist note: lazy-builder persist without an unpersist site is
+    // the accepted pattern for distinct-content-bounded frames
+    // (Graph.brandEdges, Curation:352); ContextCleaner reaps it.
+    val byTextTag = tagged.groupBy(col("text"), col("__tag"))
+      .agg(count(lit(1)).as("__mt"), min(col("doc_id")).as("__tmin"))
+      .persist()
+    // materialize the cache EAGERLY: the consumers below launch as
+    // concurrent broadcast-build futures, and a not-yet-materialized
+    // cache is recomputed by every concurrent job (measured at 100×:
+    // seven duplicate ~40 s corpus aggregates racing; with the eager
+    // count the corpus is aggregated exactly once)
+    byTextTag.count()
+    val keyCls = byTextTag.groupBy(col("text"))
+      .agg(min(col("__tmin")).as("__cls"))
+    val perClsTag = byTextTag.join(keyCls, "text")
+      .select(col("__cls"), col("__tag"), col("__mt"))
     val within = perClsTag.as("a")
       .join(perClsTag.as("b"), col("a.__cls") === col("b.__cls") &&
         col("a.__tag") <= col("b.__tag"))
@@ -2120,8 +2154,7 @@ object Curation {
           // exact integer C(m,2): consecutive product is even
           shiftright(col("a.__mt") * (col("a.__mt") - 1), 1))
           .otherwise(col("a.__mt") * col("b.__mt")).as("__n"))
-    val reps = m.filter(col("doc_id") === col("__cls"))
-      .select(col("doc_id"), col("text"))
+    val reps = keyCls.select(col("__cls").as("doc_id"), col("text"))
     val repPairs = Dedup.ngramJaccard(reps, "doc_id", "text",
         shingleLen, threshold)
       .select(col("id_a").as("__c1"), col("id_b").as("__c2"))
@@ -2133,10 +2166,16 @@ object Curation {
       .select(least(col("__t1"), col("__t2")).as("tag_a"),
         greatest(col("__t1"), col("__t2")).as("tag_b"),
         (col("__m1") * col("__m2")).as("__n"))
-    within.unionByName(cross)
+    // ≤ |tags|² rows; persisted because callers fan the cell frame into
+    // several consumers (share denominators, rate joins) and one
+    // evaluation of the rep-pair machinery above should serve them all
+    val cells = within.unionByName(cross)
       .groupBy(col("tag_a"), col("tag_b"))
       .agg(sum(col("__n")).as("n_pairs"))
       .filter(col("n_pairs") > 0)
+      .persist()
+    cells.count() // eager, like byTextTag: consumers race otherwise
+    cells
   }
 
   /** q140 — cross-source duplication matrix (oracle-checked): q25's
@@ -2191,6 +2230,9 @@ object Curation {
     val tagged = docs.select(col("doc_id"), col("text"),
       when(u < 900000L, "train").when(u < 950000L, "val")
         .otherwise("test").as("__tag"))
+    // ≤ C(3,2)+3 rows, consumed twice (the share denominator and the
+    // output); nearDupCellCounts persists the cell frame, so the
+    // rep-pair machinery underneath runs once
     val cells = nearDupCellCounts(tagged, shingleLen = 3, threshold = 0.5)
       .select(col("tag_a").as("fold_a"), col("tag_b").as("fold_b"),
         col("n_pairs"))
@@ -2266,16 +2308,29 @@ object Curation {
     * scalar.
     */
   def dedupCostModel(spark: SparkSession, dir: String): DataFrame = {
+    // r11 collapse-first: a shingle's document frequency is Σ class
+    // multiplicity over the distinct-text classes containing it
+    // (array_distinct per doc makes df count documents, and identical
+    // texts shingle identically), so the shingle pass runs over ONE
+    // representative per class — on the exact-twins amplified corpus
+    // that is the whole twin factor. The ≤64-row bucket frame is
+    // persisted: it feeds both the output and the broadcast total,
+    // which otherwise re-ran the full shingle aggregate.
+    val cls = Dedup.exactClassAgg(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text")
     val sh = Dedup.shingleTable(
-        Tables.load(spark, dir, "documents"), "doc_id", "text", 3)
-      .select(explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("__df"))
+        cls.select(col("__cls").as("doc_id"), col("text")), "doc_id", "text", 3)
+      .join(cls.select(col("__cls").as("id"), col("__m")), "id")
+      .select(explode(col("sh")).as("s"), col("__m"))
+      .groupBy(col("s")).agg(sum(col("__m")).as("__df"))
     val buckets = sh
       .withColumn("df_bucket", length(bin(col("__df"))) - 1)
       .groupBy(col("df_bucket"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("__df")).as("postings"),
         sum(shiftright(col("__df") * (col("__df") - 1), 1)).as("cand_pairs"))
+      .persist()
     val tot = buckets.agg(sum(col("cand_pairs")).as("__t"))
     buckets.crossJoin(broadcast(tot))
       .select(col("df_bucket"), col("n_shingles"), col("postings"),
@@ -2329,12 +2384,15 @@ object Curation {
     * amplified corpus.
     */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val m = Dedup.withExactClasses(
+    // r11: class-grain aggregate frame (Dedup.exactClassAgg) — the old
+    // withExactClasses window re-executed its full-corpus sort for each
+    // of the two consumers (cls, reps); the aggregate runs once and
+    // both read its cache
+    val m = Dedup.exactClassAgg(
       Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text")
-    val cls = m.groupBy(col("__cls")).agg(count(lit(1)).as("__m"))
-    val reps = m.filter(col("doc_id") === col("__cls"))
-      .select(col("doc_id"), col("text"))
+    val cls = m.select(col("__cls"), col("__m"))
+    val reps = m.select(col("__cls").as("doc_id"), col("text"))
     val cross = Dedup.ngramJaccard(reps, "doc_id", "text", 3, 0.5)
       .withColumn("__e4", round(col("jaccard") * 10000).cast("long"))
       .join(cls.select(col("__cls").as("id_a"), col("__m").as("__m1")), "id_a")

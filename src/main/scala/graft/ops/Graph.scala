@@ -448,12 +448,18 @@ object Graph {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 8, minShared: Long = 2L,
       maxDfFrac: Double = 0.1, topK: Int = 100): DataFrame = {
-    val mem = graft.text.Dedup.withExactClasses(
+    // r11: class frame via ONE text-keyed aggregate (exactClassAgg,
+    // persisted) — the old withExactClasses window re-ran its corpus
+    // sort for each of the four consumers (classes + the three `ids`
+    // joins below). fps is likewise persisted: it is class-grain
+    // (distinct-content-bounded) and feeds nd/dfreq/kept, which each
+    // re-ran the per-character explode+window fingerprint subtree.
+    val frame = graft.text.Dedup.exactClassAgg(
       docs.select(col(idCol).as("__did"), col(textCol).as("__txt")),
       "__did", "__txt")
-    val classes = mem.filter(col("__did") === col("__cls"))
+    val classes = frame
       .select(col("__cls").as("doc"), col("__txt"), col("__m"))
-    val fps = winnowFingerprints(classes, "doc", "__txt", k, w)
+    val fps = winnowFingerprints(classes, "doc", "__txt", k, w).persist()
     // multiplicity-aware document frequency: a class's fingerprint set
     // is shared by all m of its members, and so is its presence in the
     // "has fingerprints at all" denominator (the length filter is
@@ -484,7 +490,15 @@ object Graph {
       .agg(min(col("shared")).as("__b"))
     val keep = classPairs.crossJoin(broadcast(boundary))
       .filter(col("shared") >= col("__b"))
-    val ids = mem.select(col("__cls"), col("__did"))
+    // member grain only materializes for the ≤topK boundary classes;
+    // built by joining the corpus to the cached class frame on text
+    // instead of re-running the class window per consumer, and
+    // persisted (two longs per corpus row) because the three expansion
+    // joins below each re-execute their input subtree
+    val ids = docs.select(col(idCol).as("__did"), col(textCol).as("__txt"))
+      .join(frame.select(col("__txt"), col("__cls")), "__txt")
+      .select(col("__cls"), col("__did"))
+      .persist()
     val crossDocs = keep.filter(col("c1") =!= col("c2"))
       .join(ids.select(col("__cls").as("c1"), col("__did").as("__da")), "c1")
       .join(ids.select(col("__cls").as("c2"), col("__did").as("__db")), "c2")

@@ -495,13 +495,24 @@ object Selection {
     * sizes attach via a cardinality-guarded broadcast.
     */
   def ngramContainment(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.load(spark, dir, "documents")
+    // r11 collapse-first (guide §2.3): the distinct (source, gram) set
+    // is a function of the distinct (source, text) set, so the n-gram
+    // explode runs once per distinct (source, text) — on a twins-heavy
+    // corpus the gram-string build and the distinct shuffle shrink by
+    // the duplication factor. g is persisted (distinct-gram-bounded):
+    // it feeds the size aggregate and both sides of the intersection
+    // join, which each re-ran the whole explode+distinct otherwise.
+    val st = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("text")).distinct()
+    val g = st
       .select(col("source"), toks(col("text")).as("__t"))
       .filter(size(col("__t")) >= 8)
       .select(col("source"),
         explode(transform(sequence(lit(1), size(col("__t")) - 7),
           i => concat_ws(" ", slice(col("__t"), i, lit(8))))).as("s"))
       .distinct()
+      .persist()
+    g.count() // eager: three consumers race the cache otherwise
     val sz = g.groupBy(col("source").as("__szs"))
       .agg(count(lit(1)).as("n_grams"))
     val inter = g.select(col("source").as("source_a"), col("s"))

@@ -87,6 +87,34 @@ object Dedup {
       .withColumn(mCol, count(lit(1)).over(w))
   }
 
+  /** CLASS-grain exact-duplicate frame — the r11 one-pass form of
+    * [[withExactClasses]] for consumers that never need the member
+    * grain: one row per distinct text with (`textCol`, `clsCol` = min
+    * id, `mCol` = multiplicity), built by a text-keyed AGGREGATE
+    * instead of a text-partitioned window. Two reasons it wins at
+    * scale (guide §2.4/§5):
+    *  - an aggregate hash-folds in one pass where the window pays a
+    *    per-partition SORT of the full corpus;
+    *  - window operators re-execute per CONSUMER (only exchanges are
+    *    runtime-reused), and the class frame typically feeds several —
+    *    measured at 100× on q143, the multiplicity frame's four
+    *    broadcast builds each replayed a ~670 s-executor-time window
+    *    pass. The aggregate result is distinct-content-sized, so it is
+    *    PERSISTED and eagerly materialized: every consumer reads the
+    *    cache, the corpus is touched exactly once. (Lazy-builder
+    *    persist without an unpersist site — the accepted pattern for
+    *    bounded frames, cf. Graph.brandEdges; ContextCleaner reaps it.)
+    */
+  def exactClassAgg(df: DataFrame, idCol: String, textCol: String,
+      clsCol: String = "__cls", mCol: String = "__m"): DataFrame = {
+    val frame = df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(clsCol), count(lit(1)).as(mCol))
+      .persist()
+    frame.count() // eager: concurrent consumers would race an
+                  // unmaterialized cache and duplicate the corpus pass
+    frame
+  }
+
   /** Collapse-then-expand wrapper for doc-grain pair enumerators —
     * the at-scale form of any "all pairs with text-similarity ≥ t"
     * operator (q154/q177 shape). `pairFn` (which must be a pure
@@ -118,19 +146,26 @@ object Dedup {
       textCol: String,
       simCol: String)(
       pairFn: DataFrame => DataFrame): DataFrame = {
-    val mem = withExactClasses(
+    // r11: class frame via ONE text-keyed aggregate ([[exactClassAgg]],
+    // persisted) — the old withExactClasses window re-ran its
+    // full-corpus sort for every consumer (members feeds four joins,
+    // reps a fifth path). members (two longs per corpus row) is built
+    // by ONE corpus⋈frame probe on the text and PERSISTED: its four
+    // consumers would otherwise re-execute the text-keyed join — the
+    // r9 "members persist is flat" measurement applied to the window
+    // form, where recompute was a reused-exchange re-read; for the
+    // join form, measured at 100×, unpersisted members sent q154 to
+    // 131 s (four corpus re-sorts) vs 33 s on the window form.
+    val frame = exactClassAgg(
       df.select(col(idCol).as("__did"), col(textCol).as("__txt")),
       "__did", "__txt")
-    // two longs per row — corpus-row-count but payload-free. NOT
-    // persisted (r9 ADVICE): this is a lazy builder, so a persist here
-    // has no unpersist site and repeated invocations accumulate cache
-    // blocks until ContextCleaner runs; measured at amp10/amp100, the
-    // single-pass plan is FLAT vs the cached one (8.5 s vs 8.1 s at
-    // amp10 — the class window's exchange is runtime-reused across the
-    // three consumers, so "recompute" is a shuffle re-read, not re-work)
-    val members = mem.select(col("__cls"), col("__did"))
-    val reps = mem.filter(col("__did") === col("__cls"))
-      .select(col("__did").as(idCol), col("__txt").as(textCol))
+    val members = df.select(col(idCol).as("__did"), col(textCol).as("__txt"))
+      .join(frame.select(col("__txt"), col("__cls")), "__txt")
+      .select(col("__cls"), col("__did"))
+      .persist()
+    members.count() // eager: the expansion joins launch concurrently
+    val reps = frame
+      .select(col("__cls").as(idCol), col("__txt").as(textCol))
     val repPairs = pairFn(reps)
     // class pair → member pairs; least/greatest because class min-ids
     // don't order the members (a member of the smaller class can carry
@@ -670,17 +705,35 @@ object Dedup {
       if (hashKeys) df.select(df.columns.filter(_ != "s").map(col) :+
         xxhash64(col("s")).as("k"): _*)
       else df.withColumnRenamed("s", "k")
+    // r11: the bench gram set only needs each DISTINCT bench text once
+    // (the set union is text-functional); the synthetic xxhash64 id
+    // exists purely so shingleTable can spread rows — it never reaches
+    // the output
+    val benchTexts = benchmark.select(col(textCol)).distinct()
+      .withColumn("__bid", xxhash64(col(textCol)))
     val benchKeys = broadcast(
-      keyed(shingleTable(benchmark, idCol, textCol, n)
+      keyed(shingleTable(benchTexts, "__bid", textCol, n)
         .select(explode(col("sh")).as("s")))
         .distinct())
-    val contaminated = keyed(
-        shingleTable(corpus, idCol, textCol, n)
+    // r11 collapse-first (guide §2.3): contamination is text-functional,
+    // so the n-gram pass runs over ONE representative per exact-
+    // duplicate class ([[exactClassAgg]]) — on a twins-heavy corpus the
+    // shingle explode shrinks by the duplication factor. The verdict
+    // travels back as the contaminated TEXT set (bounded by
+    // contaminated distinct content, the same eval-suite-sized premise
+    // as benchKeys) and the corpus is anti-joined scan-side on the
+    // text — the corpus is still never shuffled.
+    val frame = exactClassAgg(
+      corpus.select(col(idCol), col(textCol)), idCol, textCol)
+    val contaminatedTexts = keyed(
+        shingleTable(frame.select(col("__cls").as(idCol), col(textCol)),
+          idCol, textCol, n)
           .select(col("id"), explode(col("sh")).as("s")))
       .join(benchKeys, Seq("k"), "left_semi")
       .select(col("id")).distinct()
-    corpus.join(broadcast(contaminated.withColumnRenamed("id", idCol)),
-      Seq(idCol), "left_anti")
+      .join(frame.select(col("__cls").as("id"), col(textCol)), Seq("id"))
+      .select(col(textCol))
+    corpus.join(broadcast(contaminatedTexts), Seq(textCol), "left_anti")
   }
 
   /** Fuzzy benchmark decontamination — the paraphrase-robust complement
@@ -747,11 +800,20 @@ object Dedup {
     val benchSh = broadcast(keyed(
       shingleTable(benchmark, idCol, textCol, n)
         .select(col("id").as("bench_id"), explode(col("sh")).as("s"))))
-    keyed(shingleTable(corpus, idCol, textCol, n)
+    // r11 collapse-first, as in [[decontaminate]]: hits are counted at
+    // the exact-duplicate-class grain (one shingle pass per distinct
+    // text) and n_docs recovers exactly as the multiplicity sum over a
+    // bench item's distinct contaminated classes.
+    val frame = exactClassAgg(
+      corpus.select(col(idCol), col(textCol)), idCol, textCol)
+    keyed(shingleTable(frame.select(col("__cls").as(idCol), col(textCol)),
+        idCol, textCol, n)
         .select(col("id"), explode(col("sh")).as("s")))
       .join(benchSh, Seq("s"))
+      .select(col("bench_id"), col("id")).distinct()
+      .join(frame.select(col("__cls").as("id"), col("__m")), Seq("id"))
       .groupBy(col("bench_id"))
-      .agg(countDistinct(col("id")).as("n_docs"))
+      .agg(sum(col("__m")).as("n_docs"))
   }
 
   def ngramJaccard(
